@@ -23,4 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The session environment force-prepends the 'axon' TPU plugin to
+# jax_platforms regardless of JAX_PLATFORMS; override after import, before
+# backend initialization.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() >= 8, jax.devices()

@@ -1,0 +1,6 @@
+"""Model definitions (flax.linen): MMDiT, TPM, VAE, text encoders."""
+
+from tpdm_tpu.models.mmdit import MMDiT, MMDiTConfig
+from tpdm_tpu.models.tpm import TimePredictor, reshape_tokens_to_2d
+
+__all__ = ["MMDiT", "MMDiTConfig", "TimePredictor", "reshape_tokens_to_2d"]

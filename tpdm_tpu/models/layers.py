@@ -1,0 +1,322 @@
+"""Shared building blocks for the diffusion transformers.
+
+Numerics follow the SD3/diffusers conventions so that converted pretrained
+weights reproduce reference outputs (cited per class); layout and dtype
+policy are TPU-native: matmuls in bf16 on the MXU, normalization statistics
+and softmax in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+    max_period: int = 10000,
+) -> jax.Array:
+    """Sinusoidal features of a (possibly fractional) timestep.
+
+    Matches diffusers `Timesteps`/`get_timestep_embedding` so that SD3's
+    continuous timestep = sigma*1000 conditioning is reproduced exactly.
+
+    Args:
+        timesteps: (b,) float or int array.
+        dim: embedding width (even).
+
+    Returns:
+        (b, dim) float32 embedding.
+    """
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    return emb
+
+
+def get_2d_sincos_pos_embed(
+    embed_dim: int,
+    grid_size: int,
+    base_size: int,
+    interpolation_scale: float = 1.0,
+) -> np.ndarray:
+    """Fixed 2D sin/cos position table, diffusers layout.
+
+    Matches diffusers `get_2d_sincos_pos_embed` (including its grid_w/grid_h
+    meshgrid ordering quirk) so the table is bit-compatible with the buffer
+    SD3 checkpoints were trained against.
+
+    Returns:
+        (grid_size*grid_size, embed_dim) float32 numpy array.
+    """
+    grid_h = (
+        np.arange(grid_size, dtype=np.float64)
+        / (grid_size / base_size)
+        / interpolation_scale
+    )
+    grid_w = grid_h.copy()
+    grid = np.meshgrid(grid_w, grid_h)  # w first, per diffusers
+    grid = np.stack(grid, axis=0).reshape([2, grid_size, grid_size])
+
+    def _1d(dim: int, pos: np.ndarray) -> np.ndarray:
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000.0**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+def _layer_norm_fp32(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Affine-free LayerNorm with fp32 statistics, output in input dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with learned scale (for SD3.5 qk_norm), fp32 statistics."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        out = x32 * jax.lax.rsqrt(var + self.eps)
+        return (out * scale).astype(x.dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP over sinusoidal features: linear -> silu -> linear.
+
+    diffusers `TimestepEmbedding` (in_channels=256 -> embedding_dim).
+    """
+
+    embedding_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        x = nn.Dense(self.embedding_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class TextProjection(nn.Module):
+    """Pooled-text MLP: linear -> silu -> linear.
+
+    diffusers `PixArtAlphaTextProjection` with act_fn="silu" as used inside
+    `CombinedTimestepTextProjEmbeddings`.
+    """
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, caption: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_1")(caption)
+        x = nn.silu(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="linear_2")(x)
+
+
+class CombinedTimestepTextEmbed(nn.Module):
+    """temb = MLP(sinusoid(t)) + MLP(pooled_text).
+
+    diffusers `CombinedTimestepTextProjEmbeddings`
+    (reference: src/models/stable_diffusion_3/transformer_sd3.py:122-125).
+    """
+
+    embedding_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array, pooled_projection: jax.Array) -> jax.Array:
+        t_feat = sinusoidal_timestep_embedding(timestep, 256)
+        t_emb = TimestepEmbedding(
+            self.embedding_dim, dtype=self.dtype, name="timestep_embedder"
+        )(t_feat.astype(pooled_projection.dtype))
+        pooled = TextProjection(
+            self.embedding_dim, dtype=self.dtype, name="text_embedder"
+        )(pooled_projection)
+        return t_emb + pooled
+
+
+class PatchEmbed(nn.Module):
+    """Patchify latents and add a center-cropped fixed sincos pos table.
+
+    diffusers `PatchEmbed` with `pos_embed_max_size` (SD3: max 96, base
+    sample_size//patch = 64). The patchify conv is expressed as
+    reshape+matmul, which XLA maps straight onto the MXU.
+    """
+
+    patch_size: int
+    embed_dim: int
+    pos_embed_max_size: int
+    base_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent: jax.Array) -> jax.Array:
+        """latent: (b, c, h, w) NCHW -> (b, (h/p)*(w/p), embed_dim)."""
+        b, c, h, w = latent.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+
+        # (b,c,h,w) -> (b, gh, gw, p*p*c): each token is its p×p×c patch.
+        x = latent.reshape(b, c, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 3, 5, 1)  # b, gh, gw, p, p, c
+        x = x.reshape(b, gh * gw, p * p * c)
+        # Equivalent to the stride-p conv: kernel (embed, c, p, p) flattened
+        # in (p, p, c) order to match the transpose above (converter handles
+        # the torch kernel layout).
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(x)
+
+        table = self.variable(
+            "constants",
+            "pos_embed",
+            lambda: jnp.asarray(
+                get_2d_sincos_pos_embed(
+                    self.embed_dim, self.pos_embed_max_size, self.base_size
+                )
+            ),
+        ).value
+        m = self.pos_embed_max_size
+        top = (m - gh) // 2
+        left = (m - gw) // 2
+        pos = table.reshape(m, m, self.embed_dim)[
+            top : top + gh, left : left + gw
+        ].reshape(1, gh * gw, self.embed_dim)
+        return (x + pos.astype(x.dtype)).astype(self.dtype)
+
+
+class AdaLayerNormZero(nn.Module):
+    """AdaLN-Zero: temb -> 6 modulation vectors; returns normed x + gates.
+
+    diffusers `AdaLayerNormZero` as used by `JointTransformerBlock`.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array):
+        mod = nn.Dense(6 * self.dim, dtype=self.dtype, name="linear")(nn.silu(emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
+        normed = _layer_norm_fp32(x)
+        normed = normed * (1.0 + scale_msa[:, None]) + shift_msa[:, None]
+        return normed, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormZeroX(nn.Module):
+    """SD3.5 dual-attention AdaLN: 9 modulation vectors, two normed branches.
+
+    diffusers `SD35AdaLayerNormZeroX` (dual_attention_layers,
+    reference: transformer_sd3.py:104-106,138).
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array):
+        mod = nn.Dense(9 * self.dim, dtype=self.dtype, name="linear")(nn.silu(emb))
+        (
+            shift_msa,
+            scale_msa,
+            gate_msa,
+            shift_mlp,
+            scale_mlp,
+            gate_mlp,
+            shift_msa2,
+            scale_msa2,
+            gate_msa2,
+        ) = jnp.split(mod, 9, axis=-1)
+        normed = _layer_norm_fp32(x)
+        out1 = normed * (1.0 + scale_msa[:, None]) + shift_msa[:, None]
+        out2 = normed * (1.0 + scale_msa2[:, None]) + shift_msa2[:, None]
+        return out1, gate_msa, shift_mlp, scale_mlp, gate_mlp, out2, gate_msa2
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """x = LN(x)·(1+scale) + shift with (scale, shift) = linear(silu(cond)).
+
+    NOTE the chunk order is (scale, shift) — opposite of AdaLayerNormZero —
+    per diffusers `AdaLayerNormContinuous` (used for `norm_out` and the last
+    block's context norm; reference: transformer_sd3.py:144,372).
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        mod = nn.Dense(2 * self.dim, dtype=self.dtype, name="linear")(nn.silu(cond))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        return _layer_norm_fp32(x) * (1.0 + scale[:, None]) + shift[:, None]
+
+
+class FeedForward(nn.Module):
+    """Transformer MLP: dense -> gelu(tanh) -> dense.
+
+    diffusers `FeedForward(activation_fn="gelu-approximate")`, mult=4.
+    """
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over NHWC input with fp32 statistics and affine params.
+
+    torch-compatible: num_groups groups over the channel dim, stats over
+    (H, W, C/g) per group.
+    """
+
+    num_groups: int
+    num_channels: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        x32 = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+        x32 = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = x32.reshape(b, h, w, c)
+        return (x32 * scale + bias).astype(x.dtype)
