@@ -1,0 +1,262 @@
+"""Adaptive sampler semantics: early stop, masking, rollout/replay parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+from tpdm_tpu.pipeline import (
+    SamplerConfig,
+    adaptive_sample,
+    fixed_schedule_sample,
+    replay_logprobs,
+)
+from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn
+
+B, C, H = 2, 4, 8  # tiny latents
+INNER = 6
+
+
+def _fake_denoise_fn(latents, sigma):
+    """Deterministic stand-in for the MMDiT: cheap but input-dependent."""
+    vel = -latents
+    temb = jnp.tile(
+        jnp.mean(latents, axis=(1, 2, 3), keepdims=False)[:, None], (1, INNER)
+    )
+    h = jnp.tile(latents.mean(axis=1, keepdims=True), (1, 2 * INNER, 1, 1))
+    return vel, temb, h
+
+
+@pytest.fixture(scope="module")
+def tpm_setup():
+    tpm = TimePredictor(conv_out_channels=4, in_channels=2 * INNER, temb_dim=INNER)
+    params = tpm.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, 2 * INNER, H, H)),
+        jnp.zeros((B, INNER)),
+    )
+    return tpm, params
+
+
+def _latents(seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), (B, C, H, H))
+
+
+class TestAdaptiveSample:
+    def test_shapes_and_basic_invariants(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=10)
+        out = jax.jit(
+            lambda lat, key: adaptive_sample(
+                _fake_denoise_fn, lambda h, t: tpm.apply(params, h, t), lat, key, cfg
+            )
+        )(_latents(), jax.random.PRNGKey(1))
+        T = cfg.max_inference_steps
+        assert out.sigmas.shape == (B, T)
+        assert out.logprobs.shape == (B, T)
+        assert out.prob_masks.shape == (B, T)
+        assert out.h_cache.shape == (T, B, 2 * INNER, H, H)
+        assert out.temb_cache.shape == (T, B, INNER)
+        # sigma strictly decreasing over executed, unmasked steps
+        n = int(out.num_steps)
+        sig = np.asarray(out.sigmas)
+        for i in range(B):
+            prev = 1.0
+            for j in range(n):
+                assert sig[i, j] < prev
+                prev = sig[i, j]
+
+    def test_masks_follow_min_sigma(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=12, min_sigma=0.05)
+        out = adaptive_sample(
+            _fake_denoise_fn, lambda h, t: tpm.apply(params, h, t),
+            _latents(), jax.random.PRNGKey(2), cfg,
+        )
+        sig = np.asarray(out.sigmas)
+        masks = np.asarray(out.prob_masks)
+        n = int(out.num_steps)
+        for i in range(B):
+            # step j is masked iff sigma at its start (sigma_{j-1}) < min_sigma
+            start = np.concatenate([[1.0], sig[i, : n - 1]])
+            np.testing.assert_array_equal(masks[i, :n], start < cfg.min_sigma)
+        # steps never executed stay masked
+        assert masks[:, n:].all()
+        # logprobs are INVALID exactly at masked positions
+        lp = np.asarray(out.logprobs)
+        assert (lp[masks] == 1.0).all()
+
+    def test_early_termination_saves_steps(self, tpm_setup):
+        """A policy with a tiny mode must terminate the while_loop early."""
+        tpm, params = tpm_setup
+        # alpha slightly >1, beta huge -> mode ~ 0 -> ratio ~ eps -> sigma
+        # collapses in ~2 steps.
+        aggressive = lambda h, t: jnp.tile(
+            jnp.array([[jnp.log(1.05 - 1.0), jnp.log(50.0)]]), (h.shape[0], 1)
+        )
+        # note: TPM applies exp()+1 itself; here we bypass the module and
+        # return raw (alpha, beta) = (1.05, 51.0) directly post-activation.
+        aggressive = lambda h, t: jnp.tile(jnp.array([[1.05, 51.0]]), (h.shape[0], 1))
+        cfg = SamplerConfig(max_inference_steps=28, predict=True, min_sigma=0.01)
+        out = adaptive_sample(
+            _fake_denoise_fn, aggressive, _latents(), jax.random.PRNGKey(3), cfg
+        )
+        assert int(out.num_steps) < 6
+        # predict mode pins sigma to 0 for done samples
+        sig = np.asarray(out.sigmas)
+        n = int(out.num_steps)
+        masks = np.asarray(out.prob_masks)
+        assert (sig[masks[:, :n].nonzero()[0], masks[:, :n].nonzero()[1]] == 0).all()
+
+    def test_predict_mode_deterministic(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=6, predict=True)
+        f = lambda key: adaptive_sample(
+            _fake_denoise_fn, lambda h, t: tpm.apply(params, h, t),
+            _latents(), key, cfg,
+        )
+        o1, o2 = f(jax.random.PRNGKey(0)), f(jax.random.PRNGKey(99))
+        np.testing.assert_allclose(
+            np.asarray(o1.sigmas), np.asarray(o2.sigmas), rtol=1e-6
+        )
+
+    def test_stochastic_mode_uses_key(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=6)
+        f = lambda key: adaptive_sample(
+            _fake_denoise_fn, lambda h, t: tpm.apply(params, h, t),
+            _latents(), key, cfg,
+        )
+        o1, o2 = f(jax.random.PRNGKey(0)), f(jax.random.PRNGKey(99))
+        assert float(np.abs(np.asarray(o1.sigmas) - np.asarray(o2.sigmas)).max()) > 1e-4
+
+    def test_final_latents_freeze_after_done(self, tpm_setup):
+        aggressive = lambda h, t: jnp.tile(jnp.array([[1.05, 51.0]]), (h.shape[0], 1))
+        cfg = SamplerConfig(
+            max_inference_steps=28, predict=True, min_sigma=0.01, keep_history=True
+        )
+        out = adaptive_sample(
+            _fake_denoise_fn, aggressive, _latents(), jax.random.PRNGKey(4), cfg
+        )
+        hist = np.asarray(out.history_latents)  # (T, b, ...)
+        lvi = np.asarray(out.last_valid_index)
+        for i in range(B):
+            np.testing.assert_allclose(
+                np.asarray(out.final_latents)[i], hist[lvi[i], i], rtol=1e-6
+            )
+
+    def test_history_disabled_by_default(self, tpm_setup):
+        tpm, params = tpm_setup
+        out = adaptive_sample(
+            _fake_denoise_fn,
+            lambda h, t: tpm.apply(params, h, t),
+            _latents(),
+            jax.random.PRNGKey(5),
+            SamplerConfig(max_inference_steps=4),
+        )
+        assert out.history_latents is None
+
+
+class TestReplayParity:
+    def test_replay_matches_rollout_logprobs(self, tpm_setup):
+        """The trainer's epoch-0 invariant: replay(theta_rollout) == rollout."""
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=10, min_sigma=0.05)
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        out = adaptive_sample(
+            _fake_denoise_fn, tpm_fn, _latents(), jax.random.PRNGKey(6), cfg
+        )
+        lp = replay_logprobs(tpm_fn, out.h_cache, out.temb_cache, out.sigmas, cfg)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(out.logprobs), rtol=1e-4, atol=1e-5
+        )
+
+    def test_replay_differentiable_wrt_tpm(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=6, min_sigma=0.05)
+        out = adaptive_sample(
+            _fake_denoise_fn,
+            lambda h, t: tpm.apply(params, h, t),
+            _latents(),
+            jax.random.PRNGKey(7),
+            cfg,
+        )
+
+        def loss(p):
+            lp = replay_logprobs(
+                lambda h, t: tpm.apply(p, h, t),
+                out.h_cache,
+                out.temb_cache,
+                out.sigmas,
+                cfg,
+            )
+            return jnp.sum(jnp.where(out.prob_masks, 0.0, lp))
+
+        g = jax.grad(loss)(params)
+        assert any(float(jnp.abs(l).max()) > 0 for l in jax.tree.leaves(g))
+
+    def test_replay_reacts_to_weight_change(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=6, min_sigma=0.05)
+        out = adaptive_sample(
+            _fake_denoise_fn,
+            lambda h, t: tpm.apply(params, h, t),
+            _latents(),
+            jax.random.PRNGKey(8),
+            cfg,
+        )
+        bumped = jax.tree.map(lambda x: x + 0.05, params)
+        lp = replay_logprobs(
+            lambda h, t: tpm.apply(bumped, h, t),
+            out.h_cache, out.temb_cache, out.sigmas, cfg,
+        )
+        valid = ~np.asarray(out.prob_masks)
+        assert np.abs(np.asarray(lp)[valid] - np.asarray(out.logprobs)[valid]).max() > 1e-4
+
+
+class TestFixedSchedule:
+    def test_constant_velocity_telescopes(self):
+        v = jnp.full((1, 2, 4, 4), 0.7)
+        sigmas = jnp.array([1.0, 0.6, 0.3])
+        init = jnp.zeros((1, 2, 4, 4))
+        out = fixed_schedule_sample(lambda lat, s: v, init, sigmas)
+        # sum of deltas = (0.6-1)+(0.3-0.6)+(0-0.3) = -1 -> out = -0.7
+        np.testing.assert_allclose(np.asarray(out), -0.7, rtol=1e-6)
+
+
+class TestWithRealMMDiT:
+    def test_cfg_denoise_fn_end_to_end(self):
+        cfg_m = MMDiTConfig.toy()
+        model = MMDiT(cfg_m)
+        b = 2
+        lat = jax.random.normal(
+            jax.random.PRNGKey(0), (b, cfg_m.in_channels, cfg_m.sample_size, cfg_m.sample_size)
+        )
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * b, 5, cfg_m.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (2 * b, cfg_m.pooled_projection_dim))
+        params = model.init(jax.random.PRNGKey(3), jnp.concatenate([lat] * 2), jnp.ones((2 * b,)), ctx, pooled)
+
+        grid = cfg_m.sample_size // cfg_m.patch_size
+        denoise_fn = make_cfg_denoise_fn(
+            lambda *a: model.apply(params, *a), ctx, pooled, 7.0, grid, cfg_m.patch_size
+        )
+        tpm = TimePredictor(
+            conv_out_channels=4, in_channels=2 * cfg_m.inner_dim, temb_dim=cfg_m.inner_dim
+        )
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(4),
+            jnp.zeros((b, 2 * cfg_m.inner_dim, grid, grid)),
+            jnp.zeros((b, cfg_m.inner_dim)),
+        )
+        out = jax.jit(
+            lambda l, k: adaptive_sample(
+                denoise_fn,
+                lambda h, t: tpm.apply(tpm_params, h, t),
+                l,
+                k,
+                SamplerConfig(max_inference_steps=4),
+            )
+        )(lat, jax.random.PRNGKey(5))
+        assert np.isfinite(np.asarray(out.final_latents)).all()
+        assert out.h_cache.shape == (4, b, 2 * cfg_m.inner_dim, grid, grid)

@@ -1,0 +1,85 @@
+"""Builders turning an MMDiT apply-fn into the sampler's denoise callable.
+
+Encapsulates classifier-free guidance exactly as the reference does it:
+batch-double the latents with [uncond; cond] embeds, run one forward, and
+apply the guidance combine to all four outputs — velocity, temb, h1, h2
+(reference: src/models/stable_diffusion_3/modeling_sd3_pnt.py:504-552).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpdm_tpu.models.tpm import reshape_tokens_to_2d
+
+
+def make_cfg_denoise_fn(
+    mmdit_apply: Callable,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    guidance_scale: Optional[float],
+    token_grid: int,
+    patch_size: int = 2,
+):
+    """Build denoise_fn(latents, sigma) -> (velocity, temb, h_combined).
+
+    Args:
+        mmdit_apply: (latents, timestep, ctx, pooled) -> (vel, temb, h1, h2).
+        prompt_embeds: (2b, n, d) already concatenated [negative; positive]
+            when guidance_scale is not None, else (b, n, d).
+        pooled_embeds: (2b, p) resp. (b, p), same convention.
+        guidance_scale: None disables CFG entirely.
+        token_grid: token-grid side (latent_size // patch_size; 64 for SD3),
+            the spatial size of the TPM input map.
+    """
+
+    def denoise_fn(latents, sigma):
+        if guidance_scale is not None:
+            lat = jnp.concatenate([latents, latents])
+            t = jnp.concatenate([sigma, sigma]) * 1000.0
+        else:
+            lat, t = latents, sigma * 1000.0
+        vel, temb, h1, h2 = mmdit_apply(lat, t, prompt_embeds, pooled_embeds)
+        if guidance_scale is not None:
+
+            def guide(a):
+                uncond, cond = jnp.split(a, 2)
+                return uncond + guidance_scale * (cond - uncond)
+
+            vel, temb, h1, h2 = guide(vel), guide(temb), guide(h1), guide(h2)
+        h_combined = jnp.concatenate(
+            [
+                reshape_tokens_to_2d(h1, token_grid, token_grid, patch_size),
+                reshape_tokens_to_2d(h2, token_grid, token_grid, patch_size),
+            ],
+            axis=1,
+        )
+        return vel, temb, h_combined
+
+    return denoise_fn
+
+
+def make_cfg_velocity_fn(
+    mmdit_apply: Callable,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    guidance_scale: Optional[float],
+):
+    """velocity-only variant for the fixed-schedule baseline sampler."""
+
+    def velocity_fn(latents, sigma):
+        if guidance_scale is not None:
+            lat = jnp.concatenate([latents, latents])
+            t = jnp.concatenate([sigma, sigma]) * 1000.0
+        else:
+            lat, t = latents, sigma * 1000.0
+        vel = mmdit_apply(lat, t, prompt_embeds, pooled_embeds)[0]
+        if guidance_scale is not None:
+            uncond, cond = jnp.split(vel, 2)
+            vel = uncond + guidance_scale * (cond - uncond)
+        return vel
+
+    return velocity_fn

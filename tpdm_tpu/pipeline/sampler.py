@@ -1,0 +1,287 @@
+"""The adaptive TPDM sampling loop, fully on-device.
+
+Semantics parity with the reference denoising loop
+(reference: src/models/stable_diffusion_3/modeling_sd3_pnt.py:508-668) and
+its TPM-only replay `only_predict_logprobs` (:670-726), re-architected for
+TPU:
+
+- The reference steps a host-side Python loop with per-sample
+  `torch.distributions.Beta` draws, caches activations to CPU RAM, and
+  breaks out when every sample's sigma falls below `min_sigma`. Here the
+  whole rollout is a single `jax.lax.while_loop` under `jit`: Beta draws run
+  batched on-device, per-step outputs land in preallocated (T, ...) buffers
+  via dynamic index updates, the activation cache stays in HBM, and the loop
+  genuinely stops early — the break at :608 maps to the while condition, so
+  adaptive schedules save real wall-clock, not just masked steps.
+- Each sample still follows its own schedule; samples that finish keep a
+  done-mask (`prob_masks`), exactly mirroring the reference's masking
+  (mask=1 when the step started with sigma < min_sigma, :582-587).
+- The gradient path never touches the rollout: `replay_logprobs` re-runs
+  only the TPM over the cached (h_combined, temb) under `lax.scan`,
+  differentiable w.r.t. the TPM parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpdm_tpu.ops.beta import (
+    beta_log_prob,
+    beta_mode,
+    beta_sample,
+    mode_concentration_to_alpha_beta,
+)
+from tpdm_tpu.ops.flow_euler import flow_euler_step
+
+INVALID_LOGPROB = 1.0  # reference: modeling_sd3_pnt.py:615
+
+# denoise_fn(latents (b,c,h,w), sigma (b,)) -> (velocity, temb, h_combined)
+# all already CFG-combined; h_combined is the (b, 2*inner, gh, gw) TPM input.
+DenoiseFn = Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]]
+# tpm_fn(h_combined, temb) -> (b, 2) raw (param1, param2)
+TpmFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Adaptive-sampler knobs (defaults = reference training configuration).
+
+    Attributes:
+        max_inference_steps: rollout cap (reference config.py:25).
+        min_sigma: stop threshold; 0.001 model default / 0.01 RLOO wrapper
+            default (modeling_sd3_pnt.py:134,734).
+        epsilon: ratio clamp margin (modeling_sd3_pnt.py:197).
+        relative: sigma_next = sigma*ratio (True) or sigma - ratio.
+        prediction_type: "alpha_beta" | "mode_concentration"
+            (modeling_sd3_pnt.py:559-563).
+        predict: deterministic mode — Beta mode instead of a draw, and
+            finished samples pin sigma to 0 (:566-567,584-585).
+        cache_activations: keep (h_combined, temb) per step for RL replay.
+        keep_history: keep per-step latents (return_full_process_images).
+    """
+
+    max_inference_steps: int = 28
+    min_sigma: float = 0.001
+    epsilon: float = 1e-3
+    relative: bool = True
+    prediction_type: str = "alpha_beta"
+    predict: bool = False
+    cache_activations: bool = True
+    keep_history: bool = False
+
+
+class SampleOutput(NamedTuple):
+    """Rollout record. Per-step stats are batch-major (b, T) like the
+    reference's `CustomDiffusionModelOutput`; large caches stay time-major
+    (T, b, ...) — the layout the replay scan consumes.
+    """
+
+    init_noise_latents: jax.Array  # (b, c, h, w)
+    final_latents: jax.Array  # (b, c, h, w) latents after last valid step
+    sigmas: jax.Array  # (b, T) sigma_next recorded each step
+    logprobs: jax.Array  # (b, T), INVALID_LOGPROB where masked
+    prob_masks: jax.Array  # (b, T) bool, True = step invalid (was done)
+    alphas: jax.Array  # (b, T)
+    betas: jax.Array  # (b, T)
+    num_steps: jax.Array  # () int32, loop iterations actually executed
+    last_valid_index: jax.Array  # (b,) int32 per-sample last valid step
+    h_cache: Optional[jax.Array]  # (T, b, 2*inner, gh, gw) or None
+    temb_cache: Optional[jax.Array]  # (T, b, inner) or None
+    history_latents: Optional[jax.Array]  # (T, b, c, h, w) or None
+
+
+def _raw_to_alpha_beta(raw: jax.Array, prediction_type: str):
+    p1, p2 = raw[:, 0], raw[:, 1]
+    if prediction_type == "alpha_beta":
+        return p1, p2
+    if prediction_type == "mode_concentration":
+        return mode_concentration_to_alpha_beta(p1, p2)
+    raise ValueError(f"unknown prediction_type: {prediction_type}")
+
+
+def _clamp_ratio(ratio: jax.Array, sigma: jax.Array, cfg: SamplerConfig):
+    if cfg.relative:
+        return jnp.clip(ratio, cfg.epsilon, 1.0 - cfg.epsilon)
+    # absolute: clamp to [eps, sigma] then [0, 1-eps] (modeling_sd3_pnt.py:570-574)
+    return jnp.clip(jnp.clip(ratio, cfg.epsilon, sigma), 0.0, 1.0 - cfg.epsilon)
+
+
+def adaptive_sample(
+    denoise_fn: DenoiseFn,
+    tpm_fn: TpmFn,
+    init_latents: jax.Array,
+    key: jax.Array,
+    cfg: SamplerConfig,
+) -> SampleOutput:
+    """Run the adaptive, self-terminating denoise loop.
+
+    Everything happens inside one jittable while_loop; call under jit.
+    """
+    b = init_latents.shape[0]
+    T = cfg.max_inference_steps
+    dtype = init_latents.dtype
+
+    # Probe shapes once (outside the loop, via eval_shape — no FLOPs).
+    vel_s, temb_s, h_s = jax.eval_shape(
+        denoise_fn, init_latents, jnp.ones((b,), dtype)
+    )
+
+    buffers = {
+        "sigmas": jnp.zeros((T, b), jnp.float32),
+        "logprobs": jnp.full((T, b), INVALID_LOGPROB, jnp.float32),
+        "masks": jnp.ones((T, b), bool),
+        "alphas": jnp.ones((T, b), jnp.float32),
+        "betas": jnp.ones((T, b), jnp.float32),
+    }
+    if cfg.cache_activations:
+        buffers["h_cache"] = jnp.zeros((T,) + h_s.shape, h_s.dtype)
+        buffers["temb_cache"] = jnp.zeros((T,) + temb_s.shape, temb_s.dtype)
+    if cfg.keep_history:
+        buffers["history"] = jnp.zeros((T,) + init_latents.shape, dtype)
+
+    state = {
+        "step": jnp.int32(0),
+        "all_done": jnp.array(False),
+        "latents": init_latents,
+        "sigma": jnp.ones((b,), jnp.float32),
+        "last_valid": init_latents,
+        "key": key,
+        **buffers,
+    }
+
+    def cond(s):
+        return (s["step"] < T) & ~s["all_done"]
+
+    def body(s):
+        step, sigma, latents = s["step"], s["sigma"], s["latents"]
+        velocity, temb, h_comb = denoise_fn(latents, sigma.astype(dtype))
+
+        raw = tpm_fn(h_comb, temb)
+        alpha, beta = _raw_to_alpha_beta(raw.astype(jnp.float32), cfg.prediction_type)
+
+        key, sub = jax.random.split(s["key"])
+        if cfg.predict:
+            ratio = beta_mode(alpha, beta)
+        else:
+            ratio = beta_sample(sub, alpha, beta)
+        ratio = _clamp_ratio(ratio, sigma, cfg)
+
+        sigma_next = sigma * ratio if cfg.relative else sigma - ratio
+        logprob = beta_log_prob(alpha, beta, ratio)
+        done = sigma < cfg.min_sigma  # done BEFORE this step -> step invalid
+        if cfg.predict:
+            sigma_next = jnp.where(done, 0.0, sigma_next)
+
+        new_latents = flow_euler_step(velocity, sigma_next, sigma, latents)
+
+        bcast = done.reshape((b,) + (1,) * (latents.ndim - 1))
+        out = dict(s)
+        out.update(
+            step=step + 1,
+            key=key,
+            sigma=sigma_next,
+            latents=new_latents,
+            last_valid=jnp.where(bcast, s["last_valid"], new_latents),
+            all_done=jnp.all(sigma_next < cfg.min_sigma),
+            sigmas=s["sigmas"].at[step].set(sigma_next),
+            logprobs=s["logprobs"].at[step].set(
+                jnp.where(done, INVALID_LOGPROB, logprob)
+            ),
+            masks=s["masks"].at[step].set(done),
+            alphas=s["alphas"].at[step].set(alpha),
+            betas=s["betas"].at[step].set(beta),
+        )
+        if cfg.cache_activations:
+            out["h_cache"] = s["h_cache"].at[step].set(h_comb)
+            out["temb_cache"] = s["temb_cache"].at[step].set(temb)
+        if cfg.keep_history:
+            out["history"] = s["history"].at[step].set(new_latents)
+        return out
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    masks_bt = s["masks"].T  # (b, T)
+    # last step index j with mask[j] == False, per sample
+    valid = ~masks_bt
+    idx = jnp.arange(T)[None, :]
+    last_valid_index = jnp.max(jnp.where(valid, idx, -1), axis=1).astype(jnp.int32)
+
+    return SampleOutput(
+        init_noise_latents=init_latents,
+        final_latents=s["last_valid"],
+        sigmas=s["sigmas"].T,
+        logprobs=s["logprobs"].T,
+        prob_masks=masks_bt,
+        alphas=s["alphas"].T,
+        betas=s["betas"].T,
+        num_steps=s["step"],
+        last_valid_index=last_valid_index,
+        h_cache=s.get("h_cache"),
+        temb_cache=s.get("temb_cache"),
+        history_latents=s.get("history"),
+    )
+
+
+def replay_logprobs(
+    tpm_fn: TpmFn,
+    h_cache: jax.Array,  # (T, b, 2*inner, gh, gw)
+    temb_cache: jax.Array,  # (T, b, inner)
+    fix_sigmas: jax.Array,  # (b, T) — the rollout's recorded sigmas
+    cfg: SamplerConfig,
+) -> jax.Array:
+    """Recompute per-step logprobs with current TPM weights (differentiable).
+
+    Parity with `only_predict_logprobs` (modeling_sd3_pnt.py:670-726): only
+    the TPM runs; the ratio is reconstructed from the recorded sigma chain.
+    Returns (b, T) with INVALID_LOGPROB at masked positions. (Unlike the
+    reference, the mode_concentration remap is applied here too — the
+    reference replay skips it, which would desynchronize rollout and replay
+    for that prediction_type; alpha_beta behavior is identical.)
+    """
+    b = fix_sigmas.shape[0]
+    sigmas_tm = fix_sigmas.T  # (T, b)
+
+    def step_fn(sigma, inputs):
+        h, temb, sigma_next = inputs
+        raw = tpm_fn(h, temb)
+        alpha, beta = _raw_to_alpha_beta(raw.astype(jnp.float32), cfg.prediction_type)
+        done = sigma < cfg.min_sigma
+        ratio = sigma_next / sigma if cfg.relative else sigma - sigma_next
+        ratio = jnp.clip(ratio, cfg.epsilon, 1.0 - cfg.epsilon)
+        logprob = jnp.where(
+            done, INVALID_LOGPROB, beta_log_prob(alpha, beta, ratio)
+        )
+        return sigma_next, logprob
+
+    _, logprobs_tm = jax.lax.scan(
+        step_fn, jnp.ones((b,), jnp.float32), (h_cache, temb_cache, sigmas_tm)
+    )
+    return logprobs_tm.T  # (b, T)
+
+
+def fixed_schedule_sample(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+) -> jax.Array:
+    """Baseline fixed-schedule Euler flow sampler (no TPM).
+
+    The 28-step diffusers-equivalent baseline the reference's headline claim
+    is measured against; used by bench.py. `denoise_fn` here returns just the
+    guided velocity.
+    """
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(latents, i):
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        velocity = denoise_fn(latents, s.astype(latents.dtype))
+        return flow_euler_step(velocity, s_next, s, latents), None
+
+    out, _ = jax.lax.scan(step_fn, init_latents, jnp.arange(sigmas.shape[0]))
+    return out
