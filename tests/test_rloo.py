@@ -1,0 +1,224 @@
+"""RLOO math vs reference-formula oracles, and end-to-end toy training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig
+from tpdm_tpu.train import (
+    RLOOConfig,
+    RLOOTrainer,
+    TPDMAgent,
+    compute_beta_kl_penalty,
+    discounted_rewards,
+    ppo_loss,
+    rloo_advantages,
+)
+from tpdm_tpu.train.rloo import rloo_repeat, subset_outputs
+
+
+class TestDiscountedRewards:
+    def test_matches_reference_loop(self):
+        """Oracle: the reference's explicit sum (modeling_sd3_pnt.py:838-841)."""
+        gamma = 0.9
+        scores = np.array([1.5, -0.3, 2.0], np.float32)
+        L = np.array([0, 3, 9])
+        ref = []
+        for r, last in zip(scores, L):
+            acc = 0.0
+            for i in range(last + 1):
+                acc += r * gamma ** (last - i)
+            ref.append(acc / (last + 1))
+        ours = discounted_rewards(jnp.array(scores), jnp.array(L), gamma)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5)
+
+    def test_gamma_one(self):
+        out = discounted_rewards(jnp.array([2.0]), jnp.array([5]), 1.0)
+        np.testing.assert_allclose(np.asarray(out), [2.0], rtol=1e-6)
+
+
+class TestKLPenalty:
+    def test_matches_reference_semantics(self):
+        """Oracle: per-element torch KL with the ref Beta at the input sigma."""
+        rng = np.random.default_rng(0)
+        b, T = 2, 4
+        alphas = rng.uniform(1.5, 6.0, (b, T)).astype(np.float32)
+        betas = rng.uniform(1.5, 6.0, (b, T)).astype(np.float32)
+        sigmas = np.sort(rng.uniform(0.05, 0.9, (b, T)).astype(np.float32))[:, ::-1].copy()
+        masks = np.zeros((b, T), bool)
+        masks[1, 3] = True
+
+        ours = compute_beta_kl_penalty(
+            jnp.array(alphas), jnp.array(betas), jnp.array(sigmas), jnp.array(masks)
+        )
+
+        import math
+
+        ex = math.e
+        input_sigmas = np.concatenate([np.ones((b, 1), np.float32), sigmas[:, :-1]], 1)
+        for i in range(b):
+            for j in range(T):
+                if masks[i, j]:
+                    assert float(ours[i, j]) == 0.0
+                    continue
+                s = torch.tensor(input_sigmas[i, j])
+                t1 = s / (ex + (1 - ex) * s)
+                t2 = torch.clamp(t1 - 1 / 28, 1e-3)
+                s2 = ex / (ex + 1 / t2 - 1)
+                mode = s2 / s
+                ra, rb = mode * 18 + 1, (1 - mode) * 18 + 1
+                ref = torch.distributions.kl_divergence(
+                    torch.distributions.Beta(
+                        torch.tensor(alphas[i, j]), torch.tensor(betas[i, j])
+                    ),
+                    torch.distributions.Beta(ra, rb),
+                )
+                np.testing.assert_allclose(float(ours[i, j]), float(ref), rtol=2e-3, atol=2e-3)
+
+    def test_absolute_variant_uses_fixed_reference(self):
+        a = jnp.full((1, 2), 1.4)
+        b = jnp.full((1, 2), 11.2)
+        kl = compute_beta_kl_penalty(
+            a, b, jnp.full((1, 2), 0.5), jnp.zeros((1, 2), bool), relative=False
+        )
+        np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-5)
+
+
+class TestAdvantages:
+    def test_leave_one_out(self):
+        """Oracle: the reference reshape math (rloo_trainer.py:458-461)."""
+        k, n = 3, 4
+        r = np.random.default_rng(1).normal(size=(k * n,)).astype(np.float32)
+        ours = rloo_advantages(jnp.array(r), k)
+        t = torch.tensor(r).reshape(k, n)
+        baseline = (t.sum(0) - t) / (k - 1)
+        ref = (t - baseline).flatten()
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_zero_sum_per_group(self):
+        r = jnp.array([1.0, 2.0, 5.0, -1.0, 0.0, 3.0])
+        adv = rloo_advantages(r, 3).reshape(3, 2)
+        np.testing.assert_allclose(np.asarray(adv.sum(0)), 0.0, atol=1e-5)
+
+
+class TestPPOLoss:
+    def test_zero_diff_gives_negative_adv_mean(self):
+        lp = jnp.zeros((4, 3))
+        adv = jnp.array([1.0, -1.0, 2.0, 0.5])
+        loss, stats = ppo_loss(lp, lp, adv, 0.2)
+        np.testing.assert_allclose(float(loss), -float(adv.mean()), rtol=1e-6)
+        assert float(stats["approxkl"]) == 0.0
+
+    def test_clipping_engages(self):
+        old = jnp.zeros((1, 1))
+        new = jnp.full((1, 1), 1.0)  # ratio = e > 1.2
+        adv = jnp.array([-1.0])  # pg1 = e, pg2 = 1.2 -> max = e (clip active side)
+        loss, stats = ppo_loss(new, old, adv, 0.2)
+        np.testing.assert_allclose(float(loss), float(jnp.exp(1.0)), rtol=1e-5)
+        assert float(stats["clipfrac"]) == 0.0  # pg2 < pg1 here
+        loss2, stats2 = ppo_loss(new, old, jnp.array([1.0]), 0.2)
+        np.testing.assert_allclose(float(loss2), -1.2, rtol=1e-5)
+        assert float(stats2["clipfrac"]) == 1.0
+
+
+class TestRepeatSubset:
+    def test_rloo_repeat_tiles(self):
+        batch = {"prompt": ["a", "b"], "x": jnp.arange(4).reshape(2, 2)}
+        out = rloo_repeat(batch, 3)
+        assert out["prompt"] == ["a", "b", "a", "b", "a", "b"]
+        assert out["x"].shape == (6, 2)
+        np.testing.assert_array_equal(np.asarray(out["x"][2]), np.asarray(out["x"][0]))
+
+
+def _toy_world(seed=0, b_prompts=2, rloo_k=2, steps=3, reward="latent"):
+    cfg_m = MMDiTConfig.toy()
+    model = MMDiT(cfg_m)
+    n_txt = 5
+    key = jax.random.PRNGKey(seed)
+    init_b = 2
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.ones((init_b, cfg_m.in_channels, cfg_m.sample_size, cfg_m.sample_size)),
+        jnp.ones((init_b,)),
+        jnp.ones((init_b, n_txt, cfg_m.joint_attention_dim)),
+        jnp.ones((init_b, cfg_m.pooled_projection_dim)),
+    )
+    config = RLOOConfig(
+        per_device_train_batch_size=b_prompts * rloo_k,
+        rloo_k=rloo_k,
+        max_inference_steps=steps,
+        total_episodes=3 * b_prompts * rloo_k,
+        kl_coef=0.01,
+        learning_rate=1e-3,
+        guidance_scale=7.0,
+    )
+    from tpdm_tpu.models import TimePredictor
+
+    agent = TPDMAgent(
+        model,
+        params,
+        config,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg_m.inner_dim,
+            temb_dim=cfg_m.inner_dim,
+        ),
+    )
+
+    rng = np.random.default_rng(seed)
+    dataset = [
+        {
+            "prompt": f"prompt {i}",
+            "prompt_embeds": rng.normal(size=(n_txt, cfg_m.joint_attention_dim)).astype(np.float32),
+            "pooled_prompt_embeds": rng.normal(size=(cfg_m.pooled_projection_dim,)).astype(np.float32),
+            "negative_prompt_embeds": np.zeros((n_txt, cfg_m.joint_attention_dim), np.float32),
+            "negative_pooled_prompt_embeds": np.zeros((cfg_m.pooled_projection_dim,), np.float32),
+        }
+        for i in range(4)
+    ]
+
+    if reward == "latent":
+        def reward_fn(prompts, outputs):
+            s = np.asarray(jnp.tanh(jnp.mean(outputs.final_latents, axis=(1, 2, 3))))
+            return s, s
+    elif reward == "nan":
+        def reward_fn(prompts, outputs):
+            s = np.full((outputs.final_latents.shape[0],), np.nan, np.float32)
+            return s, s
+
+    return config, agent, reward_fn, dataset
+
+
+class TestTrainerEndToEnd:
+    def test_three_updates_run_and_params_change(self):
+        config, agent, reward_fn, dataset = _toy_world()
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        key = jax.random.PRNGKey(7)
+        p0 = agent.init_tpm_params(key)
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        assert len(trainer.metrics_history) == 3
+        m = trainer.metrics_history[-1]
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+        assert m["val/num_skipped"] == 0.0
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_nan_reward_skips_update(self):
+        config, agent, reward_fn, dataset = _toy_world(reward="nan")
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        assert trainer.metrics_history[-1]["val/num_skipped"] == 1.0
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) == 0.0
+
+    def test_ratio_starts_at_one(self):
+        """Epoch-0 PPO invariant: replay(rollout params) gives ratio == 1."""
+        config, agent, reward_fn, dataset = _toy_world()
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        trainer.train()
+        first = trainer.metrics_history[0]
+        assert abs(first["val/ratio"] - 1.0) < 1e-2

@@ -1,0 +1,99 @@
+"""Training configuration.
+
+Mirrors the reference's `CustomRLOOConfig` (reference:
+src/train/config.py:17-25) plus the trl `RLOOConfig` fields the trainer
+actually consumes, with the reference's batch-size algebra
+(src/train/rloo_trainer.py:112-138) reproduced in `derive_batch_sizes`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RLOOConfig:
+    # --- experiment ---
+    exp_name: str = "tpdm_rloo"
+    seed: int = 42
+    output_dir: str = "output"
+
+    # --- episodes / epochs ---
+    total_episodes: Optional[int] = None
+    num_train_epochs: float = 1.0
+
+    # --- batch algebra (trl names) ---
+    per_device_train_batch_size: int = 2
+    gradient_accumulation_steps: int = 1
+    num_mini_batches: int = 1
+    rloo_k: int = 2
+    num_ppo_epochs: int = 1
+    world_size: int = 1  # number of data-parallel replicas
+
+    # --- optimization (paper recipe: launch_sd3_train.sh:16-40) ---
+    learning_rate: float = 1e-6
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.99
+    adam_epsilon: float = 1e-5
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: str = "constant"  # constant|constant_with_warmup|linear|cosine
+    warmup_steps: int = 0
+
+    # --- RLOO / PPO ---
+    cliprange: float = 0.2
+    kl_coef: float = 0.05
+    gamma: float = 0.90
+    mean_kl: bool = False
+
+    # --- policy (CustomRLOOConfig custom fields) ---
+    init_alpha: float = 1.5
+    init_beta: float = 0.5
+    relative: bool = True
+    prediction_type: str = "alpha_beta"
+    max_inference_steps: int = 28
+    min_sigma: float = 0.01  # RLOO wrapper default (modeling_sd3_pnt.py:734)
+    guidance_scale: Optional[float] = 7.0
+
+    # --- bookkeeping ---
+    logging_steps: int = 1
+    save_steps: int = 0  # 0 = disabled
+    eval_steps: int = 0  # 0 = disabled
+
+    # ------------------------------------------------------------------
+    def derive_batch_sizes(self, train_dataset_len: int) -> dict:
+        """Reference batch algebra (rloo_trainer.py:112-138)."""
+        local_batch_size = (
+            self.per_device_train_batch_size
+            * self.gradient_accumulation_steps
+            * self.num_mini_batches
+        )
+        batch_size = local_batch_size * self.world_size
+        total_episodes = self.total_episodes
+        if total_episodes is None:
+            total_episodes = int(self.num_train_epochs * train_dataset_len)
+
+        def exact_div(a, b, what):
+            if a % b != 0:
+                raise ValueError(f"{what}: {a} not divisible by {b}")
+            return a // b
+
+        return dict(
+            local_batch_size=local_batch_size,
+            micro_batch_size=self.per_device_train_batch_size * self.world_size,
+            batch_size=batch_size,
+            mini_batch_size=exact_div(
+                batch_size, self.num_mini_batches, "batch_size/num_mini_batches"
+            ),
+            local_mini_batch_size=exact_div(
+                local_batch_size,
+                self.num_mini_batches,
+                "local_batch_size/num_mini_batches",
+            ),
+            num_total_batches=math.ceil(total_episodes / batch_size),
+            local_dataloader_batch_size=exact_div(
+                local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
+            ),
+            total_episodes=total_episodes,
+        )

@@ -1,0 +1,542 @@
+"""RLOO/PPO training of the Time Prediction Module.
+
+A TPU-native rebuild of the reference's `CommonRLOOTrainer`
+(reference: src/train/rloo_trainer.py:79-611) and the RL-facing agent
+protocol of `SD3PredictNextTimeStepModelRLOOWrapper`
+(src/models/stable_diffusion_3/modeling_sd3_pnt.py:729-933):
+
+- Experience collection = the jitted adaptive rollout (one `lax.while_loop`,
+  no grad); PPO epochs re-run only the ~7M-param TPM over cached
+  activations, so the policy update is a tiny jitted `train_step` with the
+  clipped PG loss, NaN/Inf guards, and grad clipping fused in.
+- The reference's per-sample Python loops for rewards/KL/entropy
+  (modeling_sd3_pnt.py:828-901, rloo_trainer.py:526-532) are closed-form
+  vectorized jnp expressions here.
+- Data parallelism: the trainer's arrays are plain jax arrays; shard the
+  batch over a mesh `data` axis with `NamedSharding` and the same jitted
+  functions scale out (see tpdm_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpdm_tpu.models.mmdit import MMDiT
+from tpdm_tpu.models.tpm import TimePredictor
+from tpdm_tpu.ops.beta import beta_entropy, beta_kl
+from tpdm_tpu.ops.schedules import get_ref_beta
+from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn
+from tpdm_tpu.pipeline.sampler import (
+    SampleOutput,
+    SamplerConfig,
+    adaptive_sample,
+    replay_logprobs,
+)
+from tpdm_tpu.train.config import RLOOConfig
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Pure RL math (each maps 1:1 to a reference code site)
+# ---------------------------------------------------------------------------
+
+
+def discounted_rewards(
+    scores: jax.Array, last_valid_index: jax.Array, gamma: float
+) -> jax.Array:
+    """Step-count-discounted reward.
+
+    reward = Σ_{i=0..L} r·γ^(L−i) / (L+1) with L = last_valid_index — the
+    reference's per-sample loop (modeling_sd3_pnt.py:838-841) in closed form
+    via the geometric series (1−γ^(L+1))/(1−γ).
+    """
+    L = last_valid_index.astype(jnp.float32)
+    if gamma == 1.0:
+        geo = L + 1.0
+    else:
+        geo = (1.0 - gamma ** (L + 1.0)) / (1.0 - gamma)
+    return scores * geo / (L + 1.0)
+
+
+def compute_beta_kl_penalty(
+    alphas: jax.Array,  # (b, T)
+    betas: jax.Array,
+    sigmas: jax.Array,  # (b, T) recorded sigma_next
+    prob_masks: jax.Array,  # (b, T) bool
+    relative: bool = True,
+) -> jax.Array:
+    """Per-step KL(policy Beta || reference Beta), 0 where masked.
+
+    Parity with wrapper.kl_divergence (modeling_sd3_pnt.py:875-901): the
+    reference Beta is anchored at the step's *input* sigma (the recorded
+    chain shifted right, padded with 1.0); the non-relative variant uses the
+    fixed Beta(1.4, 11.2).
+    """
+    input_sigmas = jnp.pad(
+        sigmas[:, :-1], ((0, 0), (1, 0)), constant_values=1.0
+    )
+    if relative:
+        ref_a, ref_b = get_ref_beta(input_sigmas)
+    else:
+        ref_a = jnp.full_like(alphas, 1.4)
+        ref_b = jnp.full_like(betas, 11.2)
+    kl = beta_kl(alphas, betas, ref_a, ref_b)
+    return jnp.where(prob_masks, 0.0, kl)
+
+
+def rloo_advantages(rlhf_reward: jax.Array, rloo_k: int) -> jax.Array:
+    """Leave-one-out advantages over tile-grouped repeats.
+
+    Grouping is [s1..sN, s1..sN, ...] (tile), so reshape(k, -1) puts copies
+    of a prompt in one column — exactly the reference's vectorized form
+    (rloo_trainer.py:453-461).
+    """
+    r = rlhf_reward.reshape(rloo_k, -1)
+    baseline = (r.sum(axis=0) - r) / (rloo_k - 1)
+    return (r - baseline).reshape(-1)
+
+
+def ppo_loss(
+    new_logprobs: jax.Array,  # (b, T)
+    old_logprobs: jax.Array,  # (b, T)
+    advantages: jax.Array,  # (b,)
+    cliprange: float,
+):
+    """Clipped policy-gradient loss over summed per-episode logprobs.
+
+    Parity: rloo_trainer.py:485-495. Masked steps carry INVALID_LOGPROB in
+    both new and old, cancelling in the difference.
+    """
+    diff = new_logprobs.sum(axis=1) - old_logprobs.sum(axis=1)
+    ratio = jnp.exp(diff)
+    pg1 = -advantages * ratio
+    pg2 = -advantages * jnp.clip(ratio, 1.0 - cliprange, 1.0 + cliprange)
+    loss = jnp.mean(jnp.maximum(pg1, pg2))
+    stats = {
+        "approxkl": 0.5 * jnp.mean(diff**2),
+        "clipfrac": jnp.mean((pg2 > pg1).astype(jnp.float32)),
+        "ratio_mean": jnp.mean(
+            jnp.exp(new_logprobs - old_logprobs)
+        ),  # per-step ratio metric (rloo_trainer.py:486,540)
+    }
+    return loss, stats
+
+
+def rloo_repeat(batch: dict, rloo_k: int) -> dict:
+    """Tile every field k times along the batch axis (wrapper.rloo_repeat,
+    modeling_sd3_pnt.py:768-786)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (jax.Array, np.ndarray)):
+            out[k] = jnp.tile(v, (rloo_k,) + (1,) * (v.ndim - 1))
+        elif isinstance(v, list):
+            out[k] = v * rloo_k
+        else:
+            out[k] = v
+    return out
+
+
+def subset_outputs(outputs: SampleOutput, inds: np.ndarray) -> SampleOutput:
+    """Micro-batch view of a rollout (wrapper.subset_outputs,
+    modeling_sd3_pnt.py:916-933). Caches are time-major -> index axis 1."""
+    return SampleOutput(
+        init_noise_latents=outputs.init_noise_latents[inds],
+        final_latents=outputs.final_latents[inds],
+        sigmas=outputs.sigmas[inds],
+        logprobs=outputs.logprobs[inds],
+        prob_masks=outputs.prob_masks[inds],
+        alphas=outputs.alphas[inds],
+        betas=outputs.betas[inds],
+        num_steps=outputs.num_steps,
+        last_valid_index=outputs.last_valid_index[inds],
+        h_cache=None if outputs.h_cache is None else outputs.h_cache[:, inds],
+        temb_cache=(
+            None if outputs.temb_cache is None else outputs.temb_cache[:, inds]
+        ),
+        history_latents=(
+            None
+            if outputs.history_latents is None
+            else outputs.history_latents[:, inds]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Agent
+# ---------------------------------------------------------------------------
+
+
+class TPDMAgent:
+    """Functional RL agent: frozen MMDiT + trainable TPM + adaptive sampler.
+
+    Implements the reference wrapper's protocol (sample / logprobs /
+    kl_divergence / rloo_repeat / subset_*) as pure jitted functions over an
+    explicit `tpm_params` pytree; the backbone params are closed over and
+    never receive gradients (the reference freezes them with requires_grad_,
+    modeling_sd3_pnt.py:760-763 — here immutability is structural).
+    """
+
+    def __init__(
+        self,
+        mmdit: MMDiT,
+        mmdit_params,
+        config: RLOOConfig,
+        tpm: Optional[TimePredictor] = None,
+    ):
+        self.mmdit = mmdit
+        self.mmdit_params = mmdit_params
+        self.config = config
+        mcfg = mmdit.config
+        self.token_grid = mcfg.sample_size // mcfg.patch_size
+        self.patch_size = mcfg.patch_size
+        self.tpm = tpm or TimePredictor(
+            conv_out_channels=128,
+            in_channels=2 * mcfg.inner_dim,
+            temb_dim=mcfg.inner_dim,
+            init_alpha=config.init_alpha,
+            init_beta=config.init_beta,
+        )
+        self.sampler_cfg = SamplerConfig(
+            max_inference_steps=config.max_inference_steps,
+            min_sigma=config.min_sigma,
+            relative=config.relative,
+            prediction_type=config.prediction_type,
+            predict=False,
+            cache_activations=True,
+        )
+        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+        self._replay_jit = jax.jit(self._replay)
+
+    def init_tpm_params(self, key: jax.Array):
+        mcfg = self.mmdit.config
+        g = self.token_grid
+        return self.tpm.init(
+            key,
+            jnp.zeros((1, 2 * mcfg.inner_dim, g, g)),
+            jnp.zeros((1, mcfg.inner_dim)),
+        )
+
+    def tpm_fn(self, tpm_params):
+        return lambda h, t: self.tpm.apply(tpm_params, h, t)
+
+    def prepare_latents(self, key: jax.Array, batch_size: int) -> jax.Array:
+        mcfg = self.mmdit.config
+        return jax.random.normal(
+            key,
+            (batch_size, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+            mcfg.dtype,
+        )
+
+    def _sample(
+        self,
+        tpm_params,
+        latents,
+        prompt_embeds,
+        pooled_embeds,
+        key,
+        predict=False,
+    ) -> SampleOutput:
+        denoise_fn = make_cfg_denoise_fn(
+            lambda *a: self.mmdit.apply(self.mmdit_params, *a),
+            prompt_embeds,
+            pooled_embeds,
+            self.config.guidance_scale,
+            self.token_grid,
+            self.patch_size,
+        )
+        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
+        return adaptive_sample(
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg
+        )
+
+    def sample(
+        self, tpm_params, batch: dict, key: jax.Array, predict: bool = False
+    ) -> SampleOutput:
+        """Rollout. `batch` carries CFG-ready embeds:
+        prompt_embeds/pooled_prompt_embeds (b, ...) and, when guidance is on,
+        negative_* counterparts (concatenated [neg; pos] here, parity with
+        modeling_sd3_pnt.py:504-506)."""
+        pe, pp = batch["prompt_embeds"], batch["pooled_prompt_embeds"]
+        if self.config.guidance_scale is not None:
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+            pp = jnp.concatenate([batch["negative_pooled_prompt_embeds"], pp])
+        b = batch["prompt_embeds"].shape[0]
+        key_lat, key_roll = jax.random.split(key)
+        latents = batch.get("latents")
+        if latents is None:
+            latents = self.prepare_latents(key_lat, b)
+        return self._sample_jit(
+            tpm_params, latents, pe, pp, key_roll, predict=predict
+        )
+
+    def _replay(self, tpm_params, h_cache, temb_cache, sigmas):
+        return replay_logprobs(
+            self.tpm_fn(tpm_params), h_cache, temb_cache, sigmas, self.sampler_cfg
+        )
+
+    def logprobs(self, tpm_params, outputs: SampleOutput) -> jax.Array:
+        return self._replay_jit(
+            tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
+        )
+
+    def kl_divergence(self, outputs: SampleOutput) -> jax.Array:
+        return compute_beta_kl_penalty(
+            outputs.alphas,
+            outputs.betas,
+            outputs.sigmas,
+            outputs.prob_masks,
+            relative=self.config.relative,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+def _make_lr_schedule(cfg: RLOOConfig, num_total_batches: int):
+    total_steps = max(1, num_total_batches)
+    if cfg.lr_scheduler_type == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_scheduler_type == "constant_with_warmup":
+        return optax.schedules.warmup_constant_schedule(
+            0.0, cfg.learning_rate, max(1, cfg.warmup_steps)
+        )
+    if cfg.lr_scheduler_type == "linear":
+        return optax.linear_schedule(cfg.learning_rate, 0.0, total_steps)
+    if cfg.lr_scheduler_type == "cosine":
+        return optax.cosine_decay_schedule(cfg.learning_rate, total_steps)
+    raise ValueError(f"unknown lr_scheduler_type: {cfg.lr_scheduler_type}")
+
+
+class RLOOTrainer:
+    """Drives rollout -> reward -> advantage -> PPO epochs, logging metrics.
+
+    Args:
+        config: RLOOConfig.
+        agent: TPDMAgent (or any object with the same protocol).
+        reward_fn: (prompts: list[str], outputs: SampleOutput) ->
+            (scores, last_image_scores) float arrays of shape (b,). The
+            step-discounting (gamma) is applied by the trainer
+            (reference applies it inside wrapper.reward, same math).
+        dataset: sequence of dicts; each must provide the embed fields the
+            agent needs, plus optionally "prompt" strings for the reward_fn.
+        callbacks: objects with on_step_end(trainer, update, metrics).
+    """
+
+    def __init__(
+        self,
+        config: RLOOConfig,
+        agent: TPDMAgent,
+        reward_fn: Callable,
+        dataset,
+        collate_fn: Optional[Callable] = None,
+        callbacks: Iterable = (),
+    ):
+        self.config = config
+        self.agent = agent
+        self.reward_fn = reward_fn
+        self.dataset = dataset
+        self.collate_fn = collate_fn or _default_collate
+        self.callbacks = list(callbacks)
+        self.sizes = config.derive_batch_sizes(len(dataset))
+        self.metrics_history: list[dict] = []
+
+        schedule = _make_lr_schedule(config, self.sizes["num_total_batches"])
+        self._schedule = schedule
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(
+                schedule,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+            ),
+        )
+        self._train_step = jax.jit(self._train_step_impl)
+        self.global_step = 0
+        self.episode = 0
+
+    # -- data ------------------------------------------------------------
+    def _loader(self, rng: np.random.Generator) -> Iterator[dict]:
+        bsz = self.sizes["local_dataloader_batch_size"]
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - bsz + 1, bsz):
+                rows = [self.dataset[int(i)] for i in order[start : start + bsz]]
+                yield self.collate_fn(rows)
+
+    # -- jitted PPO micro-step ------------------------------------------
+    def _train_step_impl(
+        self,
+        tpm_params,
+        opt_state,
+        h_cache,
+        temb_cache,
+        sigmas,
+        old_logprobs,
+        prob_masks,
+        alphas,
+        betas,
+        advantages,
+    ):
+        def loss_fn(p):
+            new_lp = replay_logprobs(
+                self.agent.tpm_fn(p),
+                h_cache,
+                temb_cache,
+                sigmas,
+                self.agent.sampler_cfg,
+            )
+            return ppo_loss(new_lp, old_logprobs, advantages, self.config.cliprange)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(tpm_params)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        # NaN/Inf guard: skip the update entirely (rloo_trainer.py:497-523).
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = self.tx.update(safe_grads, opt_state, tpm_params)
+        new_params = optax.apply_updates(tpm_params, updates)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(finite, x, y), a, b
+        )
+        tpm_params = sel(new_params, tpm_params)
+        opt_state = sel(new_opt_state, opt_state)
+
+        stats = dict(stats)
+        stats["loss"] = loss
+        stats["grad_norm"] = grad_norm
+        stats["skipped"] = (~finite).astype(jnp.float32)
+        # metric parity: entropy over all (alpha, beta) entries and mean
+        # unmasked step count (rloo_trainer.py:526-543)
+        stats["entropy"] = jnp.mean(beta_entropy(alphas, betas))
+        stats["steps"] = jnp.sum(~prob_masks) / prob_masks.shape[0]
+        return tpm_params, opt_state, stats
+
+    # -- main loop -------------------------------------------------------
+    def train(self, tpm_params=None, resume_state: Optional[dict] = None):
+        cfg = self.config
+        sizes = self.sizes
+        key = jax.random.PRNGKey(cfg.seed)
+        # per-process decorrelation, reference's prime-stride scheme
+        # (rloo_trainer.py:133)
+        key = jax.random.fold_in(key, jax.process_index() * 100003)
+        np_rng = np.random.default_rng(cfg.seed)
+
+        if tpm_params is None:
+            key, sub = jax.random.split(key)
+            tpm_params = self.agent.init_tpm_params(sub)
+        opt_state = self.tx.init(tpm_params)
+        start_update = 1
+        if resume_state is not None:
+            tpm_params = resume_state["tpm_params"]
+            opt_state = resume_state["opt_state"]
+            start_update = int(resume_state["update"]) + 1
+            self.episode = int(resume_state.get("episode", 0))
+            key = resume_state.get("key", key)
+
+        loader = self._loader(np_rng)
+        start_time = time.time()
+
+        for update in range(start_update, sizes["num_total_batches"] + 1):
+            self.episode += sizes["batch_size"]
+            data = next(loader)
+            data = rloo_repeat(data, cfg.rloo_k)
+
+            # ---- experience collection (no grad) ----
+            key, k_roll = jax.random.split(key)
+            outputs = self.agent.sample(tpm_params, data, k_roll)
+            scores, last_image_scores = self.reward_fn(
+                data.get("prompt"), outputs
+            )
+            scores = discounted_rewards(
+                jnp.asarray(scores, jnp.float32), outputs.last_valid_index, cfg.gamma
+            )
+            kl = self.agent.kl_divergence(outputs)
+            kl_reduced = kl.mean(axis=1) if cfg.mean_kl else kl.sum(axis=1)
+            non_score_reward = -cfg.kl_coef * kl_reduced
+            rlhf_reward = scores + non_score_reward
+            advantages = rloo_advantages(rlhf_reward, cfg.rloo_k)
+
+            # ---- PPO epochs over the same rollout ----
+            stats_acc: list[dict] = []
+            local_bs = sizes["local_batch_size"]
+            micro_bs = cfg.per_device_train_batch_size
+            for _ in range(cfg.num_ppo_epochs):
+                b_inds = np_rng.permutation(local_bs)
+                for mb_start in range(0, local_bs, sizes["local_mini_batch_size"]):
+                    mb_inds = b_inds[mb_start : mb_start + sizes["local_mini_batch_size"]]
+                    for mi_start in range(0, len(mb_inds), micro_bs):
+                        inds = mb_inds[mi_start : mi_start + micro_bs]
+                        mo = subset_outputs(outputs, inds)
+                        tpm_params, opt_state, stats = self._train_step(
+                            tpm_params,
+                            opt_state,
+                            mo.h_cache,
+                            mo.temb_cache,
+                            mo.sigmas,
+                            mo.logprobs,
+                            mo.prob_masks,
+                            mo.alphas,
+                            mo.betas,
+                            advantages[inds],
+                        )
+                        stats_acc.append(stats)
+
+            # ---- metrics (names parity: rloo_trainer.py:561-592) ----
+            agg = {
+                k: float(np.mean([np.asarray(s[k]) for s in stats_acc]))
+                for k in stats_acc[0]
+            }
+            ratios = np.array([np.asarray(s["ratio_mean"]) for s in stats_acc])
+            metrics = {
+                "eps": int(self.episode / max(time.time() - start_time, 1e-9)),
+                "objective/kl": float(jnp.mean(kl_reduced)),
+                "objective/non_score_reward": float(jnp.mean(non_score_reward)),
+                "objective/rlhf_reward": float(jnp.mean(rlhf_reward)),
+                "objective/scores": float(jnp.mean(scores)),
+                "objective/last_image_scores": float(np.mean(last_image_scores)),
+                "policy/approxkl_avg": agg["approxkl"],
+                "policy/clipfrac_avg": agg["clipfrac"],
+                "policy/steps_avg": agg["steps"],
+                "policy/grad_norm_avg": agg["grad_norm"],
+                "loss/policy_avg": agg["loss"],
+                "policy/entropy_avg": agg["entropy"],
+                "val/ratio": float(ratios.mean()),
+                "val/ratio_var": float(ratios.var()),
+                "val/num_skipped": agg["skipped"],
+                "lr": float(self._schedule(self.global_step)),
+                "episode": self.episode,
+            }
+            self.global_step += 1
+            if cfg.logging_steps and update % cfg.logging_steps == 0:
+                logger.info("update %d: %s", update, metrics)
+                self.metrics_history.append(metrics)
+
+            for cb in self.callbacks:
+                cb.on_step_end(self, update, metrics, tpm_params)
+
+        return tpm_params, opt_state
+
+
+def _default_collate(rows: list[dict]) -> dict:
+    out: dict = {}
+    for k in rows[0]:
+        vals = [r[k] for r in rows]
+        if isinstance(vals[0], (np.ndarray, jax.Array)):
+            out[k] = jnp.stack(vals)
+        else:
+            out[k] = vals
+    return out
