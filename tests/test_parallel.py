@@ -1,0 +1,91 @@
+"""Sharding correctness on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig
+from tpdm_tpu.parallel import (
+    auto_mesh_shape,
+    make_mesh,
+    mmdit_param_specs,
+    shard_batch,
+    shard_params,
+)
+from jax.sharding import PartitionSpec as P
+
+
+class TestMesh:
+    def test_auto_shapes(self):
+        assert auto_mesh_shape(1) == (1, 1, 1)
+        assert auto_mesh_shape(2) == (1, 2, 1)
+        assert auto_mesh_shape(4) == (2, 2, 1)
+        d, f, t = auto_mesh_shape(8)
+        assert d * f * t == 8 and t == 2 and f == 2
+
+    def test_make_mesh_8(self):
+        mesh = make_mesh(jax.devices()[:8])
+        assert mesh.shape["data"] * mesh.shape["fsdp"] * mesh.shape["tensor"] == 8
+
+
+class TestParamSpecs:
+    def test_qkv_column_out_row(self):
+        cfg = MMDiTConfig.toy()
+        model = MMDiT(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, cfg.in_channels, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((1,)),
+            jnp.ones((1, 4, cfg.joint_attention_dim)),
+            jnp.ones((1, cfg.pooled_projection_dim)),
+        )
+        specs = mmdit_param_specs(params)
+        blk = specs["params"]["transformer_blocks_0"]
+        assert blk["attn"]["to_q"]["kernel"] == P("fsdp", "tensor")
+        assert blk["attn"]["to_out"]["kernel"] == P("tensor", "fsdp")
+        assert blk["ff"]["proj_in"]["kernel"] == P("fsdp", "tensor")
+        assert blk["ff"]["proj_out"]["kernel"] == P("tensor", "fsdp")
+        assert blk["norm1"]["linear"]["kernel"] == P("fsdp", None)
+        # biases replicated
+        assert blk["attn"]["to_q"]["bias"] == P()
+
+    def test_sharded_forward_matches_unsharded(self):
+        cfg = MMDiTConfig.toy(use_pallas=False)
+        model = MMDiT(cfg)
+        b, n_txt = 4, 6
+        lat = jax.random.normal(
+            jax.random.PRNGKey(0), (b, cfg.in_channels, cfg.sample_size, cfg.sample_size)
+        )
+        t = jnp.full((b,), 700.0)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim))
+        params = model.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
+
+        ref, *_ = jax.jit(model.apply)(params, lat, t, ctx, pooled)
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        with mesh:
+            sp = shard_params(params, mesh)
+            sb = shard_batch({"lat": lat, "t": t, "ctx": ctx, "pooled": pooled}, mesh)
+            out, *_ = jax.jit(model.apply)(sp, sb["lat"], sb["t"], sb["ctx"], sb["pooled"])
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4
+        )
+
+
+class TestDryrun:
+    @pytest.mark.parametrize("n", [1, 4, 8])
+    def test_dryrun_training_step(self, n):
+        from tpdm_tpu.parallel.dryrun import dryrun_training_step
+
+        metrics = dryrun_training_step(n)
+        assert np.isfinite(metrics["loss"])
+        assert metrics["num_steps"] >= 1
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -1,0 +1,158 @@
+"""Multi-chip dry run: the full RLOO training step compiled over a mesh.
+
+Validates that rollout + PPO update compile and execute with real
+data/fsdp/tensor shardings without needing physical chips — run under
+`XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu`
+(the reference has no analogue; distributed behavior there is only
+exercised by actually launching torchrun, scripts/launch_sd3_train.sh:10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+from tpdm_tpu.parallel.mesh import auto_mesh_shape, make_mesh
+from tpdm_tpu.parallel.sharding import (
+    batch_spec,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+from tpdm_tpu.train import RLOOConfig, TPDMAgent
+from tpdm_tpu.train.rloo import (
+    compute_beta_kl_penalty,
+    discounted_rewards,
+    ppo_loss,
+    rloo_advantages,
+)
+from tpdm_tpu.pipeline.sampler import replay_logprobs
+
+import optax
+
+
+def dryrun_training_step(n_devices: int) -> dict:
+    """One sharded rollout + one sharded PPO update on tiny shapes.
+
+    Returns a dict of scalar metrics (all asserted finite).
+    """
+    devices = jax.devices()[:n_devices]
+    data, fsdp, tensor = auto_mesh_shape(n_devices)
+    mesh = make_mesh(devices, data=data, fsdp=fsdp, tensor=tensor)
+
+    # Toy dims divisible by every mesh axis; jnp-attention path on CPU.
+    mcfg = MMDiTConfig.toy(use_pallas=False)
+    model = MMDiT(mcfg)
+    rloo_k = 2
+    prompts = data * fsdp  # one prompt per data-parallel shard
+    b = prompts * rloo_k
+    n_txt = 5
+
+    config = RLOOConfig(
+        per_device_train_batch_size=b,
+        rloo_k=rloo_k,
+        max_inference_steps=2,
+        guidance_scale=7.0,
+        kl_coef=0.01,
+    )
+
+    key = jax.random.PRNGKey(0)
+    init_lat = jnp.ones((2, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size))
+    params = model.init(
+        key,
+        init_lat,
+        jnp.ones((2,)),
+        jnp.ones((2, n_txt, mcfg.joint_attention_dim)),
+        jnp.ones((2, mcfg.pooled_projection_dim)),
+    )
+    with mesh:
+        params = shard_params(params, mesh)
+
+        agent = TPDMAgent(
+            model,
+            params,
+            config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * mcfg.inner_dim,
+                temb_dim=mcfg.inner_dim,
+            ),
+        )
+        tpm_params = replicate(agent.init_tpm_params(jax.random.PRNGKey(1)), mesh)
+
+        batch = {
+            "prompt_embeds": jnp.asarray(
+                np.random.default_rng(0).normal(
+                    size=(b, n_txt, mcfg.joint_attention_dim)
+                ),
+                jnp.float32,
+            ),
+            "pooled_prompt_embeds": jnp.zeros((b, mcfg.pooled_projection_dim)),
+            "negative_prompt_embeds": jnp.zeros((b, n_txt, mcfg.joint_attention_dim)),
+            "negative_pooled_prompt_embeds": jnp.zeros(
+                (b, mcfg.pooled_projection_dim)
+            ),
+            "latents": jnp.asarray(
+                np.random.default_rng(1).normal(
+                    size=(b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
+                ),
+                jnp.float32,
+            ),
+        }
+        batch = shard_batch(batch, mesh)
+
+        # ---- sharded rollout (dp/fsdp batch split, fsdp/tensor weights) ----
+        outputs = agent.sample(tpm_params, batch, jax.random.PRNGKey(2))
+
+        # ---- rewards / advantages ----
+        scores = jnp.tanh(jnp.mean(outputs.final_latents, axis=(1, 2, 3)))
+        scores = discounted_rewards(scores, outputs.last_valid_index, config.gamma)
+        kl = compute_beta_kl_penalty(
+            outputs.alphas, outputs.betas, outputs.sigmas, outputs.prob_masks
+        )
+        rlhf = scores - config.kl_coef * kl.sum(axis=1)
+        advantages = rloo_advantages(rlhf, rloo_k)
+
+        # ---- sharded PPO update ----
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(1e-4, b1=0.9, b2=0.99)
+        )
+        opt_state = tx.init(tpm_params)
+
+        @jax.jit
+        def train_step(p, opt_state, outputs, advantages):
+            def loss_fn(p):
+                lp = replay_logprobs(
+                    agent.tpm_fn(p),
+                    outputs.h_cache,
+                    outputs.temb_cache,
+                    outputs.sigmas,
+                    agent.sampler_cfg,
+                )
+                return ppo_loss(lp, outputs.logprobs, advantages, 0.2)
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss, stats
+
+        tpm_params, opt_state, loss, stats = train_step(
+            tpm_params, opt_state, outputs, advantages
+        )
+        jax.block_until_ready(tpm_params)
+
+    metrics = {
+        "loss": float(loss),
+        "approxkl": float(stats["approxkl"]),
+        "mean_sigma": float(outputs.sigmas.mean()),
+        "mean_reward": float(rlhf.mean()),
+        "num_steps": int(outputs.num_steps),
+        "mesh": f"data={data} fsdp={fsdp} tensor={tensor}",
+    }
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+    return metrics

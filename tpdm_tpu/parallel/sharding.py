@@ -1,0 +1,90 @@
+"""Parameter and batch sharding rules (GSPMD PartitionSpecs).
+
+ZeRO-3/FSDP analogue for the frozen towers (reference consumed DeepSpeed
+stage-3 JSON configs, configs/deepspeed/deepspeed_stage_3.json:12-21):
+kernels are sharded over "fsdp"; Megatron-style column/row splits go over
+"tensor". Specs are GSPMD *hints* — XLA propagates and inserts the
+all-gathers/reduce-scatters, which replaces both NCCL and the reference's
+FSDP `summon_full_params` wrappers (modeling_sd3_pnt.py:798-802).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# column-parallel producers: out-dim over "tensor", in-dim over "fsdp"
+_COLUMN = re.compile(
+    r"(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj|proj_in|linear_1"
+    r"|context_embedder)"
+)
+# row-parallel consumers: in-dim over "tensor", out-dim over "fsdp"
+_ROW = re.compile(r"(to_out|to_add_out|ff(_context)?/proj_out|linear_2)")
+# AdaLN modulation producers: weight-shard over fsdp only. Their outputs are
+# per-sample vectors consumed by every tensor shard (split into 6/9 chunks
+# then broadcast), so tensor-sharding the out-dim buys nothing — and the
+# combination (tensor-sharded modulations + batch over (data, fsdp) + other
+# sharded kernels) miscompiles on the CPU SPMD backend (verified numerically;
+# singles fine, pairs wrong). Keep them P("fsdp", None).
+_MODULATION = re.compile(r"(norm1(_context)?/linear|norm_out/linear)")
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(p, "key", str(p)) for p in path)
+
+
+def mmdit_param_spec(path, leaf) -> P:
+    """PartitionSpec for one MMDiT parameter leaf."""
+    name = _path_str(path)
+    if leaf.ndim == 2:
+        if _MODULATION.search(name):
+            return P("fsdp", None)
+        if _COLUMN.search(name):
+            return P("fsdp", "tensor")
+        if _ROW.search(name):
+            return P("tensor", "fsdp")
+        if leaf.shape[0] >= 256 and leaf.shape[1] >= 256:
+            return P("fsdp", None)  # misc large kernels: plain weight shard
+        return P()
+    # biases / norm scales / pos tables: replicate (tiny)
+    return P()
+
+
+def mmdit_param_specs(params) -> Any:
+    """Tree of PartitionSpecs matching an MMDiT param tree."""
+    return jax.tree_util.tree_map_with_path(mmdit_param_spec, params)
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    """device_put the param tree with its sharding specs onto the mesh."""
+    if specs is None:
+        specs = mmdit_param_specs(params)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        specs,
+    )
+
+
+def batch_spec(ndim: int) -> P:
+    """Batch arrays shard their leading axis over (data, fsdp) — FSDP is
+    data-parallel compute with sharded weights."""
+    return P(("data", "fsdp"), *([None] * (ndim - 1)))
+
+
+def shard_batch(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, batch_spec(leaf.ndim))
+        ),
+        tree,
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+    )
