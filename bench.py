@@ -1,0 +1,189 @@
+"""Benchmark: SD3-medium 1024x1024 generation throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Measured configuration (BASELINE.json config 2 family):
+- Full SD3-medium MMDiT (2.04B params, bf16, Pallas flash attention), CFG
+  batch doubling, guidance 7.0, 128x128x16 latents (1024px), 333 text
+  tokens — the reference training/inference geometry
+  (reference: src/models/stable_diffusion_3/modeling_sd3_pnt.py:456-457).
+- Headline: fixed 28-step Euler flow sampler images/sec/chip.
+- Extras: the TPM-adaptive sampler at its untrained paper init (alpha 2.5,
+  beta 1.0 -> full-length schedules; trained TPMs cut NFE ~50%), and the
+  per-forward latency.
+
+vs_baseline: ratio to H100 + diffusers SD3-medium fp16 at 28 steps, taken
+as 0.25 img/s (~4s/image, public diffusers numbers); the reference repo
+itself publishes no numeric benchmarks (BASELINE.md).
+
+Weights are zeros (dense math on TPU is value-independent); params are
+passed as arguments so nothing constant-folds.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H100_DIFFUSERS_IMG_PER_S = 0.25
+
+
+def _sync(x) -> None:
+    # The axon tunnel's block_until_ready is unreliable; force a host read.
+    jnp.asarray(x).addressable_shards if False else None
+    _ = np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def build(batch_images: int, on_tpu: bool):
+    from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+    from tpdm_tpu.pipeline import SamplerConfig, adaptive_sample, fixed_schedule_sample
+    from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn, make_cfg_velocity_fn
+    from tpdm_tpu.ops.schedules import uniform_flow_sigmas
+
+    if on_tpu:
+        cfg = MMDiTConfig.sd3_medium()
+        n_txt = 333
+    else:  # CPU fallback so the bench never hard-fails off-TPU
+        cfg = MMDiTConfig.toy(dtype=jnp.bfloat16)
+        n_txt = 8
+
+    model = MMDiT(cfg)
+    b = batch_images
+    lat = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+        jnp.bfloat16,
+    )
+    ctx = jnp.zeros((2 * b, n_txt, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((2 * b, cfg.pooled_projection_dim), jnp.bfloat16)
+
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2 * b,) + lat.shape[1:], jnp.bfloat16),
+        jnp.ones((2 * b,)),
+        ctx,
+        pooled,
+    )
+    params = jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        ),
+        shapes,
+    )
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+
+    grid = cfg.sample_size // cfg.patch_size
+    tpm = TimePredictor(
+        conv_out_channels=128 if on_tpu else 8,
+        in_channels=2 * cfg.inner_dim,
+        temb_dim=cfg.inner_dim,
+        init_alpha=2.5,  # paper init (launch_sd3_train.sh:29-30)
+        init_beta=1.0,
+        dtype=jnp.bfloat16,
+    )
+    tpm_params = tpm.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((b, 2 * cfg.inner_dim, grid, grid), jnp.bfloat16),
+        jnp.zeros((b, cfg.inner_dim), jnp.bfloat16),
+    )
+
+    steps = 28
+    sigmas = uniform_flow_sigmas(steps)
+
+    @jax.jit
+    def run_fixed(params, lat):
+        vfn = make_cfg_velocity_fn(
+            lambda *a: model.apply(params, *a), ctx, pooled, 7.0
+        )
+        return fixed_schedule_sample(vfn, lat, sigmas)
+
+    @jax.jit
+    def run_adaptive(params, tpm_params, lat, key):
+        dfn = make_cfg_denoise_fn(
+            lambda *a: model.apply(params, *a), ctx, pooled, 7.0, grid, cfg.patch_size
+        )
+        out = adaptive_sample(
+            dfn,
+            lambda h, t: tpm.apply(tpm_params, h, t),
+            lat,
+            key,
+            SamplerConfig(
+                max_inference_steps=steps,
+                predict=True,
+                min_sigma=0.001,
+                cache_activations=False,
+            ),
+        )
+        return out.final_latents, out.num_steps, out.last_valid_index
+
+    return dict(
+        run_fixed=run_fixed,
+        run_adaptive=run_adaptive,
+        params=params,
+        tpm_params=tpm_params,
+        lat=lat,
+        n_params=n_params,
+        steps=steps,
+    )
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu", "gpu")
+    # batch 1 (CFG batch 2) measured best img/s/chip; throughput is flat in
+    # batch because 2x4429 tokens already saturates the chip.
+    b = 1
+    world = build(b, on_tpu)
+    params, tpm_params, lat = world["params"], world["tpm_params"], world["lat"]
+    steps = world["steps"]
+
+    # ---- fixed 28-step baseline ----
+    out = world["run_fixed"](params, lat)
+    _sync(out)  # compile + first run
+    reps = 3 if on_tpu else 1
+    t0 = time.time()
+    o = lat
+    for _ in range(reps):
+        o = world["run_fixed"](params, o)  # chain to avoid tunnel latency
+    _sync(o)
+    fixed_dt = (time.time() - t0) / reps
+    fixed_img_s = b / fixed_dt
+
+    # ---- adaptive sampler (untrained TPM, deterministic mode) ----
+    key = jax.random.PRNGKey(2)
+    final, num_steps, lvi = world["run_adaptive"](params, tpm_params, lat, key)
+    _sync(final)
+    t0 = time.time()
+    final, num_steps, lvi = world["run_adaptive"](params, tpm_params, lat, key)
+    _sync(final)
+    adaptive_dt = time.time() - t0
+    mean_nfe = float(np.mean(np.asarray(lvi)) + 1)
+    adaptive_img_s = b / adaptive_dt
+
+    result = {
+        "metric": "images/sec/chip (SD3-medium 1024x1024, 28-step CFG Euler, denoise loop)",
+        "value": round(fixed_img_s, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(fixed_img_s / H100_DIFFUSERS_IMG_PER_S, 3),
+        "backend": backend,
+        "batch_images": b,
+        "params_B": round(world["n_params"] / 1e9, 3),
+        "step_ms": round(fixed_dt / steps * 1000, 1),
+        "adaptive_img_per_s": round(adaptive_img_s, 4),
+        "adaptive_mean_nfe": mean_nfe,
+        "adaptive_overhead_pct": round(
+            100 * (adaptive_dt * steps / (mean_nfe if mean_nfe else steps) / fixed_dt - 1), 1
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
