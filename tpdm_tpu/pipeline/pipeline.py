@@ -1,0 +1,327 @@
+"""TPDMPipeline: the end-to-end adaptive-schedule generation pipeline.
+
+The user-facing analogue of the reference `SD3PredictNextTimeStepModel`
+(reference: src/models/stable_diffusion_3/modeling_sd3_pnt.py:129-668) and
+the gradio/notebook inference path (gradio_sd3_inference.py:18-50): owns
+MMDiT + TPM + VAE (+ optional text encoders), runs the jitted adaptive
+sampler, decodes only the last valid latent per sample (or the full
+history), and returns uint8 images plus the schedule record.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdm_tpu.models.mmdit import MMDiT, MMDiTConfig
+from tpdm_tpu.models.tpm import TimePredictor
+from tpdm_tpu.models.vae import VAE, VAEConfig
+from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn, make_cfg_velocity_fn
+from tpdm_tpu.pipeline.sampler import (
+    SampleOutput,
+    SamplerConfig,
+    adaptive_sample,
+    fixed_schedule_sample,
+)
+from tpdm_tpu.ops.schedules import uniform_flow_sigmas
+from tpdm_tpu.utils.image import postprocess_images
+
+
+class GenerationResult(NamedTuple):
+    images: np.ndarray  # (b, H, W, 3) uint8 — last valid image per sample
+    num_steps: int  # loop iterations executed
+    sigmas: np.ndarray  # (b, T)
+    alphas: np.ndarray
+    betas: np.ndarray
+    prob_masks: np.ndarray
+    last_valid_index: np.ndarray  # (b,) per-sample NFE - 1
+    history_images: Optional[np.ndarray]  # (T, b, H, W, 3) when requested
+
+
+class TPDMPipeline:
+    """Adaptive-schedule SD3 generation.
+
+    Args:
+        mmdit / mmdit_params: the denoiser.
+        tpm / tpm_params: the time-prediction policy.
+        vae / vae_params: decoder (optional — latents returned raw if absent).
+        text_encoders: optional SD3TextEncoders for prompt -> embeds.
+        min_sigma: stop threshold (0.001 inference default,
+            modeling_sd3_pnt.py:134).
+    """
+
+    def __init__(
+        self,
+        mmdit: MMDiT,
+        mmdit_params,
+        tpm: TimePredictor,
+        tpm_params,
+        vae: Optional[VAE] = None,
+        vae_params=None,
+        text_encoders=None,
+        min_sigma: float = 0.001,
+        relative: bool = True,
+        prediction_type: str = "alpha_beta",
+    ):
+        self.mmdit = mmdit
+        self.mmdit_params = mmdit_params
+        self.tpm = tpm
+        self.tpm_params = tpm_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoders = text_encoders
+        self.min_sigma = min_sigma
+        self.relative = relative
+        self.prediction_type = prediction_type
+        mcfg = mmdit.config
+        self.token_grid = mcfg.sample_size // mcfg.patch_size
+        self._jit_cache: dict = {}
+
+    # -- internals -------------------------------------------------------
+    def _decode(self, latents: jax.Array) -> jax.Array:
+        cfg = self.vae.config
+        z = latents.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
+        return self.vae.apply(self.vae_params, z)
+
+    def _run(self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig):
+        sig = (guidance_scale, scfg)
+        if sig not in self._jit_cache:
+
+            def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key):
+                denoise_fn = make_cfg_denoise_fn(
+                    lambda *a: self.mmdit.apply(mmdit_params, *a),
+                    pe,
+                    pp,
+                    guidance_scale,
+                    self.token_grid,
+                    self.mmdit.config.patch_size,
+                )
+                out = adaptive_sample(
+                    denoise_fn,
+                    lambda h, t: self.tpm.apply(tpm_params, h, t),
+                    latents,
+                    key,
+                    scfg,
+                )
+                if self.vae is not None:
+                    cfg = self.vae.config
+                    z = (
+                        out.final_latents.astype(jnp.float32) / cfg.scaling_factor
+                        + cfg.shift_factor
+                    )
+                    decoded = self.vae.apply(vae_params, z)
+                else:
+                    decoded = out.final_latents
+                return out, decoded
+
+            self._jit_cache[sig] = jax.jit(go)
+        return self._jit_cache[sig](
+            self.mmdit_params, self.tpm_params, self.vae_params, latents, pe, pp, key
+        )
+
+    # -- public API ------------------------------------------------------
+    def generate(
+        self,
+        prompt_embeds: Optional[jax.Array] = None,
+        pooled_prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
+        clip_ids: Optional[np.ndarray] = None,
+        t5_ids: Optional[np.ndarray] = None,
+        negative_clip_ids: Optional[np.ndarray] = None,
+        negative_t5_ids: Optional[np.ndarray] = None,
+        latents: Optional[jax.Array] = None,
+        max_inference_steps: int = 28,
+        guidance_scale: Optional[float] = 7.0,
+        predict: bool = True,
+        seed: int = 0,
+        return_full_process_images: bool = False,
+    ) -> GenerationResult:
+        """Generate images with a per-prompt adaptive schedule.
+
+        Supply either precomputed embeds (pre_process mode) or token ids
+        (requires text_encoders). Defaults mirror the gradio demo
+        (predict=True deterministic schedules, gradio_sd3_inference.py:41-47).
+        """
+        if prompt_embeds is None:
+            if self.text_encoders is None or clip_ids is None:
+                raise ValueError("need prompt_embeds or (text_encoders + ids)")
+            pe = self.text_encoders.encode(clip_ids, t5_ids)
+            prompt_embeds, pooled_prompt_embeds = pe
+            if guidance_scale is not None:
+                if negative_clip_ids is None:
+                    raise ValueError("CFG needs negative ids (or embeds)")
+                ne = self.text_encoders.encode(negative_clip_ids, negative_t5_ids)
+                negative_prompt_embeds, negative_pooled_prompt_embeds = ne
+
+        b = prompt_embeds.shape[0]
+        if guidance_scale is not None:
+            pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            pp = jnp.concatenate(
+                [negative_pooled_prompt_embeds, pooled_prompt_embeds]
+            )
+        else:
+            pe, pp = prompt_embeds, pooled_prompt_embeds
+
+        mcfg = self.mmdit.config
+        key = jax.random.PRNGKey(seed)
+        key_lat, key_roll = jax.random.split(key)
+        if latents is None:
+            latents = jax.random.normal(
+                key_lat,
+                (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                mcfg.dtype,
+            )
+
+        scfg = SamplerConfig(
+            max_inference_steps=max_inference_steps,
+            min_sigma=self.min_sigma,
+            relative=self.relative,
+            prediction_type=self.prediction_type,
+            predict=predict,
+            cache_activations=False,
+            keep_history=return_full_process_images,
+        )
+        out, decoded = self._run(key_roll, latents, pe, pp, guidance_scale, scfg)
+
+        history = None
+        if return_full_process_images and self.vae is not None:
+            n = int(out.num_steps)
+            frames = []
+            for t in range(n):
+                frames.append(
+                    postprocess_images(self._decode(out.history_latents[t]))
+                )
+            history = np.stack(frames)
+
+        images = (
+            postprocess_images(decoded)
+            if self.vae is not None
+            else np.asarray(decoded)
+        )
+        return GenerationResult(
+            images=images,
+            num_steps=int(out.num_steps),
+            sigmas=np.asarray(out.sigmas),
+            alphas=np.asarray(out.alphas),
+            betas=np.asarray(out.betas),
+            prob_masks=np.asarray(out.prob_masks),
+            last_valid_index=np.asarray(out.last_valid_index),
+            history_images=history,
+        )
+
+    def generate_fixed(
+        self,
+        prompt_embeds,
+        pooled_prompt_embeds,
+        negative_prompt_embeds=None,
+        negative_pooled_prompt_embeds=None,
+        num_steps: int = 28,
+        guidance_scale: Optional[float] = 7.0,
+        seed: int = 0,
+        latents=None,
+    ) -> np.ndarray:
+        """Fixed-schedule baseline generation (no TPM) — the comparison
+        point for the adaptive sampler."""
+        b = prompt_embeds.shape[0]
+        if guidance_scale is not None:
+            pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            pp = jnp.concatenate(
+                [negative_pooled_prompt_embeds, pooled_prompt_embeds]
+            )
+        else:
+            pe, pp = prompt_embeds, pooled_prompt_embeds
+        mcfg = self.mmdit.config
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                mcfg.dtype,
+            )
+        vfn = make_cfg_velocity_fn(
+            lambda *a: self.mmdit.apply(self.mmdit_params, *a), pe, pp, guidance_scale
+        )
+        final = fixed_schedule_sample(vfn, latents, uniform_flow_sigmas(num_steps))
+        if self.vae is not None:
+            return postprocess_images(self._decode(final))
+        return np.asarray(final)
+
+
+def load_pipeline_from_pretrained(
+    root: str,
+    dtype=jnp.bfloat16,
+    load_text_encoders: bool = True,
+    tpm_checkpoint: Optional[str] = None,
+    mmdit_config: Optional[MMDiTConfig] = None,
+) -> TPDMPipeline:
+    """Build a pipeline from a diffusers-layout SD3 directory.
+
+    Expects subfolders transformer/, vae/, text_encoder/, text_encoder_2/,
+    text_encoder_3/ with *.safetensors — the same layout the reference's
+    from_pretrained calls consume (modeling_sd3_pnt.py:144-178). The TPM
+    checkpoint is the reference's TPM-only safetensors
+    (`agent_model.`-prefixed, gradio_sd3_inference.py:20-21).
+    """
+    from tpdm_tpu.utils import convert as C
+
+    def load_dir(sub):
+        d = os.path.join(root, sub)
+        sd: dict = {}
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".safetensors"):
+                sd.update(C.load_safetensors(os.path.join(d, f)))
+        return sd
+
+    mcfg = mmdit_config or MMDiTConfig.sd3_medium(dtype=dtype)
+    mmdit = MMDiT(mcfg)
+    mmdit_params = C.convert_mmdit(
+        load_dir("transformer"),
+        num_layers=mcfg.num_layers,
+        dual_attention_layers=mcfg.dual_attention_layers,
+        qk_norm=mcfg.qk_norm,
+        dtype=np.dtype("float32") if dtype == jnp.float32 else np.dtype("bfloat16"),
+    )
+
+    vcfg = VAEConfig.sd3(dtype=dtype)
+    vae = VAE(vcfg)
+    vae_params = C.convert_vae(load_dir("vae"))
+
+    tpm = TimePredictor(
+        conv_out_channels=128,
+        in_channels=2 * mcfg.inner_dim,
+        temb_dim=mcfg.inner_dim,
+        dtype=dtype,
+    )
+    if tpm_checkpoint is not None:
+        tpm_params = C.convert_tpm(C.load_safetensors(tpm_checkpoint))
+    else:
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2 * mcfg.inner_dim, 64, 64)),
+            jnp.zeros((1, mcfg.inner_dim)),
+        )
+
+    text = None
+    if load_text_encoders:
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.models.t5 import T5Config, T5Encoder
+        from tpdm_tpu.pipeline.text_encoding import SD3TextEncoders
+
+        lcfg = CLIPTextConfig.sd3_clip_l(dtype=dtype)
+        gcfg = CLIPTextConfig.sd3_clip_g(dtype=dtype)
+        tcfg = T5Config.t5_xxl(dtype=dtype)
+        text = SD3TextEncoders(
+            CLIPTextModel(lcfg),
+            C.convert_clip_text(load_dir("text_encoder"), lcfg.num_hidden_layers),
+            CLIPTextModel(gcfg),
+            C.convert_clip_text(load_dir("text_encoder_2"), gcfg.num_hidden_layers),
+            T5Encoder(tcfg),
+            C.convert_t5(load_dir("text_encoder_3"), tcfg.num_layers),
+        )
+
+    return TPDMPipeline(mmdit, mmdit_params, tpm, tpm_params, vae, vae_params, text)

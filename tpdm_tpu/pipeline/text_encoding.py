@@ -1,0 +1,76 @@
+"""SD3 prompt encoding: CLIP-L + CLIP-G + T5 -> MMDiT conditioning tensors.
+
+Exact assembly parity with the reference `encode_prompt`
+(reference: src/models/stable_diffusion_3/modeling_sd3_pnt.py:288-420):
+
+    clip = concat([clip_l_penultimate, clip_g_penultimate], dim=-1)  # (b,77,2048)
+    clip = pad_last_dim(clip, t5_width)                              # (b,77,4096)
+    prompt_embeds = concat([clip, t5_last_hidden], dim=-2)           # (b,333,4096)
+    pooled = concat([clip_l_projected, clip_g_projected], dim=-1)    # (b,2048)
+
+Tokenization happens on host (tokenizers need vocab assets); this module
+takes input ids. The `pre_process` mode of the reference (ctor flag at
+:162) — shipping precomputed embeds instead of raw text — maps to simply
+calling this once offline and caching.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class PromptEmbeds(NamedTuple):
+    prompt_embeds: jax.Array  # (b, 77 + t5_len, 4096)
+    pooled_prompt_embeds: jax.Array  # (b, 2048)
+
+
+class SD3TextEncoders:
+    """Bundles the three encoder applies + the assembly logic."""
+
+    def __init__(
+        self,
+        clip_l_model,
+        clip_l_params,
+        clip_g_model,
+        clip_g_params,
+        t5_model=None,
+        t5_params=None,
+        t5_width: int = 4096,
+    ):
+        self.clip_l = (clip_l_model, clip_l_params)
+        self.clip_g = (clip_g_model, clip_g_params)
+        self.t5 = (t5_model, t5_params)
+        self.t5_width = t5_width
+        self._encode = jax.jit(self._encode_impl)
+
+    def _encode_impl(
+        self,
+        clip_ids: jax.Array,  # (b, 77) shared by both CLIP towers
+        t5_ids: Optional[jax.Array],  # (b, 256) or None (T5 dropped)
+    ) -> PromptEmbeds:
+        lm, lp = self.clip_l
+        gm, gp = self.clip_g
+        pen_l, _, _, proj_l = lm.apply(lp, clip_ids)
+        pen_g, _, _, proj_g = gm.apply(gp, clip_ids)
+
+        clip_embeds = jnp.concatenate([pen_l, pen_g], axis=-1)
+        pad = self.t5_width - clip_embeds.shape[-1]
+        clip_embeds = jnp.pad(clip_embeds, ((0, 0), (0, 0), (0, pad)))
+
+        tm, tp = self.t5
+        if t5_ids is not None and tm is not None:
+            t5_embeds = tm.apply(tp, t5_ids)
+        else:
+            # reference behavior when T5 is dropped: zeros of t5 length
+            b = clip_ids.shape[0]
+            t5_embeds = jnp.zeros((b, 256, self.t5_width), clip_embeds.dtype)
+
+        prompt_embeds = jnp.concatenate([clip_embeds, t5_embeds], axis=-2)
+        pooled = jnp.concatenate([proj_l, proj_g], axis=-1)
+        return PromptEmbeds(prompt_embeds, pooled)
+
+    def encode(self, clip_ids, t5_ids=None) -> PromptEmbeds:
+        return self._encode(jnp.asarray(clip_ids), None if t5_ids is None else jnp.asarray(t5_ids))

@@ -1,0 +1,347 @@
+"""torch/safetensors checkpoint -> flax parameter tree converters.
+
+Maps the public checkpoint layouts the reference consumes — diffusers
+`SD3Transformer2DModel` / `AutoencoderKL`, transformers
+`CLIPTextModelWithProjection` / `T5EncoderModel`, and the TPDM TPM
+safetensors (`agent_model.`-prefixed, reference: gradio_sd3_inference.py:20-21
+and inference.ipynb cell 1) — onto the tpdm_tpu flax module trees.
+
+Conventions: torch Linear weight (out, in) -> flax Dense kernel (in, out);
+torch Conv2d weight (out, in, kh, kw) -> flax Conv kernel (kh, kw, in, out);
+LayerNorm/GroupNorm weight -> scale. All outputs are numpy/jnp arrays; pass
+`dtype` to cast (bf16 for TPU inference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors file into numpy arrays (no torch needed)."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu()
+        if t.dtype.__str__() == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+class _SD:
+    """State-dict view that tracks consumed keys (catches naming drift)."""
+
+    def __init__(self, sd: Mapping, dtype=None, prefix: str = ""):
+        self.sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        self.dtype = dtype
+        self.used: set = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        arr = _np(self.sd[key])
+        if self.dtype is not None:
+            arr = arr.astype(self.dtype)
+        return arr
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def unused(self) -> set:
+        return set(self.sd) - self.used
+
+
+def _dense(sd: _SD, key: str, bias: bool = True) -> dict:
+    out = {"kernel": sd(f"{key}.weight").T}
+    if bias and sd.has(f"{key}.bias"):
+        out["bias"] = sd(f"{key}.bias")
+    return out
+
+
+def _ln(sd: _SD, key: str) -> dict:
+    return {"scale": sd(f"{key}.weight"), "bias": sd(f"{key}.bias")}
+
+
+def _conv(sd: _SD, key: str) -> dict:
+    return {
+        "kernel": sd(f"{key}.weight").transpose(2, 3, 1, 0),
+        "bias": sd(f"{key}.bias"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (transformers CLIPTextModelWithProjection)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_text(state_dict: Mapping, num_layers: int, dtype=None) -> dict:
+    sd = _SD(state_dict, dtype)
+    p: dict = {
+        "token_embedding": {"embedding": sd("text_model.embeddings.token_embedding.weight")},
+        "position_embedding": sd("text_model.embeddings.position_embedding.weight"),
+        "final_layer_norm": _ln(sd, "text_model.final_layer_norm"),
+        "text_projection": {"kernel": sd("text_projection.weight").T},
+    }
+    for i in range(num_layers):
+        base = f"text_model.encoder.layers.{i}"
+        p[f"layers_{i}"] = {
+            "self_attn": {
+                name: _dense(sd, f"{base}.self_attn.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm1": _ln(sd, f"{base}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{base}.layer_norm2"),
+            "fc1": _dense(sd, f"{base}.mlp.fc1"),
+            "fc2": _dense(sd, f"{base}.mlp.fc2"),
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (transformers T5EncoderModel)
+# ---------------------------------------------------------------------------
+
+
+def convert_t5(state_dict: Mapping, num_layers: int, dtype=None) -> dict:
+    sd = _SD(state_dict, dtype)
+    p: dict = {
+        "shared": {"embedding": sd("shared.weight")},
+        "final_layer_norm": {"weight": sd("encoder.final_layer_norm.weight")},
+    }
+    for i in range(num_layers):
+        base = f"encoder.block.{i}.layer"
+        att = {
+            name: {"kernel": sd(f"{base}.0.SelfAttention.{name}.weight").T}
+            for name in ("q", "k", "v", "o")
+        }
+        if i == 0:
+            att["relative_attention_bias"] = sd(
+                f"{base}.0.SelfAttention.relative_attention_bias.weight"
+            )
+        p[f"block_{i}"] = {
+            "attention": att,
+            "ln_attn": {"weight": sd(f"{base}.0.layer_norm.weight")},
+            "ln_mlp": {"weight": sd(f"{base}.1.layer_norm.weight")},
+            "wi_0": {"kernel": sd(f"{base}.1.DenseReluDense.wi_0.weight").T},
+            "wi_1": {"kernel": sd(f"{base}.1.DenseReluDense.wi_1.weight").T},
+            "wo": {"kernel": sd(f"{base}.1.DenseReluDense.wo.weight").T},
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT (diffusers SD3Transformer2DModel)
+# ---------------------------------------------------------------------------
+
+
+def convert_mmdit(
+    state_dict: Mapping,
+    num_layers: int,
+    dual_attention_layers=(),
+    qk_norm: Optional[str] = None,
+    dtype=None,
+) -> dict:
+    sd = _SD(state_dict, dtype)
+
+    # patchify conv -> Dense over (kh, kw, c)-flattened patches
+    w = sd("pos_embed.proj.weight")  # (embed, c, p, p)
+    patch_kernel = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
+
+    p: dict = {
+        "pos_embed": {"proj": {"kernel": patch_kernel, "bias": sd("pos_embed.proj.bias")}},
+        "time_text_embed": {
+            "timestep_embedder": {
+                "linear_1": _dense(sd, "time_text_embed.timestep_embedder.linear_1"),
+                "linear_2": _dense(sd, "time_text_embed.timestep_embedder.linear_2"),
+            },
+            "text_embedder": {
+                "linear_1": _dense(sd, "time_text_embed.text_embedder.linear_1"),
+                "linear_2": _dense(sd, "time_text_embed.text_embedder.linear_2"),
+            },
+        },
+        "context_embedder": _dense(sd, "context_embedder"),
+        "norm_out": {"linear": _dense(sd, "norm_out.linear")},
+        "proj_out": _dense(sd, "proj_out"),
+    }
+
+    def attn_tree(base: str, joint: bool, pre_only: bool) -> dict:
+        t = {
+            "to_q": _dense(sd, f"{base}.to_q"),
+            "to_k": _dense(sd, f"{base}.to_k"),
+            "to_v": _dense(sd, f"{base}.to_v"),
+            "to_out": _dense(sd, f"{base}.to_out.0"),
+        }
+        if qk_norm == "rms_norm":
+            t["norm_q"] = {"scale": sd(f"{base}.norm_q.weight")}
+            t["norm_k"] = {"scale": sd(f"{base}.norm_k.weight")}
+        if joint:
+            for name in ("add_q_proj", "add_k_proj", "add_v_proj"):
+                t[name] = _dense(sd, f"{base}.{name}")
+            if qk_norm == "rms_norm":
+                t["norm_added_q"] = {"scale": sd(f"{base}.norm_added_q.weight")}
+                t["norm_added_k"] = {"scale": sd(f"{base}.norm_added_k.weight")}
+            if not pre_only:
+                t["to_add_out"] = _dense(sd, f"{base}.to_add_out")
+        return t
+
+    def ff_tree(base: str) -> dict:
+        return {
+            "proj_in": _dense(sd, f"{base}.net.0.proj"),
+            "proj_out": _dense(sd, f"{base}.net.2"),
+        }
+
+    for i in range(num_layers):
+        base = f"transformer_blocks.{i}"
+        pre_only = i == num_layers - 1
+        blk = {
+            "norm1": {"linear": _dense(sd, f"{base}.norm1.linear")},
+            "norm1_context": {"linear": _dense(sd, f"{base}.norm1_context.linear")},
+            "attn": attn_tree(f"{base}.attn", joint=True, pre_only=pre_only),
+            "ff": ff_tree(f"{base}.ff"),
+        }
+        if not pre_only:
+            blk["ff_context"] = ff_tree(f"{base}.ff_context")
+        if i in dual_attention_layers:
+            blk["attn2"] = attn_tree(f"{base}.attn2", joint=False, pre_only=False)
+        p[f"transformer_blocks_{i}"] = blk
+
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# TPM (TPDM checkpoints: TPM-only safetensors, `agent_model.` prefix)
+# ---------------------------------------------------------------------------
+
+
+def convert_tpm(state_dict: Mapping, dtype=None) -> dict:
+    """Accepts raw `time_predictor.*`, `agent_model.time_predictor.*`, or
+    unprefixed TPM keys (the notebook strips `agent_model.`,
+    reference: inference.ipynb cell 1)."""
+    for prefix in ("agent_model.time_predictor.", "time_predictor.", ""):
+        if any(k.startswith(prefix + "conv1.") for k in state_dict):
+            break
+    sd = _SD(state_dict, dtype, prefix=prefix)
+    p = {
+        "conv1": _conv(sd, "conv1"),
+        "conv2": _conv(sd, "conv2"),
+        "norm1": {
+            "linear": _dense(sd, "norm1.linear"),
+            "norm": _ln(sd, "norm1.norm"),
+        },
+        "fc1": _dense(sd, "fc1"),
+        "fc2": _dense(sd, "fc2"),
+    }
+    return {"params": p}
+
+
+def export_tpm(params: dict, prefix: str = "agent_model.time_predictor.") -> dict:
+    """Inverse of convert_tpm: flax TPM params -> reference-layout state
+    dict (for checkpoint interchange with the reference ecosystem)."""
+    p = params["params"]
+    out = {
+        f"{prefix}conv1.weight": np.asarray(p["conv1"]["kernel"]).transpose(3, 2, 0, 1),
+        f"{prefix}conv1.bias": np.asarray(p["conv1"]["bias"]),
+        f"{prefix}conv2.weight": np.asarray(p["conv2"]["kernel"]).transpose(3, 2, 0, 1),
+        f"{prefix}conv2.bias": np.asarray(p["conv2"]["bias"]),
+        f"{prefix}norm1.linear.weight": np.asarray(p["norm1"]["linear"]["kernel"]).T,
+        f"{prefix}norm1.linear.bias": np.asarray(p["norm1"]["linear"]["bias"]),
+        f"{prefix}norm1.norm.weight": np.asarray(p["norm1"]["norm"]["scale"]),
+        f"{prefix}norm1.norm.bias": np.asarray(p["norm1"]["norm"]["bias"]),
+        f"{prefix}fc1.weight": np.asarray(p["fc1"]["kernel"]).T,
+        f"{prefix}fc1.bias": np.asarray(p["fc1"]["bias"]),
+        f"{prefix}fc2.weight": np.asarray(p["fc2"]["kernel"]).T,
+        f"{prefix}fc2.bias": np.asarray(p["fc2"]["bias"]),
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SD3 VAE (diffusers AutoencoderKL)
+# ---------------------------------------------------------------------------
+
+
+def _resnet(sd: _SD, base: str, has_shortcut: bool) -> dict:
+    t = {
+        "norm1": _ln(sd, f"{base}.norm1"),
+        "conv1": _conv(sd, f"{base}.conv1"),
+        "norm2": _ln(sd, f"{base}.norm2"),
+        "conv2": _conv(sd, f"{base}.conv2"),
+    }
+    if has_shortcut:
+        t["conv_shortcut"] = _conv(sd, f"{base}.conv_shortcut")
+    return t
+
+
+def _vae_mid(sd: _SD, base: str) -> dict:
+    return {
+        "resnets_0": _resnet(sd, f"{base}.resnets.0", False),
+        "attentions_0": {
+            "group_norm": _ln(sd, f"{base}.attentions.0.group_norm"),
+            "to_q": _dense(sd, f"{base}.attentions.0.to_q"),
+            "to_k": _dense(sd, f"{base}.attentions.0.to_k"),
+            "to_v": _dense(sd, f"{base}.attentions.0.to_v"),
+            "to_out": _dense(sd, f"{base}.attentions.0.to_out.0"),
+        },
+        "resnets_1": _resnet(sd, f"{base}.resnets.1", False),
+    }
+
+
+def convert_vae(
+    state_dict: Mapping,
+    block_out_channels=(128, 256, 512, 512),
+    layers_per_block: int = 2,
+    dtype=None,
+) -> dict:
+    sd = _SD(state_dict, dtype)
+    ch_up = list(reversed(block_out_channels))
+
+    dec: dict = {
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "mid_block": _vae_mid(sd, "decoder.mid_block"),
+        "conv_norm_out": _ln(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+    }
+    prev = ch_up[0]
+    for i, out_ch in enumerate(ch_up):
+        for j in range(layers_per_block + 1):
+            in_ch = prev if j == 0 else out_ch
+            dec[f"up_blocks_{i}_resnets_{j}"] = _resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", in_ch != out_ch
+            )
+        if i < len(ch_up) - 1:
+            dec[f"up_blocks_{i}_upsamplers_0"] = _conv(
+                sd, f"decoder.up_blocks.{i}.upsamplers.0.conv"
+            )
+        prev = out_ch
+
+    enc: dict = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "mid_block": _vae_mid(sd, "encoder.mid_block"),
+        "conv_norm_out": _ln(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+    }
+    prev = block_out_channels[0]
+    for i, out_ch in enumerate(block_out_channels):
+        for j in range(layers_per_block):
+            in_ch = prev if j == 0 else out_ch
+            enc[f"down_blocks_{i}_resnets_{j}"] = _resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", in_ch != out_ch
+            )
+        if i < len(block_out_channels) - 1:
+            enc[f"down_blocks_{i}_downsamplers_0"] = _conv(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv"
+            )
+        prev = out_ch
+
+    return {"params": {"decoder": dec, "encoder": enc}}
