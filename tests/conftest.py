@@ -29,5 +29,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: the suite is compile-dominated on CPU.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpdm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() >= 8, jax.devices()

@@ -1,0 +1,11 @@
+"""Reward models in JAX: ImageReward (training default) and alt scorers.
+
+All scorers implement `score(prompts_ids_or_text, images_uint8) -> np.ndarray`
+— the protocol the RLOO trainer consumes (reference wires ImageReward via
+configs/models/image_reward.yaml:1-3 and calls reward_model.score per
+sample; here scoring is batched on-device).
+"""
+
+from tpdm_tpu.rewards.image_reward import ImageRewardModel
+
+__all__ = ["ImageRewardModel"]
