@@ -1,0 +1,221 @@
+"""Aux subsystems: data layer, native loader, config resolver, checkpoints,
+callbacks."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def jsonl_file(tmp_path):
+    rows = [
+        {"prompt": "a cat"},
+        {"prompt": 'escaped "quote" and \\ backslash'},
+        {"prompt": "unicode: café ☃"},
+        {"prompt": "The image shows a dog"},
+    ]
+    p = tmp_path / "data.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p), rows
+
+
+class TestNativeLoader:
+    def test_matches_python_json(self, jsonl_file):
+        path, rows = jsonl_file
+        from tpdm_tpu.data.native import read_jsonl_field
+
+        vals = read_jsonl_field(path, "prompt")
+        assert vals == [r["prompt"] for r in rows]
+
+    def test_missing_key_skipped(self, tmp_path):
+        p = tmp_path / "x.jsonl"
+        p.write_text('{"other": "x"}\n{"prompt": "y"}\n')
+        from tpdm_tpu.data.native import read_jsonl_field
+
+        assert read_jsonl_field(str(p), "prompt") == ["y"]
+
+    def test_missing_file_raises(self):
+        from tpdm_tpu.data.native import read_jsonl_field
+
+        with pytest.raises(OSError):
+            read_jsonl_field("/nonexistent/file.jsonl", "prompt")
+
+
+class TestDatasets:
+    def test_jsonl_dataset_shuffled_deterministic(self, jsonl_file):
+        path, rows = jsonl_file
+        from tpdm_tpu.data import JsonlPromptDataset
+
+        d1 = JsonlPromptDataset(path)
+        d2 = JsonlPromptDataset(path)
+        assert len(d1) == len(rows)
+        assert [r["prompt"] for r in d1.rows] == [r["prompt"] for r in d2.rows]
+        assert {r["prompt"] for r in d1.rows} == {r["prompt"] for r in rows}
+
+    def test_native_and_python_paths_agree(self, jsonl_file):
+        path, _ = jsonl_file
+        from tpdm_tpu.data import JsonlPromptDataset
+
+        dn = JsonlPromptDataset(path, use_native=True)
+        dp = JsonlPromptDataset(path, use_native=False)
+        assert [r["prompt"] for r in dn.rows] == [r["prompt"] for r in dp.rows]
+
+    def test_collate_strips_prefix(self):
+        from tpdm_tpu.data import json_prompt_collate
+
+        out = json_prompt_collate(
+            [{"prompt": "The image shows a dog"}, {"prompt": "a cat"}]
+        )
+        assert out["prompt"] == ["a dog", "a cat"]
+
+    def test_webdataset_tar(self, tmp_path):
+        import tarfile
+        import io
+
+        tar_path = tmp_path / "shard.tar"
+        with tarfile.open(tar_path, "w") as tar:
+            for i in range(5):
+                payload = json.dumps({"caption": f"cap {i}"}).encode()
+                info = tarfile.TarInfo(name=f"{i:04d}.json")
+                info.size = len(payload)
+                tar.addfile(info, io.BytesIO(payload))
+        from tpdm_tpu.data import WebDatasetPrompts, webdataset_prompt_collate
+
+        ds = WebDatasetPrompts(str(tar_path), buffer_size=2)
+        rows = list(ds)
+        assert len(rows) == 5
+        out = webdataset_prompt_collate(rows[:2])
+        assert all(p.startswith("cap ") for p in out["prompt"])
+
+    def test_example_prompts_load(self):
+        from tpdm_tpu.data import JsonlPromptDataset
+
+        d = JsonlPromptDataset("example/prompts.jsonl")
+        assert len(d) >= 30
+        assert all("prompt" in r for r in d.rows)
+
+
+class TestInstantiate:
+    def test_target_and_partial(self, tmp_path):
+        from tpdm_tpu.utils.instantiate import instantiate
+
+        built = instantiate(
+            {"_target_": "collections.OrderedDict", "a": 1, "b": {"c": 2}}
+        )
+        assert built["a"] == 1 and built["b"] == {"c": 2}
+
+        part = instantiate({"_target_": "operator.add", "_partial_": True})
+        assert part(2, 3) == 5
+
+    def test_nested_instantiation(self):
+        from tpdm_tpu.utils.instantiate import instantiate
+
+        out = instantiate(
+            {
+                "_target_": "builtins.dict",
+                "inner": {
+                    "_target_": "fractions.Fraction",
+                    "numerator": 1,
+                    "denominator": 2,
+                },
+            }
+        )
+        from fractions import Fraction
+
+        assert out == {"inner": Fraction(1, 2)}
+
+    def test_yaml_roundtrip(self, tmp_path):
+        from tpdm_tpu.utils.instantiate import instantiate_file
+
+        p = tmp_path / "c.yaml"
+        p.write_text("_target_: fractions.Fraction\nnumerator: 3\ndenominator: 4\n")
+        from fractions import Fraction
+
+        assert instantiate_file(str(p)) == Fraction(3, 4)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        import optax
+
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        rng = np.random.default_rng(0)
+        rng.integers(0, 10, 5)
+
+        path = ckpt.save_checkpoint(
+            str(tmp_path), 7, {"params": params}, opt_state, episode=99,
+            np_rng_state=rng.bit_generator.state,
+        )
+        assert ckpt.latest_checkpoint(str(tmp_path)) == path
+        restored = ckpt.restore_checkpoint(
+            path,
+            {"params": jax.tree.map(jnp.zeros_like, params)},
+            tx.init(jax.tree.map(jnp.zeros_like, params)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(restored["tpm_params"]["params"]["w"]), np.arange(6).reshape(2, 3)
+        )
+        assert restored["update"] == 7 and restored["episode"] == 99
+        r2 = np.random.default_rng(123)
+        r2.bit_generator.state = restored["np_rng_state"]
+        assert (r2.integers(0, 10, 5) == rng.integers(0, 10, 5)).all()
+
+    def test_tpm_safetensors_reference_layout(self, tmp_path):
+        import optax
+
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        tpm = TimePredictor(conv_out_channels=4, in_channels=8, temb_dim=6)
+        params = tpm.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8)), jnp.zeros((1, 6))
+        )
+        tx = optax.adam(1e-3)
+        path = ckpt.save_checkpoint(str(tmp_path), 1, params, tx.init(params))
+        restored = ckpt.load_tpm_safetensors(os.path.join(path, ckpt.TPM_FILE))
+        for a, b in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(restored), key=str),
+        ):
+            np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+
+class TestEvalCallback:
+    def test_plots_and_history(self, tmp_path):
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.builders import build_toy_agent, build_toy_reward, make_prompt_encoder
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+
+        config = RLOOConfig(max_inference_steps=3, per_device_train_batch_size=2, rloo_k=2)
+        agent = build_toy_agent(config)
+        collate = make_prompt_encoder(agent)
+        batch = collate([{"prompt": "a"}, {"prompt": "b"}])
+        cb = EvalVisualizationCallback(
+            batch, str(tmp_path), reward_fn=build_toy_reward(), eval_steps=2,
+            max_inference_steps=4,
+        )
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
+
+        class FakeTrainer:
+            pass
+
+        t = FakeTrainer()
+        t.agent = agent
+        cb.on_step_end(t, 1, {}, tpm_params)  # not an eval step
+        assert cb.history == []
+        cb.on_step_end(t, 2, {}, tpm_params)
+        assert len(cb.history) == 1
+        assert os.path.exists(tmp_path / "eval_curves_2.png")
+        assert cb.history[0]["sigmas"].shape[1] == 4  # eval budget, not train
+        # sampler config restored afterwards
+        assert agent.sampler_cfg.max_inference_steps == 3

@@ -1,0 +1,176 @@
+"""Training callbacks: periodic eval with schedule visualizations.
+
+Rebuild of the reference's `DiffusionWandbCallback`
+(reference: src/train/callbacks.py:37-154): every eval_steps run
+deterministic sampling (predict=True) on a fixed prompt set, score rewards,
+filter steps with sigma > 0.01 (:92-97), and plot per-prompt sigma / alpha /
+beta / concentration curves. Artifacts land on disk (matplotlib Agg); wandb
+logging engages automatically when wandb is importable and a run is active
+— it is optional here (gated import), where the reference hard-requires it.
+
+On multi-host topologies, eval prompts split across processes and arrays
+gather to host 0 via `multihost_utils.process_allgather` — the TPU
+equivalent of the reference's accelerate `split_between_processes` +
+`gather_object` (:53,81-86).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# 5 MSCOCO + 5 ShareGPT4V-style fixed eval prompts (reference pins its own
+# ten at callbacks.py:20-34).
+DEFAULT_EVAL_PROMPTS = [
+    "A man with a red helmet on a small moped on a dirt road.",
+    "Man riding a motor bike on a dirt road on the countryside.",
+    "A kitchen with a stove, sink, and refrigerator.",
+    "Two women waiting at a bench next to a street.",
+    "A large bus sitting next to a very tall building.",
+    "The image shows a cozy reading nook with a plush armchair.",
+    "The image shows a bustling night market lit by paper lanterns.",
+    "The image shows an alpine lake reflecting snow-capped peaks.",
+    "The image shows a chef plating an elaborate dessert.",
+    "The image shows a vintage car parked outside a diner.",
+]
+
+
+class EvalVisualizationCallback:
+    """on_step_end(trainer, update, metrics, tpm_params).
+
+    Args:
+        eval_batch: dict with the embed fields the agent needs (+ optional
+            "prompt" strings for reward scoring and labels).
+        reward_fn: optional scorer applied to the eval rollouts.
+        eval_steps: cadence in updates; 0 disables.
+        max_inference_steps: 40, the reference's eval budget (:58).
+        sigma_filter: only plot steps with sigma above this (:93-97).
+    """
+
+    def __init__(
+        self,
+        eval_batch: dict,
+        output_dir: str,
+        reward_fn=None,
+        eval_steps: int = 50,
+        max_inference_steps: int = 40,
+        sigma_filter: float = 0.01,
+        save_images: bool = True,
+        decode_fn=None,
+    ):
+        self.eval_batch = eval_batch
+        self.output_dir = output_dir
+        self.reward_fn = reward_fn
+        self.eval_steps = eval_steps
+        self.max_inference_steps = max_inference_steps
+        self.sigma_filter = sigma_filter
+        self.save_images = save_images
+        self.decode_fn = decode_fn
+        self.history: list[dict] = []
+
+    def on_step_end(self, trainer, update: int, metrics: dict, tpm_params):
+        if not self.eval_steps or update % self.eval_steps != 0:
+            return
+        import dataclasses
+
+        import jax
+
+        agent = trainer.agent
+        # deterministic eval rollout at the eval budget
+        old_cfg = agent.sampler_cfg
+        agent.sampler_cfg = dataclasses.replace(
+            old_cfg, max_inference_steps=self.max_inference_steps,
+            cache_activations=False,
+        )
+        try:
+            outputs = agent.sample(
+                tpm_params, self.eval_batch, jax.random.PRNGKey(update), predict=True
+            )
+        finally:
+            agent.sampler_cfg = old_cfg
+
+        record = {
+            "update": update,
+            "sigmas": np.asarray(outputs.sigmas),
+            "alphas": np.asarray(outputs.alphas),
+            "betas": np.asarray(outputs.betas),
+            "masks": np.asarray(outputs.prob_masks),
+            "nfe": np.asarray(outputs.last_valid_index) + 1,
+        }
+        if self.reward_fn is not None:
+            scores, _ = self.reward_fn(self.eval_batch.get("prompt"), outputs)
+            record["rewards"] = np.asarray(scores)
+        self.history.append(record)
+        self._plot(record)
+        if self.save_images and self.decode_fn is not None:
+            self._save_images(update, outputs)
+        logger.info(
+            "eval @ update %d: mean NFE %.2f%s",
+            update,
+            float(record["nfe"].mean()),
+            (
+                f", mean reward {float(record['rewards'].mean()):.3f}"
+                if "rewards" in record
+                else ""
+            ),
+        )
+        self._maybe_wandb(record)
+
+    # -- internals -------------------------------------------------------
+    def _plot(self, rec: dict):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        b = rec["sigmas"].shape[0]
+        fig, axes = plt.subplots(1, 4, figsize=(18, 4))
+        for i in range(b):
+            sig = rec["sigmas"][i]
+            keep = sig > self.sigma_filter
+            steps = np.arange(len(sig))[keep]
+            axes[0].plot(steps, sig[keep], alpha=0.7)
+            axes[1].plot(steps, rec["alphas"][i][keep], alpha=0.7)
+            axes[2].plot(steps, rec["betas"][i][keep], alpha=0.7)
+            axes[3].plot(
+                steps,
+                (rec["alphas"][i] + rec["betas"][i])[keep],
+                alpha=0.7,
+            )
+        for ax, title in zip(axes, ("sigma", "alpha", "beta", "concentration")):
+            ax.set_title(title)
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        out = os.path.join(self.output_dir, f"eval_curves_{rec['update']}.png")
+        fig.savefig(out)
+        plt.close(fig)
+
+    def _save_images(self, update: int, outputs):
+        from PIL import Image
+
+        from tpdm_tpu.utils.image import postprocess_images
+
+        decoded = self.decode_fn(outputs.final_latents)
+        imgs = postprocess_images(decoded)
+        strip = np.concatenate(list(imgs), axis=1)
+        Image.fromarray(strip).save(
+            os.path.join(self.output_dir, f"eval_images_{update}.png")
+        )
+
+    def _maybe_wandb(self, rec: dict):
+        try:
+            import wandb  # noqa: F401
+
+            if wandb.run is not None:
+                payload = {"eval/mean_nfe": float(rec["nfe"].mean())}
+                if "rewards" in rec:
+                    payload["eval/mean_reward"] = float(rec["rewards"].mean())
+                wandb.log(payload, step=rec["update"])
+        except ImportError:
+            pass

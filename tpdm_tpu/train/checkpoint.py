@@ -1,0 +1,119 @@
+"""Checkpoint save/resume for RLOO training.
+
+Layout parity with the reference's HF-Trainer machinery (reference:
+src/train/rloo_trainer.py:299-321,598-611): numbered `checkpoint-N`
+directories containing the trainer state (TPM params + optimizer state +
+counters + host RNG), with `latest_checkpoint` resolution, plus the
+TPM-only safetensors export in the `agent_model.`-prefixed layout that the
+reference's inference stack loads (gradio_sd3_inference.py:20-21).
+
+Serialization is flax msgpack (single small file — the trainable state is
+~7M params); the frozen towers are never checkpointed, they are loaded from
+their original pretrained artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+STATE_FILE = "trainer_state.msgpack"
+META_FILE = "trainer_meta.json"
+TPM_FILE = "tpm.safetensors"
+
+
+def save_checkpoint(
+    output_dir: str,
+    step: int,
+    tpm_params: Any,
+    opt_state: Any,
+    episode: int = 0,
+    np_rng_state: Optional[dict] = None,
+    export_tpm_safetensors: bool = True,
+) -> str:
+    path = os.path.join(output_dir, f"checkpoint-{step}")
+    os.makedirs(path, exist_ok=True)
+
+    state = {"tpm_params": tpm_params, "opt_state": opt_state}
+    with open(os.path.join(path, STATE_FILE), "wb") as f:
+        f.write(serialization.to_bytes(state))
+    meta = {"update": step, "episode": episode}
+    if np_rng_state is not None:
+        meta["np_rng_state"] = _encode_rng(np_rng_state)
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump(meta, f)
+
+    if export_tpm_safetensors:
+        from safetensors.numpy import save_file
+
+        from tpdm_tpu.utils.convert import export_tpm
+
+        sd = {k: np.asarray(v) for k, v in export_tpm(tpm_params).items()}
+        save_file(sd, os.path.join(path, TPM_FILE))
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(output_dir, name), int(m.group(1))
+    return best
+
+
+def restore_checkpoint(path: str, tpm_params_template: Any, opt_state_template: Any) -> dict:
+    """Returns the resume_state dict RLOOTrainer.train consumes."""
+    with open(os.path.join(path, STATE_FILE), "rb") as f:
+        state = serialization.from_bytes(
+            {"tpm_params": tpm_params_template, "opt_state": opt_state_template},
+            f.read(),
+        )
+    with open(os.path.join(path, META_FILE)) as f:
+        meta = json.load(f)
+    out = {
+        "tpm_params": state["tpm_params"],
+        "opt_state": state["opt_state"],
+        "update": meta["update"],
+        "episode": meta.get("episode", 0),
+    }
+    if "np_rng_state" in meta:
+        out["np_rng_state"] = _decode_rng(meta["np_rng_state"])
+    return out
+
+
+def load_tpm_safetensors(path: str) -> dict:
+    """Load a TPM-only safetensors checkpoint (ours or the reference's)."""
+    from tpdm_tpu.utils.convert import convert_tpm, load_safetensors
+
+    return convert_tpm(load_safetensors(path))
+
+
+def _encode_rng(state: dict) -> dict:
+    def enc(v):
+        if isinstance(v, np.ndarray):
+            return {"__nd__": v.tolist(), "dtype": str(v.dtype)}
+        if isinstance(v, dict):
+            return {k: enc(x) for k, x in v.items()}
+        return v
+
+    return enc(state)
+
+
+def _decode_rng(state: dict):
+    def dec(v):
+        if isinstance(v, dict) and "__nd__" in v:
+            return np.array(v["__nd__"], dtype=v["dtype"])
+        if isinstance(v, dict):
+            return {k: dec(x) for k, x in v.items()}
+        return v
+
+    return dec(state)

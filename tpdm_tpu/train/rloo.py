@@ -426,7 +426,16 @@ class RLOOTrainer:
         return tpm_params, opt_state, stats
 
     # -- main loop -------------------------------------------------------
-    def train(self, tpm_params=None, resume_state: Optional[dict] = None):
+    def train(
+        self,
+        tpm_params=None,
+        resume_state: Optional[dict] = None,
+        resume_from_checkpoint=None,
+    ):
+        """Run training. `resume_from_checkpoint`: True (latest in
+        output_dir), a checkpoint path, or None — dispatch parity with the
+        reference (main_diff_rloo_trainer.py:60-69, rloo_trainer.py:299-321).
+        """
         cfg = self.config
         sizes = self.sizes
         key = jax.random.PRNGKey(cfg.seed)
@@ -439,13 +448,30 @@ class RLOOTrainer:
             key, sub = jax.random.split(key)
             tpm_params = self.agent.init_tpm_params(sub)
         opt_state = self.tx.init(tpm_params)
+
+        if resume_from_checkpoint is not None and resume_state is None:
+            from tpdm_tpu.train import checkpoint as ckpt
+
+            path = resume_from_checkpoint
+            if path is True:
+                path = ckpt.latest_checkpoint(cfg.output_dir)
+                if path is None:
+                    raise ValueError(
+                        f"no checkpoint found in {cfg.output_dir}"
+                    )
+            resume_state = ckpt.restore_checkpoint(path, tpm_params, opt_state)
+            logger.info("resumed from %s (update %d)", path, resume_state["update"])
+
         start_update = 1
         if resume_state is not None:
             tpm_params = resume_state["tpm_params"]
             opt_state = resume_state["opt_state"]
             start_update = int(resume_state["update"]) + 1
             self.episode = int(resume_state.get("episode", 0))
-            key = resume_state.get("key", key)
+            self.global_step = int(resume_state.get("update", 0))
+            key = jax.random.fold_in(key, start_update)
+            if "np_rng_state" in resume_state:
+                np_rng.bit_generator.state = resume_state["np_rng_state"]
 
         loader = self._loader(np_rng)
         start_time = time.time()
@@ -528,7 +554,26 @@ class RLOOTrainer:
             for cb in self.callbacks:
                 cb.on_step_end(self, update, metrics, tpm_params)
 
+            if cfg.save_steps and update % cfg.save_steps == 0:
+                self._save(update, tpm_params, opt_state, np_rng)
+
+        if cfg.save_steps:
+            self._save(sizes["num_total_batches"], tpm_params, opt_state, np_rng)
         return tpm_params, opt_state
+
+    def _save(self, update, tpm_params, opt_state, np_rng):
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        if jax.process_index() == 0:
+            path = ckpt.save_checkpoint(
+                self.config.output_dir,
+                update,
+                tpm_params,
+                opt_state,
+                episode=self.episode,
+                np_rng_state=np_rng.bit_generator.state,
+            )
+            logger.info("saved checkpoint %s", path)
 
 
 def _default_collate(rows: list[dict]) -> dict:
