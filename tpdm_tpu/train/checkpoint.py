@@ -54,8 +54,12 @@ def save_checkpoint(
 
         from tpdm_tpu.utils.convert import export_tpm
 
-        sd = {k: np.asarray(v) for k, v in export_tpm(tpm_params).items()}
-        save_file(sd, os.path.join(path, TPM_FILE))
+        try:
+            sd = {k: np.asarray(v) for k, v in export_tpm(tpm_params).items()}
+        except (KeyError, TypeError):
+            sd = None  # not a TimePredictor tree; skip interchange export
+        if sd is not None:
+            save_file(sd, os.path.join(path, TPM_FILE))
     return path
 
 

@@ -247,21 +247,25 @@ def convert_tpm(state_dict: Mapping, dtype=None) -> dict:
 
 def export_tpm(params: dict, prefix: str = "agent_model.time_predictor.") -> dict:
     """Inverse of convert_tpm: flax TPM params -> reference-layout state
-    dict (for checkpoint interchange with the reference ecosystem)."""
+    dict (for checkpoint interchange with the reference ecosystem).
+
+    Outputs are C-contiguous — safetensors serializes raw buffers and
+    silently corrupts transposed views otherwise."""
     p = params["params"]
+    A = np.ascontiguousarray
     out = {
-        f"{prefix}conv1.weight": np.asarray(p["conv1"]["kernel"]).transpose(3, 2, 0, 1),
-        f"{prefix}conv1.bias": np.asarray(p["conv1"]["bias"]),
-        f"{prefix}conv2.weight": np.asarray(p["conv2"]["kernel"]).transpose(3, 2, 0, 1),
-        f"{prefix}conv2.bias": np.asarray(p["conv2"]["bias"]),
-        f"{prefix}norm1.linear.weight": np.asarray(p["norm1"]["linear"]["kernel"]).T,
-        f"{prefix}norm1.linear.bias": np.asarray(p["norm1"]["linear"]["bias"]),
-        f"{prefix}norm1.norm.weight": np.asarray(p["norm1"]["norm"]["scale"]),
-        f"{prefix}norm1.norm.bias": np.asarray(p["norm1"]["norm"]["bias"]),
-        f"{prefix}fc1.weight": np.asarray(p["fc1"]["kernel"]).T,
-        f"{prefix}fc1.bias": np.asarray(p["fc1"]["bias"]),
-        f"{prefix}fc2.weight": np.asarray(p["fc2"]["kernel"]).T,
-        f"{prefix}fc2.bias": np.asarray(p["fc2"]["bias"]),
+        f"{prefix}conv1.weight": A(np.asarray(p["conv1"]["kernel"]).transpose(3, 2, 0, 1)),
+        f"{prefix}conv1.bias": A(np.asarray(p["conv1"]["bias"])),
+        f"{prefix}conv2.weight": A(np.asarray(p["conv2"]["kernel"]).transpose(3, 2, 0, 1)),
+        f"{prefix}conv2.bias": A(np.asarray(p["conv2"]["bias"])),
+        f"{prefix}norm1.linear.weight": A(np.asarray(p["norm1"]["linear"]["kernel"]).T),
+        f"{prefix}norm1.linear.bias": A(np.asarray(p["norm1"]["linear"]["bias"])),
+        f"{prefix}norm1.norm.weight": A(np.asarray(p["norm1"]["norm"]["scale"])),
+        f"{prefix}norm1.norm.bias": A(np.asarray(p["norm1"]["norm"]["bias"])),
+        f"{prefix}fc1.weight": A(np.asarray(p["fc1"]["kernel"]).T),
+        f"{prefix}fc1.bias": A(np.asarray(p["fc1"]["bias"])),
+        f"{prefix}fc2.weight": A(np.asarray(p["fc2"]["kernel"]).T),
+        f"{prefix}fc2.bias": A(np.asarray(p["fc2"]["bias"])),
     }
     return out
 
