@@ -1,0 +1,274 @@
+"""SD1.5 variant: DPM-Solver math oracles, UNet contract, adaptive loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tpdm_tpu.ops.dpm_solver import (
+    ddpm_sigmas_from_betas,
+    dpm_first_order_update,
+    dpm_second_order_update,
+    epsilon_to_x0,
+    sigma_of_timestep,
+    sigma_to_alpha_sigma_t,
+)
+
+
+class TestDPMSolverMath:
+    """Oracles re-derive the reference formulas (utilis_sd_v1_5.py:63-204)
+    with torch ops on per-sample sigma tensors."""
+
+    def _torch_alpha_sigma(self, sigma):
+        alpha_t = 1.0 / (sigma**2 + 1) ** 0.5
+        return alpha_t, sigma * alpha_t
+
+    def test_sigma_table_matches_diffusers_formula(self):
+        betas = torch.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+        ac = torch.cumprod(1 - betas, 0)
+        ref = ((1 - ac) / ac) ** 0.5
+        ours = ddpm_sigmas_from_betas()
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=2e-3, atol=1e-4)
+
+    def test_epsilon_to_x0(self):
+        rng = np.random.default_rng(0)
+        b = 3
+        sample = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        eps = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        sigma = rng.uniform(0.1, 10, b).astype(np.float32)
+        ours = epsilon_to_x0(jnp.array(eps), jnp.array(sample), jnp.array(sigma))
+        a, st = self._torch_alpha_sigma(torch.tensor(sigma).view(-1, 1, 1, 1))
+        ref = (torch.tensor(sample) - st * torch.tensor(eps)) / a
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_first_order_update(self):
+        rng = np.random.default_rng(1)
+        b = 2
+        x0 = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        sample = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        sigma_t = rng.uniform(0.1, 1.0, b).astype(np.float32)
+        sigma_s = sigma_t + rng.uniform(0.5, 2.0, b).astype(np.float32)
+        ours = dpm_first_order_update(
+            jnp.array(x0), jnp.array(sample), jnp.array(sigma_t), jnp.array(sigma_s)
+        )
+        at, st = self._torch_alpha_sigma(torch.tensor(sigma_t).view(-1, 1, 1, 1))
+        as_, ss = self._torch_alpha_sigma(torch.tensor(sigma_s).view(-1, 1, 1, 1))
+        h = (torch.log(at) - torch.log(st)) - (torch.log(as_) - torch.log(ss))
+        ref = (st / ss) * torch.tensor(sample) - at * (torch.exp(-h) - 1) * torch.tensor(x0)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("solver_type", ["midpoint", "heun"])
+    def test_second_order_update(self, solver_type):
+        rng = np.random.default_rng(2)
+        b = 2
+        m0 = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        m1 = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        sample = rng.normal(size=(b, 2, 4, 4)).astype(np.float32)
+        sigma_t = rng.uniform(0.1, 0.5, b).astype(np.float32)
+        sigma_s0 = sigma_t + rng.uniform(0.2, 1.0, b).astype(np.float32)
+        sigma_s1 = sigma_s0 + rng.uniform(0.2, 1.0, b).astype(np.float32)
+        ours = dpm_second_order_update(
+            jnp.array(m0), jnp.array(m1), jnp.array(sample),
+            jnp.array(sigma_t), jnp.array(sigma_s0), jnp.array(sigma_s1),
+            solver_type=solver_type,
+        )
+
+        def las(sig):
+            a, s = self._torch_alpha_sigma(torch.tensor(sig).view(-1, 1, 1, 1))
+            return a, s, torch.log(a) - torch.log(s)
+
+        at, st, lt = las(sigma_t)
+        a0, s0, l0 = las(sigma_s0)
+        a1, s1, l1 = las(sigma_s1)
+        h, h0 = lt - l0, l0 - l1
+        r0 = h0 / h
+        D0 = torch.tensor(m0)
+        D1 = (torch.tensor(m0) - torch.tensor(m1)) / r0
+        if solver_type == "midpoint":
+            ref = (
+                (st / s0) * torch.tensor(sample)
+                - at * (torch.exp(-h) - 1) * D0
+                - 0.5 * at * (torch.exp(-h) - 1) * D1
+            )
+        else:
+            ref = (
+                (st / s0) * torch.tensor(sample)
+                - at * (torch.exp(-h) - 1) * D0
+                + at * ((torch.exp(-h) - 1) / h + 1) * D1
+            )
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_sigma_interpolation_at_integers(self):
+        table = ddpm_sigmas_from_betas()
+        t = jnp.array([0.0, 10.0, 999.0])
+        out = sigma_of_timestep(table, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(table)[[0, 10, 999]], rtol=1e-6
+        )
+
+
+@pytest.fixture(scope="module")
+def sd15_world():
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+
+    cfg = UNetConfig.toy()
+    unet = UNetSD15(cfg)
+    b, n_txt = 2, 7
+    lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, cfg.sample_size, cfg.sample_size))
+    t = jnp.array([999.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(2), lat, t, ctx)
+    return cfg, unet, params, (lat, t, ctx)
+
+
+class TestUNetSD15:
+    def test_four_output_contract(self, sd15_world):
+        cfg, unet, params, (lat, t, ctx) = sd15_world
+        eps, temb, h1, h2 = unet.apply(params, lat, t, ctx)
+        b = lat.shape[0]
+        s = cfg.sample_size
+        assert eps.shape == lat.shape
+        assert temb.shape == (b, cfg.time_embed_dim)
+        assert h1.shape == (b, cfg.block_out_channels[0], s, s)
+        assert h2.shape == (b, cfg.block_out_channels[0], s, s)
+        for a in (eps, temb, h1, h2):
+            assert np.isfinite(np.asarray(a)).all()
+
+    def test_timestep_sensitivity(self, sd15_world):
+        cfg, unet, params, (lat, _, ctx) = sd15_world
+        e1, *_ = unet.apply(params, lat, jnp.array([999.0, 999.0]), ctx)
+        e2, *_ = unet.apply(params, lat, jnp.array([10.0, 10.0]), ctx)
+        assert float(jnp.abs(e1 - e2).mean()) > 1e-5
+
+    def test_context_sensitivity(self, sd15_world):
+        cfg, unet, params, (lat, t, ctx) = sd15_world
+        e1, *_ = unet.apply(params, lat, t, ctx)
+        e2, *_ = unet.apply(params, lat, t, ctx * 2.0)
+        assert float(jnp.abs(e1 - e2).mean()) > 1e-6
+
+
+class TestSD15Sampler:
+    def _setup(self):
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.pipeline.sd15_sampler import (
+            SD15SamplerConfig,
+            sd15_adaptive_sample,
+        )
+
+        b = 2
+        ch = 6
+
+        def denoise_fn(latents, t):
+            eps = latents * 0.5
+            temb = jnp.tile(t[:, None] / 999.0, (1, 8))
+            h = jnp.tile(latents.mean(axis=1, keepdims=True), (1, 2 * ch, 1, 1))
+            return eps, temb, h
+
+        tpm = TimePredictor(conv_out_channels=4, in_channels=2 * ch, temb_dim=8)
+        params = tpm.init(
+            jax.random.PRNGKey(0), jnp.zeros((b, 2 * ch, 8, 8)), jnp.zeros((b, 8))
+        )
+        lat = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 8, 8))
+        return denoise_fn, tpm, params, lat, SD15SamplerConfig, sd15_adaptive_sample
+
+    def test_time_decay_and_masks(self):
+        denoise_fn, tpm, params, lat, Cfg, sample = self._setup()
+        cfg = Cfg(num_inference_steps=12, min_time=10)
+        out = sample(
+            denoise_fn, lambda h, t: tpm.apply(params, h, t), lat,
+            jax.random.PRNGKey(2), cfg,
+        )
+        times = np.asarray(out.times)
+        n = int(out.num_steps)
+        assert (times[:, 0] == 999).all()
+        for i in range(times.shape[0]):
+            # strictly decreasing until finished
+            for j in range(1, n + 1):
+                assert times[i, j] <= times[i, j - 1]
+        # masks correspond to t < min_time at step start
+        masks = np.asarray(out.prob_masks)
+        for i in range(times.shape[0]):
+            np.testing.assert_array_equal(masks[i, :n], times[i, :n] < 10)
+
+    def test_early_stop_when_aggressive(self):
+        denoise_fn, tpm, params, lat, Cfg, sample = self._setup()
+        aggressive = lambda h, t: jnp.tile(jnp.array([[1.05, 51.0]]), (h.shape[0], 1))
+        cfg = Cfg(num_inference_steps=25, min_time=10, predict=True)
+        out = sample(denoise_fn, aggressive, lat, jax.random.PRNGKey(3), cfg)
+        assert int(out.num_steps) < 8
+        # finished samples pinned to t == 0
+        assert (np.asarray(out.times)[:, int(out.num_steps)] == 0).all()
+
+    def test_replay_matches_rollout(self):
+        from tpdm_tpu.pipeline.sd15_sampler import sd15_replay_logprobs
+
+        denoise_fn, tpm, params, lat, Cfg, sample = self._setup()
+        cfg = Cfg(num_inference_steps=10, min_time=50)
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        out = sample(denoise_fn, tpm_fn, lat, jax.random.PRNGKey(4), cfg)
+        lp = sd15_replay_logprobs(
+            tpm_fn, out.h_cache, out.temb_cache, out.ratios, out.prob_masks, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(out.logprobs), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestSD15TrainerIntegration:
+    def test_rloo_trainer_runs_with_sd15_agent(self):
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.train import RLOOConfig, RLOOTrainer
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy()
+        unet = UNetSD15(cfg)
+        b = 4
+        n_txt = 7
+        params = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, n_txt, cfg.cross_attention_dim)),
+        )
+        config = RLOOConfig(
+            per_device_train_batch_size=b,
+            rloo_k=2,
+            max_inference_steps=3,
+            total_episodes=2 * b,
+            learning_rate=1e-3,
+            kl_coef=0.0,
+        )
+        agent = SD15Agent(
+            unet,
+            params,
+            config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.time_embed_dim,
+            ),
+        )
+        rng = np.random.default_rng(0)
+        dataset = [
+            {
+                "prompt": f"p{i}",
+                "prompt_embeds": rng.normal(size=(n_txt, cfg.cross_attention_dim)).astype(np.float32),
+                "negative_prompt_embeds": np.zeros((n_txt, cfg.cross_attention_dim), np.float32),
+            }
+            for i in range(4)
+        ]
+
+        def reward_fn(prompts, outputs):
+            s = np.asarray(jnp.tanh(outputs.final_latents.mean(axis=(1, 2, 3))))
+            return s, s
+
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(9))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        assert m["objective/kl"] == 0.0  # SD1.5 KL identically zero
+        diffs = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0

@@ -145,29 +145,23 @@ def rloo_repeat(batch: dict, rloo_k: int) -> dict:
     return out
 
 
-def subset_outputs(outputs: SampleOutput, inds: np.ndarray) -> SampleOutput:
-    """Micro-batch view of a rollout (wrapper.subset_outputs,
-    modeling_sd3_pnt.py:916-933). Caches are time-major -> index axis 1."""
-    return SampleOutput(
-        init_noise_latents=outputs.init_noise_latents[inds],
-        final_latents=outputs.final_latents[inds],
-        sigmas=outputs.sigmas[inds],
-        logprobs=outputs.logprobs[inds],
-        prob_masks=outputs.prob_masks[inds],
-        alphas=outputs.alphas[inds],
-        betas=outputs.betas[inds],
-        num_steps=outputs.num_steps,
-        last_valid_index=outputs.last_valid_index[inds],
-        h_cache=None if outputs.h_cache is None else outputs.h_cache[:, inds],
-        temb_cache=(
-            None if outputs.temb_cache is None else outputs.temb_cache[:, inds]
-        ),
-        history_latents=(
-            None
-            if outputs.history_latents is None
-            else outputs.history_latents[:, inds]
-        ),
-    )
+_TIME_MAJOR_FIELDS = ("h_cache", "temb_cache", "history_latents")
+_SCALAR_FIELDS = ("num_steps",)
+
+
+def subset_outputs(outputs, inds: np.ndarray):
+    """Micro-batch view of a rollout NamedTuple (wrapper.subset_outputs,
+    modeling_sd3_pnt.py:916-933). Caches are time-major -> index axis 1.
+    Works for any agent's output record (SD3 SampleOutput, SD15 variant)."""
+    values = {}
+    for name, value in outputs._asdict().items():
+        if value is None or name in _SCALAR_FIELDS:
+            values[name] = value
+        elif name in _TIME_MAJOR_FIELDS:
+            values[name] = value[:, inds]
+        else:
+            values[name] = value[inds]
+    return type(outputs)(**values)
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +277,13 @@ class TPDMAgent:
             self.tpm_fn(tpm_params), h_cache, temb_cache, sigmas, self.sampler_cfg
         )
 
+    def replay(self, tpm_params, outputs) -> jax.Array:
+        """Differentiable logprobs of the rollout's actions — traced inside
+        the trainer's jitted PPO step."""
+        return self._replay(
+            tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
+        )
+
     def logprobs(self, tpm_params, outputs: SampleOutput) -> jax.Array:
         return self._replay_jit(
             tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
@@ -377,27 +378,13 @@ class RLOOTrainer:
                 yield self.collate_fn(rows)
 
     # -- jitted PPO micro-step ------------------------------------------
-    def _train_step_impl(
-        self,
-        tpm_params,
-        opt_state,
-        h_cache,
-        temb_cache,
-        sigmas,
-        old_logprobs,
-        prob_masks,
-        alphas,
-        betas,
-        advantages,
-    ):
+    def _train_step_impl(self, tpm_params, opt_state, outputs, advantages):
+        old_logprobs = outputs.logprobs
+        prob_masks = outputs.prob_masks
+        alphas, betas = outputs.alphas, outputs.betas
+
         def loss_fn(p):
-            new_lp = replay_logprobs(
-                self.agent.tpm_fn(p),
-                h_cache,
-                temb_cache,
-                sigmas,
-                self.agent.sampler_cfg,
-            )
+            new_lp = self.agent.replay(p, outputs)
             return ppo_loss(new_lp, old_logprobs, advantages, self.config.cliprange)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(tpm_params)
@@ -508,16 +495,7 @@ class RLOOTrainer:
                         inds = mb_inds[mi_start : mi_start + micro_bs]
                         mo = subset_outputs(outputs, inds)
                         tpm_params, opt_state, stats = self._train_step(
-                            tpm_params,
-                            opt_state,
-                            mo.h_cache,
-                            mo.temb_cache,
-                            mo.sigmas,
-                            mo.logprobs,
-                            mo.prob_masks,
-                            mo.alphas,
-                            mo.betas,
-                            advantages[inds],
+                            tpm_params, opt_state, mo, advantages[inds]
                         )
                         stats_acc.append(stats)
 

@@ -1,0 +1,144 @@
+"""SD1.5 RL agent: frozen UNet + TPM over the DPM-Solver++ adaptive loop.
+
+Protocol-compatible with RLOOTrainer (same surface as the SD3 TPDMAgent),
+mirroring the reference `SD15PredictNextTimeStepModel`'s agent methods
+(reference: src/models/stable_diffusion_v1_5/modeling_sd_v1_5.py:925-1041):
+integer-timestep schedules, zero KL (:1005-1009), and replay of the
+recorded Beta ratios.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpdm_tpu.models.tpm import TimePredictor
+from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+from tpdm_tpu.pipeline.sd15_sampler import (
+    SD15SampleOutput,
+    SD15SamplerConfig,
+    sd15_adaptive_sample,
+    sd15_replay_logprobs,
+)
+from tpdm_tpu.train.config import RLOOConfig
+
+
+def make_sd15_denoise_fn(
+    unet_apply, prompt_embeds, guidance_scale: Optional[float]
+):
+    """CFG wrapper: combine noise_pred AND temb/h1/h2
+    (modeling_sd_v1_5.py:776-795). h_combined = concat([h1, h2], channel)."""
+
+    def denoise_fn(latents, t):
+        if guidance_scale is not None and guidance_scale > 1:
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+        else:
+            lat, tt = latents, t
+        eps, temb, h1, h2 = unet_apply(lat, tt, prompt_embeds)
+        if guidance_scale is not None and guidance_scale > 1:
+
+            def guide(a):
+                u, c = jnp.split(a, 2)
+                return u + guidance_scale * (c - u)
+
+            eps, temb, h1, h2 = guide(eps), guide(temb), guide(h1), guide(h2)
+        return eps, temb, jnp.concatenate([h1, h2], axis=1)
+
+    return denoise_fn
+
+
+class SD15Agent:
+    """RLOOTrainer-compatible agent over the SD1.5 UNet."""
+
+    def __init__(
+        self,
+        unet: UNetSD15,
+        unet_params,
+        config: RLOOConfig,
+        tpm: Optional[TimePredictor] = None,
+        min_time: int = 10,
+        guidance_scale: float = 7.5,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.config = config
+        ucfg = unet.config
+        self.guidance_scale = guidance_scale
+        self.tpm = tpm or TimePredictor(
+            conv_out_channels=128,
+            in_channels=2 * ucfg.block_out_channels[0],
+            temb_dim=ucfg.time_embed_dim,
+            init_alpha=config.init_alpha,
+            init_beta=config.init_beta,
+        )
+        self.sampler_cfg = SD15SamplerConfig(
+            num_inference_steps=config.max_inference_steps,
+            min_time=min_time,
+            cache_activations=True,
+        )
+        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+
+    def init_tpm_params(self, key: jax.Array):
+        ucfg = self.unet.config
+        s = ucfg.sample_size
+        return self.tpm.init(
+            key,
+            jnp.zeros((1, 2 * ucfg.block_out_channels[0], s, s)),
+            jnp.zeros((1, ucfg.time_embed_dim)),
+        )
+
+    def tpm_fn(self, tpm_params):
+        return lambda h, t: self.tpm.apply(tpm_params, h, t)
+
+    def prepare_latents(self, key, batch_size):
+        ucfg = self.unet.config
+        # DPM-Solver++ x0-parametrization starts from sigma-scaled noise:
+        # diffusers init_noise_sigma for DPMSolver is 1.0 in epsilon space.
+        return jax.random.normal(
+            key, (batch_size, ucfg.in_channels, ucfg.sample_size, ucfg.sample_size),
+            ucfg.dtype,
+        )
+
+    def _sample(self, tpm_params, latents, prompt_embeds, key, predict=False):
+        import dataclasses
+
+        denoise_fn = make_sd15_denoise_fn(
+            lambda *a: self.unet.apply(self.unet_params, *a),
+            prompt_embeds,
+            self.guidance_scale,
+        )
+        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
+        return sd15_adaptive_sample(
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg
+        )
+
+    def sample(self, tpm_params, batch, key, predict=False) -> SD15SampleOutput:
+        pe = batch["prompt_embeds"]
+        if self.guidance_scale is not None and self.guidance_scale > 1:
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+        b = batch["prompt_embeds"].shape[0]
+        key_lat, key_roll = jax.random.split(key)
+        latents = batch.get("latents")
+        if latents is None:
+            latents = self.prepare_latents(key_lat, b)
+        return self._sample_jit(tpm_params, latents, pe, key_roll, predict=predict)
+
+    def replay(self, tpm_params, outputs: SD15SampleOutput) -> jax.Array:
+        return sd15_replay_logprobs(
+            self.tpm_fn(tpm_params),
+            outputs.h_cache,
+            outputs.temb_cache,
+            outputs.ratios,
+            outputs.prob_masks,
+            self.sampler_cfg,
+        )
+
+    def logprobs(self, tpm_params, outputs: SD15SampleOutput) -> jax.Array:
+        return jax.jit(self.replay)(tpm_params, outputs)
+
+    def kl_divergence(self, outputs: SD15SampleOutput) -> jax.Array:
+        """Identically zero (modeling_sd_v1_5.py:1005-1009)."""
+        return jnp.zeros_like(outputs.logprobs)
