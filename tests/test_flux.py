@@ -1,0 +1,187 @@
+"""FLUX backbone and agent tests (toy config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tpdm_tpu.models.flux import (
+    Flux,
+    FluxConfig,
+    apply_rope,
+    pack_latents,
+    rope_freqs,
+    unpack_latents,
+)
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        lat = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 8))
+        tokens, ids = pack_latents(lat)
+        assert tokens.shape == (2, 16, 64)
+        assert ids.shape == (2, 16, 3)
+        back = unpack_latents(tokens, 8, 8)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(lat), rtol=1e-6)
+
+    def test_ids_grid(self):
+        lat = jnp.zeros((1, 4, 4, 4))
+        _, ids = pack_latents(lat)
+        ids = np.asarray(ids[0])
+        np.testing.assert_array_equal(ids[:, 0], 0)
+        np.testing.assert_array_equal(ids[:, 1], [0, 0, 1, 1])  # y
+        np.testing.assert_array_equal(ids[:, 2], [0, 1, 0, 1])  # x
+
+
+class TestRoPE:
+    def test_rotation_preserves_norm(self):
+        ids = jnp.array([[[0.0, 1.0, 2.0], [0.0, 3.0, 1.0]]])
+        cos, sin = rope_freqs(ids, (4, 4, 4), 10000)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 2, 12))
+        out = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_relative_position_property(self):
+        """q·k after RoPE depends only on relative positions (1D case)."""
+        dim = 8
+
+        def qk_dot(p_q, p_k):
+            ids_q = jnp.array([[[float(p_q)]]])
+            ids_k = jnp.array([[[float(p_k)]]])
+            cq, sq = rope_freqs(ids_q, (dim,), 10000)
+            ck, sk = rope_freqs(ids_k, (dim,), 10000)
+            q = jnp.arange(1.0, dim + 1).reshape(1, 1, 1, dim)
+            k = jnp.arange(2.0, dim + 2).reshape(1, 1, 1, dim)
+            qr = apply_rope(q, cq, sq)
+            kr = apply_rope(k, ck, sk)
+            return float(jnp.sum(qr * kr))
+
+        assert abs(qk_dot(3, 5) - qk_dot(10, 12)) < 1e-3
+        assert abs(qk_dot(3, 5) - qk_dot(3, 6)) > 1e-4
+
+    def test_zero_ids_identity(self):
+        ids = jnp.zeros((1, 3, 3))
+        cos, sin = rope_freqs(ids, (4, 4, 4), 10000)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 3, 12))
+        np.testing.assert_allclose(
+            np.asarray(apply_rope(x, cos, sin)), np.asarray(x), rtol=1e-6
+        )
+
+
+@pytest.fixture(scope="module")
+def flux_world():
+    cfg = FluxConfig.toy()
+    model = Flux(cfg)
+    b, n_txt = 2, 5
+    lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, 8, 8))
+    tokens, img_ids = pack_latents(lat)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.txt_dim))
+    txt_ids = jnp.zeros((b, n_txt, 3))
+    t = jnp.array([1.0, 0.5])
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_dim))
+    g = jnp.full((b,), 3.5)
+    params = model.init(jax.random.PRNGKey(3), tokens, img_ids, txt, txt_ids, t, pooled, g)
+    return cfg, model, params, (tokens, img_ids, txt, txt_ids, t, pooled, g)
+
+
+class TestFluxForward:
+    def test_contract_shapes(self, flux_world):
+        cfg, model, params, args = flux_world
+        vel, vec, h1, h2 = model.apply(params, *args)
+        tokens = args[0]
+        assert vel.shape == tokens.shape
+        assert vec.shape == (2, cfg.hidden_size)
+        assert h1.shape == (2, tokens.shape[1], cfg.hidden_size)
+        assert h2.shape == h1.shape
+        for a in (vel, vec, h1, h2):
+            assert np.isfinite(np.asarray(a, np.float32)).all()
+
+    def test_timestep_and_guidance_sensitivity(self, flux_world):
+        cfg, model, params, (tok, iid, txt, tid, t, pooled, g) = flux_world
+        v1, *_ = model.apply(params, tok, iid, txt, tid, jnp.array([1.0, 1.0]), pooled, g)
+        v2, *_ = model.apply(params, tok, iid, txt, tid, jnp.array([0.1, 0.1]), pooled, g)
+        assert float(jnp.abs(v1 - v2).mean()) > 1e-6
+        v3, *_ = model.apply(params, tok, iid, txt, tid, jnp.array([1.0, 1.0]), pooled, g * 2)
+        assert float(jnp.abs(v1 - v3).mean()) > 1e-6
+
+    def test_schnell_variant_no_guidance_params(self):
+        cfg = FluxConfig.toy(guidance_embed=False)
+        model = Flux(cfg)
+        b = 1
+        lat = jnp.zeros((b, 4, 4, 4))
+        tokens, img_ids = pack_latents(lat)
+        txt = jnp.zeros((b, 3, cfg.txt_dim))
+        params = model.init(
+            jax.random.PRNGKey(0), tokens, img_ids, txt, jnp.zeros((b, 3, 3)),
+            jnp.ones((b,)), jnp.zeros((b, cfg.vec_dim)),
+        )
+        assert "guidance_in" not in params["params"]
+
+
+class TestFluxAgent:
+    def test_adaptive_sampling_and_training(self):
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.train import RLOOConfig, RLOOTrainer
+        from tpdm_tpu.train.flux_agent import FluxAgent
+
+        cfg = FluxConfig.toy()
+        model = Flux(cfg)
+        b = 4
+        n_txt = 5
+        lat = jnp.zeros((2, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            tokens,
+            img_ids,
+            jnp.zeros((2, n_txt, cfg.txt_dim)),
+            jnp.zeros((2, n_txt, 3)),
+            jnp.ones((2,)),
+            jnp.zeros((2, cfg.vec_dim)),
+            jnp.full((2,), 3.5),
+        )
+        config = RLOOConfig(
+            per_device_train_batch_size=b,
+            rloo_k=2,
+            max_inference_steps=3,
+            total_episodes=b,
+            learning_rate=1e-3,
+        )
+        agent = FluxAgent(
+            model,
+            params,
+            config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.hidden_size,
+                temb_dim=cfg.hidden_size,
+            ),
+            latent_size=8,
+            latent_channels=4,
+        )
+        rng = np.random.default_rng(0)
+        dataset = [
+            {
+                "prompt": f"p{i}",
+                "prompt_embeds": rng.normal(size=(n_txt, cfg.txt_dim)).astype(np.float32),
+                "pooled_prompt_embeds": rng.normal(size=(cfg.vec_dim,)).astype(np.float32),
+            }
+            for i in range(4)
+        ]
+
+        def reward_fn(prompts, outputs):
+            s = np.asarray(jnp.tanh(outputs.final_latents.mean(axis=(1, 2, 3))))
+            return s, s
+
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(5))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        diffs = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0

@@ -1,0 +1,161 @@
+"""FLUX RL agent: TPM-adaptive schedules on a guidance-distilled flow DiT.
+
+The capability target the reference names but never implements
+(gradio_sd3_inference.py:23-28; BASELINE config 5). Reuses the SD3 adaptive
+Euler machinery — FLUX is the same rectified-flow sigma space — with two
+differences: no CFG batch doubling (guidance is embedded) and packed-token
+I/O around the backbone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents, unpack_latents
+from tpdm_tpu.models.tpm import TimePredictor, reshape_tokens_to_2d
+from tpdm_tpu.pipeline.sampler import (
+    SampleOutput,
+    SamplerConfig,
+    adaptive_sample,
+    replay_logprobs,
+)
+from tpdm_tpu.train.config import RLOOConfig
+from tpdm_tpu.train.rloo import compute_beta_kl_penalty
+
+
+def make_flux_denoise_fn(
+    flux_apply,
+    txt_tokens: jax.Array,
+    txt_ids: jax.Array,
+    pooled: jax.Array,
+    guidance: Optional[float],
+    latent_hw: tuple[int, int],
+):
+    h, w = latent_hw
+    grid = h // 2
+
+    def denoise_fn(latents, sigma):
+        tokens, img_ids = pack_latents(latents)
+        g = None if guidance is None else jnp.full(sigma.shape, guidance)
+        vel_tok, vec, h1, h2 = flux_apply(
+            tokens, img_ids, txt_tokens, txt_ids, sigma, pooled, g
+        )
+        velocity = unpack_latents(vel_tok, h, w)
+        h_comb = jnp.concatenate(
+            [
+                reshape_tokens_to_2d(h1, grid, grid, 2),
+                reshape_tokens_to_2d(h2, grid, grid, 2),
+            ],
+            axis=1,
+        )
+        return velocity, vec, h_comb
+
+    return denoise_fn
+
+
+class FluxAgent:
+    """RLOOTrainer-compatible agent over a Flux backbone."""
+
+    def __init__(
+        self,
+        flux: Flux,
+        flux_params,
+        config: RLOOConfig,
+        tpm: Optional[TimePredictor] = None,
+        latent_size: int = 128,  # 1024px
+        latent_channels: int = 16,
+        guidance: Optional[float] = 3.5,
+    ):
+        self.flux = flux
+        self.flux_params = flux_params
+        self.config = config
+        self.latent_size = latent_size
+        self.latent_channels = latent_channels
+        self.guidance = guidance
+        fcfg = flux.config
+        self.grid = latent_size // 2
+        self.tpm = tpm or TimePredictor(
+            conv_out_channels=128,
+            in_channels=2 * fcfg.hidden_size,
+            temb_dim=fcfg.hidden_size,
+            init_alpha=config.init_alpha,
+            init_beta=config.init_beta,
+        )
+        self.sampler_cfg = SamplerConfig(
+            max_inference_steps=config.max_inference_steps,
+            min_sigma=config.min_sigma,
+            relative=config.relative,
+            prediction_type=config.prediction_type,
+            cache_activations=True,
+        )
+        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+        self._replay_jit = jax.jit(self.replay)
+
+    def init_tpm_params(self, key):
+        fcfg = self.flux.config
+        g = self.grid
+        return self.tpm.init(
+            key,
+            jnp.zeros((1, 2 * fcfg.hidden_size, g, g)),
+            jnp.zeros((1, fcfg.hidden_size)),
+        )
+
+    def tpm_fn(self, tpm_params):
+        return lambda h, t: self.tpm.apply(tpm_params, h, t)
+
+    def prepare_latents(self, key, batch_size):
+        return jax.random.normal(
+            key,
+            (batch_size, self.latent_channels, self.latent_size, self.latent_size),
+            self.flux.config.dtype,
+        )
+
+    def _sample(self, tpm_params, latents, txt, txt_ids, pooled, key, predict=False):
+        denoise_fn = make_flux_denoise_fn(
+            lambda *a: self.flux.apply(self.flux_params, *a),
+            txt,
+            txt_ids,
+            pooled,
+            self.guidance,
+            (self.latent_size, self.latent_size),
+        )
+        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
+        return adaptive_sample(denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg)
+
+    def sample(self, tpm_params, batch, key, predict=False) -> SampleOutput:
+        txt = batch["prompt_embeds"]  # (b, n_txt, txt_dim) — T5 features
+        b, n_txt = txt.shape[:2]
+        txt_ids = jnp.zeros((b, n_txt, 3))
+        pooled = batch["pooled_prompt_embeds"]
+        key_lat, key_roll = jax.random.split(key)
+        latents = batch.get("latents")
+        if latents is None:
+            latents = self.prepare_latents(key_lat, b)
+        return self._sample_jit(
+            tpm_params, latents, txt, txt_ids, pooled, key_roll, predict=predict
+        )
+
+    def replay(self, tpm_params, outputs) -> jax.Array:
+        return replay_logprobs(
+            self.tpm_fn(tpm_params),
+            outputs.h_cache,
+            outputs.temb_cache,
+            outputs.sigmas,
+            self.sampler_cfg,
+        )
+
+    def logprobs(self, tpm_params, outputs) -> jax.Array:
+        return self._replay_jit(tpm_params, outputs)
+
+    def kl_divergence(self, outputs) -> jax.Array:
+        return compute_beta_kl_penalty(
+            outputs.alphas,
+            outputs.betas,
+            outputs.sigmas,
+            outputs.prob_masks,
+            relative=self.config.relative,
+        )
