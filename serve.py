@@ -1,0 +1,200 @@
+"""Inference demo server — the tpdm_tpu analogue of gradio_sd3_inference.py.
+
+Loads a pretrained SD3 pipeline + TPM checkpoint and serves adaptive-
+schedule generation (reference: gradio_sd3_inference.py:18-84: predict=True,
+max 35 steps, reports realized step count). Uses gradio when importable,
+otherwise a dependency-free stdlib HTTP server with the same API; --cli
+generates once and writes a PNG.
+
+    python serve.py --pretrained <sd3-dir> --tpm checkpoint/sd3/model.safetensors
+    python serve.py --toy --cli --prompt "a cat"        # runs anywhere
+"""
+
+import argparse
+import base64
+import io
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("serve")
+
+
+def build_pipeline(args):
+    import jax
+
+    if args.cpu and "axon" in str(jax.config.jax_platforms):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    if args.toy:
+        import numpy as np
+
+        from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.models.t5 import T5Config, T5Encoder
+        from tpdm_tpu.models.vae import VAE, VAEConfig
+        from tpdm_tpu.pipeline.pipeline import TPDMPipeline
+        from tpdm_tpu.pipeline.text_encoding import SD3TextEncoders
+
+        key = jax.random.PRNGKey(0)
+        lcfg = CLIPTextConfig.toy(hidden_size=32, projection_dim=24)
+        gcfg = CLIPTextConfig.toy(hidden_size=48, projection_dim=40)
+        tcfg = T5Config.toy(d_model=96)
+        clip_l, clip_g, t5 = CLIPTextModel(lcfg), CLIPTextModel(gcfg), T5Encoder(tcfg)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        text = SD3TextEncoders(
+            clip_l, clip_l.init(key, ids), clip_g, clip_g.init(key, ids),
+            t5, t5.init(key, jnp.zeros((1, 12), jnp.int32)), t5_width=96,
+        )
+        mcfg = MMDiTConfig.toy(joint_attention_dim=96, pooled_projection_dim=64)
+        mmdit = MMDiT(mcfg)
+        mparams = mmdit.init(
+            key, jnp.zeros((2, 16, 8, 8)), jnp.ones((2,)),
+            jnp.zeros((2, 20, 96)), jnp.zeros((2, 64)),
+        )
+        tpm = TimePredictor(
+            conv_out_channels=4, in_channels=2 * mcfg.inner_dim,
+            temb_dim=mcfg.inner_dim, init_alpha=0.5, init_beta=2.0,
+        )
+        tpm_params = tpm.init(
+            key, jnp.zeros((2, 2 * mcfg.inner_dim, 4, 4)), jnp.zeros((2, mcfg.inner_dim))
+        )
+        vae = VAE(VAEConfig.toy(latent_channels=16))
+        vparams = vae.init(key, jnp.zeros((1, 16, 8, 8)), jnp.zeros((1, 3, 16, 16)))
+        pipe = TPDMPipeline(mmdit, mparams, tpm, tpm_params, vae, vparams, text)
+
+        def tokenize(prompt, n=8):
+            ids = [97] + [abs(hash(w)) % 90 + 1 for w in prompt.split()[:6]] + [98]
+            ids = ids[:n] + [0] * (n - len(ids))
+            return np.array([ids], np.int32), np.ones((1, 12), np.int32)
+
+        return pipe, tokenize
+
+    from tpdm_tpu.pipeline.pipeline import load_pipeline_from_pretrained
+
+    pipe = load_pipeline_from_pretrained(
+        args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True
+    )
+
+    from transformers import CLIPTokenizer, T5TokenizerFast
+
+    tok_clip = CLIPTokenizer.from_pretrained(args.pretrained, subfolder="tokenizer")
+    tok_t5 = T5TokenizerFast.from_pretrained(args.pretrained, subfolder="tokenizer_3")
+
+    def tokenize(prompt, _n=None):
+        c = tok_clip(
+            [prompt], padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        )["input_ids"]
+        t = tok_t5(
+            [prompt], padding="max_length", max_length=256, truncation=True,
+            return_tensors="np",
+        )["input_ids"]
+        return c, t
+
+    return pipe, tokenize
+
+
+def generate(pipe, tokenize, prompt, seed, max_steps):
+    import numpy as np
+
+    clip_ids, t5_ids = tokenize(prompt)
+    res = pipe.generate(
+        clip_ids=clip_ids,
+        t5_ids=t5_ids,
+        negative_clip_ids=np.zeros_like(clip_ids),
+        negative_t5_ids=np.zeros_like(t5_ids),
+        predict=True,  # deterministic schedules (gradio_sd3_inference.py:45)
+        seed=seed,
+        max_inference_steps=max_steps,
+    )
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--tpm", default=None)
+    p.add_argument("--toy", action="store_true")
+    p.add_argument("--cli", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--prompt", default="a serene mountain lake at dawn")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_steps", type=int, default=35)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--out", default="generated.png")
+    args = p.parse_args()
+
+    pipe, tokenize = build_pipeline(args)
+
+    if args.cli:
+        from PIL import Image
+
+        res = generate(pipe, tokenize, args.prompt, args.seed, args.max_steps)
+        Image.fromarray(res.images[0]).save(args.out)
+        nfe = int(res.last_valid_index[0]) + 1
+        print(f"saved {args.out}; inference steps: {nfe} / cap {args.max_steps}")
+        return
+
+    try:
+        import gradio as gr
+
+        def fn(prompt, seed):
+            res = generate(pipe, tokenize, prompt, int(seed), args.max_steps)
+            nfe = int(res.last_valid_index[0]) + 1
+            return res.images[0], f"Inference steps: {nfe}"
+
+        gr.Interface(
+            fn,
+            inputs=[gr.Textbox(label="prompt"), gr.Number(value=42, label="seed")],
+            outputs=[gr.Image(), gr.Textbox(label="steps")],
+            title="TPDM-TPU: adaptive-schedule diffusion",
+        ).launch(server_port=args.port)
+        return
+    except ImportError:
+        logger.info("gradio not installed; starting stdlib HTTP server")
+
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            res = generate(
+                pipe, tokenize, req.get("prompt", args.prompt),
+                int(req.get("seed", args.seed)), args.max_steps,
+            )
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(res.images[0]).save(buf, format="PNG")
+            payload = {
+                "image_png_base64": base64.b64encode(buf.getvalue()).decode(),
+                "inference_steps": int(res.last_valid_index[0]) + 1,
+                "sigmas": res.sigmas[0][: res.num_steps].tolist(),
+            }
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            logger.info("%s", a)
+
+    server = HTTPServer(("127.0.0.1", args.port), Handler)
+    logger.info("serving on http://127.0.0.1:%d/generate (POST json)", args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
