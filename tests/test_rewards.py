@@ -383,3 +383,105 @@ class TestScorers:
 
         with _pytest.raises(ValueError):
             load_score("nope")
+
+
+class TestSiglipParity:
+    def test_matches_transformers_siglip(self):
+        from transformers import SiglipVisionConfig as HFCfg, SiglipVisionModel as HFModel
+
+        hf_cfg = HFCfg(
+            hidden_size=24,
+            intermediate_size=48,
+            num_hidden_layers=2,
+            num_attention_heads=3,
+            image_size=28,
+            patch_size=14,
+            attention_dropout=0.0,
+        )
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+        from tpdm_tpu.rewards.siglip import SiglipVisionConfig, SiglipVisionModel
+
+        cfg = SiglipVisionConfig.toy()
+        ours = SiglipVisionModel(cfg)
+
+        pre = "vision_model."
+        def d(k):
+            return {"kernel": sd[k + ".weight"].T, "bias": sd[k + ".bias"]}
+        def l(k):
+            return {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]}
+
+        params = {
+            "patch_embedding": {
+                "kernel": sd[pre + "embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[pre + "embeddings.patch_embedding.bias"],
+            },
+            "position_embedding": sd[pre + "embeddings.position_embedding.weight"],
+            "post_layernorm": l(pre + "post_layernorm"),
+            "probe": sd[pre + "head.probe"],
+            "map_q": {
+                "kernel": sd[pre + "head.attention.in_proj_weight"][:24].T,
+                "bias": sd[pre + "head.attention.in_proj_bias"][:24],
+            },
+            "map_k": {
+                "kernel": sd[pre + "head.attention.in_proj_weight"][24:48].T,
+                "bias": sd[pre + "head.attention.in_proj_bias"][24:48],
+            },
+            "map_v": {
+                "kernel": sd[pre + "head.attention.in_proj_weight"][48:].T,
+                "bias": sd[pre + "head.attention.in_proj_bias"][48:],
+            },
+            "map_out": d(pre + "head.attention.out_proj"),
+            "map_ln": l(pre + "head.layernorm"),
+            "map_fc1": d(pre + "head.mlp.fc1"),
+            "map_fc2": d(pre + "head.mlp.fc2"),
+        }
+        for i in range(2):
+            b = pre + f"encoder.layers.{i}."
+            params[f"layers_{i}"] = {
+                "q_proj": d(b + "self_attn.q_proj"),
+                "k_proj": d(b + "self_attn.k_proj"),
+                "v_proj": d(b + "self_attn.v_proj"),
+                "out_proj": d(b + "self_attn.out_proj"),
+                "layer_norm1": l(b + "layer_norm1"),
+                "layer_norm2": l(b + "layer_norm2"),
+                "fc1": d(b + "mlp.fc1"),
+                "fc2": d(b + "mlp.fc2"),
+            }
+
+        pixels = np.random.default_rng(0).normal(size=(2, 3, 28, 28)).astype(np.float32)
+        last, pooled = ours.apply({"params": params}, jnp.array(pixels))
+        with torch.no_grad():
+            ref = hf(torch.tensor(pixels))
+        np.testing.assert_allclose(
+            np.asarray(last), ref.last_hidden_state.numpy(), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), ref.pooler_output.numpy(), rtol=1e-3, atol=1e-4
+        )
+
+    def test_aesthetic_v25_scores(self):
+        from tpdm_tpu.rewards.siglip import AestheticV25Model, SiglipVisionConfig
+
+        m = AestheticV25Model.create(vision_cfg=SiglipVisionConfig.toy())
+        imgs = np.random.default_rng(0).integers(0, 255, (2, 30, 40, 3), dtype=np.uint8)
+        s = m.score(None, imgs)
+        assert s.shape == (2,) and np.isfinite(s).all()
+
+
+class TestBLIPScore:
+    def test_protocol_and_symmetry(self):
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.scorers import BLIPScoreModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+
+        m = BLIPScoreModel.create(
+            vit_cfg=ViTConfig.toy(), bert_cfg=BertMedConfig.toy(), embed_dim=8
+        )
+        imgs = np.random.default_rng(0).integers(0, 255, (2, 20, 20, 3), dtype=np.uint8)
+        ids = np.array([[4, 1, 2], [7, 3, 1]], np.int32)
+        s = m.score(ids, imgs)
+        assert s.shape == (2,) and np.isfinite(s).all()
+        assert (np.abs(s) <= 1.0 + 1e-5).all()  # cosine without logit scale

@@ -175,4 +175,73 @@ def load_score(name: str = "ImageReward", **kw):
         return AestheticScoreModel.create(**kw)
     if name in ("pickscore", "pick_score"):
         return PickScoreModel.create(**kw)
+    if name in ("blip", "blipscore", "blip_score"):
+        return BLIPScoreModel.create(**kw)
+    if name in ("aesthetic_v2_5", "aesthetic_v25", "siglip_aesthetic"):
+        from tpdm_tpu.rewards.siglip import AestheticV25Model
+
+        return AestheticV25Model.create(**kw)
     raise ValueError(f"unknown scorer: {name}")
+
+
+@dataclasses.dataclass
+class BLIPScoreModel:
+    """BLIP contrastive (ITC) score: cos(vision_proj(img CLS),
+    text_proj(txt CLS)) with l2 norms; text runs WITHOUT cross-attention
+    (mode='text'). Parity: reference models/BLIPScore.py:39-69.
+    """
+
+    vit: "object"
+    vit_params: dict
+    bert: "object"
+    bert_params: dict
+    vision_proj: dict  # {"kernel", "bias"}
+    text_proj: dict
+    image_size: int = 224
+
+    @classmethod
+    def create(cls, vit_cfg=None, bert_cfg=None, embed_dim: int = 256, seed=0):
+        import jax.random as jr
+
+        from tpdm_tpu.rewards.bert import BertMedConfig, BertMedModel
+        from tpdm_tpu.rewards.vit import ViT, ViTConfig
+
+        vit_cfg = vit_cfg or ViTConfig.blip_large()
+        bert_cfg = bert_cfg or BertMedConfig.image_reward()
+        vit = ViT(vit_cfg)
+        bert = BertMedModel(bert_cfg)
+        k1, k2, k3, k4 = jr.split(jr.PRNGKey(seed), 4)
+        vp = vit.init(k1, jnp.zeros((1, 3, vit_cfg.image_size, vit_cfg.image_size)))
+        bp = bert.init(k2, jnp.zeros((1, 4), jnp.int32))
+        vproj = {
+            "kernel": jax.random.normal(k3, (vit_cfg.embed_dim, embed_dim)) * 0.02,
+            "bias": jnp.zeros((embed_dim,)),
+        }
+        tproj = {
+            "kernel": jax.random.normal(k4, (bert_cfg.hidden_size, embed_dim)) * 0.02,
+            "bias": jnp.zeros((embed_dim,)),
+        }
+        m = cls(vit, vp, bert, bp, vproj, tproj, image_size=vit_cfg.image_size)
+        m._jit = jax.jit(m._raw)
+        return m
+
+    def _raw(self, vp, bp, vproj, tproj, pixels, ids, mask):
+        img_cls = self.vit.apply(vp, pixels)[:, 0]
+        img_f = _l2norm(img_cls @ vproj["kernel"] + vproj["bias"])
+        txt_cls = self.bert.apply(bp, ids, mask, None, None)[:, 0]
+        txt_f = _l2norm(txt_cls @ tproj["kernel"] + tproj["bias"])
+        return jnp.sum(img_f * txt_f, axis=-1)
+
+    def score(self, prompt_ids: np.ndarray, images: np.ndarray, text_mask=None) -> np.ndarray:
+        pixels = normalize_clip(bicubic_resize_center_crop(images, self.image_size))
+        mask = (
+            jnp.asarray(text_mask)
+            if text_mask is not None
+            else jnp.ones(np.asarray(prompt_ids).shape, bool)
+        )
+        return np.asarray(
+            self._jit(
+                self.vit_params, self.bert_params, self.vision_proj,
+                self.text_proj, jnp.asarray(pixels), jnp.asarray(prompt_ids), mask,
+            )
+        )
