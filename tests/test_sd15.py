@@ -272,3 +272,48 @@ class TestSD15TrainerIntegration:
         assert m["objective/kl"] == 0.0  # SD1.5 KL identically zero
         diffs = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestSD15Pipeline:
+    def test_generate_with_text_encoder_and_vae(self):
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.models.vae import VAE, VAEConfig
+        from tpdm_tpu.pipeline.variants import SD15Pipeline
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy(cross_attention_dim=32)
+        unet = UNetSD15(cfg)
+        tcfg = CLIPTextConfig.toy(hidden_size=32, max_position_embeddings=8)
+        text = CLIPTextModel(tcfg)
+        key = jax.random.PRNGKey(0)
+        text_params = text.init(key, jnp.zeros((1, 8), jnp.int32))
+        unet_params = unet.init(
+            key,
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, 8, 32)),
+        )
+        config = RLOOConfig(max_inference_steps=4)
+        agent = SD15Agent(
+            unet, unet_params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.time_embed_dim,
+            ),
+        )
+        vae = VAE(VAEConfig.toy(latent_channels=4))
+        vae_params = vae.init(
+            key,
+            jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.zeros((1, 3, 2 * cfg.sample_size, 2 * cfg.sample_size)),
+        )
+        pipe = SD15Pipeline(agent, vae, vae_params, text, text_params)
+        ids = np.array([[97, 1, 2, 98, 0, 0, 0, 0]], np.int32)
+        res = pipe.generate(clip_ids=ids, negative_clip_ids=np.zeros_like(ids))
+        assert res.images.shape == (1, 2 * cfg.sample_size, 2 * cfg.sample_size, 3)
+        assert res.images.dtype == np.uint8
+        assert res.schedule[0, 0] == 999
