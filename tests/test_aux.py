@@ -219,3 +219,20 @@ class TestEvalCallback:
         assert cb.history[0]["sigmas"].shape[1] == 4  # eval budget, not train
         # sampler config restored afterwards
         assert agent.sampler_cfg.max_inference_steps == 3
+
+
+class TestOrbaxBackend:
+    def test_save_restore_sharded(self, tmp_path):
+        from tpdm_tpu.train.checkpoint import restore_sharded, save_sharded
+
+        tree = {
+            "a": jnp.arange(12.0).reshape(3, 4),
+            "nested": {"b": jnp.ones((2, 2), jnp.int32)},
+        }
+        p = str(tmp_path / "ckpt")
+        save_sharded(p, tree)
+        out = restore_sharded(p, jax.tree.map(jnp.zeros_like, tree))
+        np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(tree["a"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["nested"]["b"]), np.asarray(tree["nested"]["b"])
+        )

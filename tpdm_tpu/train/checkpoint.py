@@ -121,3 +121,29 @@ def _decode_rng(state: dict):
         return v
 
     return dec(state)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend for large / sharded state (multi-host, GSPMD-sharded trees).
+# The msgpack path above covers the small trainable state; use these when
+# checkpointing sharded frozen-tower or optimizer shards across hosts.
+# ---------------------------------------------------------------------------
+
+
+def save_sharded(path: str, tree: Any) -> None:
+    """Write a (possibly sharded) pytree with orbax StandardCheckpointer."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def restore_sharded(path: str, template: Any) -> Any:
+    """Restore a pytree saved by save_sharded; `template` supplies
+    structure/sharding (abstract arrays allowed)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
