@@ -222,3 +222,80 @@ class TestTrainerEndToEnd:
         trainer.train()
         first = trainer.metrics_history[0]
         assert abs(first["val/ratio"] - 1.0) < 1e-2
+
+
+class TestRecomputeReplay:
+    def test_recompute_matches_cached_and_trains(self):
+        """The memory-lean replay regenerates activations bit-identically."""
+        config, _, reward_fn, dataset = _toy_world()
+        from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+
+        cfg_m = MMDiTConfig.toy()
+        model = MMDiT(cfg_m)
+        n_txt = 5
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.ones((2, cfg_m.in_channels, cfg_m.sample_size, cfg_m.sample_size)),
+            jnp.ones((2,)),
+            jnp.ones((2, n_txt, cfg_m.joint_attention_dim)),
+            jnp.ones((2, cfg_m.pooled_projection_dim)),
+        )
+        tpm = TimePredictor(
+            conv_out_channels=4, in_channels=2 * cfg_m.inner_dim, temb_dim=cfg_m.inner_dim
+        )
+        cached_agent = TPDMAgent(model, params, config, tpm=tpm, replay_mode="cached")
+        rec_agent = TPDMAgent(model, params, config, tpm=tpm, replay_mode="recompute")
+        tpm_params = cached_agent.init_tpm_params(jax.random.PRNGKey(3))
+
+        batch = _toy_world()[3][0]
+        batch = {
+            k: jnp.asarray(v)[None] if not isinstance(v, str) else [v]
+            for k, v in batch.items()
+        }
+        key = jax.random.PRNGKey(4)
+        out_c = cached_agent.sample(tpm_params, batch, key)
+        out_r = rec_agent.sample(tpm_params, batch, key)
+        # identical rollouts (same RNG, same weights)
+        np.testing.assert_allclose(
+            np.asarray(out_c.sigmas), np.asarray(out_r.sigmas), rtol=1e-6
+        )
+        lp_c = cached_agent.logprobs(tpm_params, out_c)
+        lp_r = rec_agent.logprobs(tpm_params, out_r, inputs=batch)
+        np.testing.assert_allclose(
+            np.asarray(lp_c), np.asarray(lp_r), rtol=1e-4, atol=1e-5
+        )
+        # and matches the rollout logprobs (epoch-0 invariant)
+        np.testing.assert_allclose(
+            np.asarray(lp_r), np.asarray(out_r.logprobs), rtol=1e-4, atol=1e-5
+        )
+        assert out_r.h_cache is None  # the whole point: no activation cache
+
+    def test_trainer_end_to_end_recompute(self):
+        config, _, reward_fn, dataset = _toy_world()
+        from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+
+        cfg_m = MMDiTConfig.toy()
+        model = MMDiT(cfg_m)
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.ones((2, cfg_m.in_channels, cfg_m.sample_size, cfg_m.sample_size)),
+            jnp.ones((2,)),
+            jnp.ones((2, 5, cfg_m.joint_attention_dim)),
+            jnp.ones((2, cfg_m.pooled_projection_dim)),
+        )
+        agent = TPDMAgent(
+            model, params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4, in_channels=2 * cfg_m.inner_dim,
+                temb_dim=cfg_m.inner_dim,
+            ),
+            replay_mode="recompute",
+        )
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        assert abs(trainer.metrics_history[0]["val/ratio"] - 1.0) < 1e-2
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0

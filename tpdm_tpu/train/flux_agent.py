@@ -139,7 +139,7 @@ class FluxAgent:
             tpm_params, latents, txt, txt_ids, pooled, key_roll, predict=predict
         )
 
-    def replay(self, tpm_params, outputs) -> jax.Array:
+    def replay(self, tpm_params, outputs, inputs=None) -> jax.Array:
         return replay_logprobs(
             self.tpm_fn(tpm_params),
             outputs.h_cache,

@@ -185,7 +185,20 @@ class TPDMAgent:
         mmdit_params,
         config: RLOOConfig,
         tpm: Optional[TimePredictor] = None,
+        replay_mode: str = "cached",
     ):
+        """replay_mode:
+        - "cached": rollout stores (h_combined, temb) per step; PPO replay is
+          TPM-only (the reference's SD3 strategy, ~25MB/sample/step of HBM,
+          modeling_sd3_pnt.py:553-554 caches to CPU RAM instead).
+        - "recompute": rollout stores only the latent history (~0.5MB/
+          sample/step, 50x less); replay re-runs the frozen backbone on the
+          recorded (latents, sigma) chain to regenerate activations (the
+          reference's SD1.5 strategy, modeling_sd_v1_5.py:990-1003).
+        """
+        if replay_mode not in ("cached", "recompute"):
+            raise ValueError(replay_mode)
+        self.replay_mode = replay_mode
         self.mmdit = mmdit
         self.mmdit_params = mmdit_params
         self.config = config
@@ -205,10 +218,13 @@ class TPDMAgent:
             relative=config.relative,
             prediction_type=config.prediction_type,
             predict=False,
-            cache_activations=True,
+            cache_activations=(replay_mode == "cached"),
+            keep_history=(replay_mode == "recompute"),
         )
+        self.needs_inputs_for_replay = replay_mode == "recompute"
         self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
         self._replay_jit = jax.jit(self._replay)
+        self._recompute_jit = jax.jit(self._replay_recompute)
 
     def init_tpm_params(self, key: jax.Array):
         mcfg = self.mmdit.config
@@ -277,14 +293,75 @@ class TPDMAgent:
             self.tpm_fn(tpm_params), h_cache, temb_cache, sigmas, self.sampler_cfg
         )
 
-    def replay(self, tpm_params, outputs) -> jax.Array:
+    def _replay_recompute(self, tpm_params, outputs, inputs):
+        """Regenerate (h_combined, temb) by re-running the frozen backbone
+        on the recorded chain, then score the recorded actions. Activations
+        are bit-identical to the rollout's by construction (fixed latents,
+        fixed sigmas), so this matches the cached path exactly."""
+        from tpdm_tpu.ops.beta import beta_log_prob
+        from tpdm_tpu.pipeline.sampler import INVALID_LOGPROB, _raw_to_alpha_beta
+
+        pe, pp = inputs["prompt_embeds"], inputs["pooled_prompt_embeds"]
+        if self.config.guidance_scale is not None:
+            pe = jnp.concatenate([inputs["negative_prompt_embeds"], pe])
+            pp = jnp.concatenate([inputs["negative_pooled_prompt_embeds"], pp])
+        denoise_fn = make_cfg_denoise_fn(
+            lambda *a: self.mmdit.apply(self.mmdit_params, *a),
+            pe,
+            pp,
+            self.config.guidance_scale,
+            self.token_grid,
+            self.patch_size,
+        )
+        cfg = self.sampler_cfg
+        # latents BEFORE step j: init for j=0, history[j-1] after
+        lat_before = jnp.concatenate(
+            [outputs.init_noise_latents[None], outputs.history_latents[:-1]]
+        )
+        sig_before = jnp.pad(
+            outputs.sigmas[:, :-1], ((0, 0), (1, 0)), constant_values=1.0
+        ).T  # (T, b)
+        sig_next = outputs.sigmas.T  # (T, b)
+
+        def step_fn(_, xs):
+            lat, sigma, sigma_next = xs
+            _, temb, h = denoise_fn(
+                jax.lax.stop_gradient(lat), sigma.astype(lat.dtype)
+            )
+            raw = self.tpm.apply(tpm_params, h, temb).astype(jnp.float32)
+            alpha, beta = _raw_to_alpha_beta(raw, cfg.prediction_type)
+            done = sigma < cfg.min_sigma
+            ratio = sigma_next / sigma if cfg.relative else sigma - sigma_next
+            ratio = jnp.clip(ratio, cfg.epsilon, 1.0 - cfg.epsilon)
+            lp = jnp.where(
+                done, INVALID_LOGPROB, beta_log_prob(alpha, beta, ratio)
+            )
+            return None, lp
+
+        _, lp_tm = jax.lax.scan(
+            step_fn, None, (lat_before, sig_before, sig_next)
+        )
+        return lp_tm.T
+
+    def replay(self, tpm_params, outputs, inputs=None) -> jax.Array:
         """Differentiable logprobs of the rollout's actions — traced inside
         the trainer's jitted PPO step."""
+        if self.replay_mode == "recompute":
+            if inputs is None:
+                raise ValueError("recompute replay needs the batch inputs")
+            return self._replay_recompute(tpm_params, outputs, inputs)
         return self._replay(
             tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
         )
 
-    def logprobs(self, tpm_params, outputs: SampleOutput) -> jax.Array:
+    def logprobs(self, tpm_params, outputs: SampleOutput, inputs=None) -> jax.Array:
+        if self.replay_mode == "recompute":
+            inputs = {
+                k: v
+                for k, v in inputs.items()
+                if isinstance(v, (jax.Array, np.ndarray))
+            }
+            return self._recompute_jit(tpm_params, outputs, inputs)
         return self._replay_jit(
             tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
         )
@@ -378,13 +455,13 @@ class RLOOTrainer:
                 yield self.collate_fn(rows)
 
     # -- jitted PPO micro-step ------------------------------------------
-    def _train_step_impl(self, tpm_params, opt_state, outputs, advantages):
+    def _train_step_impl(self, tpm_params, opt_state, outputs, advantages, inputs):
         old_logprobs = outputs.logprobs
         prob_masks = outputs.prob_masks
         alphas, betas = outputs.alphas, outputs.betas
 
         def loss_fn(p):
-            new_lp = self.agent.replay(p, outputs)
+            new_lp = self.agent.replay(p, outputs, inputs=inputs)
             return ppo_loss(new_lp, old_logprobs, advantages, self.config.cliprange)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(tpm_params)
@@ -494,8 +571,15 @@ class RLOOTrainer:
                     for mi_start in range(0, len(mb_inds), micro_bs):
                         inds = mb_inds[mi_start : mi_start + micro_bs]
                         mo = subset_outputs(outputs, inds)
+                        mb_inputs = None
+                        if getattr(self.agent, "needs_inputs_for_replay", False):
+                            mb_inputs = {
+                                k: v[jnp.asarray(inds)]
+                                for k, v in data.items()
+                                if isinstance(v, (jax.Array, np.ndarray))
+                            }
                         tpm_params, opt_state, stats = self._train_step(
-                            tpm_params, opt_state, mo, advantages[inds]
+                            tpm_params, opt_state, mo, advantages[inds], mb_inputs
                         )
                         stats_acc.append(stats)
 

@@ -126,7 +126,7 @@ class SD15Agent:
             latents = self.prepare_latents(key_lat, b)
         return self._sample_jit(tpm_params, latents, pe, key_roll, predict=predict)
 
-    def replay(self, tpm_params, outputs: SD15SampleOutput) -> jax.Array:
+    def replay(self, tpm_params, outputs: SD15SampleOutput, inputs=None) -> jax.Array:
         return sd15_replay_logprobs(
             self.tpm_fn(tpm_params),
             outputs.h_cache,
