@@ -161,7 +161,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     kv_len: Optional[int] = None,
-    block_q: int = 512,
+    block_q: int = 640,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention. q,k,v: (b, h, n, d); returns (b, h, n_q, d).
