@@ -299,3 +299,47 @@ class TestRecomputeReplay:
         assert abs(trainer.metrics_history[0]["val/ratio"] - 1.0) < 1e-2
         diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestImageRewardInTheLoop:
+    def test_full_visual_reward_training(self):
+        """End-to-end: rollout -> VAE decode -> resize/normalize -> BLIP
+        ImageReward scoring -> RLOO update. Toy sizes, random weights."""
+        from tpdm_tpu.models.vae import VAE, VAEConfig
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.image_reward import ImageRewardModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+        from tpdm_tpu.utils.image import postprocess_images
+
+        config, agent, _, dataset = _toy_world()
+        vae = VAE(VAEConfig.toy(latent_channels=16))
+        vae_params = vae.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 8, 8)), jnp.zeros((1, 3, 16, 16))
+        )
+        vcfg = vae.config
+        decode = jax.jit(
+            lambda p, z: vae.apply(
+                p, z.astype(jnp.float32) / vcfg.scaling_factor + vcfg.shift_factor
+            )
+        )
+        reward_model = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(), bert_config=BertMedConfig.toy()
+        )
+
+        def reward_fn(prompts, outputs):
+            images = postprocess_images(decode(vae_params, outputs.final_latents))
+            # hash-tokenize prompts (no vocab assets in this environment)
+            ids = np.array(
+                [[1 + abs(hash(w)) % 40 for w in p.split()[:3]] + [0] * (3 - len(p.split()[:3])) for p in prompts],
+                np.int32,
+            )
+            scores = reward_model.score(ids, images)
+            return scores.astype(np.float32), scores.astype(np.float32)
+
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(11))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0

@@ -502,10 +502,11 @@ class RLOOTrainer:
         """
         cfg = self.config
         sizes = self.sizes
+        # NOTE: unlike the reference's per-rank seed striding
+        # (rloo_trainer.py:133, a DDP idiom), GSPMD is single-program: every
+        # process must trace identical host-side values. Decorrelation across
+        # the batch comes from jax.random over the *global* batch axis.
         key = jax.random.PRNGKey(cfg.seed)
-        # per-process decorrelation, reference's prime-stride scheme
-        # (rloo_trainer.py:133)
-        key = jax.random.fold_in(key, jax.process_index() * 100003)
         np_rng = np.random.default_rng(cfg.seed)
 
         if tpm_params is None:
