@@ -1,0 +1,108 @@
+"""Training-path benchmark: rollout (with activation cache) + PPO update.
+
+Not run by the driver (bench.py is the headline); this measures the RLOO
+training loop's two phases at SD3-medium scale on one chip:
+  - rollout episodes/sec (28-step adaptive loop, cache ON, batch b)
+  - PPO micro-steps/sec (TPM-only replay + update)
+
+Usage: python bench_train.py [batch]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+
+    from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+    from tpdm_tpu.train import RLOOConfig, TPDMAgent
+    from tpdm_tpu.train.rloo import ppo_loss
+
+    mcfg = MMDiTConfig.sd3_medium() if on_tpu else MMDiTConfig.toy(dtype=jnp.bfloat16)
+    n_txt = 333 if on_tpu else 8
+    model = MMDiT(mcfg)
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2 * b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size), jnp.bfloat16),
+        jnp.ones((2 * b,)),
+        jnp.zeros((2 * b, n_txt, mcfg.joint_attention_dim), jnp.bfloat16),
+        jnp.zeros((2 * b, mcfg.pooled_projection_dim), jnp.bfloat16),
+    )
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes,
+    )
+    config = RLOOConfig(max_inference_steps=28, rloo_k=2, per_device_train_batch_size=b)
+    agent = TPDMAgent(
+        model, params, config,
+        tpm=TimePredictor(
+            conv_out_channels=128 if on_tpu else 8,
+            in_channels=2 * mcfg.inner_dim,
+            temb_dim=mcfg.inner_dim,
+            dtype=jnp.bfloat16,
+        ),
+    )
+    tpm_params = agent.init_tpm_params(jax.random.PRNGKey(1))
+    batch = {
+        "prompt_embeds": jnp.zeros((b, n_txt, mcfg.joint_attention_dim), jnp.bfloat16),
+        "pooled_prompt_embeds": jnp.zeros((b, mcfg.pooled_projection_dim), jnp.bfloat16),
+        "negative_prompt_embeds": jnp.zeros((b, n_txt, mcfg.joint_attention_dim), jnp.bfloat16),
+        "negative_pooled_prompt_embeds": jnp.zeros((b, mcfg.pooled_projection_dim), jnp.bfloat16),
+    }
+
+    def sync(x):
+        _ = np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+    out = agent.sample(tpm_params, batch, jax.random.PRNGKey(2))
+    sync(out.sigmas)
+    t0 = time.time()
+    out = agent.sample(tpm_params, batch, jax.random.PRNGKey(3))
+    sync(out.sigmas)
+    rollout_s = time.time() - t0
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-6, b1=0.9, b2=0.99))
+    opt_state = tx.init(tpm_params)
+    adv = jnp.ones((b,))
+
+    @jax.jit
+    def ppo_step(p, opt_state, out, adv):
+        def loss_fn(p):
+            lp = agent.replay(p, out)
+            return ppo_loss(lp, out.logprobs, adv, 0.2)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p, opt_state, loss = ppo_step(tpm_params, opt_state, out, adv)
+    sync(loss)
+    t0 = time.time()
+    for _ in range(5):
+        p, opt_state, loss = ppo_step(p, opt_state, out, adv)
+    sync(loss)
+    ppo_s = (time.time() - t0) / 5
+
+    print(json.dumps({
+        "rollout_s": round(rollout_s, 3),
+        "rollout_episodes_per_s": round(b / rollout_s, 4),
+        "ppo_microstep_s": round(ppo_s, 4),
+        "ppo_microsteps_per_s": round(1 / ppo_s, 2),
+        "batch": b,
+        "backend": jax.default_backend(),
+        "nfe": int(out.num_steps),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,20 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestMultihostHelpers:
+    def test_single_process_behavior(self):
+        from tpdm_tpu.parallel.multihost import (
+            allgather_arrays,
+            broadcast_from_host0,
+            split_between_processes,
+        )
+
+        items = list(range(7))
+        assert split_between_processes(items) == items  # 1 process
+        arr = np.arange(6.0).reshape(2, 3)
+        out = allgather_arrays(arr)
+        assert out.shape == (1, 2, 3)
+        np.testing.assert_allclose(out[0], arr)
+        np.testing.assert_allclose(broadcast_from_host0(arr), arr)

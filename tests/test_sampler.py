@@ -260,3 +260,31 @@ class TestWithRealMMDiT:
         )(lat, jax.random.PRNGKey(5))
         assert np.isfinite(np.asarray(out.final_latents)).all()
         assert out.h_cache.shape == (4, b, 2 * cfg_m.inner_dim, grid, grid)
+
+
+class TestOffloadedCache:
+    def test_offload_matches_hbm_cache(self, tpm_setup):
+        """pinned_host activation cache produces identical rollouts/replays."""
+        tpm, params = tpm_setup
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        key = jax.random.PRNGKey(42)
+        base_cfg = SamplerConfig(max_inference_steps=6, min_sigma=0.05)
+        off_cfg = SamplerConfig(
+            max_inference_steps=6, min_sigma=0.05, offload_cache=True
+        )
+        out_a = jax.jit(
+            lambda l, k: adaptive_sample(_fake_denoise_fn, tpm_fn, l, k, base_cfg)
+        )(_latents(), key)
+        out_b = jax.jit(
+            lambda l, k: adaptive_sample(_fake_denoise_fn, tpm_fn, l, k, off_cfg)
+        )(_latents(), key)
+        np.testing.assert_allclose(
+            np.asarray(out_a.sigmas), np.asarray(out_b.sigmas), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a.h_cache), np.asarray(out_b.h_cache), rtol=1e-6
+        )
+        lp = replay_logprobs(tpm_fn, out_b.h_cache, out_b.temb_cache, out_b.sigmas, off_cfg)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(out_b.logprobs), rtol=1e-4, atol=1e-5
+        )

@@ -82,6 +82,7 @@ class MMDiTConfig:
             num_attention_heads=38,
             caption_projection_dim=2432,
             qk_norm="rms_norm",
+            pos_embed_max_size=192,
         )
         defaults.update(kw)
         return cls(**defaults)

@@ -72,6 +72,7 @@ class SamplerConfig:
     predict: bool = False
     cache_activations: bool = True
     keep_history: bool = False
+    offload_cache: bool = False  # activation cache in pinned host memory
 
 
 class SampleOutput(NamedTuple):
@@ -137,9 +138,26 @@ def adaptive_sample(
         "alphas": jnp.ones((T, b), jnp.float32),
         "betas": jnp.ones((T, b), jnp.float32),
     }
+    host_put = None
     if cfg.cache_activations:
-        buffers["h_cache"] = jnp.zeros((T,) + h_s.shape, h_s.dtype)
-        buffers["temb_cache"] = jnp.zeros((T,) + temb_s.shape, temb_s.dtype)
+        h_buf = jnp.zeros((T,) + h_s.shape, h_s.dtype)
+        temb_buf = jnp.zeros((T,) + temb_s.shape, temb_s.dtype)
+        if cfg.offload_cache:
+            # Activation cache lives in pinned host memory: the rollout
+            # streams one step's activations out per iteration instead of
+            # holding T x (b, 2*inner, gh, gw) in HBM (the reference ships
+            # the cache to CPU RAM too, modeling_sd3_pnt.py:553 — here the
+            # transfer is an XLA-scheduled DMA, not a blocking .cpu()).
+            from jax.sharding import SingleDeviceSharding
+
+            host = SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+            host_put = lambda x: jax.device_put(x, host)
+            h_buf = host_put(h_buf)
+            temb_buf = host_put(temb_buf)
+        buffers["h_cache"] = h_buf
+        buffers["temb_cache"] = temb_buf
     if cfg.keep_history:
         buffers["history"] = jnp.zeros((T,) + init_latents.shape, dtype)
 
@@ -196,8 +214,11 @@ def adaptive_sample(
             betas=s["betas"].at[step].set(beta),
         )
         if cfg.cache_activations:
-            out["h_cache"] = s["h_cache"].at[step].set(h_comb)
-            out["temb_cache"] = s["temb_cache"].at[step].set(temb)
+            h_w, t_w = (
+                (host_put(h_comb), host_put(temb)) if host_put else (h_comb, temb)
+            )
+            out["h_cache"] = s["h_cache"].at[step].set(h_w)
+            out["temb_cache"] = s["temb_cache"].at[step].set(t_w)
         if cfg.keep_history:
             out["history"] = s["history"].at[step].set(new_latents)
         return out
@@ -245,8 +266,21 @@ def replay_logprobs(
     b = fix_sigmas.shape[0]
     sigmas_tm = fix_sigmas.T  # (T, b)
 
+    to_device = None
+    if cfg.offload_cache:
+        # Stream each step's activations back from pinned host memory
+        # (experimental; single-device placement).
+        from jax.sharding import SingleDeviceSharding
+
+        dev_sharding = SingleDeviceSharding(
+            jax.devices()[0], memory_kind="device"
+        )
+        to_device = lambda x: jax.device_put(x, dev_sharding)
+
     def step_fn(sigma, inputs):
         h, temb, sigma_next = inputs
+        if to_device is not None:
+            h, temb = to_device(h), to_device(temb)
         raw = tpm_fn(h, temb)
         alpha, beta = _raw_to_alpha_beta(raw.astype(jnp.float32), cfg.prediction_type)
         done = sigma < cfg.min_sigma
