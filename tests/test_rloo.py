@@ -343,3 +343,53 @@ class TestImageRewardInTheLoop:
         assert np.isfinite(list(m.values())).all()
         diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestGradientAccumulation:
+    def test_params_step_only_at_boundary(self):
+        """grad_accum=2: the first micro-batch must not move params; the
+        second applies the accumulated update (reference semantics via
+        accelerate.accumulate, rloo_trainer.py:473)."""
+        config, agent, reward_fn, dataset = _toy_world()
+        config = RLOOConfig(**{**config.__dict__, "gradient_accumulation_steps": 2,
+                               "per_device_train_batch_size": 2,
+                               "total_episodes": 8})
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        opt_state = trainer.tx.init(p0)
+
+        key = jax.random.PRNGKey(3)
+        data = trainer.collate_fn([dataset[0], dataset[1]])
+        from tpdm_tpu.train.rloo import rloo_repeat
+
+        data = rloo_repeat(data, config.rloo_k)
+        outputs = agent.sample(p0, data, key)
+        adv = jnp.array([0.5, -0.5, 0.3, -0.3])
+
+        from tpdm_tpu.train.rloo import subset_outputs
+
+        mo = subset_outputs(outputs, np.array([0, 1]))
+        p1, opt_state, _ = trainer._train_step(p0, opt_state, mo, adv[:2], None)
+        diffs1 = max(
+            jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1))
+        )
+        assert diffs1 == 0.0, "params moved before the accumulation boundary"
+
+        mo2 = subset_outputs(outputs, np.array([2, 3]))
+        p2, opt_state, _ = trainer._train_step(p1, opt_state, mo2, adv[2:], None)
+        diffs2 = max(
+            jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2))
+        )
+        assert diffs2 > 0.0, "params did not move at the boundary"
+
+    def test_end_to_end_with_accumulation(self):
+        config, agent, reward_fn, dataset = _toy_world()
+        config = RLOOConfig(**{**config.__dict__, "gradient_accumulation_steps": 2,
+                               "per_device_train_batch_size": 2,
+                               "total_episodes": 8})
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        assert np.isfinite(list(trainer.metrics_history[-1].values())).all()
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0

@@ -440,6 +440,13 @@ class RLOOTrainer:
                 eps=config.adam_epsilon,
             ),
         )
+        if config.gradient_accumulation_steps > 1:
+            # The reference accumulates grads across micro-batches and steps
+            # once per boundary (accelerate's `accumulate` wrapper,
+            # rloo_trainer.py:473); optax.MultiSteps reproduces that.
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=config.gradient_accumulation_steps
+            )
         self._train_step = jax.jit(self._train_step_impl)
         self.global_step = 0
         self.episode = 0
