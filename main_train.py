@@ -91,7 +91,23 @@ def main():
 
         collate_fn = make_prompt_encoder(agent)
 
-    trainer = RLOOTrainer(config, agent, reward_fn, dataset, collate_fn=collate_fn)
+    callbacks = []
+    if config.eval_steps:
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+
+        eval_rows = [dataset[i] for i in range(min(10, len(dataset)))]
+        callbacks.append(
+            EvalVisualizationCallback(
+                collate_fn(eval_rows),
+                output_dir=os.path.join(config.output_dir, "eval"),
+                reward_fn=reward_fn,
+                eval_steps=config.eval_steps,
+            )
+        )
+
+    trainer = RLOOTrainer(
+        config, agent, reward_fn, dataset, collate_fn=collate_fn, callbacks=callbacks
+    )
 
     resume = args.resume_from_checkpoint
     if isinstance(resume, str) and resume.lower() == "true":
