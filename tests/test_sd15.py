@@ -317,3 +317,109 @@ class TestSD15Pipeline:
         assert res.images.shape == (1, 2 * cfg.sample_size, 2 * cfg.sample_size, 3)
         assert res.images.dtype == np.uint8
         assert res.schedule[0, 0] == 999
+
+
+class TestSD15BlockOracles:
+    def test_resnet_time_emb_matches_torch(self):
+        from tpdm_tpu.models.unet_sd15 import ResnetBlockTimeEmb
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+        temb = rng.normal(size=(2, 12)).astype(np.float32)
+        block = ResnetBlockTimeEmb(out_channels=12, groups=4)
+        params = block.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(temb))
+        ours = block.apply(params, jnp.array(x), jnp.array(temb))
+
+        import torch.nn.functional as F
+
+        p = params["params"]
+        xt = torch.tensor(x).permute(0, 3, 1, 2)
+
+        def conv(h, name, k=3):
+            w = torch.tensor(np.asarray(p[name]["kernel"])).permute(3, 2, 0, 1)
+            return F.conv2d(h, w, torch.tensor(np.asarray(p[name]["bias"])), padding=(k - 1) // 2)
+
+        def gn(h, name):
+            return F.group_norm(
+                h, 4,
+                torch.tensor(np.asarray(p[name]["scale"])),
+                torch.tensor(np.asarray(p[name]["bias"])), eps=1e-6,
+            )
+
+        h = conv(F.silu(gn(xt, "norm1")), "conv1")
+        te = F.silu(torch.tensor(temb)) @ torch.tensor(np.asarray(p["time_emb_proj"]["kernel"])) + torch.tensor(np.asarray(p["time_emb_proj"]["bias"]))
+        h = h + te[:, :, None, None]
+        h = conv(F.silu(gn(h, "norm2")), "conv2")
+        short = conv(xt, "conv_shortcut", k=1)
+        ref = (short + h).permute(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_spatial_transformer_matches_torch(self):
+        """diffusers Transformer2DModel: GN -> 1x1 conv in -> basic block
+        (self-attn, cross-attn, GEGLU) -> 1x1 conv out + residual."""
+        from tpdm_tpu.models.unet_sd15 import SpatialTransformer
+
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(1)
+        c, heads, ctx_dim = 8, 2, 6
+        x = rng.normal(size=(1, 4, 4, c)).astype(np.float32)
+        ctx = rng.normal(size=(1, 3, ctx_dim)).astype(np.float32)
+        st = SpatialTransformer(dim=c, heads=heads, ctx_dim=ctx_dim, groups=4)
+        params = st.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(ctx))
+        ours = st.apply(params, jnp.array(x), jnp.array(ctx))
+
+        p = params["params"]
+        xt = torch.tensor(x)
+        h = F.group_norm(
+            xt.permute(0, 3, 1, 2), 4,
+            torch.tensor(np.asarray(p["norm"]["scale"])),
+            torch.tensor(np.asarray(p["norm"]["bias"])), eps=1e-6,
+        )
+        w_in = torch.tensor(np.asarray(p["proj_in"]["kernel"])).permute(3, 2, 0, 1)
+        h = F.conv2d(h, w_in, torch.tensor(np.asarray(p["proj_in"]["bias"])))
+        h = h.permute(0, 2, 3, 1).reshape(1, 16, c)
+
+        bp = p["block"]
+
+        def lin(t, name, bias=True):
+            out = t @ torch.tensor(np.asarray(bp[name]["kernel"]))
+            if bias and "bias" in bp[name]:
+                out = out + torch.tensor(np.asarray(bp[name]["bias"]))
+            return out
+
+        def ln(t, name):
+            return F.layer_norm(
+                t, (t.shape[-1],),
+                torch.tensor(np.asarray(bp[name]["scale"])),
+                torch.tensor(np.asarray(bp[name]["bias"])), eps=1e-5,
+            )
+
+        def mha(qs, kvs, prefix):
+            q = lin(qs, f"{prefix}_to_q", bias=False)
+            k = lin(kvs, f"{prefix}_to_k", bias=False)
+            v = lin(kvs, f"{prefix}_to_v", bias=False)
+            b_, n_, d_ = q.shape
+            m_ = k.shape[1]
+            hd = d_ // heads
+            q = q.view(b_, n_, heads, hd).transpose(1, 2)
+            k = k.view(b_, m_, heads, hd).transpose(1, 2)
+            v = v.view(b_, m_, heads, hd).transpose(1, 2)
+            o = F.scaled_dot_product_attention(q, k, v)
+            o = o.transpose(1, 2).reshape(b_, n_, d_)
+            return lin(o, f"{prefix}_to_out")
+
+        n1 = ln(h, "norm1")
+        h = h + mha(n1, n1, "attn1")
+        h = h + mha(ln(h, "norm2"), torch.tensor(ctx), "attn2")
+        y = ln(h, "norm3")
+        gate = lin(y, "ff_proj")
+        a, g = gate.chunk(2, dim=-1)
+        y = a * F.gelu(g)
+        h = h + lin(y, "ff_out")
+
+        h = h.reshape(1, 4, 4, c).permute(0, 3, 1, 2)
+        w_out = torch.tensor(np.asarray(p["proj_out"]["kernel"])).permute(3, 2, 0, 1)
+        h = F.conv2d(h, w_out, torch.tensor(np.asarray(p["proj_out"]["bias"])))
+        ref = h.permute(0, 2, 3, 1) + xt
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4)
