@@ -288,3 +288,70 @@ class TestOffloadedCache:
         np.testing.assert_allclose(
             np.asarray(lp), np.asarray(out_b.logprobs), rtol=1e-4, atol=1e-5
         )
+
+
+class TestEarlyStopGradientSafety:
+    """Regression: trailing unexecuted steps (sigma buffers default to 0)
+    must not poison TPM gradients with NaN through the masked branches."""
+
+    def test_sd3_replay_grads_finite_with_trailing_zeros(self, tpm_setup):
+        tpm, params = tpm_setup
+        cfg = SamplerConfig(max_inference_steps=6, min_sigma=0.01)
+        # simulate an early-terminated rollout: 3 executed steps, 3 unwritten
+        sigmas = jnp.array([[0.5, 0.1, 0.005, 0.0, 0.0, 0.0]] * B)
+        h = jnp.ones((6, B, 2 * INNER, H, H))
+        temb = jnp.ones((6, B, INNER))
+
+        def loss(p):
+            lp = replay_logprobs(lambda a, b: tpm.apply(p, a, b), h, temb, sigmas, cfg)
+            return lp.sum()
+
+        g = jax.grad(loss)(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all(), "NaN gradients leaked"
+
+    def test_sd15_replay_grads_finite_with_trailing_zeros(self, tpm_setup):
+        from tpdm_tpu.pipeline.sd15_sampler import SD15SamplerConfig, sd15_replay_logprobs
+
+        tpm, params = tpm_setup
+        cfg = SD15SamplerConfig(num_inference_steps=5)
+        ratios = jnp.array([[0.5, 0.3, 0.0, 0.0, 0.0]] * B)
+        masks = jnp.array([[False, False, True, True, True]] * B)
+        h = jnp.ones((5, B, 2 * INNER, H, H))
+        temb = jnp.ones((5, B, INNER))
+
+        def loss(p):
+            lp = sd15_replay_logprobs(
+                lambda a, b: tpm.apply(p, a, b), h, temb, ratios, masks, cfg
+            )
+            return lp.sum()
+
+        g = jax.grad(loss)(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all(), "NaN gradients leaked"
+
+    def test_training_progresses_after_early_termination(self, tpm_setup):
+        """End-to-end: a rollout that terminates early must still yield a
+        non-skipped, finite PPO update."""
+        tpm, params = tpm_setup
+        aggressive_tpm = tpm  # real TPM; use aggressive-stop via min_sigma
+        cfg = SamplerConfig(max_inference_steps=12, min_sigma=0.2)
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        out = adaptive_sample(
+            _fake_denoise_fn, tpm_fn, _latents(), jax.random.PRNGKey(0), cfg
+        )
+        assert int(out.num_steps) < 12  # early stop actually happened
+
+        def loss(p):
+            lp = replay_logprobs(
+                lambda a, b: tpm.apply(p, a, b),
+                out.h_cache, out.temb_cache, out.sigmas, cfg,
+            )
+            from tpdm_tpu.train.rloo import ppo_loss
+
+            return ppo_loss(lp, out.logprobs, jnp.ones((B,)), 0.2)[0]
+
+        val, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()

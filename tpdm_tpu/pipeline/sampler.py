@@ -284,8 +284,13 @@ def replay_logprobs(
         raw = tpm_fn(h, temb)
         alpha, beta = _raw_to_alpha_beta(raw.astype(jnp.float32), cfg.prediction_type)
         done = sigma < cfg.min_sigma
-        ratio = sigma_next / sigma if cfg.relative else sigma - sigma_next
+        # Trailing unexecuted steps carry sigma == sigma_next == 0 (buffer
+        # defaults): sanitize BEFORE log_prob — jnp.where alone does not stop
+        # NaN/inf from the masked branch poisoning gradients in the VJP.
+        safe_sigma = jnp.where(done, 1.0, sigma)
+        ratio = sigma_next / safe_sigma if cfg.relative else sigma - sigma_next
         ratio = jnp.clip(ratio, cfg.epsilon, 1.0 - cfg.epsilon)
+        ratio = jnp.where(done, 0.5, ratio)
         logprob = jnp.where(
             done, INVALID_LOGPROB, beta_log_prob(alpha, beta, ratio)
         )

@@ -216,6 +216,10 @@ def sd15_replay_logprobs(
     def step_fn(_, inputs):
         h, temb, ratio, mask = inputs
         raw = tpm_fn(h, temb).astype(jnp.float32)
+        # Unexecuted steps carry ratio == 0 (buffer default): log(0) = -inf
+        # in the masked branch still produces NaN gradients through
+        # jnp.where's VJP — sanitize the input instead.
+        ratio = jnp.where(mask, 0.5, ratio)
         lp = beta_log_prob(raw[:, 0], raw[:, 1], ratio)
         return None, jnp.where(mask, INVALID_LOGPROB, lp)
 

@@ -156,6 +156,8 @@ def make_prompt_encoder(
 ) -> Callable:
     """Hash-based deterministic prompt embedder for toy agents (no text
     towers): every distinct prompt maps to a fixed random embedding."""
+    import hashlib
+
     mcfg = agent.mmdit.config
 
     def collate_with_embeds(rows):
@@ -164,7 +166,9 @@ def make_prompt_encoder(
         batch = json_prompt_collate(rows)
         pe, pp = [], []
         for p in batch["prompt"]:
-            k = jax.random.PRNGKey(abs(hash((p, seed))) % (2**31))
+            # stable across processes/runs (builtin hash() is salted)
+            digest = hashlib.md5(f"{p}|{seed}".encode()).digest()
+            k = jax.random.PRNGKey(int.from_bytes(digest[:4], "little"))
             k1, k2 = jax.random.split(k)
             pe.append(
                 jax.random.normal(k1, (n_txt, mcfg.joint_attention_dim))

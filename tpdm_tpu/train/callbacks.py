@@ -81,18 +81,21 @@ class EvalVisualizationCallback:
         import jax
 
         agent = trainer.agent
-        # deterministic eval rollout at the eval budget
-        old_cfg = agent.sampler_cfg
-        agent.sampler_cfg = dataclasses.replace(
-            old_cfg, max_inference_steps=self.max_inference_steps,
+        # deterministic eval rollout at the eval budget — passed explicitly
+        # (the sampler config is a static jit argument, so overrides get
+        # their own compiled trace instead of silently reusing a stale one)
+        eval_cfg = dataclasses.replace(
+            agent.sampler_cfg,
+            max_inference_steps=self.max_inference_steps,
             cache_activations=False,
+            predict=True,
         )
-        try:
-            outputs = agent.sample(
-                tpm_params, self.eval_batch, jax.random.PRNGKey(update), predict=True
-            )
-        finally:
-            agent.sampler_cfg = old_cfg
+        outputs = agent.sample(
+            tpm_params,
+            self.eval_batch,
+            jax.random.PRNGKey(update),
+            sampler_cfg=eval_cfg,
+        )
 
         record = {
             "update": update,

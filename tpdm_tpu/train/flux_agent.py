@@ -92,7 +92,7 @@ class FluxAgent:
             prediction_type=config.prediction_type,
             cache_activations=True,
         )
-        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+        self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
         self._replay_jit = jax.jit(self.replay)
 
     def init_tpm_params(self, key):
@@ -114,7 +114,7 @@ class FluxAgent:
             self.flux.config.dtype,
         )
 
-    def _sample(self, tpm_params, latents, txt, txt_ids, pooled, key, predict=False):
+    def _sample(self, tpm_params, latents, txt, txt_ids, pooled, key, scfg):
         denoise_fn = make_flux_denoise_fn(
             lambda *a: self.flux.apply(self.flux_params, *a),
             txt,
@@ -123,10 +123,11 @@ class FluxAgent:
             self.guidance,
             (self.latent_size, self.latent_size),
         )
-        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
-        return adaptive_sample(denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg)
+        return adaptive_sample(denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg)
 
-    def sample(self, tpm_params, batch, key, predict=False) -> SampleOutput:
+    def sample(
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None
+    ) -> SampleOutput:
         txt = batch["prompt_embeds"]  # (b, n_txt, txt_dim) — T5 features
         b, n_txt = txt.shape[:2]
         txt_ids = jnp.zeros((b, n_txt, 3))
@@ -135,8 +136,11 @@ class FluxAgent:
         latents = batch.get("latents")
         if latents is None:
             latents = self.prepare_latents(key_lat, b)
+        scfg = sampler_cfg or dataclasses.replace(
+            self.sampler_cfg, predict=predict
+        )
         return self._sample_jit(
-            tpm_params, latents, txt, txt_ids, pooled, key_roll, predict=predict
+            tpm_params, latents, txt, txt_ids, pooled, key_roll, scfg=scfg
         )
 
     def replay(self, tpm_params, outputs, inputs=None) -> jax.Array:

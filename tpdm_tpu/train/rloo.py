@@ -222,7 +222,7 @@ class TPDMAgent:
             keep_history=(replay_mode == "recompute"),
         )
         self.needs_inputs_for_replay = replay_mode == "recompute"
-        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+        self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
         self._replay_jit = jax.jit(self._replay)
         self._recompute_jit = jax.jit(self._replay_recompute)
 
@@ -253,7 +253,7 @@ class TPDMAgent:
         prompt_embeds,
         pooled_embeds,
         key,
-        predict=False,
+        scfg: SamplerConfig,
     ) -> SampleOutput:
         denoise_fn = make_cfg_denoise_fn(
             lambda *a: self.mmdit.apply(self.mmdit_params, *a),
@@ -263,13 +263,17 @@ class TPDMAgent:
             self.token_grid,
             self.patch_size,
         )
-        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
         return adaptive_sample(
-            denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg
         )
 
     def sample(
-        self, tpm_params, batch: dict, key: jax.Array, predict: bool = False
+        self,
+        tpm_params,
+        batch: dict,
+        key: jax.Array,
+        predict: bool = False,
+        sampler_cfg: Optional[SamplerConfig] = None,
     ) -> SampleOutput:
         """Rollout. `batch` carries CFG-ready embeds:
         prompt_embeds/pooled_prompt_embeds (b, ...) and, when guidance is on,
@@ -284,9 +288,10 @@ class TPDMAgent:
         latents = batch.get("latents")
         if latents is None:
             latents = self.prepare_latents(key_lat, b)
-        return self._sample_jit(
-            tpm_params, latents, pe, pp, key_roll, predict=predict
+        scfg = sampler_cfg or dataclasses.replace(
+            self.sampler_cfg, predict=predict
         )
+        return self._sample_jit(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
 
     def _replay(self, tpm_params, h_cache, temb_cache, sigmas):
         return replay_logprobs(
@@ -331,8 +336,11 @@ class TPDMAgent:
             raw = self.tpm.apply(tpm_params, h, temb).astype(jnp.float32)
             alpha, beta = _raw_to_alpha_beta(raw, cfg.prediction_type)
             done = sigma < cfg.min_sigma
-            ratio = sigma_next / sigma if cfg.relative else sigma - sigma_next
+            # sanitize 0/0 on trailing unexecuted steps (see replay_logprobs)
+            safe_sigma = jnp.where(done, 1.0, sigma)
+            ratio = sigma_next / safe_sigma if cfg.relative else sigma - sigma_next
             ratio = jnp.clip(ratio, cfg.epsilon, 1.0 - cfg.epsilon)
+            ratio = jnp.where(done, 0.5, ratio)
             lp = jnp.where(
                 done, INVALID_LOGPROB, beta_log_prob(alpha, beta, ratio)
             )
@@ -382,6 +390,13 @@ class TPDMAgent:
 
 
 def _make_lr_schedule(cfg: RLOOConfig, num_total_batches: int):
+    base = _make_base_lr_schedule(cfg, num_total_batches)
+    inner = max(1, cfg.num_ppo_epochs * cfg.num_mini_batches)
+    # map optimizer-step counts back to trainer-update counts
+    return lambda count: base(count // inner)
+
+
+def _make_base_lr_schedule(cfg: RLOOConfig, num_total_batches: int):
     total_steps = max(1, num_total_batches)
     if cfg.lr_scheduler_type == "constant":
         return optax.constant_schedule(cfg.learning_rate)
@@ -430,7 +445,10 @@ class RLOOTrainer:
         self.metrics_history: list[dict] = []
 
         schedule = _make_lr_schedule(config, self.sizes["num_total_batches"])
-        self._schedule = schedule
+        # metrics report in trainer-update counts (the reference's lr metric)
+        self._schedule = _make_base_lr_schedule(
+            config, self.sizes["num_total_batches"]
+        )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(
@@ -447,6 +465,13 @@ class RLOOTrainer:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=config.gradient_accumulation_steps
             )
+        # adam's internal counter advances once per optimizer boundary
+        # (num_ppo_epochs x num_mini_batches per trainer update), but the
+        # schedule horizon — and the reference's per-update
+        # lr_scheduler.step() (rloo_trainer.py:595) — count trainer updates.
+        self._opt_steps_per_update = max(
+            1, config.num_ppo_epochs * config.num_mini_batches
+        )
         self._train_step = jax.jit(self._train_step_impl)
         self.global_step = 0
         self.episode = 0
@@ -455,6 +480,12 @@ class RLOOTrainer:
     def _loader(self, rng: np.random.Generator) -> Iterator[dict]:
         bsz = self.sizes["local_dataloader_batch_size"]
         n = len(self.dataset)
+        if bsz > n:
+            raise ValueError(
+                f"dataset ({n} rows) smaller than the derived dataloader "
+                f"batch ({bsz} = local_batch_size/rloo_k); add data or "
+                f"shrink the batch configuration"
+            )
         while True:
             order = rng.permutation(n)
             for start in range(0, n - bsz + 1, bsz):

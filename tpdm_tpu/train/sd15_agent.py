@@ -79,7 +79,8 @@ class SD15Agent:
             min_time=min_time,
             cache_activations=True,
         )
-        self._sample_jit = jax.jit(self._sample, static_argnames=("predict",))
+        self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
+        self._replay_jit = jax.jit(self.replay)
 
     def init_tpm_params(self, key: jax.Array):
         ucfg = self.unet.config
@@ -102,20 +103,19 @@ class SD15Agent:
             ucfg.dtype,
         )
 
-    def _sample(self, tpm_params, latents, prompt_embeds, key, predict=False):
-        import dataclasses
-
+    def _sample(self, tpm_params, latents, prompt_embeds, key, scfg):
         denoise_fn = make_sd15_denoise_fn(
             lambda *a: self.unet.apply(self.unet_params, *a),
             prompt_embeds,
             self.guidance_scale,
         )
-        cfg = dataclasses.replace(self.sampler_cfg, predict=predict)
         return sd15_adaptive_sample(
-            denoise_fn, self.tpm_fn(tpm_params), latents, key, cfg
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg
         )
 
-    def sample(self, tpm_params, batch, key, predict=False) -> SD15SampleOutput:
+    def sample(
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None
+    ) -> SD15SampleOutput:
         pe = batch["prompt_embeds"]
         if self.guidance_scale is not None and self.guidance_scale > 1:
             pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
@@ -124,7 +124,12 @@ class SD15Agent:
         latents = batch.get("latents")
         if latents is None:
             latents = self.prepare_latents(key_lat, b)
-        return self._sample_jit(tpm_params, latents, pe, key_roll, predict=predict)
+        import dataclasses
+
+        scfg = sampler_cfg or dataclasses.replace(
+            self.sampler_cfg, predict=predict
+        )
+        return self._sample_jit(tpm_params, latents, pe, key_roll, scfg=scfg)
 
     def replay(self, tpm_params, outputs: SD15SampleOutput, inputs=None) -> jax.Array:
         return sd15_replay_logprobs(
@@ -137,7 +142,7 @@ class SD15Agent:
         )
 
     def logprobs(self, tpm_params, outputs: SD15SampleOutput) -> jax.Array:
-        return jax.jit(self.replay)(tpm_params, outputs)
+        return self._replay_jit(tpm_params, outputs)
 
     def kl_divergence(self, outputs: SD15SampleOutput) -> jax.Array:
         """Identically zero (modeling_sd_v1_5.py:1005-1009)."""
