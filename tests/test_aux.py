@@ -236,3 +236,65 @@ class TestOrbaxBackend:
         np.testing.assert_array_equal(
             np.asarray(out["nested"]["b"]), np.asarray(tree["nested"]["b"])
         )
+
+
+class TestCLIPTokenizer:
+    @pytest.fixture
+    def tok_dir(self, tmp_path):
+        """Build a tiny real BPE vocab and check against transformers."""
+        # construct a miniature but well-formed CLIP-style vocab
+        byte_syms = []
+        from tpdm_tpu.utils.tokenizer import _bytes_to_unicode
+
+        b2u = _bytes_to_unicode()
+        for ch in sorted(set(b2u.values())):
+            byte_syms.append(ch)
+        vocab = {}
+        idx = 0
+        for s in byte_syms:
+            vocab[s] = idx; idx += 1
+        for s in byte_syms:
+            vocab[s + "</w>"] = idx; idx += 1
+        merges = ["#version: 0.2"]
+        for pair in [("h", "e"), ("l", "l"), ("he", "ll"), ("o</w>", None),
+                     ("hell", "o</w>"), ("w", "o"), ("r", "l"), ("wo", "rl"),
+                     ("worl", "d</w>"), ("c", "a"), ("ca", "t</w>")]:
+            if pair[1] is None:
+                continue
+            merged = pair[0] + pair[1]
+            if merged not in vocab:
+                vocab[merged] = idx; idx += 1
+            merges.append(f"{pair[0]} {pair[1]}")
+        vocab["<|startoftext|>"] = idx; idx += 1
+        vocab["<|endoftext|>"] = idx; idx += 1
+        import json as _json
+
+        d = tmp_path / "tok"
+        d.mkdir()
+        (d / "vocab.json").write_text(_json.dumps(vocab))
+        (d / "merges.txt").write_text("\n".join(merges) + "\n")
+        return str(d)
+
+    def test_matches_transformers_cliptokenizer(self, tok_dir):
+        from transformers import CLIPTokenizer as HFTok
+
+        from tpdm_tpu.utils.tokenizer import CLIPTokenizer
+
+        ours = CLIPTokenizer.from_pretrained(tok_dir)
+        theirs = HFTok(
+            vocab_file=f"{tok_dir}/vocab.json", merges_file=f"{tok_dir}/merges.txt"
+        )
+        for text in ["hello world", "a cat!", "Hello, WORLD  cat", "héllo"]:
+            a = ours(text, max_length=16)["input_ids"][0].tolist()
+            b = theirs(
+                [text], padding="max_length", max_length=16, truncation=True
+            )["input_ids"][0]
+            assert a == b, (text, a, b)
+
+    def test_truncation(self, tok_dir):
+        from tpdm_tpu.utils.tokenizer import CLIPTokenizer
+
+        ours = CLIPTokenizer.from_pretrained(tok_dir)
+        ids = ours("hello " * 50, max_length=8)["input_ids"][0]
+        assert len(ids) == 8
+        assert ids[-1] == ours.eos
