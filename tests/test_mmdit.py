@@ -128,3 +128,37 @@ class TestVariants:
         total += (d + 1) * 2 * d  # norm_out
         total += (d + 1) * 64  # proj_out
         assert 1.9e9 < total < 2.2e9, total
+
+
+class TestQuantizedMatmuls:
+    def test_int8_close_to_bf16(self):
+        """W8A8-dynamic output stays close to the fp path on a toy model."""
+        import dataclasses
+
+        cfg = MMDiTConfig.toy()
+        qcfg = dataclasses.replace(cfg, quant_matmuls=True)
+        model = MMDiT(cfg)
+        qmodel = MMDiT(qcfg)
+        b = 1
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 16, 8, 8))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 5, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim))
+        t = jnp.array([500.0])
+        params = model.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
+        # same params drive both (quantization derives int8 inside jit)
+        v_fp, *_ = model.apply(params, lat, t, ctx, pooled)
+        v_q, *_ = qmodel.apply(params, lat, t, ctx, pooled)
+        err = float(jnp.abs(v_fp - v_q).mean()) / (float(jnp.abs(v_fp).mean()) + 1e-9)
+        assert err < 0.15, f"relative int8 deviation too large: {err}"
+        assert err > 0.0  # it genuinely took the quantized path
+
+    def test_quant_dense_unit(self):
+        from tpdm_tpu.ops.quant import DenseMaybeQuant, int8_dynamic_matmul, quantize_weight
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (7, 33))
+        k = jax.random.normal(jax.random.PRNGKey(1), (33, 17)) * 0.2
+        b = jax.random.normal(jax.random.PRNGKey(2), (17,))
+        ref = x @ k + b
+        out = int8_dynamic_matmul(x, quantize_weight(k, b))
+        rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+        assert rel < 0.03, rel

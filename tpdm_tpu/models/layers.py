@@ -288,13 +288,16 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
         inner = self.dim * self.mult
-        x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        x = DenseMaybeQuant(inner, quant=self.quant, dtype=self.dtype, name="proj_in")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+        return DenseMaybeQuant(self.dim, quant=self.quant, dtype=self.dtype, name="proj_out")(x)
 
 
 class GroupNorm(nn.Module):

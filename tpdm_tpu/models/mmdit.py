@@ -54,6 +54,7 @@ class MMDiTConfig:
     qk_norm: Optional[str] = None  # None | "rms_norm" (SD3.5)
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+    quant_matmuls: bool = False  # W8A8-dynamic int8 for qkv/out/FF matmuls
 
     @property
     def inner_dim(self) -> int:
@@ -122,7 +123,11 @@ class JointAttention(nn.Module):
         h, d = cfg.num_attention_heads, cfg.attention_head_dim
         b, n_img, _ = x.shape
         n_ctx = ctx.shape[1]
-        dense = lambda name: nn.Dense(h * d, dtype=cfg.dtype, name=name)
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
+        dense = lambda name: DenseMaybeQuant(
+            h * d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+        )
 
         def heads(t):  # (b, n, h*d) -> (b, h, n, d)
             return t.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
@@ -149,10 +154,14 @@ class JointAttention(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, n_img + n_ctx, h * d)
         o_img, o_ctx = o[:, :n_img], o[:, n_img:]
 
-        o_img = nn.Dense(cfg.inner_dim, dtype=cfg.dtype, name="to_out")(o_img)
+        o_img = DenseMaybeQuant(
+            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_out"
+        )(o_img)
         if self.context_pre_only:
             return o_img, None
-        o_ctx = nn.Dense(cfg.inner_dim, dtype=cfg.dtype, name="to_add_out")(o_ctx)
+        o_ctx = DenseMaybeQuant(
+            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_add_out"
+        )(o_ctx)
         return o_img, o_ctx
 
 
@@ -170,15 +179,22 @@ class SelfAttention(nn.Module):
         def heads(t):
             return t.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
 
-        q = heads(nn.Dense(h * d, dtype=cfg.dtype, name="to_q")(x))
-        k = heads(nn.Dense(h * d, dtype=cfg.dtype, name="to_k")(x))
-        v = heads(nn.Dense(h * d, dtype=cfg.dtype, name="to_v")(x))
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
+        dense = lambda name: DenseMaybeQuant(
+            h * d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+        )
+        q = heads(dense("to_q")(x))
+        k = heads(dense("to_k")(x))
+        v = heads(dense("to_v")(x))
         if cfg.qk_norm == "rms_norm":
             q = RMSNorm(d, name="norm_q")(q)
             k = RMSNorm(d, name="norm_k")(k)
         o = joint_attention(q, k, v, use_pallas=cfg.use_pallas)
         o = o.transpose(0, 2, 1, 3).reshape(b, -1, h * d)
-        return nn.Dense(cfg.inner_dim, dtype=cfg.dtype, name="to_out")(o)
+        return DenseMaybeQuant(
+            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_out"
+        )(o)
 
 
 class JointBlock(nn.Module):
@@ -232,7 +248,9 @@ class JointBlock(nn.Module):
 
         norm_x = _layer_norm_fp32(x)
         norm_x = norm_x * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
-        x = x + gate_mlp[:, None] * FeedForward(dim, dtype=cfg.dtype, name="ff")(norm_x)
+        x = x + gate_mlp[:, None] * FeedForward(
+            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls, name="ff"
+        )(norm_x)
 
         if self.context_pre_only:
             return x, ctx
@@ -240,7 +258,7 @@ class JointBlock(nn.Module):
         norm_ctx = _layer_norm_fp32(ctx)
         norm_ctx = norm_ctx * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
         ctx = ctx + c_gate_mlp[:, None] * FeedForward(
-            dim, dtype=cfg.dtype, name="ff_context"
+            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls, name="ff_context"
         )(norm_ctx)
         return x, ctx
 

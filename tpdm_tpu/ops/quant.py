@@ -1,0 +1,93 @@
+"""int8 matmul path for the frozen towers (opt-in, inference-oriented).
+
+v5e's MXU runs int8 at 2x bf16 throughput; measured on-chip: the SD3 FF
+matmul shape gains ~1.2x end-to-end including dynamic activation
+quantization (docs/PERF.md). Weights are symmetric per-output-channel int8;
+activations quantize dynamically per-row (token) — the standard W8A8
+dynamic scheme. Everything stays inside jit; no calibration pass needed.
+
+This is a deliberate capability the reference lacks entirely (it runs fp16
+end-to-end); quality impact must be validated per-checkpoint, so it is off
+by default.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedLinear(NamedTuple):
+    """Per-output-channel symmetric int8 weights."""
+
+    kernel_q: jax.Array  # (in, out) int8
+    scale: jax.Array  # (out,) float32: w = kernel_q * scale
+    bias: jax.Array | None
+
+
+def quantize_weight(kernel: jax.Array, bias=None) -> QuantizedLinear:
+    """fp kernel (in, out) -> per-out-channel symmetric int8."""
+    k32 = kernel.astype(jnp.float32)
+    scale = jnp.clip(jnp.max(jnp.abs(k32), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k32 / scale[None, :]), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(q, scale, bias)
+
+
+def int8_dynamic_matmul(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
+    """y = x @ W (+ b) with W int8 and x dynamically quantized per row.
+
+    x: (..., in); returns (..., out) in x.dtype.
+    """
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1])
+    x32 = x2.astype(jnp.float32)
+    x_scale = jnp.clip(jnp.max(jnp.abs(x32), axis=1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qw.kernel_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * qw.scale[None, :]
+    if qw.bias is not None:
+        y = y + qw.bias.astype(jnp.float32)[None, :]
+    return y.astype(x.dtype).reshape(orig_shape[:-1] + (qw.kernel_q.shape[1],))
+
+
+class DenseMaybeQuant(nn.Module):
+    """Drop-in Dense that runs W8A8-dynamic when `quant` is on.
+
+    Parameters stay fp (so converters/checkpoints are unchanged); the int8
+    weight + scale are derived inside jit. NOTE: because params are jit
+    ARGUMENTS, the weight quantization re-runs every call — measured
+    end-to-end this currently cancels the MXU gain (docs/PERF.md); the
+    production win needs pre-quantized int8 param trees (roadmap). Numerics
+    are tested; the flag is off by default.
+    """
+
+    features: int
+    quant: bool = False
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        if not self.quant:
+            y = x @ kernel.astype(self.dtype)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+        qw = quantize_weight(kernel, bias)
+        return int8_dynamic_matmul(x.astype(self.dtype), qw)
