@@ -298,3 +298,51 @@ class TestCLIPTokenizer:
         ids = ours("hello " * 50, max_length=8)["input_ids"][0]
         assert len(ids) == 8
         assert ids[-1] == ours.eos
+
+
+class TestEvalCallbackSD15:
+    def test_callback_works_with_sd15_agent(self, tmp_path):
+        """The callback must handle the SD1.5 agent's differing config/output
+        field names (num_inference_steps, times)."""
+        import jax.numpy as jnp
+
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy(cross_attention_dim=16)
+        unet = UNetSD15(cfg)
+        params = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, 5, 16)),
+        )
+        config = RLOOConfig(max_inference_steps=3)
+        agent = SD15Agent(
+            unet, params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.block_out_channels[0],
+            ),
+        )
+        batch = {
+            "prompt_embeds": jnp.zeros((1, 5, 16)),
+            "negative_prompt_embeds": jnp.zeros((1, 5, 16)),
+        }
+        cb = EvalVisualizationCallback(
+            batch, str(tmp_path), eval_steps=1, max_inference_steps=4
+        )
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(1))
+
+        class T:
+            pass
+
+        t = T()
+        t.agent = agent
+        cb.on_step_end(t, 1, {}, tpm_params)
+        assert len(cb.history) == 1
+        assert cb.history[0]["sigmas"].shape[1] == 4  # eval budget applied

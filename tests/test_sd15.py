@@ -129,7 +129,9 @@ class TestUNetSD15:
         b = lat.shape[0]
         s = cfg.sample_size
         assert eps.shape == lat.shape
-        assert temb.shape == (b, cfg.time_embed_dim)
+        # pre-MLP sinusoidal width (reference returns time_proj output,
+        # unet_sd_v1_5.py:929,1316)
+        assert temb.shape == (b, cfg.block_out_channels[0])
         assert h1.shape == (b, cfg.block_out_channels[0], s, s)
         assert h2.shape == (b, cfg.block_out_channels[0], s, s)
         for a in (eps, temb, h1, h2):

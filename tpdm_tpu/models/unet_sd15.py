@@ -161,9 +161,9 @@ class UNetSD15(nn.Module):
         g = cfg.norm_num_groups
         ctx = encoder_hidden_states
 
-        t_feat = sinusoidal_timestep_embedding(timestep, ch[0])
+        t_feat = sinusoidal_timestep_embedding(timestep, ch[0]).astype(cfg.dtype)
         temb = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_linear_1")(
-            t_feat.astype(cfg.dtype)
+            t_feat
         )
         temb = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_linear_2")(
             nn.silu(temb)
@@ -236,4 +236,8 @@ class UNetSD15(nn.Module):
         x = nn.silu(x)
         h2 = x.transpose(0, 3, 1, 2)  # reference :1304-1309
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype, name="conv_out")(x)
-        return x.transpose(0, 3, 1, 2), temb, h1, h2
+        # The TPM conditions on the PRE-MLP 320-dim sinusoidal t_emb, not the
+        # 1280-dim internal embedding (reference unet_sd_v1_5.py:929,1316;
+        # the SD1.5 TPM's AdaGroupNorm is built with input_dim = 320,
+        # modeling_sd_v1_5.py:100).
+        return x.transpose(0, 3, 1, 2), t_feat, h1, h2

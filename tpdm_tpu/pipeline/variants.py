@@ -63,6 +63,16 @@ class SD15Pipeline:
             negative_prompt_embeds = self.text_encoder.apply(
                 self.text_params, jnp.asarray(negative_clip_ids)
             )[1]
+        if (
+            negative_prompt_embeds is None
+            and self.agent.guidance_scale is not None
+            and self.agent.guidance_scale > 1
+        ):
+            raise ValueError(
+                "classifier-free guidance is on (guidance_scale="
+                f"{self.agent.guidance_scale}); pass negative_prompt_embeds "
+                "or negative_clip_ids (the reference encodes an empty prompt)"
+            )
         batch = {
             "prompt_embeds": prompt_embeds,
             "negative_prompt_embeds": negative_prompt_embeds,

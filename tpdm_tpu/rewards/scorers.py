@@ -234,14 +234,14 @@ class BLIPScoreModel:
 
     def score(self, prompt_ids: np.ndarray, images: np.ndarray, text_mask=None) -> np.ndarray:
         pixels = normalize_clip(bicubic_resize_center_crop(images, self.image_size))
-        mask = (
-            jnp.asarray(text_mask)
-            if text_mask is not None
-            else jnp.ones(np.asarray(prompt_ids).shape, bool)
-        )
+        if text_mask is None:
+            # BERT pads with id 0 — mask padding like the reference does via
+            # the tokenizer's attention_mask (models/BLIPScore.py:55)
+            text_mask = np.asarray(prompt_ids) != 0
         return np.asarray(
             self._jit(
                 self.vit_params, self.bert_params, self.vision_proj,
-                self.text_proj, jnp.asarray(pixels), jnp.asarray(prompt_ids), mask,
+                self.text_proj, jnp.asarray(pixels), jnp.asarray(prompt_ids),
+                jnp.asarray(text_mask),
             )
         )

@@ -131,17 +131,9 @@ class SiglipVisionModel(nn.Module):
         return x, pooled
 
 
-class AestheticV25Head(nn.Module):
-    """1024/128/64/16/1 linear stack (dropouts identity at eval;
-    reference siglip_v2_5.py:23-39)."""
-
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        for i, w in enumerate((1024, 128, 64, 16, 1)):
-            x = nn.Dense(w, dtype=self.dtype, name=f"fc{i}")(x)
-        return x
+from tpdm_tpu.rewards.scorers import AestheticMLP as AestheticV25Head  # noqa: E402
+# same 1024/128/64/16/1 stack as the CLIP aesthetic head
+# (reference siglip_v2_5.py:23-39 uses the identical scoring head)
 
 
 @dataclasses.dataclass

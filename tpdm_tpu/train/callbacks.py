@@ -83,13 +83,18 @@ class EvalVisualizationCallback:
         agent = trainer.agent
         # deterministic eval rollout at the eval budget — passed explicitly
         # (the sampler config is a static jit argument, so overrides get
-        # their own compiled trace instead of silently reusing a stale one)
-        eval_cfg = dataclasses.replace(
-            agent.sampler_cfg,
-            max_inference_steps=self.max_inference_steps,
-            cache_activations=False,
-            predict=True,
-        )
+        # their own compiled trace instead of silently reusing a stale one).
+        # Field names differ per family (SD3/FLUX: max_inference_steps +
+        # sigmas; SD1.5: num_inference_steps + integer times).
+        cfg_fields = {f.name for f in dataclasses.fields(type(agent.sampler_cfg))}
+        overrides = {"predict": True}
+        if "cache_activations" in cfg_fields:
+            overrides["cache_activations"] = False
+        if "max_inference_steps" in cfg_fields:
+            overrides["max_inference_steps"] = self.max_inference_steps
+        elif "num_inference_steps" in cfg_fields:
+            overrides["num_inference_steps"] = self.max_inference_steps
+        eval_cfg = dataclasses.replace(agent.sampler_cfg, **overrides)
         outputs = agent.sample(
             tpm_params,
             self.eval_batch,
@@ -97,9 +102,13 @@ class EvalVisualizationCallback:
             sampler_cfg=eval_cfg,
         )
 
+        if hasattr(outputs, "sigmas"):
+            sigmas = np.asarray(outputs.sigmas)
+        else:  # SD1.5: integer timesteps -> t/1000 pseudo-sigma for plotting
+            sigmas = np.asarray(outputs.times)[:, 1:] / 1000.0
         record = {
             "update": update,
-            "sigmas": np.asarray(outputs.sigmas),
+            "sigmas": sigmas,
             "alphas": np.asarray(outputs.alphas),
             "betas": np.asarray(outputs.betas),
             "masks": np.asarray(outputs.prob_masks),

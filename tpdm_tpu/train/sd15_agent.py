@@ -70,7 +70,9 @@ class SD15Agent:
         self.tpm = tpm or TimePredictor(
             conv_out_channels=128,
             in_channels=2 * ucfg.block_out_channels[0],
-            temb_dim=ucfg.time_embed_dim,
+            # pre-MLP sinusoidal width (reference TPM input_dim=320,
+            # modeling_sd_v1_5.py:100)
+            temb_dim=ucfg.block_out_channels[0],
             init_alpha=config.init_alpha,
             init_beta=config.init_beta,
         )
@@ -88,7 +90,7 @@ class SD15Agent:
         return self.tpm.init(
             key,
             jnp.zeros((1, 2 * ucfg.block_out_channels[0], s, s)),
-            jnp.zeros((1, ucfg.time_embed_dim)),
+            jnp.zeros((1, ucfg.block_out_channels[0])),
         )
 
     def tpm_fn(self, tpm_params):

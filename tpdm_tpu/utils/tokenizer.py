@@ -44,9 +44,11 @@ _PAT = re.compile(
     # re module lacks \p classes; the standard CLIP pattern with ASCII-ish
     # approximations (transformers uses regex module; \w covers unicode
     # letters/digits in python re with re.UNICODE default)
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
     re.IGNORECASE,
 )
+# (?:[^\s\w]|_)+ ≡ CLIP's [^\s\p{L}\p{N}]+ — underscore is \w in `re` but
+# counts as punctuation for CLIP, so it must be folded into the class.
 
 
 def _whitespace_clean(text: str) -> str:
@@ -125,6 +127,12 @@ class CLIPTokenizer:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
         for tok in _PAT.findall(text):
+            if tok == "<|startoftext|>":
+                ids.append(self.bos)
+                continue
+            if tok == "<|endoftext|>":
+                ids.append(self.eos)
+                continue
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[sub] for sub in self._bpe(tok))
         return ids
