@@ -284,7 +284,10 @@ class TestCLIPTokenizer:
         theirs = HFTok(
             vocab_file=f"{tok_dir}/vocab.json", merges_file=f"{tok_dir}/merges.txt"
         )
-        for text in ["hello world", "a cat!", "Hello, WORLD  cat", "héllo"]:
+        for text in [
+            "hello world", "a cat!", "Hello, WORLD  cat", "héllo",
+            "hello_world", "snake_case cat", "!_!",
+        ]:
             a = ours(text, max_length=16)["input_ids"][0].tolist()
             b = theirs(
                 [text], padding="max_length", max_length=16, truncation=True

@@ -258,6 +258,7 @@ def load_pipeline_from_pretrained(
     load_text_encoders: bool = True,
     tpm_checkpoint: Optional[str] = None,
     mmdit_config: Optional[MMDiTConfig] = None,
+    device_put_backbones: bool = True,
 ) -> TPDMPipeline:
     """Build a pipeline from a diffusers-layout SD3 directory.
 
@@ -266,6 +267,13 @@ def load_pipeline_from_pretrained(
     from_pretrained calls consume (modeling_sd3_pnt.py:144-178). The TPM
     checkpoint is the reference's TPM-only safetensors
     (`agent_model.`-prefixed, gradio_sd3_inference.py:20-21).
+
+    Memory policy (single-chip v5e has 16 GB HBM; the full bf16 stack —
+    MMDiT 4.1 GB + T5-XXL 9.5 GB + CLIPs 1.5 GB + VAE — does not fit
+    alongside denoising activations): the hot-loop towers (MMDiT, VAE, TPM)
+    are device_put once and stay resident; text-encoder params stay as host
+    numpy arrays and stream to the device per encode call (jit arguments
+    are freed after the call), since prompt encoding runs once per batch.
     """
     from tpdm_tpu.utils import convert as C
 
@@ -305,6 +313,11 @@ def load_pipeline_from_pretrained(
             jnp.zeros((1, 2 * mcfg.inner_dim, 64, 64)),
             jnp.zeros((1, mcfg.inner_dim)),
         )
+
+    if device_put_backbones:
+        mmdit_params = jax.device_put(mmdit_params)
+        vae_params = jax.device_put(vae_params)
+        tpm_params = jax.device_put(tpm_params)
 
     text = None
     if load_text_encoders:
