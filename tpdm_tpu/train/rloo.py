@@ -158,7 +158,13 @@ def subset_outputs(outputs, inds: np.ndarray):
         if value is None or name in _SCALAR_FIELDS:
             values[name] = value
         elif name in _TIME_MAJOR_FIELDS:
-            values[name] = value[:, inds]
+            kind = getattr(getattr(value, "sharding", None), "memory_kind", None)
+            if kind and "host" in kind:
+                # host-offloaded cache: subset on host, ship only the
+                # micro-batch slice to HBM (the point of the offload mode)
+                values[name] = jnp.asarray(np.asarray(value)[:, inds])
+            else:
+                values[name] = value[:, inds]
         else:
             values[name] = value[inds]
     return type(outputs)(**values)
