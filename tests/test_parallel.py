@@ -106,3 +106,55 @@ class TestMultihostHelpers:
         assert out.shape == (1, 2, 3)
         np.testing.assert_allclose(out[0], arr)
         np.testing.assert_allclose(broadcast_from_host0(arr), arr)
+
+
+class TestTPAttention:
+    def test_sharded_heads_match_unsharded(self):
+        from tpdm_tpu.ops.attention import attention_reference
+        from tpdm_tpu.parallel.tp_attention import make_tp_attention
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        b, h, n, d = 4, 4, 96, 16
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+        ref = attention_reference(q, k, v)
+
+        fn = make_tp_attention(mesh, use_pallas=False)
+        spec = P(("data", "fsdp"), "tensor", None, None)
+        put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+        with mesh:
+            out = jax.jit(fn)(put(q), put(k), put(v))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_pallas_interpret_under_shard_map(self):
+        """The Pallas kernel itself runs per-shard under shard_map (CPU
+        interpreter mode)."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpdm_tpu.ops.attention import attention_reference, flash_attention
+        from tpdm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:2], data=1, fsdp=1, tensor=2)
+        b, h, n, d = 1, 4, 128, 16
+        q = jax.random.normal(jax.random.PRNGKey(3), (b, h, n, d))
+        ref = attention_reference(q, q, q)
+        spec = P(None, "tensor", None, None)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+        def fn(q):
+            return flash_attention(q, q, q, None, 128, True)  # interpret
+
+        with mesh:
+            out = jax.jit(fn)(jax.device_put(q, NamedSharding(mesh, spec)))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
