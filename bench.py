@@ -153,6 +153,8 @@ def build(batch_images: int, on_tpu: bool):
 
 
 def main():
+    if "--cpu" in sys.argv:  # force the CPU fallback (the session env pins
+        jax.config.update("jax_platforms", "cpu")  # the axon TPU plugin)
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu", "gpu")
     # batch 1 (CFG batch 2) measured best img/s/chip; throughput is flat in

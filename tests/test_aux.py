@@ -349,3 +349,24 @@ class TestEvalCallbackSD15:
         cb.on_step_end(t, 1, {}, tpm_params)
         assert len(cb.history) == 1
         assert cb.history[0]["sigmas"].shape[1] == 4  # eval budget applied
+
+
+class TestBenchCPUFallback:
+    def test_bench_prints_one_json_line(self):
+        """Driver artifact: bench.py must never hard-fail off-TPU."""
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        proc = subprocess.run(
+            [_sys.executable, "bench.py", "--cpu"],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert len(lines) == 1
+        payload = _json.loads(lines[0])
+        for k in ("metric", "value", "unit", "vs_baseline"):
+            assert k in payload
