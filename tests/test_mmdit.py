@@ -144,8 +144,9 @@ class TestQuantizedMatmuls:
         ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 5, cfg.joint_attention_dim))
         pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim))
         t = jnp.array([500.0])
-        params = model.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
-        # same params drive both (quantization derives int8 inside jit)
+        params = qmodel.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
+        # same weights drive both (fp model ignores the extra kernel_scale;
+        # the quant model derives int8 in-graph from the fp kernels)
         v_fp, *_ = model.apply(params, lat, t, ctx, pooled)
         v_q, *_ = qmodel.apply(params, lat, t, ctx, pooled)
         err = float(jnp.abs(v_fp - v_q).mean()) / (float(jnp.abs(v_fp).mean()) + 1e-9)
@@ -162,3 +163,32 @@ class TestQuantizedMatmuls:
         out = int8_dynamic_matmul(x, quantize_weight(k, b))
         rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
         assert rel < 0.03, rel
+
+
+class TestPrequantizedParams:
+    def test_prequantized_matches_ingraph_quant(self):
+        import dataclasses
+
+        from tpdm_tpu.ops.quant import prequantize_params
+
+        qcfg = dataclasses.replace(MMDiTConfig.toy(), quant_matmuls=True)
+        qmodel = MMDiT(qcfg)
+        b = 1
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 16, 8, 8))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 5, qcfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, qcfg.pooled_projection_dim))
+        t = jnp.array([500.0])
+        params = qmodel.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
+        # quantizable modules carry a kernel_scale
+        assert "kernel_scale" in params["params"]["transformer_blocks_0"]["attn"]["to_q"]
+
+        v_ingraph, *_ = qmodel.apply(params, lat, t, ctx, pooled)
+        qparams = prequantize_params(params)
+        assert (
+            qparams["params"]["transformer_blocks_0"]["attn"]["to_q"]["kernel"].dtype
+            == jnp.int8
+        )
+        v_pre, *_ = qmodel.apply(qparams, lat, t, ctx, pooled)
+        np.testing.assert_allclose(
+            np.asarray(v_pre), np.asarray(v_ingraph), rtol=2e-3, atol=2e-3
+        )

@@ -89,5 +89,45 @@ class DenseMaybeQuant(nn.Module):
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y
-        qw = quantize_weight(kernel, bias)
+        # kernel_scale exists whenever quant is on; with a PRE-quantized
+        # tree (prequantize_params) the kernel arrives int8 and the scale
+        # carries the real per-channel factors — no in-graph requantization.
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,)
+        )
+        if kernel.dtype == jnp.int8:
+            qw = QuantizedLinear(kernel, scale.astype(jnp.float32), bias)
+        else:
+            qw = quantize_weight(kernel, bias)
         return int8_dynamic_matmul(x.astype(self.dtype), qw)
+
+
+def prequantize_params(params):
+    """Convert every quantizable Dense in a param tree to stored int8.
+
+    Walks the tree; wherever a module dict holds both "kernel" (2D float)
+    and "kernel_scale" (created by DenseMaybeQuant(quant=True)), the kernel
+    is replaced by its per-out-channel int8 quantization and the scale
+    filled in. Do this ONCE after loading/converting weights; the resulting
+    tree makes `quant_matmuls=True` models skip in-graph weight
+    requantization (the measured end-to-end blocker, docs/PERF.md).
+    """
+    import numpy as _np
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if (
+            "kernel" in node
+            and "kernel_scale" in node
+            and getattr(node["kernel"], "ndim", 0) == 2
+            and node["kernel"].dtype != jnp.int8
+        ):
+            q = quantize_weight(jnp.asarray(node["kernel"]))
+            out = dict(node)
+            out["kernel"] = q.kernel_q
+            out["kernel_scale"] = q.scale
+            return out
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
