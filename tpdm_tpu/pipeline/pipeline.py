@@ -243,13 +243,35 @@ class TPDMPipeline:
                 (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
                 mcfg.dtype,
             )
-        vfn = make_cfg_velocity_fn(
-            lambda *a: self.mmdit.apply(self.mmdit_params, *a), pe, pp, guidance_scale
+        sig = ("fixed", guidance_scale, num_steps)
+        if sig not in self._jit_cache:
+
+            def go(mmdit_params, vae_params, latents, pe, pp):
+                vfn = make_cfg_velocity_fn(
+                    lambda *a: self.mmdit.apply(mmdit_params, *a),
+                    pe,
+                    pp,
+                    guidance_scale,
+                )
+                final = fixed_schedule_sample(
+                    vfn, latents, uniform_flow_sigmas(num_steps)
+                )
+                if self.vae is None:
+                    return final
+                cfg = self.vae.config
+                z = (
+                    final.astype(jnp.float32) / cfg.scaling_factor
+                    + cfg.shift_factor
+                )
+                return self.vae.apply(vae_params, z)
+
+            self._jit_cache[sig] = jax.jit(go)
+        out = self._jit_cache[sig](
+            self.mmdit_params, self.vae_params, latents, pe, pp
         )
-        final = fixed_schedule_sample(vfn, latents, uniform_flow_sigmas(num_steps))
         if self.vae is not None:
-            return postprocess_images(self._decode(final))
-        return np.asarray(final)
+            return postprocess_images(out)
+        return np.asarray(out)
 
 
 def load_pipeline_from_pretrained(
