@@ -79,3 +79,29 @@ class TestFlashKernel:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-4, atol=1e-5)
+
+
+class TestStreamingKernel:
+    def test_matches_reference(self):
+        from tpdm_tpu.ops.attention import _flash_attention_streaming_impl
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(7), b=1, h=2, n_q=300, n_kv=450)
+        out = _flash_attention_streaming_impl(q, k, v, None, 128, 128, True)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_kv_len_masking(self):
+        from tpdm_tpu.ops.attention import _flash_attention_streaming_impl
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(8), b=1, h=1, n_q=128, n_kv=512)
+        out = _flash_attention_streaming_impl(q, k, v, 300, 128, 128, True)
+        ref = attention_reference(q, k[:, :, :300], v[:, :, :300])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_single_kv_block_degenerate(self):
+        from tpdm_tpu.ops.attention import _flash_attention_streaming_impl
+
+        q, k, v = _rand_qkv(jax.random.PRNGKey(9), b=1, h=1, n_q=128, n_kv=128)
+        out = _flash_attention_streaming_impl(q, k, v, None, 128, 128, True)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

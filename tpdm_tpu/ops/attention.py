@@ -88,6 +88,110 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _flash_kernel_streaming(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len: int
+):
+    """Online-softmax flash attention: kv streams in blocks via the grid.
+
+    For sequences too long for the resident-KV kernel (scores row would
+    blow VMEM — e.g. 2048px generation at ~16.7k tokens). Classic
+    running-max/running-sum recurrence; fp32 accumulators in scratch.
+    Grid: (bh, q_blocks, kv_blocks) with kv innermost.
+    """
+    j = pl.program_id(2)
+    n_kv_blocks = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_kv, d)
+    v = v_ref[0]
+    d = q.shape[-1]
+    block_kv = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / (d**0.5))
+    col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == n_kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash_attention_streaming_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len: Optional[int],
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    if kv_len is None:
+        kv_len = n_kv
+    block_q = min(block_q, _round_up(n_q, 128))
+    n_q_pad = _round_up(n_q, block_q)
+    n_kv_pad = _round_up(n_kv, block_kv)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+    bh = b * h
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_streaming, kv_len=kv_len),
+        grid=(bh, n_q_pad // block_q, n_kv_pad // block_kv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda i, j, t: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda i, j, t: (i, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, d), lambda i, j, t: (i, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j, t: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q.reshape(bh, n_q_pad, d), k.reshape(bh, n_kv_pad, d), v.reshape(bh, n_kv_pad, d))
+    return out.reshape(b, h, n_q_pad, d)[:, :, :n_q, :]
+
+
+# Above this kv length, the resident-KV kernel's fp32 score row would blow
+# the ~16MB VMEM budget; switch to the streaming online-softmax kernel.
+_STREAMING_KV_THRESHOLD = 8192
+
+
 def _flash_attention_fwd_impl(
     q: jax.Array,
     k: jax.Array,
@@ -171,7 +275,15 @@ def flash_attention(
             are masked. None = all valid.
         block_q: q-tile rows per program (>=128 multiple).
         interpret: run the kernel in the Pallas interpreter (CPU testing).
+
+    Dispatches to a kv-streaming online-softmax kernel for long sequences
+    (> _STREAMING_KV_THRESHOLD, e.g. 2048px generation at ~16.7k tokens);
+    shorter sequences use the faster resident-KV row-softmax kernel.
     """
+    if k.shape[2] > _STREAMING_KV_THRESHOLD:
+        return _flash_attention_streaming_impl(
+            q, k, v, kv_len, min(block_q, 256), 1024, interpret
+        )
     return _flash_attention_fwd_impl(q, k, v, kv_len, block_q, interpret)
 
 
