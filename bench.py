@@ -36,7 +36,6 @@ H100_DIFFUSERS_IMG_PER_S = 0.25
 
 def _sync(x) -> None:
     # The axon tunnel's block_until_ready is unreliable; force a host read.
-    jnp.asarray(x).addressable_shards if False else None
     _ = np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
 

@@ -259,31 +259,19 @@ def _flash_attention_fwd_impl(
     return out[:, :, :n_q, :]
 
 
+# ~12MB VMEM budget for the resident kernel's fp32 score block; block_q is
+# capped so block_q * kv_padded * 4 bytes stays inside it.
+_SCORE_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _cap_block_q(block_q: int, n_kv_pad: int) -> int:
+    cap = _SCORE_VMEM_BUDGET // (4 * n_kv_pad)
+    cap = max(128, cap // 128 * 128)
+    return min(block_q, cap)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    kv_len: Optional[int] = None,
-    block_q: int = 640,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused attention. q,k,v: (b, h, n, d); returns (b, h, n_q, d).
-
-    Args:
-        kv_len: number of valid kv positions (static); positions >= kv_len
-            are masked. None = all valid.
-        block_q: q-tile rows per program (>=128 multiple).
-        interpret: run the kernel in the Pallas interpreter (CPU testing).
-
-    Dispatches to a kv-streaming online-softmax kernel for long sequences
-    (> _STREAMING_KV_THRESHOLD, e.g. 2048px generation at ~16.7k tokens);
-    shorter sequences use the faster resident-KV row-softmax kernel.
-    """
-    if k.shape[2] > _STREAMING_KV_THRESHOLD:
-        return _flash_attention_streaming_impl(
-            q, k, v, kv_len, min(block_q, 256), 1024, interpret
-        )
+def _resident_flash_attention(q, k, v, kv_len, block_q, interpret):
     return _flash_attention_fwd_impl(q, k, v, kv_len, block_q, interpret)
 
 
@@ -297,7 +285,69 @@ def _bwd(kv_len, block_q, interpret, res, g):
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_resident_flash_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _streaming_flash_attention(q, k, v, kv_len, block_q, block_kv, interpret):
+    return _flash_attention_streaming_impl(
+        q, k, v, kv_len, block_q, block_kv, interpret
+    )
+
+
+def _sfwd(q, k, v, kv_len, block_q, block_kv, interpret):
+    return (
+        _flash_attention_streaming_impl(
+            q, k, v, kv_len, block_q, block_kv, interpret
+        ),
+        None,
+    )
+
+
+def _sbwd(kv_len, block_q, block_kv, interpret, res, g):
+    raise NotImplementedError(
+        "backward through streaming flash attention (kv > "
+        f"{_STREAMING_KV_THRESHOLD}) is not implemented — the dense "
+        "recompute would materialize the full score matrix. The TPDM "
+        "training path never differentiates the backbone; for long-sequence "
+        "attention grads use attention_reference with remat or a chunked "
+        "backward kernel (roadmap)."
+    )
+
+
+_streaming_flash_attention.defvjp(_sfwd, _sbwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len: Optional[int] = None,
+    block_q: int = 640,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention. q,k,v: (b, h, n, d); returns (b, h, n_q, d).
+
+    Args:
+        kv_len: number of valid kv positions (static); positions >= kv_len
+            are masked. None = all valid.
+        block_q: q-tile rows per program (>=128 multiple); automatically
+            capped so the fp32 score block fits the VMEM budget.
+        interpret: run the kernel in the Pallas interpreter (CPU testing).
+
+    Long sequences (> _STREAMING_KV_THRESHOLD kv tokens, e.g. 2048px
+    generation at ~16.7k) dispatch to a kv-streaming online-softmax kernel
+    (forward-only); shorter sequences use the faster resident-KV kernel
+    (differentiable via a dense-recompute VJP).
+    """
+    n_kv_pad = _round_up(k.shape[2], 128)
+    if k.shape[2] > _STREAMING_KV_THRESHOLD:
+        return _streaming_flash_attention(
+            q, k, v, kv_len, min(block_q, 256), 1024, interpret
+        )
+    return _resident_flash_attention(
+        q, k, v, kv_len, _cap_block_q(block_q, n_kv_pad), interpret
+    )
 
 
 def joint_attention(

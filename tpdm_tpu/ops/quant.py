@@ -85,6 +85,12 @@ class DenseMaybeQuant(nn.Module):
             else None
         )
         if not self.quant:
+            if kernel.dtype == jnp.int8:
+                raise ValueError(
+                    "int8 (prequantized) kernel given to a non-quant Dense; "
+                    "build the model with quant_matmuls=True or keep fp "
+                    "params"
+                )
             y = x @ kernel.astype(self.dtype)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
@@ -112,8 +118,6 @@ def prequantize_params(params):
     tree makes `quant_matmuls=True` models skip in-graph weight
     requantization (the measured end-to-end blocker, docs/PERF.md).
     """
-    import numpy as _np
-
     def walk(node):
         if not isinstance(node, dict):
             return node

@@ -30,7 +30,8 @@ def make_tp_attention(
     """Build attention fn with heads sharded over `axis` and batch over
     `batch_axes`. q,k,v: (b, h, n, d) with h divisible by mesh[axis].
     """
-    spec = P(batch_axes, axis, None, None)
+    present = tuple(a for a in batch_axes if a in mesh.axis_names)
+    spec = P(present if present else None, axis, None, None)
 
     def local_attention(q, k, v):
         if use_pallas:

@@ -81,12 +81,18 @@ class TPDMPipeline:
         mcfg = mmdit.config
         self.token_grid = mcfg.sample_size // mcfg.patch_size
         self._jit_cache: dict = {}
+        self._decode_jit = None
 
     # -- internals -------------------------------------------------------
-    def _decode(self, latents: jax.Array) -> jax.Array:
+    def _decode_impl(self, vae_params, latents: jax.Array) -> jax.Array:
         cfg = self.vae.config
         z = latents.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
-        return self.vae.apply(self.vae_params, z)
+        return self.vae.apply(vae_params, z)
+
+    def _decode(self, latents: jax.Array) -> jax.Array:
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(self._decode_impl)
+        return self._decode_jit(self.vae_params, latents)
 
     def _run(self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig):
         sig = (guidance_scale, scfg)
@@ -109,12 +115,7 @@ class TPDMPipeline:
                     scfg,
                 )
                 if self.vae is not None:
-                    cfg = self.vae.config
-                    z = (
-                        out.final_latents.astype(jnp.float32) / cfg.scaling_factor
-                        + cfg.shift_factor
-                    )
-                    decoded = self.vae.apply(vae_params, z)
+                    decoded = self._decode_impl(vae_params, out.final_latents)
                 else:
                     decoded = out.final_latents
                 return out, decoded
@@ -161,6 +162,12 @@ class TPDMPipeline:
 
         b = prompt_embeds.shape[0]
         if guidance_scale is not None:
+            if negative_prompt_embeds is None or negative_pooled_prompt_embeds is None:
+                raise ValueError(
+                    "classifier-free guidance is on (guidance_scale="
+                    f"{guidance_scale}); pass negative_prompt_embeds + "
+                    "negative_pooled_prompt_embeds (or guidance_scale=None)"
+                )
             pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
             pp = jnp.concatenate(
                 [negative_pooled_prompt_embeds, pooled_prompt_embeds]
@@ -230,6 +237,12 @@ class TPDMPipeline:
         point for the adaptive sampler."""
         b = prompt_embeds.shape[0]
         if guidance_scale is not None:
+            if negative_prompt_embeds is None or negative_pooled_prompt_embeds is None:
+                raise ValueError(
+                    "classifier-free guidance is on (guidance_scale="
+                    f"{guidance_scale}); pass negative_prompt_embeds + "
+                    "negative_pooled_prompt_embeds (or guidance_scale=None)"
+                )
             pe = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
             pp = jnp.concatenate(
                 [negative_pooled_prompt_embeds, pooled_prompt_embeds]
@@ -258,12 +271,7 @@ class TPDMPipeline:
                 )
                 if self.vae is None:
                     return final
-                cfg = self.vae.config
-                z = (
-                    final.astype(jnp.float32) / cfg.scaling_factor
-                    + cfg.shift_factor
-                )
-                return self.vae.apply(vae_params, z)
+                return self._decode_impl(vae_params, final)
 
             self._jit_cache[sig] = jax.jit(go)
         out = self._jit_cache[sig](

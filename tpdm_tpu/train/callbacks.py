@@ -8,10 +8,12 @@ beta / concentration curves. Artifacts land on disk (matplotlib Agg); wandb
 logging engages automatically when wandb is importable and a run is active
 — it is optional here (gated import), where the reference hard-requires it.
 
-On multi-host topologies, eval prompts split across processes and arrays
-gather to host 0 via `multihost_utils.process_allgather` — the TPU
-equivalent of the reference's accelerate `split_between_processes` +
-`gather_object` (:53,81-86).
+Multi-host note: sampling runs on every process (single-controller SPMD);
+plotting/saving is gated to process 0. Per-host prompt splitting + image
+gathering (the reference's accelerate `split_between_processes` +
+`gather_object`, :53,81-86) have helpers in `parallel/multihost.py` but are
+not wired here yet — fetching globally-sharded arrays to host needs
+process_allgather plumbing (roadmap).
 """
 
 from __future__ import annotations
@@ -101,6 +103,8 @@ class EvalVisualizationCallback:
             jax.random.PRNGKey(update),
             sampler_cfg=eval_cfg,
         )
+        if jax.process_index() != 0:
+            return
 
         if hasattr(outputs, "sigmas"):
             sigmas = np.asarray(outputs.sigmas)
