@@ -35,13 +35,20 @@ from tpdm_tpu.pipeline.sampler import replay_logprobs
 import optax
 
 
-def dryrun_training_step(n_devices: int) -> dict:
+def dryrun_training_step(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
     """One sharded rollout + one sharded PPO update on tiny shapes.
 
-    Returns a dict of scalar metrics (all asserted finite).
+    ``mesh_shape`` is an optional (data, fsdp, tensor) factorization; when
+    omitted the auto heuristic picks one. Returns a dict of scalar metrics
+    (all asserted finite).
     """
     devices = jax.devices()[:n_devices]
-    data, fsdp, tensor = auto_mesh_shape(n_devices)
+    if mesh_shape is None:
+        data, fsdp, tensor = auto_mesh_shape(n_devices)
+    else:
+        data, fsdp, tensor = mesh_shape
     mesh = make_mesh(devices, data=data, fsdp=fsdp, tensor=tensor)
 
     # Toy dims divisible by every mesh axis; jnp-attention path on CPU.
