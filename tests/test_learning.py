@@ -1,0 +1,116 @@
+"""The trainer must LEARN, not just run: directional end-to-end test.
+
+The reference's whole point is cutting NFE ~50% at preserved quality via
+RLOO (reference: README.md:16-17, trained by src/train/rloo_trainer.py:425-523).
+With a constant positive score and gamma < 1, the step-discount
+sum_i r*gamma^(L-i)/(L+1) (modeling_sd3_pnt.py:838-841) strictly favors
+shorter schedules, so a working advantage/replay/PPO stack must drive
+policy/steps_avg DOWN and objective/rlhf_reward UP — no reward weights
+needed. This exercises the full loop: rollout -> discount -> leave-one-out
+advantage -> TPM-only replay -> clipped PG -> adam.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+from tpdm_tpu.train import RLOOConfig, RLOOTrainer, TPDMAgent
+
+
+def _build_world(num_updates: int, seed: int = 0):
+    cfg_m = MMDiTConfig.toy()
+    model = MMDiT(cfg_m)
+    n_txt = 5
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.ones((2, cfg_m.in_channels, cfg_m.sample_size, cfg_m.sample_size)),
+        jnp.ones((2,)),
+        jnp.ones((2, n_txt, cfg_m.joint_attention_dim)),
+        jnp.ones((2, cfg_m.pooled_projection_dim)),
+    )
+    rloo_k = 4
+    config = RLOOConfig(
+        seed=seed,
+        per_device_train_batch_size=rloo_k,
+        rloo_k=rloo_k,
+        num_ppo_epochs=2,
+        max_inference_steps=6,
+        min_sigma=0.3,
+        total_episodes=rloo_k * num_updates,
+        learning_rate=3e-3,
+        gamma=0.7,
+        kl_coef=0.0,
+        init_alpha=2.5,  # Beta mode ~0.86 -> the untrained policy always
+        init_beta=0.7,  # uses all 6 steps (sigma_6 ~ 0.40 > min_sigma)
+        guidance_scale=7.0,
+        logging_steps=1,
+    )
+    agent = TPDMAgent(
+        model,
+        params,
+        config,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg_m.inner_dim,
+            temb_dim=cfg_m.inner_dim,
+            init_alpha=config.init_alpha,
+            init_beta=config.init_beta,
+        ),
+    )
+
+    rng = np.random.default_rng(seed)
+    dataset = [
+        {
+            "prompt": f"toy prompt {i}",
+            "prompt_embeds": rng.normal(size=(n_txt, cfg_m.joint_attention_dim)).astype(
+                np.float32
+            ),
+            "pooled_prompt_embeds": rng.normal(
+                size=(cfg_m.pooled_projection_dim,)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, cfg_m.joint_attention_dim), np.float32
+            ),
+            "negative_pooled_prompt_embeds": np.zeros(
+                (cfg_m.pooled_projection_dim,), np.float32
+            ),
+        }
+        for i in range(4)
+    ]
+
+    def reward_fn(prompts, outputs):
+        b = outputs.sigmas.shape[0]
+        ones = np.ones((b,), np.float32)
+        return ones, ones
+
+    trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+    return trainer
+
+
+def test_rloo_reduces_steps_and_raises_reward():
+    # measured trajectory on this config/seed: steps_avg 5.5 -> 1.0 and
+    # rlhf_reward 0.52 -> 1.0 within ~16 updates; assertions leave margin
+    trainer = _build_world(num_updates=24)
+    trainer.train()
+    hist = trainer.metrics_history
+    assert len(hist) == 24
+
+    def window(key, lo, hi):
+        return float(np.mean([m[key] for m in hist[lo:hi]]))
+
+    steps_first = window("policy/steps_avg", 0, 6)
+    steps_last = window("policy/steps_avg", -6, None)
+    reward_first = window("objective/rlhf_reward", 0, 6)
+    reward_last = window("objective/rlhf_reward", -6, None)
+
+    # the untrained policy runs nearly all 6 steps (sampling spread ends a
+    # few episodes at 5 — that variance IS the advantage signal); learning
+    # must shave at least one full step and raise the discounted reward
+    assert steps_first > 4.5, steps_first
+    assert steps_last < steps_first - 1.0, (steps_first, steps_last)
+    assert reward_last > reward_first + 0.05, (reward_first, reward_last)
+
+    # sanity: no skipped (NaN) updates, ratios stayed sane
+    assert all(m["val/num_skipped"] == 0.0 for m in hist)
+    assert all(0.2 < m["val/ratio"] < 5.0 for m in hist)
