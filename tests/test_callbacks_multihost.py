@@ -1,0 +1,77 @@
+"""Multihost eval-callback wiring: rank split + gather to rank 0.
+
+Parity target: the reference splits 10 eval prompts across ranks with
+accelerate's `split_between_processes` and gathers images/rewards to rank 0
+via NCCL `gather_object` (reference: src/train/callbacks.py:53,81-86). Here
+the split/pad/gather logic gets unit tests, and a 2-process jax.distributed
+(Gloo/CPU) integration test runs the real callback end to end.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+from tpdm_tpu.train.callbacks import shard_eval_batch
+
+
+def _batch(n):
+    return {
+        "prompt": [f"p{i}" for i in range(n)],
+        "prompt_embeds": np.arange(n, dtype=np.float32)[:, None] * np.ones((n, 4), np.float32),
+    }
+
+
+def test_shard_eval_batch_even():
+    b, n_valid = shard_eval_batch(_batch(4), index=1, count=2)
+    assert n_valid == 2
+    assert b["prompt"] == ["p2", "p3"]
+    np.testing.assert_array_equal(b["prompt_embeds"][:, 0], [2.0, 3.0])
+
+
+def test_shard_eval_batch_padded_tail():
+    b, n_valid = shard_eval_batch(_batch(3), index=1, count=2)
+    assert n_valid == 1
+    # the short tail pads by repeating row 0 so shapes match across ranks
+    assert b["prompt"] == ["p2", "p0"]
+    np.testing.assert_array_equal(b["prompt_embeds"][:, 0], [2.0, 0.0])
+
+
+def test_shard_eval_batch_empty_rank():
+    b, n_valid = shard_eval_batch(_batch(2), index=2, count=3)
+    assert n_valid == 0
+    assert b["prompt"] == ["p0"]  # pure padding, trimmed after gather
+
+
+def test_two_process_eval_callback(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_eval_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # workers use 1 local device each
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    with open(tmp_path / "summary.json") as f:
+        summary = json.load(f)
+    # 3 prompts split 2/1 across processes, gathered + trimmed back to 3
+    assert summary["rows"] == 3
+    assert summary["plot_exists"]
+    # rank-encoded rewards prove rank 1's slice reached rank 0:
+    # rows 0-1 scored by process 0 (reward 1), row 2 by process 1 (reward 2)
+    assert summary["rewards"] == [1.0, 1.0, 2.0]

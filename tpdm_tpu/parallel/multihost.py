@@ -19,10 +19,16 @@ import numpy as np
 T = TypeVar("T")
 
 
-def split_between_processes(items: Sequence[T]) -> list[T]:
-    """This host's contiguous slice of a work list (padded hosts get fewer)."""
-    n = jax.process_count()
-    i = jax.process_index()
+def split_between_processes(
+    items: Sequence[T], index: int | None = None, count: int | None = None
+) -> list[T]:
+    """This host's contiguous slice of a work list (padded hosts get fewer).
+
+    index/count default to jax.process_index()/process_count(); explicit
+    values allow testing the split logic without a multi-process runtime.
+    """
+    n = jax.process_count() if count is None else count
+    i = jax.process_index() if index is None else index
     per = -(-len(items) // n)
     return list(items[i * per : (i + 1) * per])
 

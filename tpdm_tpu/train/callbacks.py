@@ -8,12 +8,12 @@ beta / concentration curves. Artifacts land on disk (matplotlib Agg); wandb
 logging engages automatically when wandb is importable and a run is active
 — it is optional here (gated import), where the reference hard-requires it.
 
-Multi-host note: sampling runs on every process (single-controller SPMD);
-plotting/saving is gated to process 0. Per-host prompt splitting + image
-gathering (the reference's accelerate `split_between_processes` +
-`gather_object`, :53,81-86) have helpers in `parallel/multihost.py` but are
-not wired here yet — fetching globally-sharded arrays to host needs
-process_allgather plumbing (roadmap).
+Multi-host: eval prompts split into contiguous per-process slices (the
+reference's accelerate `split_between_processes`, :53), every process
+samples/scores/decodes only its slice, and stats + uint8 images gather to
+process 0 with `process_allgather` (the TPU analogue of the reference's
+NCCL `gather_object` of PIL images, :81-86). Uneven slices are padded so
+every process traces identical shapes (SPMD), then trimmed after gather.
 """
 
 from __future__ import annotations
@@ -28,6 +28,59 @@ logger = logging.getLogger(__name__)
 
 # 5 MSCOCO + 5 ShareGPT4V-style fixed eval prompts (reference pins its own
 # ten at callbacks.py:20-34).
+def shard_eval_batch(batch: dict, index: int, count: int):
+    """Contiguous per-process slice of an eval batch, padded to equal size.
+
+    Every process must trace/execute identical shapes under SPMD, so short
+    tail slices are padded by repeating the batch's first row. Returns
+    (local_batch, n_valid) with n_valid the number of unpadded rows.
+    """
+    import jax as _jax
+
+    total = None
+    for v in batch.values():
+        if isinstance(v, (np.ndarray, _jax.Array)):
+            total = v.shape[0]
+            break
+        if isinstance(v, list):
+            total = len(v)
+            break
+    if total is None:
+        raise ValueError("eval batch has no batched fields")
+    per = -(-total // count)
+    lo = min(index * per, total)
+    hi = min(lo + per, total)
+    n_valid = hi - lo
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, _jax.Array)):
+            part = np.asarray(v)[lo:hi]
+            if part.shape[0] < per:
+                fill = np.repeat(np.asarray(v)[:1], per - part.shape[0], axis=0)
+                part = np.concatenate([part, fill], axis=0)
+            out[k] = part
+        elif isinstance(v, list):
+            part = list(v[lo:hi])
+            out[k] = part + [v[0]] * (per - len(part))
+        else:
+            out[k] = v
+    return out, n_valid
+
+
+def _gather_trim(local: np.ndarray, total: int, count: int) -> np.ndarray:
+    """All-gather a per-process (per, ...) array and drop the tail padding."""
+    from tpdm_tpu.parallel.multihost import allgather_arrays
+
+    per = -(-total // count)
+    stacked = allgather_arrays(np.asarray(local))  # (count, per, ...)
+    rows = [
+        stacked[i, j]
+        for i in range(count)
+        for j in range(max(0, min(total - i * per, per)))
+    ]
+    return np.stack(rows, axis=0)
+
+
 DEFAULT_EVAL_PROMPTS = [
     "A man with a red helmet on a small moped on a dirt road.",
     "Man riding a motor bike on a dirt road on the countryside.",
@@ -97,14 +150,26 @@ class EvalVisualizationCallback:
         elif "num_inference_steps" in cfg_fields:
             overrides["num_inference_steps"] = self.max_inference_steps
         eval_cfg = dataclasses.replace(agent.sampler_cfg, **overrides)
+
+        # shard eval prompts across processes (reference callbacks.py:53)
+        n_proc, proc = jax.process_count(), jax.process_index()
+        if n_proc > 1:
+            batch, _ = shard_eval_batch(self.eval_batch, proc, n_proc)
+            total = len(self.eval_batch.get("prompt", [])) or next(
+                v.shape[0]
+                for v in self.eval_batch.values()
+                if isinstance(v, (np.ndarray, jax.Array))
+            )
+        else:
+            batch = self.eval_batch
+            total = None
+
         outputs = agent.sample(
             tpm_params,
-            self.eval_batch,
+            batch,
             jax.random.PRNGKey(update),
             sampler_cfg=eval_cfg,
         )
-        if jax.process_index() != 0:
-            return
 
         if hasattr(outputs, "sigmas"):
             sigmas = np.asarray(outputs.sigmas)
@@ -119,12 +184,30 @@ class EvalVisualizationCallback:
             "nfe": np.asarray(outputs.last_valid_index) + 1,
         }
         if self.reward_fn is not None:
-            scores, _ = self.reward_fn(self.eval_batch.get("prompt"), outputs)
+            scores, _ = self.reward_fn(batch.get("prompt"), outputs)
             record["rewards"] = np.asarray(scores)
+        imgs = None
+        if self.save_images and self.decode_fn is not None:
+            # decode locally on every process (SPMD-safe), gather uint8
+            from tpdm_tpu.utils.image import postprocess_images
+
+            imgs = postprocess_images(self.decode_fn(outputs.final_latents))
+
+        if n_proc > 1:
+            # gather every per-process slice to rank 0 (callbacks.py:81-86)
+            record = {
+                k: (_gather_trim(v, total, n_proc) if k != "update" else v)
+                for k, v in record.items()
+            }
+            if imgs is not None:
+                imgs = _gather_trim(np.asarray(imgs), total, n_proc)
+        if proc != 0:
+            return
+
         self.history.append(record)
         self._plot(record)
-        if self.save_images and self.decode_fn is not None:
-            self._save_images(update, outputs)
+        if imgs is not None:
+            self._save_images(update, imgs)
         logger.info(
             "eval @ update %d: mean NFE %.2f%s",
             update,
@@ -167,14 +250,10 @@ class EvalVisualizationCallback:
         fig.savefig(out)
         plt.close(fig)
 
-    def _save_images(self, update: int, outputs):
+    def _save_images(self, update: int, imgs):
         from PIL import Image
 
-        from tpdm_tpu.utils.image import postprocess_images
-
-        decoded = self.decode_fn(outputs.final_latents)
-        imgs = postprocess_images(decoded)
-        strip = np.concatenate(list(imgs), axis=1)
+        strip = np.concatenate(list(np.asarray(imgs)), axis=1)
         Image.fromarray(strip).save(
             os.path.join(self.output_dir, f"eval_images_{update}.png")
         )
