@@ -188,7 +188,9 @@ def attn_v3(q, k, v, kv_len=None, block_q=1120, chunk=1120):
 
 
 def _sync(x):
-    return float(np.asarray(x).ravel()[0])
+    # ONE element readback: np.asarray(full array) would drag ~27MB through
+    # the tunnel (~1.5s) and poison the timing (CLAUDE.md gotcha).
+    return float(x.reshape(-1)[0])
 
 
 def time_fn(f, q, k, v, reps=30):

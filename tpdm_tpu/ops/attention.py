@@ -9,8 +9,11 @@ HBM: one q-block row of fp32 scores lives in VMEM, K/V stay resident, and
 softmax+PV run fused.
 
 Because the backbone is frozen in TPDM training (only the TPM gets
-gradients), the backward pass is off the hot path: a custom_vjp recomputes
-attention with the jnp reference for grads.
+gradients), the backward pass is off the hot path: the resident kernel's
+custom_vjp recomputes attention with the jnp reference for grads; the
+streaming kernel (kv > 8k) uses a chunked two-pass backward
+(`attention_backward_chunked`) that never materializes the n² scores, so
+long sequences stay trainable.
 """
 
 from __future__ import annotations
@@ -296,23 +299,101 @@ def _streaming_flash_attention(q, k, v, kv_len, block_q, block_kv, interpret):
 
 
 def _sfwd(q, k, v, kv_len, block_q, block_kv, interpret):
-    return (
-        _flash_attention_streaming_impl(
-            q, k, v, kv_len, block_q, block_kv, interpret
-        ),
-        None,
+    out = _flash_attention_streaming_impl(
+        q, k, v, kv_len, block_q, block_kv, interpret
     )
+    return out, (q, k, v, out)
+
+
+def attention_backward_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    do: jax.Array,
+    kv_len: Optional[int] = None,
+    chunk: int = 1024,
+):
+    """Flash-attention backward that never materializes the (n, n) scores.
+
+    Standard two-pass chunked recomputation (the structure torch SDPA's
+    flash backward uses internally — the capability the reference gets for
+    free from torch, transformer_sd3.py:28,279): pass 1 rebuilds the
+    per-row softmax statistics (m, l) online over kv chunks; pass 2 walks
+    the chunks again computing dv_c = p_cᵀ·do, ds_c = p_c∘(do·v_cᵀ − D),
+    dq += ds_c·k_c, dk_c = ds_cᵀ·q, with D = rowsum(do∘o). Peak memory is
+    O(n_q·chunk) per (batch, head) — safe at 16k+ tokens where the dense
+    VJP would need n² fp32. Pure XLA (lax.scan), so it runs on any backend
+    and stays off the Pallas hot path (TPDM freezes the backbone; this
+    exists for long-sequence fine-tuning).
+    """
+    n_kv = k.shape[2]
+    if kv_len is None:
+        kv_len = n_kv
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    n_pad = _round_up(n_kv, chunk)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, n_pad - n_kv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, n_pad - n_kv), (0, 0)))
+    n_chunks = n_pad // chunk
+    # (c, b, h, chunk, d) chunk-major for scan
+    kc = jnp.moveaxis(kp.reshape(*k.shape[:2], n_chunks, chunk, d), 2, 0)
+    vc = jnp.moveaxis(vp.reshape(*v.shape[:2], n_chunks, chunk, d), 2, 0)
+    qf = q.astype(jnp.float32)
+
+    def scores(k_chunk, c):
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qf, k_chunk.astype(jnp.float32)
+        ) * scale
+        col = c * chunk + jnp.arange(chunk)
+        return jnp.where(col[None, None, None, :] < kv_len, s, _NEG_INF)
+
+    # pass 1: online softmax statistics (m, l) per query row
+    def stats_step(carry, xs):
+        m_run, l_run = carry
+        k_chunk, c = xs
+        s = scores(k_chunk, c)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
+        l_new = l_run * jnp.exp(m_run - m_new) + jnp.sum(
+            jnp.exp(s - m_new[..., None]), axis=-1
+        )
+        return (m_new, l_new), None
+
+    bq_shape = q.shape[:3]
+    (m, l), _ = jax.lax.scan(
+        stats_step,
+        (jnp.full(bq_shape, _NEG_INF, jnp.float32), jnp.zeros(bq_shape, jnp.float32)),
+        (kc, jnp.arange(n_chunks)),
+    )
+
+    dof = do.astype(jnp.float32)
+    D = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (b, h, nq)
+
+    # pass 2: chunked gradients
+    def grad_step(dq_acc, xs):
+        k_chunk, v_chunk, c = xs
+        s = scores(k_chunk, c)
+        p = jnp.exp(s - m[..., None]) / l[..., None]
+        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, v_chunk.astype(jnp.float32))
+        ds = p * (dp - D[..., None]) * scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_chunk.astype(jnp.float32))
+        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+        return dq_acc, (dk_c, dv_c)
+
+    dq, (dk_c, dv_c) = jax.lax.scan(
+        grad_step,
+        jnp.zeros(q.shape, jnp.float32),
+        (kc, vc, jnp.arange(n_chunks)),
+    )
+    dk = jnp.moveaxis(dk_c, 0, 2).reshape(*k.shape[:2], n_pad, d)[:, :, :n_kv]
+    dv = jnp.moveaxis(dv_c, 0, 2).reshape(*v.shape[:2], n_pad, d)[:, :, :n_kv]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _sbwd(kv_len, block_q, block_kv, interpret, res, g):
-    raise NotImplementedError(
-        "backward through streaming flash attention (kv > "
-        f"{_STREAMING_KV_THRESHOLD}) is not implemented — the dense "
-        "recompute would materialize the full score matrix. The TPDM "
-        "training path never differentiates the backbone; for long-sequence "
-        "attention grads use attention_reference with remat or a chunked "
-        "backward kernel (roadmap)."
-    )
+    q, k, v, out = res
+    return attention_backward_chunked(q, k, v, out, g, kv_len, chunk=block_kv)
 
 
 _streaming_flash_attention.defvjp(_sfwd, _sbwd)
@@ -337,8 +418,8 @@ def flash_attention(
 
     Long sequences (> _STREAMING_KV_THRESHOLD kv tokens, e.g. 2048px
     generation at ~16.7k) dispatch to a kv-streaming online-softmax kernel
-    (forward-only); shorter sequences use the faster resident-KV kernel
-    (differentiable via a dense-recompute VJP).
+    (differentiable via the chunked two-pass backward); shorter sequences
+    use the faster resident-KV kernel (dense-recompute VJP).
     """
     n_kv_pad = _round_up(k.shape[2], 128)
     if k.shape[2] > _STREAMING_KV_THRESHOLD:
