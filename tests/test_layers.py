@@ -175,3 +175,60 @@ class TestFeedForward:
         h = F.gelu(xt @ torch.tensor(w1) + torch.tensor(b1), approximate="tanh")
         ref = h @ torch.tensor(w2) + torch.tensor(b2)
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestPosEmbedBeyondMax:
+    """Grids past pos_embed_max_size (reference hard-caps at 96,
+    transformer_sd3.py:93-95): the sincos table regenerates in-graph."""
+
+    def test_jnp_generator_matches_numpy_table(self):
+        from tpdm_tpu.models.layers import (
+            get_2d_sincos_pos_embed,
+            get_2d_sincos_pos_embed_jnp,
+        )
+
+        a = get_2d_sincos_pos_embed(32, 12, 8)
+        b = np.asarray(get_2d_sincos_pos_embed_jnp(32, 12, 8))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_patch_embed_oversize_grid(self):
+        from tpdm_tpu.models.layers import PatchEmbed
+
+        pe = PatchEmbed(
+            patch_size=2, embed_dim=32, pos_embed_max_size=6, base_size=4
+        )
+        small = jnp.ones((1, 4, 8, 8))  # grid 4 <= max 6
+        params = pe.init(jax.random.PRNGKey(0), small)
+        big = jnp.ones((1, 4, 16, 16))  # grid 8 > max 6
+        out = pe.apply(params, big)
+        assert out.shape == (1, 64, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_mmdit_forward_at_2x_geometry(self):
+        """Toy MMDiT runs at double its configured sample size (the 2048px
+        path for SD3-medium)."""
+        from tpdm_tpu.models import MMDiT, MMDiTConfig
+
+        cfg = MMDiTConfig.toy()
+        model = MMDiT(cfg)
+        n_txt = 5
+        small = jnp.ones((1, cfg.in_channels, cfg.sample_size, cfg.sample_size))
+        params = model.init(
+            jax.random.PRNGKey(0),
+            small,
+            jnp.ones((1,)),
+            jnp.ones((1, n_txt, cfg.joint_attention_dim)),
+            jnp.ones((1, cfg.pooled_projection_dim)),
+        )
+        big = jnp.ones(
+            (1, cfg.in_channels, 2 * cfg.sample_size, 2 * cfg.sample_size)
+        )
+        vel, temb, h1, h2 = model.apply(
+            params,
+            big,
+            jnp.ones((1,)),
+            jnp.ones((1, n_txt, cfg.joint_attention_dim)),
+            jnp.ones((1, cfg.pooled_projection_dim)),
+        )
+        assert vel.shape == big.shape
+        assert np.isfinite(np.asarray(vel)).all()

@@ -85,6 +85,34 @@ def get_2d_sincos_pos_embed(
     return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
 
 
+def get_2d_sincos_pos_embed_jnp(
+    embed_dim: int,
+    grid_size: int,
+    base_size: int,
+) -> jax.Array:
+    """Device-computed twin of `get_2d_sincos_pos_embed` (fp32 jnp ops).
+
+    Used for grids larger than the checkpoint's stored table, where baking
+    a (grid² × embed_dim) constant into the executable would be wasteful —
+    XLA computes it in-graph instead. At grid_size == stored size it is
+    numerically identical to the table (verified by test).
+    """
+    coords = jnp.arange(grid_size, dtype=jnp.float32) / (grid_size / base_size)
+    gw, gh = jnp.meshgrid(coords, coords)  # w first, per diffusers
+
+    def _1d(dim: int, pos: jax.Array) -> jax.Array:
+        omega = jnp.arange(dim // 2, dtype=jnp.float32) / (dim / 2.0)
+        omega = 1.0 / 10000.0**omega
+        out = pos.reshape(-1)[:, None] * omega[None, :]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
+
+    # diffusers quirk: "h" embedding consumes meshgrid's FIRST output (the
+    # w-varying grid) — mirrored here for bit-compatibility with the table
+    emb_h = _1d(embed_dim // 2, gw)
+    emb_w = _1d(embed_dim // 2, gh)
+    return jnp.concatenate([emb_h, emb_w], axis=1)
+
+
 def _layer_norm_fp32(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Affine-free LayerNorm with fp32 statistics, output in input dtype."""
     x32 = x.astype(jnp.float32)
@@ -203,6 +231,15 @@ class PatchEmbed(nn.Module):
             ),
         ).value
         m = self.pos_embed_max_size
+        if gh > m or gw > m:
+            # Beyond the stored table (reference hard-caps here,
+            # transformer_sd3.py:93-95): SD3's table is the deterministic
+            # sincos function, so regenerate it at the needed grid with the
+            # natural base_size scaling — coordinates stay in the trained
+            # [0, base_size) range (plain positional interpolation), enabling
+            # 2048px+ generation.
+            m = max(gh, gw)
+            table = get_2d_sincos_pos_embed_jnp(self.embed_dim, m, self.base_size)
         top = (m - gh) // 2
         left = (m - gw) // 2
         pos = table.reshape(m, m, self.embed_dim)[
