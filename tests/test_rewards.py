@@ -485,3 +485,106 @@ class TestBLIPScore:
         s = m.score(ids, imgs)
         assert s.shape == (2,) and np.isfinite(s).all()
         assert (np.abs(s) <= 1.0 + 1e-5).all()  # cosine without logit scale
+
+
+class TestBLIPScoreOracle:
+    """Numerical oracle for the BLIP ITC score (reference
+    models/BLIPScore.py:39-69): text-mode BERT with padding mask re-derived
+    functionally in torch, then the projection/l2/cosine head composed with
+    the (separately transformers-oracled) jax ViT tower."""
+
+    def _torch_bert_text(self, p, cfg, ids, mask):
+        def lin(x, tree):
+            return x @ torch.tensor(np.asarray(tree["kernel"])) + torch.tensor(
+                np.asarray(tree["bias"])
+            )
+
+        def ln(x, tree):
+            return F.layer_norm(
+                x, (x.shape[-1],),
+                torch.tensor(np.asarray(tree["scale"])),
+                torch.tensor(np.asarray(tree["bias"])), eps=1e-12,
+            )
+
+        def mha(q_in, kv_in, tree, heads, attn_mask=None):
+            q, k, v = (
+                lin(q_in, tree["query"]),
+                lin(kv_in, tree["key"]),
+                lin(kv_in, tree["value"]),
+            )
+            b, n, d = q.shape
+            m = k.shape[1]
+            hd = d // heads
+            q = q.view(b, n, heads, hd).transpose(1, 2)
+            k = k.view(b, m, heads, hd).transpose(1, 2)
+            v = v.view(b, m, heads, hd).transpose(1, 2)
+            am = None
+            if attn_mask is not None:
+                am = torch.where(
+                    torch.tensor(attn_mask)[:, None, None, :],
+                    torch.zeros(()),
+                    torch.full((), -1e9),
+                )
+            o = F.scaled_dot_product_attention(q, k, v, attn_mask=am)
+            return o.transpose(1, 2).reshape(b, n, d)
+
+        emb = torch.tensor(np.asarray(p["word_embeddings"]["embedding"]))[
+            torch.tensor(ids, dtype=torch.long)
+        ]
+        emb = emb + torch.tensor(np.asarray(p["position_embeddings"]))[: ids.shape[1]]
+        x = ln(emb, p["embeddings_ln"])
+        for i in range(cfg.num_hidden_layers):
+            lp = p[f"layer_{i}"]
+            att = mha(x, x, lp["attention_self"], cfg.num_attention_heads, mask)
+            x = ln(x + lin(att, lp["attention_output"]), lp["attention_ln"])
+            # text mode: cross-attention blocks are SKIPPED (med.py mode='text')
+            y = F.gelu(lin(x, lp["intermediate"]))
+            x = ln(x + lin(y, lp["output"]), lp["output_ln"])
+        return x
+
+    def test_text_mode_masked_bert_matches_torch(self):
+        from tpdm_tpu.rewards.bert import BertMedConfig, BertMedModel
+
+        cfg = BertMedConfig.toy()
+        model = BertMedModel(cfg)
+        ids = np.array([[4, 7, 9, 1, 0, 0], [3, 2, 1, 0, 0, 0]], np.int32)
+        mask = ids != 0
+        params = model.init(jax.random.PRNGKey(0), jnp.array(ids), None, None)
+        ours = model.apply(params, jnp.array(ids), jnp.array(mask), None, None)
+        ref = self._torch_bert_text(params["params"], cfg, ids, mask)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4
+        )
+
+    def test_itc_score_matches_torch_head(self):
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.scorers import BLIPScoreModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+        from tpdm_tpu.utils.image import bicubic_resize_center_crop, normalize_clip
+
+        m = BLIPScoreModel.create(
+            vit_cfg=ViTConfig.toy(), bert_cfg=BertMedConfig.toy(), embed_dim=8
+        )
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 255, (2, 28, 24, 3), dtype=np.uint8)
+        ids = np.array([[4, 1, 2, 0], [7, 3, 1, 0]], np.int32)
+        mask = ids != 0
+        ours = m.score(ids, imgs)
+
+        # torch head: ViT CLS taken from the (transformers-oracled) jax
+        # tower; bert/projections/l2/cosine fully re-derived in torch
+        pixels = normalize_clip(bicubic_resize_center_crop(imgs, m.image_size))
+        img_cls = np.asarray(m.vit.apply(m.vit_params, jnp.asarray(pixels))[:, 0])
+        txt = self._torch_bert_text(
+            m.bert_params["params"], BertMedConfig.toy(), ids, mask
+        )[:, 0]
+        imgf = torch.tensor(img_cls) @ torch.tensor(
+            np.asarray(m.vision_proj["kernel"])
+        ) + torch.tensor(np.asarray(m.vision_proj["bias"]))
+        txtf = txt @ torch.tensor(np.asarray(m.text_proj["kernel"])) + torch.tensor(
+            np.asarray(m.text_proj["bias"])
+        )
+        imgf = imgf / imgf.norm(dim=-1, keepdim=True)
+        txtf = txtf / txtf.norm(dim=-1, keepdim=True)
+        ref = (imgf * txtf).sum(-1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
