@@ -187,6 +187,56 @@ def attn_v3(q, k, v, kv_len=None, block_q=1120, chunk=1120):
     return out.reshape(b, h, n_q_pad, d)[:, :, :n_q, :]
 
 
+def _kernel_v4(q_ref, k_ref, v_ref, o_ref, *, kv_padded, chunk):
+    """Chunked online softmax, NO masking: padded k rows are zeros (s=0) and
+    the ones column is zeroed there, so numerator and denominator are exact
+    for any running max m (softmax is shift-invariant given a shared m)."""
+    q = q_ref[0]
+    d = q.shape[-1]
+    n_chunks = kv_padded // chunk
+    m = None
+    acc = None
+    for t in range(n_chunks):
+        k = k_ref[0, t * chunk:(t + 1) * chunk, :]
+        v = v_ref[0, t * chunk:(t + 1) * chunk, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if t == 0:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        else:
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = m_new
+    o_ref[0] = (acc[:, :d] / acc[:, -1:]).astype(o_ref.dtype)
+
+
+def attn_v4(q, k, v, kv_len=None, block_q=2240, chunk=640):
+    b, h, n_q, d = q.shape
+    qs = (q.astype(jnp.float32) * (LOG2E / d**0.5)).astype(q.dtype)
+    q3, k3, v3, kv_len, n_q_pad, n_kv_pad, bh = _prep(qs, k, v, kv_len, block_q)
+    assert n_kv_pad % chunk == 0
+    out = pl.pallas_call(
+        functools.partial(_kernel_v4, kv_padded=n_kv_pad, chunk=chunk),
+        grid=(bh, n_q_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_kv_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_kv_pad, d + 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+    )(q3, k3, v3)
+    return out.reshape(b, h, n_q_pad, d)[:, :, :n_q, :]
+
+
 def _sync(x):
     # ONE element readback: np.asarray(full array) would drag ~27MB through
     # the tunnel (~1.5s) and poison the timing (CLAUDE.md gotcha).
@@ -232,14 +282,16 @@ def main():
                   flush=True)
 
     report("v0 current (bq640)", lambda q, k, v: flash_attention(q, k, v))
-    report("v1 exp2+prescale (bq640)", lambda q, k, v: attn_v1(q, k, v, block_q=640))
-    for bq, ch in ((640, 640), (640, 1120), (1120, 640), (2240, 640),
-                   (640, 2240), (320, 640)):
-        report(f"v2 chunked bq{bq} ch{ch}",
-               functools.partial(attn_v2, block_q=bq, chunk=ch))
-    for bq, ch in ((640, 640), (640, 1120), (1120, 640)):
-        report(f"v3 maxfree bq{bq} ch{ch}",
-               functools.partial(attn_v3, block_q=bq, chunk=ch))
+    for bq, ch in ((2240, 640), (4480, 640), (2240, 448), (2240, 896),
+                   (1120, 448), (2240, 320), (1120, 896)):
+        if 4480 % ch == 0:
+            report(f"v2 chunked bq{bq} ch{ch}",
+                   functools.partial(attn_v2, block_q=bq, chunk=ch))
+    # v4: no in-kernel mask — padded K rows are zeros and the ones column is
+    # already zeroed there, so o/l is exact for any running max
+    for bq, ch in ((2240, 640), (1120, 640), (4480, 640), (2240, 448)):
+        report(f"v4 nomask bq{bq} ch{ch}",
+               functools.partial(attn_v4, block_q=bq, chunk=ch))
 
 
 if __name__ == "__main__":

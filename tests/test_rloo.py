@@ -393,3 +393,49 @@ class TestGradientAccumulation:
         assert np.isfinite(list(trainer.metrics_history[-1].values())).all()
         diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestOffloadPlumbing:
+    """Agent-level pinned-host cache plumbing (VERDICT round-1 item 5).
+
+    The out_shardings tree pins exactly the cache fields; on the CPU
+    backend the dispatcher returns the plain jit (CPU "device" memory IS
+    host RAM), and rollout semantics are unchanged with offload on.
+    """
+
+    @staticmethod
+    def _agent_and_batch():
+        from tpdm_tpu.train.rloo import _default_collate
+
+        config, agent, _, dataset = _toy_world()
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
+        batch = _default_collate(dataset[:2])
+        return agent, tpm_params, batch
+
+    def test_out_shardings_tree_targets_cache_only(self):
+        agent, tpm_params, batch = self._agent_and_batch()
+        tree = agent.offload_out_shardings(agent.sampler_cfg)
+        assert tree.h_cache is not None and tree.temb_cache is not None
+        assert tree.h_cache.memory_kind == "pinned_host"
+        others = {
+            f: getattr(tree, f)
+            for f in type(tree)._fields
+            if f not in ("h_cache", "temb_cache")
+        }
+        assert all(v is None for v in others.values()), others
+
+    def test_cpu_dispatch_and_equal_semantics(self):
+        import dataclasses
+
+        agent, tpm_params, batch = self._agent_and_batch()
+        off_cfg = dataclasses.replace(agent.sampler_cfg, offload_cache=True)
+        assert agent._get_sample_jit(off_cfg) is agent._sample_jit  # CPU
+        key = jax.random.PRNGKey(3)
+        base = agent.sample(tpm_params, batch, key)
+        off = agent.sample(tpm_params, batch, key, sampler_cfg=off_cfg)
+        np.testing.assert_allclose(
+            np.asarray(base.sigmas), np.asarray(off.sigmas), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.h_cache), np.asarray(off.h_cache), rtol=1e-6
+        )

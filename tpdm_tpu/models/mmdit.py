@@ -146,13 +146,24 @@ class JointAttention(nn.Module):
             qc = RMSNorm(d, name="norm_added_q")(qc)
             kc = RMSNorm(d, name="norm_added_k")(kc)
 
+        # Pad the (small) context q/k/v to land the joint length on a 128
+        # multiple: the flash kernel then skips its three full-sequence pad
+        # copies per layer (~27MB each at 1024px); the 51 pad kv columns are
+        # masked via kv_len inside the kernel, pad q rows are sliced away.
+        n_tok = n_img + n_ctx
+        pad = -n_tok % 128
+        if pad:
+            zeros = ((0, 0), (0, 0), (0, pad), (0, 0))
+            qc, kc, vc = (jnp.pad(t, zeros) for t in (qc, kc, vc))
         q = jnp.concatenate([q, qc], axis=2)
         k = jnp.concatenate([k, kc], axis=2)
         v = jnp.concatenate([v, vc], axis=2)
 
-        o = joint_attention(q, k, v, use_pallas=cfg.use_pallas)
-        o = o.transpose(0, 2, 1, 3).reshape(b, n_img + n_ctx, h * d)
-        o_img, o_ctx = o[:, :n_img], o[:, n_img:]
+        o = joint_attention(
+            q, k, v, kv_len=n_tok if pad else None, use_pallas=cfg.use_pallas
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, n_tok + pad, h * d)
+        o_img, o_ctx = o[:, :n_img], o[:, n_img:n_tok]
 
         o_img = DenseMaybeQuant(
             cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_out"

@@ -50,41 +50,58 @@ def attention_reference(
     ).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_padded: int):
-    """One (batch·head, q-block) program: row softmax over resident K/V.
+_LOG2E = 1.4426950408889634
 
-    V arrives with a ones column appended (masked rows zeroed), so the
-    softmax denominator falls out of the PV matmul for free — the lane is
-    part of the 128-lane padding anyway, and dropping the separate VPU sum
-    pass is worth ~10% on the 4429-token SD3 shape.
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_padded: int, chunk_kv: int
+):
+    """One (batch·head, q-block) program: online softmax over resident K/V,
+    walked in kv chunks by an UNROLLED loop.
+
+    Three tricks, each measured on the 4429-token SD3 shape (v5e):
+    - ones-column denominator: V arrives with a ones column appended
+      (masked rows zeroed), so the softmax sum falls out of the PV matmul
+      for free (~10%);
+    - q is pre-scaled by log2(e)/sqrt(d) outside and the kernel uses exp2,
+      dropping the per-score scale multiply and the exp→exp2 conversion;
+    - kv chunking with a static unrolled loop lets Mosaic overlap chunk
+      t+1's QK^T on the MXU with chunk t's exp2 on the VPU (together
+      ~15%: 4.73 → 4.10 ms for 2×24×4429×64, 51→59 TF/s; the ~98 TF/s
+      ceiling is architectural — head_dim 64 half-fills the MXU on both
+      matmul phases).
     """
-    q = q_ref[0]  # (block_q, d)
-    k = k_ref[0]  # (kv_padded, d)
-    v = v_ref[0]  # (kv_padded, d+1) — last lane is the ones column
+    q = q_ref[0]  # (block_q, d), pre-scaled by log2(e)/sqrt(d)
     d = q.shape[-1]
-    scale = 1.0 / (d**0.5)
-
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    if kv_len < kv_padded:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    l = o[:, -1:]
-    o_ref[0] = (o[:, :d] / l).astype(o_ref.dtype)
+    m = None
+    acc = None
+    for start in range(0, kv_padded, chunk_kv):
+        stop = min(start + chunk_kv, kv_padded)
+        k = k_ref[0, start:stop, :]
+        v = v_ref[0, start:stop, :]  # (chunk, d+1) — last lane: ones column
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if stop > kv_len:
+            col = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        if m is None:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m - m_new)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+    o_ref[0] = (acc[:, :d] / acc[:, -1:]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -202,15 +219,21 @@ def _flash_attention_fwd_impl(
     kv_len: Optional[int],
     block_q: int,
     interpret: bool,
+    chunk_kv: int = 640,
 ) -> jax.Array:
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     if kv_len is None:
         kv_len = n_kv
 
+    # fold scale and the exp->exp2 base change into q (one tiny elementwise
+    # op on (b,h,n,d) instead of a per-score multiply on (n,n))
+    q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
+
     block_q = min(block_q, _round_up(n_q, 128))
     n_q_pad = _round_up(n_q, block_q)
     n_kv_pad = _round_up(n_kv, 128)
+    chunk_kv = min(chunk_kv, n_kv_pad)
 
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
@@ -232,7 +255,9 @@ def _flash_attention_fwd_impl(
 
     grid = (bh, n_q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=kv_len, kv_padded=n_kv_pad),
+        functools.partial(
+            _flash_kernel, kv_len=kv_len, kv_padded=n_kv_pad, chunk_kv=chunk_kv
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -262,13 +287,14 @@ def _flash_attention_fwd_impl(
     return out[:, :, :n_q, :]
 
 
-# ~12MB VMEM budget for the resident kernel's fp32 score block; block_q is
-# capped so block_q * kv_padded * 4 bytes stays inside it.
-_SCORE_VMEM_BUDGET = 12 * 1024 * 1024
+# ~10MB VMEM budget for the resident kernel's fp32 score chunk; block_q is
+# capped so block_q * chunk_kv * 4 bytes (scores) plus the fp32 accumulator
+# stays inside it (K/V residency ~1MB is on top).
+_SCORE_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _cap_block_q(block_q: int, n_kv_pad: int) -> int:
-    cap = _SCORE_VMEM_BUDGET // (4 * n_kv_pad)
+def _cap_block_q(block_q: int, chunk_kv: int, d: int) -> int:
+    cap = _SCORE_VMEM_BUDGET // (4 * (chunk_kv + d + 1))
     cap = max(128, cap // 128 * 128)
     return min(block_q, cap)
 
@@ -404,7 +430,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     kv_len: Optional[int] = None,
-    block_q: int = 640,
+    block_q: int = 2240,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention. q,k,v: (b, h, n, d); returns (b, h, n_q, d).
@@ -413,7 +439,8 @@ def flash_attention(
         kv_len: number of valid kv positions (static); positions >= kv_len
             are masked. None = all valid.
         block_q: q-tile rows per program (>=128 multiple); automatically
-            capped so the fp32 score block fits the VMEM budget.
+            capped so the fp32 score chunk fits the VMEM budget. 2240 (two
+            programs per head at the SD3 1024px shape) measured best.
         interpret: run the kernel in the Pallas interpreter (CPU testing).
 
     Long sequences (> _STREAMING_KV_THRESHOLD kv tokens, e.g. 2048px
@@ -421,13 +448,12 @@ def flash_attention(
     (differentiable via the chunked two-pass backward); shorter sequences
     use the faster resident-KV kernel (dense-recompute VJP).
     """
-    n_kv_pad = _round_up(k.shape[2], 128)
     if k.shape[2] > _STREAMING_KV_THRESHOLD:
         return _streaming_flash_attention(
             q, k, v, kv_len, min(block_q, 256), 1024, interpret
         )
     return _resident_flash_attention(
-        q, k, v, kv_len, _cap_block_q(block_q, n_kv_pad), interpret
+        q, k, v, kv_len, _cap_block_q(block_q, 640, q.shape[-1]), interpret
     )
 
 

@@ -229,8 +229,50 @@ class TPDMAgent:
         )
         self.needs_inputs_for_replay = replay_mode == "recompute"
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
+        self._offload_sample_jits: dict = {}
         self._replay_jit = jax.jit(self._replay)
         self._recompute_jit = jax.jit(self._replay_recompute)
+
+    def offload_out_shardings(self, scfg: SamplerConfig):
+        """out_shardings pytree pinning the activation cache to host memory.
+
+        A jit boundary without explicit out_shardings silently migrates the
+        internally host-placed cache back to HBM (defeating the offload —
+        the analogue of the reference's blocking CPU-RAM cache,
+        modeling_sd3_pnt.py:553). Cache fields get pinned_host; everything
+        else stays unspecified (None).
+        """
+        from jax.sharding import SingleDeviceSharding
+
+        host = SingleDeviceSharding(jax.devices()[0], memory_kind="pinned_host")
+        cached = ("h_cache", "temb_cache") if scfg.cache_activations else ()
+        return SampleOutput(
+            **{f: (host if f in cached else None) for f in SampleOutput._fields}
+        )
+
+    def _get_sample_jit(self, scfg: SamplerConfig):
+        """Pick the jitted rollout for this config.
+
+        The pinned-host out_shardings annotation is TPU-only (the CPU
+        backend has no device↔host placement custom call); on CPU "device"
+        memory already is host RAM, so the plain jit is semantically
+        equivalent there.
+        """
+        if not (
+            scfg.offload_cache
+            and scfg.cache_activations
+            and jax.default_backend() != "cpu"
+        ):
+            return self._sample_jit
+        fn = self._offload_sample_jits.get(scfg)
+        if fn is None:
+            fn = jax.jit(
+                self._sample,
+                static_argnames=("scfg",),
+                out_shardings=self.offload_out_shardings(scfg),
+            )
+            self._offload_sample_jits[scfg] = fn
+        return fn
 
     def init_tpm_params(self, key: jax.Array):
         mcfg = self.mmdit.config
@@ -297,7 +339,23 @@ class TPDMAgent:
         scfg = sampler_cfg or dataclasses.replace(
             self.sampler_cfg, predict=predict
         )
-        return self._sample_jit(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
+        fn = self._get_sample_jit(scfg)
+        if fn is not self._sample_jit:
+            # Current TPU toolchains can crash XLA's host-offload
+            # propagation pass on loop+DUS graphs (minimal repros in
+            # experiments/offload_minimal.py); degrade to the plain jit
+            # (cache migrates to HBM at the boundary) rather than failing.
+            try:
+                return fn(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                logger.warning(
+                    "pinned-host out_shardings compile failed (%s); "
+                    "falling back to HBM-resident cache at the jit boundary",
+                    type(e).__name__,
+                )
+                self._offload_sample_jits[scfg] = self._sample_jit
+                fn = self._sample_jit
+        return fn(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
 
     def _replay(self, tpm_params, h_cache, temb_cache, sigmas):
         return replay_logprobs(
