@@ -5,7 +5,11 @@ training loop's two phases at SD3-medium scale on one chip:
   - rollout episodes/sec (28-step adaptive loop, cache ON, batch b)
   - PPO micro-steps/sec (TPM-only replay + update)
 
-Usage: python bench_train.py [batch]
+Usage: python bench_train.py [batch] [--int8] [--recompute]
+  --int8      stored-int8 backbone (prequantize_params): halves weight HBM
+              (2.0 vs 4.1 GB at SD3-medium) to buy batch/cache headroom
+  --recompute replay_mode="recompute" (latent-history replay, 50x smaller
+              cache)
 """
 
 import json
@@ -21,14 +25,21 @@ import optax
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    b = int(args[0]) if args else 2
+    int8 = "--int8" in sys.argv
+    replay_mode = "recompute" if "--recompute" in sys.argv else "cached"
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
     from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
     from tpdm_tpu.train import RLOOConfig, TPDMAgent
     from tpdm_tpu.train.rloo import ppo_loss
 
-    mcfg = MMDiTConfig.sd3_medium() if on_tpu else MMDiTConfig.toy(dtype=jnp.bfloat16)
+    mcfg = (
+        MMDiTConfig.sd3_medium(quant_matmuls=int8)
+        if on_tpu
+        else MMDiTConfig.toy(dtype=jnp.bfloat16, quant_matmuls=int8)
+    )
     n_txt = 333 if on_tpu else 8
     model = MMDiT(mcfg)
     shapes = jax.eval_shape(
@@ -43,6 +54,10 @@ def main():
         lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
         shapes,
     )
+    if int8:
+        from tpdm_tpu.ops.quant import prequantize_params
+
+        params = prequantize_params(params)
     config = RLOOConfig(max_inference_steps=28, rloo_k=2, per_device_train_batch_size=b)
     agent = TPDMAgent(
         model, params, config,
@@ -52,6 +67,7 @@ def main():
             temb_dim=mcfg.inner_dim,
             dtype=jnp.bfloat16,
         ),
+        replay_mode=replay_mode,
     )
     tpm_params = agent.init_tpm_params(jax.random.PRNGKey(1))
     batch = {
@@ -75,10 +91,12 @@ def main():
     opt_state = tx.init(tpm_params)
     adv = jnp.ones((b,))
 
+    replay_inputs = batch if agent.needs_inputs_for_replay else None
+
     @jax.jit
     def ppo_step(p, opt_state, out, adv):
         def loss_fn(p):
-            lp = agent.replay(p, out)
+            lp = agent.replay(p, out, inputs=replay_inputs)
             return ppo_loss(lp, out.logprobs, adv, 0.2)
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -93,7 +111,7 @@ def main():
     sync(loss)
     ppo_s = (time.time() - t0) / 5
 
-    print(json.dumps({
+    result = {
         "rollout_s": round(rollout_s, 3),
         "rollout_episodes_per_s": round(b / rollout_s, 4),
         "ppo_microstep_s": round(ppo_s, 4),
@@ -101,7 +119,15 @@ def main():
         "batch": b,
         "backend": jax.default_backend(),
         "nfe": int(out.num_steps),
-    }))
+        "int8": int8,
+        "replay_mode": replay_mode,
+    }
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        result["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -112,11 +112,28 @@ class WebDatasetPrompts:
 
     def _raw_iter(self) -> Iterator[dict]:
         for path in self.files:
-            with tarfile.open(path) as tar:
-                for member in tar:
-                    if member.name.endswith(".json"):
-                        payload = json.loads(tar.extractfile(member).read())
-                        yield {"json": payload, "__key__": member.name[:-5]}
+            try:
+                yield from self._native_iter(path)
+            except Exception:
+                # fallback: Python tarfile (e.g. PAX long names)
+                with tarfile.open(path) as tar:
+                    for member in tar:
+                        if member.name.endswith(".json"):
+                            payload = json.loads(tar.extractfile(member).read())
+                            yield {"json": payload, "__key__": member.name[:-5]}
+
+    @staticmethod
+    def _native_iter(path: str) -> Iterator[dict]:
+        """Fast path: native member index (tar_index.cpp) + seek/read —
+        no per-member Python tarfile objects."""
+        from tpdm_tpu.data.native import tar_index
+
+        entries = [e for e in tar_index(path) if e[0].endswith(".json")]
+        with open(path, "rb") as f:
+            for name, offset, size in entries:
+                f.seek(offset)
+                payload = json.loads(f.read(size))
+                yield {"json": payload, "__key__": name[:-5]}
 
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed)
