@@ -425,3 +425,87 @@ class TestSD15BlockOracles:
         h = F.conv2d(h, w_out, torch.tensor(np.asarray(p["proj_out"]["bias"])))
         ref = h.permute(0, 2, 3, 1) + xt
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
+class TestUNetConverter:
+    """diffusers UNet2DConditionModel layout <-> UNetSD15 params.
+
+    Round-trips a toy UNet's param tree through the diffusers-layout export
+    and back (mapping consistency), and checks canonical diffusers keys and
+    torch weight layouts so a systematically wrong mapping can't cancel out.
+    """
+
+    def _toy(self):
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+
+        cfg = UNetConfig.toy(cross_attention_dim=16)
+        unet = UNetSD15(cfg)
+        params = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((1,)),
+            jnp.zeros((1, 5, 16)),
+        )
+        return cfg, unet, params
+
+    def test_round_trip_identity(self):
+        from tpdm_tpu.utils.convert import convert_unet_sd15, export_unet_sd15
+
+        cfg, unet, params = self._toy()
+        sd = export_unet_sd15(params)
+        back = convert_unet_sd15(
+            sd,
+            block_out_channels=cfg.block_out_channels,
+            layers_per_block=cfg.layers_per_block,
+        )
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(back)}
+        assert len(flat_a) == len(flat_b)
+        for k, v in flat_a:
+            np.testing.assert_array_equal(np.asarray(v), flat_b[str(k)], err_msg=str(k))
+        # converted params actually run
+        out = unet.apply(
+            back,
+            jnp.ones((1, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((1,)),
+            jnp.ones((1, 5, 16)),
+        )[0]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_canonical_diffusers_keys_and_layouts(self):
+        from tpdm_tpu.utils.convert import export_unet_sd15
+
+        cfg, unet, params = self._toy()
+        sd = export_unet_sd15(params)
+        ch = cfg.block_out_channels
+        d = ch[0]
+        # canonical key spellings a real SD1.5 checkpoint uses
+        for key in (
+            "conv_in.weight",
+            "time_embedding.linear_1.weight",
+            "down_blocks.0.resnets.0.conv1.weight",
+            "down_blocks.0.resnets.0.time_emb_proj.weight",
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight",
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_out.0.bias",
+            "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight",
+            "down_blocks.0.downsamplers.0.conv.weight",
+            "mid_block.attentions.0.proj_in.weight",
+            "up_blocks.1.attentions.0.transformer_blocks.0.attn2.to_k.weight",
+            "up_blocks.0.upsamplers.0.conv.weight",
+            "conv_norm_out.weight",
+            "conv_out.bias",
+        ):
+            assert key in sd, key
+        # torch layouts: conv (out, in, kh, kw); dense (out, in)
+        assert sd["conv_in.weight"].shape == (d, 4, 3, 3)
+        assert sd["down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"].shape == (
+            d,
+            cfg.cross_attention_dim,
+        )
+        assert sd[
+            "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight"
+        ].shape == (8 * d, d)
+        # attn projections carry no bias (diffusers SD1.5)
+        assert "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.bias" not in sd
+        # UpBlock2D (up_blocks.0) has no attentions
+        assert not any(k.startswith("up_blocks.0.attentions") for k in sd)

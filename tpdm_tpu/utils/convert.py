@@ -349,3 +349,172 @@ def convert_vae(
         prev = out_ch
 
     return {"params": {"decoder": dec, "encoder": enc}}
+
+
+# ---------------------------------------------------------------------------
+# SD1.5 UNet (diffusers UNet2DConditionModel <-> tpdm_tpu UNetSD15)
+# ---------------------------------------------------------------------------
+
+
+def _sd15_attn_tree(sd: _SD, base: str) -> dict:
+    """Transformer2DModel: conv projections + one BasicTransformerBlock."""
+    tb = f"{base}.transformer_blocks.0"
+    block = {
+        "norm1": _ln(sd, f"{tb}.norm1"),
+        "norm2": _ln(sd, f"{tb}.norm2"),
+        "norm3": _ln(sd, f"{tb}.norm3"),
+        "ff_proj": _dense(sd, f"{tb}.ff.net.0.proj"),
+        "ff_out": _dense(sd, f"{tb}.ff.net.2"),
+    }
+    for a in ("attn1", "attn2"):
+        for proj in ("to_q", "to_k", "to_v"):
+            block[f"{a}_{proj}"] = _dense(sd, f"{tb}.{a}.{proj}", bias=False)
+        block[f"{a}_to_out"] = _dense(sd, f"{tb}.{a}.to_out.0")
+    return {
+        "norm": _ln(sd, f"{base}.norm"),
+        "proj_in": _conv(sd, f"{base}.proj_in"),
+        "block": block,
+        "proj_out": _conv(sd, f"{base}.proj_out"),
+    }
+
+
+def _sd15_resnet_tree(sd: _SD, base: str) -> dict:
+    out = {
+        "norm1": _ln(sd, f"{base}.norm1"),
+        "conv1": _conv(sd, f"{base}.conv1"),
+        "time_emb_proj": _dense(sd, f"{base}.time_emb_proj"),
+        "norm2": _ln(sd, f"{base}.norm2"),
+        "conv2": _conv(sd, f"{base}.conv2"),
+    }
+    if sd.has(f"{base}.conv_shortcut.weight"):
+        out["conv_shortcut"] = _conv(sd, f"{base}.conv_shortcut")
+    return out
+
+
+def convert_unet_sd15(
+    state_dict: Mapping,
+    block_out_channels=(320, 640, 1280, 1280),
+    layers_per_block: int = 2,
+    dtype=None,
+) -> dict:
+    """diffusers SD1.5 UNet2DConditionModel state dict -> UNetSD15 params.
+
+    Layout parity with the reference fork (reference:
+    src/models/stable_diffusion_v1_5/unet_sd_v1_5.py:71-1318 — 3
+    CrossAttnDownBlock2D + DownBlock2D, mid UNetMidBlock2DCrossAttn,
+    UpBlock2D + 3 CrossAttnUpBlock2D).
+    """
+    sd = _SD(state_dict, dtype)
+    n = len(block_out_channels)
+    p: dict = {
+        "time_linear_1": _dense(sd, "time_embedding.linear_1"),
+        "time_linear_2": _dense(sd, "time_embedding.linear_2"),
+        "conv_in": _conv(sd, "conv_in"),
+        "conv_norm_out": _ln(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "mid_resnet_0": _sd15_resnet_tree(sd, "mid_block.resnets.0"),
+        "mid_attn": _sd15_attn_tree(sd, "mid_block.attentions.0"),
+        "mid_resnet_1": _sd15_resnet_tree(sd, "mid_block.resnets.1"),
+    }
+    for i in range(n):
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _sd15_resnet_tree(
+                sd, f"down_blocks.{i}.resnets.{j}"
+            )
+            if i < n - 1:  # CrossAttnDownBlock2D
+                p[f"down_{i}_attn_{j}"] = _sd15_attn_tree(
+                    sd, f"down_blocks.{i}.attentions.{j}"
+                )
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = _conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv"
+            )
+    for i in range(n):
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _sd15_resnet_tree(
+                sd, f"up_blocks.{i}.resnets.{j}"
+            )
+            if i > 0:  # CrossAttnUpBlock2D (up_blocks.0 is plain UpBlock2D)
+                p[f"up_{i}_attn_{j}"] = _sd15_attn_tree(
+                    sd, f"up_blocks.{i}.attentions.{j}"
+                )
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return {"params": p}
+
+
+def export_unet_sd15(params: dict) -> dict:
+    """UNetSD15 params -> diffusers-layout SD1.5 UNet state dict (numpy)."""
+    p = params["params"] if "params" in params else params
+    out: dict = {}
+
+    def dense(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(tree["kernel"]).T)
+        if "bias" in tree:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def conv(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(
+            np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)
+        )
+        out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def norm(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(tree["scale"]))
+        out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def resnet(tree, base):
+        norm(tree["norm1"], f"{base}.norm1")
+        conv(tree["conv1"], f"{base}.conv1")
+        dense(tree["time_emb_proj"], f"{base}.time_emb_proj")
+        norm(tree["norm2"], f"{base}.norm2")
+        conv(tree["conv2"], f"{base}.conv2")
+        if "conv_shortcut" in tree:
+            conv(tree["conv_shortcut"], f"{base}.conv_shortcut")
+
+    def attn(tree, base):
+        norm(tree["norm"], f"{base}.norm")
+        conv(tree["proj_in"], f"{base}.proj_in")
+        conv(tree["proj_out"], f"{base}.proj_out")
+        tb = f"{base}.transformer_blocks.0"
+        b = tree["block"]
+        for nm in ("norm1", "norm2", "norm3"):
+            norm(b[nm], f"{tb}.{nm}")
+        for a in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                dense(b[f"{a}_{proj}"], f"{tb}.{a}.{proj}")
+            dense(b[f"{a}_to_out"], f"{tb}.{a}.to_out.0")
+        dense(b["ff_proj"], f"{tb}.ff.net.0.proj")
+        dense(b["ff_out"], f"{tb}.ff.net.2")
+
+    for name, tree in p.items():
+        if name.startswith("time_linear_"):
+            dense(tree, f"time_embedding.linear_{name[-1]}")
+        elif name in ("conv_in", "conv_out"):
+            conv(tree, name)
+        elif name == "conv_norm_out":
+            norm(tree, name)
+        elif "_resnet_" in name:
+            loc, _, j = name.rpartition("_")
+            loc = loc.replace("_resnet", "")
+            base = (
+                f"mid_block.resnets.{j}"
+                if loc == "mid"
+                else f"{loc.split('_')[0]}_blocks.{loc.split('_')[1]}.resnets.{j}"
+            )
+            resnet(tree, base)
+        elif name == "mid_attn":
+            attn(tree, "mid_block.attentions.0")
+        elif "_attn_" in name:
+            loc, _, j = name.rpartition("_")
+            loc = loc.replace("_attn", "")
+            attn(tree, f"{loc.split('_')[0]}_blocks.{loc.split('_')[1]}.attentions.{j}")
+        elif name.endswith("_downsample"):
+            i = name.split("_")[1]
+            conv(tree, f"down_blocks.{i}.downsamplers.0.conv")
+        elif name.endswith("_upsample"):
+            i = name.split("_")[1]
+            conv(tree, f"up_blocks.{i}.upsamplers.0.conv")
+        else:
+            raise ValueError(f"unmapped UNetSD15 module: {name}")
+    return out
