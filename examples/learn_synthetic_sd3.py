@@ -1,0 +1,127 @@
+"""SD3-scale on-chip learning proof: RLOO drives NFE down on the real 2B
+MMDiT (random weights) with a synthetic constant reward.
+
+Same logic as examples/learn_synthetic.py but at the full SD3-medium
+geometry on the TPU: gamma<1 discounting makes shorter schedules strictly
+better, so policy/steps_avg must fall. Writes docs/learning_curve_sd3.json.
+
+Run: nohup python examples/learn_synthetic_sd3.py > /tmp/learn_sd3.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(num_updates: int = 30):
+    from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+    from tpdm_tpu.train import RLOOConfig, RLOOTrainer, TPDMAgent
+
+    assert jax.default_backend() not in ("cpu", "gpu")
+    mcfg = MMDiTConfig.sd3_medium()
+    model = MMDiT(mcfg)
+    n_txt = 333
+    rloo_k = 4
+
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size), jnp.bfloat16),
+        jnp.ones((2,)),
+        jnp.zeros((2, n_txt, mcfg.joint_attention_dim), jnp.bfloat16),
+        jnp.zeros((2, mcfg.pooled_projection_dim), jnp.bfloat16),
+    )
+    # small random weights so the TPM sees varying activations
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            (0.02 * jax.random.normal(k, s.shape, jnp.bfloat16)).astype(
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+            )
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+    config = RLOOConfig(
+        per_device_train_batch_size=rloo_k,
+        rloo_k=rloo_k,
+        num_ppo_epochs=2,
+        max_inference_steps=12,
+        min_sigma=0.25,
+        total_episodes=rloo_k * num_updates,
+        learning_rate=3e-3,
+        gamma=0.8,
+        kl_coef=0.0,
+        init_alpha=3.0,  # Beta mode ~0.90 -> ~12 steps to sigma 0.28
+        init_beta=0.5,
+        guidance_scale=7.0,
+        logging_steps=1,
+    )
+    agent = TPDMAgent(
+        model,
+        params,
+        config,
+        tpm=TimePredictor(
+            conv_out_channels=128,
+            in_channels=2 * mcfg.inner_dim,
+            temb_dim=mcfg.inner_dim,
+            init_alpha=config.init_alpha,
+            init_beta=config.init_beta,
+            dtype=jnp.bfloat16,
+        ),
+        replay_mode="cached",  # 12x4 cache ~1.2GB HBM; PPO steps ~150ms
+    )
+
+    rng = np.random.default_rng(0)
+    dataset = [
+        {
+            "prompt": f"synthetic {i}",
+            "prompt_embeds": rng.normal(size=(n_txt, mcfg.joint_attention_dim)).astype(np.float32) * 0.02,
+            "pooled_prompt_embeds": rng.normal(size=(mcfg.pooled_projection_dim,)).astype(np.float32) * 0.02,
+            "negative_prompt_embeds": np.zeros((n_txt, mcfg.joint_attention_dim), np.float32),
+            "negative_pooled_prompt_embeds": np.zeros((mcfg.pooled_projection_dim,), np.float32),
+        }
+        for i in range(2)
+    ]
+
+    def reward_fn(prompts, outputs):
+        b = outputs.sigmas.shape[0]
+        ones = np.ones((b,), np.float32)
+        return ones, ones
+
+    trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+    t0 = time.time()
+    trainer.train()
+    hist = trainer.metrics_history
+    rows = [
+        {
+            "update": i + 1,
+            "steps_avg": round(m["policy/steps_avg"], 3),
+            "rlhf_reward": round(m["objective/rlhf_reward"], 4),
+            "skipped": m["val/num_skipped"],
+        }
+        for i, m in enumerate(hist)
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "learning_curve_sd3.json",
+    )
+    with open(out, "w") as f:
+        json.dump({"wall_s": round(time.time() - t0, 1), "curve": rows}, f, indent=1)
+    for r in rows[::3]:
+        print(r, flush=True)
+    print(f"wall {time.time()-t0:.0f}s; wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
