@@ -54,9 +54,9 @@ def main():
     clip_ids = tok([args.prompt], max_length=77)["input_ids"]
     neg_ids = tok([args.negative_prompt], max_length=77)["input_ids"]
 
-    from transformers import T5TokenizerFast
+    from tpdm_tpu.utils.t5_tokenizer import T5Tokenizer
 
-    t5_tok = T5TokenizerFast.from_pretrained(args.pretrained, subfolder="tokenizer_3")
+    t5_tok = T5Tokenizer.from_pretrained(os.path.join(args.pretrained, "tokenizer_3"))
     t5_ids = t5_tok(
         [args.prompt], padding="max_length", max_length=256, truncation=True,
         return_tensors="np",

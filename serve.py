@@ -81,10 +81,28 @@ def build_pipeline(args):
         args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True
     )
 
-    from transformers import CLIPTokenizer, T5TokenizerFast
+    # Native tokenizers (pure Python, no transformers at runtime); fall back
+    # to transformers only if the checkpoint layout is unexpected.
+    try:
+        from tpdm_tpu.utils.t5_tokenizer import T5Tokenizer
+        from tpdm_tpu.utils.tokenizer import CLIPTokenizer
 
-    tok_clip = CLIPTokenizer.from_pretrained(args.pretrained, subfolder="tokenizer")
-    tok_t5 = T5TokenizerFast.from_pretrained(args.pretrained, subfolder="tokenizer_3")
+        tok_clip = CLIPTokenizer.from_pretrained(
+            os.path.join(args.pretrained, "tokenizer")
+        )
+        tok_t5 = T5Tokenizer.from_pretrained(
+            os.path.join(args.pretrained, "tokenizer_3")
+        )
+    except (FileNotFoundError, KeyError) as e:
+        logger.warning("native tokenizer load failed (%s); using transformers", e)
+        from transformers import CLIPTokenizer, T5TokenizerFast
+
+        tok_clip = CLIPTokenizer.from_pretrained(
+            args.pretrained, subfolder="tokenizer"
+        )
+        tok_t5 = T5TokenizerFast.from_pretrained(
+            args.pretrained, subfolder="tokenizer_3"
+        )
 
     def tokenize(prompt, _n=None):
         c = tok_clip(

@@ -143,8 +143,11 @@ class CLIPTokenizer:
         max_length: Optional[int] = None,
         padding: str = "max_length",
         truncation: bool = True,
+        return_tensors: str = "np",
     ) -> dict:
-        """transformers-compatible surface: returns input_ids (+ mask)."""
+        """transformers-compatible surface: returns input_ids (+ mask).
+        Output is always numpy; return_tensors is accepted for drop-in
+        compatibility with transformers call sites."""
         if isinstance(texts, str):
             texts = [texts]
         max_length = max_length or self.max_length
