@@ -1,0 +1,124 @@
+"""Serving engine: request coalescing, fixed-shape padding, DP replicas.
+
+The reference's serving story is a single-request gradio callback
+(reference: gradio_sd3_inference.py:18-84); tpdm_tpu/serving.py adds the
+production pieces a TPU deployment needs — one compiled batch shape under
+any traffic, and data-parallel batch sharding over a device mesh.
+"""
+
+import argparse
+import threading
+
+import numpy as np
+import pytest
+
+from tpdm_tpu.serving import BatchingEngine
+
+
+def _toy_pipeline():
+    import serve
+
+    args = argparse.Namespace(toy=True, cpu=True, pretrained=None, tpm=None)
+    return serve.build_pipeline(args)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    pipe, tokenize = _toy_pipeline()
+    return pipe, tokenize
+
+
+class TestBatchingEngine:
+    def test_concurrent_requests_coalesce_into_one_batch(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=3, window_ms=200,
+                             max_steps=4)
+        eng.start()
+        try:
+            reqs = [eng.submit(f"prompt {i}", seed=i) for i in range(3)]
+            results = [r.result(timeout=300) for r in reqs]
+        finally:
+            eng.stop()
+        assert eng.batches_run == 1
+        for res in results:
+            assert res["image"].shape[-1] == 3
+            assert 1 <= res["inference_steps"] <= 4
+            assert np.isfinite(res["image"]).all() or res["image"].dtype == np.uint8
+
+    def test_partial_batch_pads_to_compiled_shape(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=3, window_ms=1,
+                             max_steps=4)
+        n_sigs = len(pipe._jit_cache)
+        out3 = eng.generate_batch(["a", "b", "c"], [1, 2, 3])
+        sigs_after_full = len(pipe._jit_cache)
+        out1 = eng.generate_batch(["a"], [1])
+        # padding keeps the jitted signature count flat: no recompile for
+        # partial batches
+        assert len(pipe._jit_cache) == sigs_after_full
+        assert sigs_after_full <= n_sigs + 1
+        assert len(out3) == 3 and len(out1) == 1
+
+    def test_same_seed_same_image_across_batch_compositions(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=4)
+        solo = eng.generate_batch(["a cat"], [7])[0]
+        paired = eng.generate_batch(["a dog", "a cat"], [3, 7])[1]
+        np.testing.assert_array_equal(solo["image"], paired["image"])
+        assert solo["inference_steps"] == paired["inference_steps"]
+
+    def test_error_propagates_to_all_waiters(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=100,
+                             max_steps=4)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected")
+
+        eng.generate_batch = boom
+        eng.start()
+        try:
+            reqs = [eng.submit("x"), eng.submit("y")]
+            for r in reqs:
+                with pytest.raises(RuntimeError, match="injected"):
+                    r.result(timeout=60)
+        finally:
+            eng.stop()
+
+    def test_stop_is_idempotent_and_restartable(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=2)
+        eng.start()
+        eng.stop()
+        eng.stop()
+        eng.start()
+        try:
+            assert eng.submit("hello").result(timeout=300)["inference_steps"] >= 1
+        finally:
+            eng.stop()
+
+
+class TestDataParallelServing:
+    def test_dp_requires_divisible_batch(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="divisible"):
+            BatchingEngine(pipe, tokenize, max_batch=3, dp=2)
+
+    def test_dp_batch_matches_single_device(self):
+        # fresh pipeline per engine: dp mutates param placement
+        pipe1, tokenize = _toy_pipeline()
+        base = BatchingEngine(pipe1, tokenize, max_batch=4, max_steps=4)
+        want = base.generate_batch(["p0", "p1", "p2", "p3"], [0, 1, 2, 3])
+
+        pipe2, tokenize2 = _toy_pipeline()
+        eng = BatchingEngine(pipe2, tokenize2, max_batch=4, max_steps=4, dp=4)
+        got = eng.generate_batch(["p0", "p1", "p2", "p3"], [0, 1, 2, 3])
+        for a, b in zip(got, want):
+            assert a["inference_steps"] == b["inference_steps"]
+            # uint8 images; GSPMD may reorder reductions -> allow 1 LSB
+            diff = np.abs(
+                a["image"].astype(np.int32) - b["image"].astype(np.int32)
+            )
+            assert diff.max() <= 1, diff.max()

@@ -66,14 +66,16 @@ class ResnetBlockTimeEmb(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm(self.groups, in_ch, name="norm1")(x)
+        # diffusers ResnetBlock2D norm eps is 1e-5 (the Transformer2DModel
+        # GroupNorm keeps 1e-6) — verified by the full-stack torch oracle
+        h = GroupNorm(self.groups, in_ch, eps=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, self.out_channels, name="norm2")(h)
+        h = GroupNorm(self.groups, self.out_channels, eps=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
@@ -232,7 +234,7 @@ class UNetSD15(nn.Module):
                     name=f"up_{i}_upsample",
                 )(x)
 
-        x = GroupNorm(g, ch[0], name="conv_norm_out")(x)
+        x = GroupNorm(g, ch[0], eps=1e-5, name="conv_norm_out")(x)
         x = nn.silu(x)
         h2 = x.transpose(0, 3, 1, 2)  # reference :1304-1309
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype, name="conv_out")(x)

@@ -5,8 +5,10 @@ The MMDiT hot path is full (non-causal) attention over ~4429 tokens
 FusedJointAttnProcessor2_0 (reference:
 src/models/stable_diffusion_3/transformer_sd3.py:28,279); here the forward
 runs as a Pallas kernel that never materializes the (n, n) score matrix in
-HBM: one q-block row of fp32 scores lives in VMEM, K/V stay resident, and
-softmax+PV run fused.
+HBM: K/V stay resident in VMEM, a 128-row chunk of fp32 scores lives
+on-chip, and softmax+PV run fused. The kernel works in TRANSPOSED layout
+(query axis = lanes) so head_dim 64 doesn't half-fill the MXU output —
+see _flash_kernel for the measured rationale.
 
 Because the backbone is frozen in TPDM training (only the TPM gets
 gradients), the backward pass is off the hot path: the resident kernel's
@@ -53,55 +55,60 @@ def attention_reference(
 _LOG2E = 1.4426950408889634
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_padded: int, chunk_kv: int
-):
-    """One (batch·head, q-block) program: online softmax over resident K/V,
-    walked in kv chunks by an UNROLLED loop.
+def _flash_kernel(qt_ref, k_ref, vt_ref, o_ref, *, kv_padded: int, chunk_kv: int):
+    """One (batch·head, q-block) program in TRANSPOSED layout: the query
+    axis is the LANE (last) dimension throughout, so both matmuls and the
+    output keep all 128 lanes busy despite head_dim 64.
 
-    Three tricks, each measured on the 4429-token SD3 shape (v5e):
-    - ones-column denominator: V arrives with a ones column appended
-      (masked rows zeroed), so the softmax sum falls out of the PV matmul
-      for free (~10%);
-    - q is pre-scaled by log2(e)/sqrt(d) outside and the kernel uses exp2,
-      dropping the per-score scale multiply and the exp→exp2 conversion;
-    - kv chunking with a static unrolled loop lets Mosaic overlap chunk
-      t+1's QK^T on the MXU with chunk t's exp2 on the VPU (together
-      ~15%: 4.73 → 4.10 ms for 2×24×4429×64, 51→59 TF/s; the ~98 TF/s
-      ceiling is architectural — head_dim 64 half-fills the MXU on both
-      matmul phases).
+        S^T   = K_chunk · Q^T        (chunk_kv, n_block)
+        acc^T = V^T_ext · P^T        (dv,       n_block)
+
+    Why this layout (measured, v5e, 2×24×4480×64): the natural-layout
+    kernel tops out at ~60 TF/s because the PV phase's OUTPUT is only
+    d+1=65 lanes wide (half the MXU's 128) and the QK phase's contraction
+    is 64-deep; transposing makes PV's output n_block lanes wide and turns
+    QK into one (chunk,64)x(64,n_block) pass streaming thousands of lanes
+    — 3.20 ms vs 4.12 ms, 77 TF/s (experiments/attn_round3{,b}.py).
+
+    Carried tricks from the natural-layout kernel:
+    - ones ROW in V^T (row d), zeroed on masked kv columns, so the softmax
+      denominator falls out of the PV matmul;
+    - q pre-scaled by log2(e)/sqrt(d) outside; exp2 in-kernel;
+    - unrolled kv chunks (128 rows) let Mosaic overlap chunk t+1's QK^T
+      with chunk t's exp2/PV.
+
+    Masking needs NO in-kernel iota: padded/masked K rows are zeroed
+    outside (their scores become 0, which only shifts the shared running
+    max — softmax is shift-invariant) and their V^T/ones columns are
+    zeroed, so they contribute to neither numerator nor denominator.
     """
-    q = q_ref[0]  # (block_q, d), pre-scaled by log2(e)/sqrt(d)
-    d = q.shape[-1]
+    qt = qt_ref[0]  # (d, n_block), pre-scaled by log2(e)/sqrt(d)
     m = None
     acc = None
     for start in range(0, kv_padded, chunk_kv):
-        stop = min(start + chunk_kv, kv_padded)
-        k = k_ref[0, start:stop, :]
-        v = v_ref[0, start:stop, :]  # (chunk, d+1) — last lane: ones column
+        k = k_ref[0, start:start + chunk_kv, :]       # (chunk, d)
+        vt = vt_ref[0, :, start:start + chunk_kv]     # (dv, chunk)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if stop > kv_len:
-            col = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < kv_len, s, _NEG_INF)
+            k, qt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (chunk, n_block)
         if m is None:
-            m = jnp.max(s, axis=-1, keepdims=True)
+            m = jnp.max(s, axis=0, keepdims=True)
             p = jnp.exp2(s - m)
             acc = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (dv, n_block)
         else:
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
             p = jnp.exp2(s - m_new)
             alpha = jnp.exp2(m - m_new)
             acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m = m_new
-    o_ref[0] = (acc[:, :d] / acc[:, -1:]).astype(o_ref.dtype)
+    d = o_ref.shape[1]
+    o_ref[0] = (acc[:d, :] / acc[d:d + 1, :]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -212,14 +219,27 @@ def _flash_attention_streaming_impl(
 _STREAMING_KV_THRESHOLD = 8192
 
 
+def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> int:
+    """Largest 128-multiple divisor of n_q_pad, optionally capped by the
+    caller's block_q hint. One big block measured fastest (the whole padded
+    query axis as lanes of a single program): resident K/V amortize over
+    the full chunk walk and Mosaic pipelines the 128-row kv chunks."""
+    cap = n_q_pad if block_q is None else max(128, block_q // 128 * 128)
+    best = 128
+    for nb in range(128, n_q_pad + 1, 128):
+        if n_q_pad % nb == 0 and nb <= cap:
+            best = nb
+    return best
+
+
 def _flash_attention_fwd_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     kv_len: Optional[int],
-    block_q: int,
+    block_q: Optional[int],
     interpret: bool,
-    chunk_kv: int = 640,
+    chunk_kv: int = 128,
 ) -> jax.Array:
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
@@ -230,10 +250,9 @@ def _flash_attention_fwd_impl(
     # op on (b,h,n,d) instead of a per-score multiply on (n,n))
     q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
 
-    block_q = min(block_q, _round_up(n_q, 128))
-    n_q_pad = _round_up(n_q, block_q)
-    n_kv_pad = _round_up(n_kv, 128)
-    chunk_kv = min(chunk_kv, n_kv_pad)
+    n_q_pad = _round_up(n_q, 128)
+    n_kv_pad = _round_up(n_kv, chunk_kv)
+    n_block = _pick_n_block(n_q_pad, block_q)
 
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
@@ -241,39 +260,44 @@ def _flash_attention_fwd_impl(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
 
-    # ones column for the in-matmul softmax denominator (zeroed on masked rows)
-    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    # Masked/padded kv positions: zero the K rows (their scores collapse to
+    # 0, harmless to the shared running max) and zero their V^T/ones
+    # columns (no numerator/denominator contribution) — no in-kernel mask.
+    ones = jnp.ones((b, h, 1, n_kv_pad), v.dtype)
     if kv_len < n_kv_pad:
         rowmask = (jnp.arange(n_kv_pad) < kv_len).astype(v.dtype)
-        ones = ones * rowmask[None, None, :, None]
-    v_ext = jnp.concatenate([v, ones], axis=-1)
+        k = k * rowmask[None, None, :, None].astype(k.dtype)
+        v = v * rowmask[None, None, :, None]
+        ones = ones * rowmask[None, None, None, :]
 
     bh = b * h
-    q3 = q.reshape(bh, n_q_pad, d)
+    # transposed operands: query axis last (lanes)
+    dv = _round_up(d + 1, 16)  # bf16 sublane tile
+    qt = jnp.swapaxes(q, -1, -2).reshape(bh, d, n_q_pad)
+    vt = jnp.swapaxes(v, -1, -2)
+    pad_rows = jnp.zeros((b, h, dv - d - 1, n_kv_pad), v.dtype)
+    vt_ext = jnp.concatenate([vt, ones, pad_rows], axis=2).reshape(bh, dv, n_kv_pad)
     k3 = k.reshape(bh, n_kv_pad, d)
-    v3 = v_ext.reshape(bh, n_kv_pad, d + 1)
 
-    grid = (bh, n_q_pad // block_q)
+    grid = (bh, n_q_pad // n_block)
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, kv_len=kv_len, kv_padded=n_kv_pad, chunk_kv=chunk_kv
-        ),
+        functools.partial(_flash_kernel, kv_padded=n_kv_pad, chunk_kv=chunk_kv),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, n_kv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n_kv_pad, d + 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, dv, n_kv_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, d, n_q_pad), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_q_pad * n_kv_pad * d,
@@ -281,22 +305,10 @@ def _flash_attention_fwd_impl(
             * q.dtype.itemsize,
             transcendentals=bh * n_q_pad * n_kv_pad,
         ),
-    )(q3, k3, v3)
+    )(qt, k3, vt_ext)
 
-    out = out.reshape(b, h, n_q_pad, d)
+    out = jnp.swapaxes(out.reshape(b, h, d, n_q_pad), -1, -2)
     return out[:, :, :n_q, :]
-
-
-# ~10MB VMEM budget for the resident kernel's fp32 score chunk; block_q is
-# capped so block_q * chunk_kv * 4 bytes (scores) plus the fp32 accumulator
-# stays inside it (K/V residency ~1MB is on top).
-_SCORE_VMEM_BUDGET = 10 * 1024 * 1024
-
-
-def _cap_block_q(block_q: int, chunk_kv: int, d: int) -> int:
-    cap = _SCORE_VMEM_BUDGET // (4 * (chunk_kv + d + 1))
-    cap = max(128, cap // 128 * 128)
-    return min(block_q, cap)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -430,7 +442,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     kv_len: Optional[int] = None,
-    block_q: int = 2240,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention. q,k,v: (b, h, n, d); returns (b, h, n_q, d).
@@ -438,23 +450,24 @@ def flash_attention(
     Args:
         kv_len: number of valid kv positions (static); positions >= kv_len
             are masked. None = all valid.
-        block_q: q-tile rows per program (>=128 multiple); automatically
-            capped so the fp32 score chunk fits the VMEM budget. 2240 (two
-            programs per head at the SD3 1024px shape) measured best.
+        block_q: optional cap on query columns per program (128 multiple).
+            None (default) = one block spanning the whole padded query
+            axis, which measured fastest (77 TF/s at the SD3 1024px shape,
+            experiments/attn_round3b.py).
         interpret: run the kernel in the Pallas interpreter (CPU testing).
 
     Long sequences (> _STREAMING_KV_THRESHOLD kv tokens, e.g. 2048px
     generation at ~16.7k) dispatch to a kv-streaming online-softmax kernel
     (differentiable via the chunked two-pass backward); shorter sequences
-    use the faster resident-KV kernel (dense-recompute VJP).
+    use the faster transposed-layout resident-KV kernel (dense-recompute
+    VJP).
     """
     if k.shape[2] > _STREAMING_KV_THRESHOLD:
         return _streaming_flash_attention(
-            q, k, v, kv_len, min(block_q, 256), 1024, interpret
+            q, k, v, kv_len, 256 if block_q is None else min(block_q, 256),
+            1024, interpret,
         )
-    return _resident_flash_attention(
-        q, k, v, kv_len, _cap_block_q(block_q, 640, q.shape[-1]), interpret
-    )
+    return _resident_flash_attention(q, k, v, kv_len, block_q, interpret)
 
 
 def joint_attention(
