@@ -82,7 +82,17 @@ def _flash_kernel(qt_ref, k_ref, vt_ref, o_ref, *, kv_padded: int, chunk_kv: int
     max — softmax is shift-invariant) and their V^T/ones columns are
     zeroed, so they contribute to neither numerator nor denominator.
     """
-    qt = qt_ref[0]  # (d, n_block), pre-scaled by log2(e)/sqrt(d)
+    acc, m = _chunk_walk(qt_ref[0], k_ref, vt_ref, kv_padded, chunk_kv)
+    d = o_ref.shape[1]
+    o_ref[0] = (acc[:d, :] / acc[d:d + 1, :]).astype(o_ref.dtype)
+
+
+def _chunk_walk(qt, k_ref, vt_ref, kv_padded: int, chunk_kv: int):
+    """Shared online-softmax walk over resident kv chunks (transposed).
+
+    Returns (acc (dv, n_block) fp32, m (1, n_block) fp32) where row d of
+    acc is the softmax denominator l = sum exp2(s - m) (exp2 domain, q
+    pre-scaled by log2(e)/sqrt(d))."""
     m = None
     acc = None
     for start in range(0, kv_padded, chunk_kv):
@@ -107,8 +117,21 @@ def _flash_kernel(qt_ref, k_ref, vt_ref, o_ref, *, kv_padded: int, chunk_kv: int
                 preferred_element_type=jnp.float32,
             )
             m = m_new
+    return acc, m
+
+
+def _flash_kernel_stats(
+    qt_ref, k_ref, vt_ref, o_ref, m_ref, l_ref, *, kv_padded: int, chunk_kv: int
+):
+    """_flash_kernel + per-query softmax statistics (m, l) as outputs, for
+    cross-shard merging in ring/sequence-parallel attention. Stats are in
+    the exp2 domain of the PRE-SCALED scores (s2 = s_nat * log2(e))."""
+    acc, m = _chunk_walk(qt_ref[0], k_ref, vt_ref, kv_padded, chunk_kv)
     d = o_ref.shape[1]
-    o_ref[0] = (acc[:d, :] / acc[d:d + 1, :]).astype(o_ref.dtype)
+    l = acc[d:d + 1, :]
+    o_ref[0] = (acc[:d, :] / l).astype(o_ref.dtype)
+    m_ref[0] = m
+    l_ref[0] = l
 
 
 def _round_up(x: int, m: int) -> int:
@@ -240,7 +263,8 @@ def _flash_attention_fwd_impl(
     block_q: Optional[int],
     interpret: bool,
     chunk_kv: int = 128,
-) -> jax.Array:
+    with_stats: bool = False,
+):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     if kv_len is None:
@@ -280,31 +304,58 @@ def _flash_attention_fwd_impl(
     k3 = k.reshape(bh, n_kv_pad, d)
 
     grid = (bh, n_q_pad // n_block)
+    in_specs = [
+        pl.BlockSpec(
+            (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, n_kv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, dv, n_kv_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    o_spec = pl.BlockSpec(
+        (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=4 * bh * n_q_pad * n_kv_pad * d,
+        bytes_accessed=(2 * bh * n_q_pad * d + 2 * bh * n_kv_pad * d)
+        * q.dtype.itemsize,
+        transcendentals=bh * n_q_pad * n_kv_pad,
+    )
+    if with_stats:
+        stat_spec = pl.BlockSpec(
+            (1, 1, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        out, m, l = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_stats, kv_padded=n_kv_pad, chunk_kv=chunk_kv
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(o_spec, stat_spec, stat_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, d, n_q_pad), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, n_q_pad), jnp.float32),
+                jax.ShapeDtypeStruct((bh, 1, n_q_pad), jnp.float32),
+            ),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qt, k3, vt_ext)
+        out = jnp.swapaxes(out.reshape(b, h, d, n_q_pad), -1, -2)[:, :, :n_q, :]
+        m = m.reshape(b, h, n_q_pad)[:, :, :n_q]
+        l = l.reshape(b, h, n_q_pad)[:, :, :n_q]
+        return out, m, l
+
     out = pl.pallas_call(
         functools.partial(_flash_kernel, kv_padded=n_kv_pad, chunk_kv=chunk_kv),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, n_kv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, dv, n_kv_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((bh, d, n_q_pad), q.dtype),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * n_q_pad * n_kv_pad * d,
-            bytes_accessed=(2 * bh * n_q_pad * d + 2 * bh * n_kv_pad * d)
-            * q.dtype.itemsize,
-            transcendentals=bh * n_q_pad * n_kv_pad,
-        ),
+        cost_estimate=cost,
     )(qt, k3, vt_ext)
 
     out = jnp.swapaxes(out.reshape(b, h, d, n_q_pad), -1, -2)
@@ -468,6 +519,67 @@ def flash_attention(
             1024, interpret,
         )
     return _resident_flash_attention(q, k, v, kv_len, block_q, interpret)
+
+
+def flash_attention_with_stats(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Like flash_attention, additionally returning per-query softmax
+    statistics (m, l) for cross-shard merging (ring attention):
+
+        o = sum_j exp2(s2_j - m) v_j / l,  l = sum_j exp2(s2_j - m)
+
+    with s2 = (q·k/sqrt(d)) * log2(e) — the exp2 domain the kernel works
+    in. Shapes: o (b,h,n_q,d); m, l (b,h,n_q) fp32. Forward-only (no VJP):
+    the TPDM backbone is frozen, and sequence-parallel backward would need
+    its own ring (tracked in docs/ROADMAP.md).
+    """
+    if k.shape[2] > _STREAMING_KV_THRESHOLD:
+        raise ValueError(
+            "stats variant is resident-KV only; shard kv below "
+            f"{_STREAMING_KV_THRESHOLD} per device (ring attention does)"
+        )
+    return _flash_attention_fwd_impl(
+        q, k, v, kv_len, None, interpret, with_stats=True
+    )
+
+
+def attention_reference_stats(q, k, v, kv_len: Optional[int] = None):
+    """jnp reference with the same (o, m, l) contract / exp2 domain."""
+    d = q.shape[-1]
+    s2 = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (_LOG2E / d**0.5)
+    if kv_len is not None and kv_len < k.shape[2]:
+        mask = jnp.arange(k.shape[2]) < kv_len
+        s2 = jnp.where(mask[None, None, None, :], s2, _NEG_INF)
+    m = jnp.max(s2, axis=-1)
+    p = jnp.exp2(s2 - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ) / l[..., None]
+    return o.astype(q.dtype), m, l
+
+
+def merge_attention_shards(o_parts, m_parts, l_parts):
+    """Combine per-shard partial attentions into the global softmax result.
+
+    Standard distributed-softmax merge: with per-shard (o_i, m_i, l_i),
+    the exact global output is sum_i w_i o_i / sum_i w_i where
+    w_i = exp2(m_i - m*) l_i and m* = max_i m_i. Stacked inputs:
+    o (p, b, h, n, d); m, l (p, b, h, n).
+    """
+    m_star = jnp.max(m_parts, axis=0)
+    w = jnp.exp2(m_parts - m_star[None]) * l_parts  # (p, b, h, n)
+    denom = jnp.sum(w, axis=0)
+    num = jnp.sum(w[..., None] * o_parts.astype(jnp.float32), axis=0)
+    return (num / denom[..., None]).astype(o_parts.dtype)
 
 
 def joint_attention(
