@@ -97,6 +97,35 @@ class TestRingAttention:
             np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5
         )
 
+    def test_backward_ring_matches_dense_gradients(self):
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        q, k, v = _qkv(jax.random.PRNGKey(6), b=1, h=2, n=512)
+        ring = make_ring_attention(
+            mesh, axis="seq", use_pallas=False, differentiable=True
+        )
+
+        def loss(f):
+            return lambda q, k, v: jnp.sum(f(q, k, v) ** 2)
+
+        gq, gk, gv = jax.grad(loss(jax.jit(ring)), argnums=(0, 1, 2))(q, k, v)
+        rq, rk, rv = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(
+            q, k, v
+        )
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=2e-4, atol=2e-5)
+
+    def test_backward_ring_with_pallas_forward(self):
+        mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+        q, k, v = _qkv(jax.random.PRNGKey(7), b=1, h=1, n=256)
+        ring = make_ring_attention(
+            mesh, axis="seq", use_pallas=True, interpret=True,
+            differentiable=True,
+        )
+        gq = jax.grad(lambda q: jnp.sum(ring(q, k, v) ** 2))(q)
+        rq = jax.grad(lambda q: jnp.sum(attention_reference(q, k, v) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=2e-4, atol=2e-5)
+
     def test_single_device_degenerates_to_dense(self):
         mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
         q, k, v = _qkv(jax.random.PRNGKey(5), b=1, h=1, n=256)

@@ -138,51 +138,76 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _flash_kernel_streaming(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, kv_len: int
-):
-    """Online-softmax flash attention: kv streams in blocks via the grid.
+def _prep_transposed(q, k, v, kv_len: int, chunk_align: int):
+    """Shared operand prep for the transposed kernels: prescale q by
+    log2(e)/sqrt(d), pad, zero masked kv (K rows + V^T/ones columns), and
+    lay out qt (bh, d, n_q_pad), k3 (bh, n_kv_pad, d), vt_ext
+    (bh, dv, n_kv_pad) with the ones denominator row at index d."""
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
+    n_q_pad = _round_up(n_q, 128)
+    n_kv_pad = _round_up(n_kv, chunk_align)
+    if n_q_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
+    if n_kv_pad != n_kv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
+    ones = jnp.ones((b, h, 1, n_kv_pad), v.dtype)
+    if kv_len < n_kv_pad:
+        rowmask = (jnp.arange(n_kv_pad) < kv_len).astype(v.dtype)
+        k = k * rowmask[None, None, :, None].astype(k.dtype)
+        v = v * rowmask[None, None, :, None]
+        ones = ones * rowmask[None, None, None, :]
+    bh = b * h
+    dv = _round_up(d + 1, 16)  # bf16 sublane tile
+    qt = jnp.swapaxes(q, -1, -2).reshape(bh, d, n_q_pad)
+    vt = jnp.swapaxes(v, -1, -2)
+    pad_rows = jnp.zeros((b, h, dv - d - 1, n_kv_pad), v.dtype)
+    vt_ext = jnp.concatenate([vt, ones, pad_rows], axis=2).reshape(bh, dv, n_kv_pad)
+    return qt, k.reshape(bh, n_kv_pad, d), vt_ext, n_q_pad, n_kv_pad, dv, bh
 
-    For sequences too long for the resident-KV kernel (scores row would
-    blow VMEM — e.g. 2048px generation at ~16.7k tokens). Classic
-    running-max/running-sum recurrence; fp32 accumulators in scratch.
-    Grid: (bh, q_blocks, kv_blocks) with kv innermost.
+
+def _flash_kernel_streaming(qt_ref, k_ref, vt_ref, o_ref, acc_ref, m_ref):
+    """Online-softmax flash attention, kv streaming in blocks via the grid.
+
+    For sequences too long for resident K/V (2048px generation at ~16.7k
+    joint tokens). Same TRANSPOSED layout as the resident kernel (query
+    axis = lanes, see _flash_kernel) with the running (m, acc) state in
+    fp32 scratch across the innermost kv grid dimension; the softmax
+    denominator rides row d of the accumulator (ones row of V^T), and
+    masking happens by operand zeroing outside (exactness argued at
+    _flash_kernel). Grid: (bh, q_blocks, kv_blocks), kv innermost.
     """
-    j = pl.program_id(2)
+    t = pl.program_id(2)
     n_kv_blocks = pl.num_programs(2)
 
-    @pl.when(j == 0)
+    @pl.when(t == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (block_q, d)
-    k = k_ref[0]  # (block_kv, d)
-    v = v_ref[0]
-    d = q.shape[-1]
-    block_kv = k.shape[0]
+    qt = qt_ref[0]   # (d, block_q)
+    k = k_ref[0]     # (block_kv, d)
+    vt = vt_ref[0]   # (dv, block_kv)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (1.0 / (d**0.5))
-    col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, _NEG_INF)
-
+        k, qt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_kv, block_q)
     m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_new
 
-    @pl.when(j == n_kv_blocks - 1)
+    @pl.when(t == n_kv_blocks - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        d = o_ref.shape[1]
+        o_ref[0] = (acc_ref[:d, :] / acc_ref[d:d + 1, :]).astype(o_ref.dtype)
 
 
 def _flash_attention_streaming_impl(
@@ -198,20 +223,17 @@ def _flash_attention_streaming_impl(
     n_kv = k.shape[2]
     if kv_len is None:
         kv_len = n_kv
-    block_q = min(block_q, _round_up(n_q, 128))
-    n_q_pad = _round_up(n_q, block_q)
-    n_kv_pad = _round_up(n_kv, block_kv)
-    q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
-    bh = b * h
+    qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
+        q, k, v, kv_len, block_kv
+    )
+    block_q = _pick_n_block(n_q_pad, block_q)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel_streaming, kv_len=kv_len),
+        _flash_kernel_streaming,
         grid=(bh, n_q_pad // block_q, n_kv_pad // block_kv),
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, d), lambda i, j, t: (i, j, 0),
+                (1, d, block_q), lambda i, j, t: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -219,22 +241,22 @@ def _flash_attention_streaming_impl(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_kv, d), lambda i, j, t: (i, t, 0),
+                (1, dv, block_kv), lambda i, j, t: (i, 0, t),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j, t: (i, j, 0), memory_space=pltpu.VMEM
+            (1, d, block_q), lambda i, j, t: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, d, n_q_pad), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((dv, block_q), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
         ],
         interpret=interpret,
-    )(q.reshape(bh, n_q_pad, d), k.reshape(bh, n_kv_pad, d), v.reshape(bh, n_kv_pad, d))
-    return out.reshape(b, h, n_q_pad, d)[:, :, :n_q, :]
+    )(qt, k3, vt_ext)
+    out = jnp.swapaxes(out.reshape(b, h, d, n_q_pad), -1, -2)
+    return out[:, :, :n_q, :]
 
 
 # Above this kv length, the resident-KV kernel's fp32 score row would blow
@@ -270,38 +292,16 @@ def _flash_attention_fwd_impl(
     if kv_len is None:
         kv_len = n_kv
 
-    # fold scale and the exp->exp2 base change into q (one tiny elementwise
-    # op on (b,h,n,d) instead of a per-score multiply on (n,n))
-    q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
-
-    n_q_pad = _round_up(n_q, 128)
-    n_kv_pad = _round_up(n_kv, chunk_kv)
+    # _prep_transposed folds scale + the exp->exp2 base change into q (one
+    # tiny elementwise op instead of a per-score multiply), transposes the
+    # operands (query axis = lanes), and zeroes masked kv — K rows collapse
+    # to score 0 (harmless to the shared running max) and their V^T/ones
+    # columns contribute to neither numerator nor denominator, so the
+    # kernel needs no iota mask.
+    qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
+        q, k, v, kv_len, chunk_kv
+    )
     n_block = _pick_n_block(n_q_pad, block_q)
-
-    if n_q_pad != n_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
-    if n_kv_pad != n_kv:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
-
-    # Masked/padded kv positions: zero the K rows (their scores collapse to
-    # 0, harmless to the shared running max) and zero their V^T/ones
-    # columns (no numerator/denominator contribution) — no in-kernel mask.
-    ones = jnp.ones((b, h, 1, n_kv_pad), v.dtype)
-    if kv_len < n_kv_pad:
-        rowmask = (jnp.arange(n_kv_pad) < kv_len).astype(v.dtype)
-        k = k * rowmask[None, None, :, None].astype(k.dtype)
-        v = v * rowmask[None, None, :, None]
-        ones = ones * rowmask[None, None, None, :]
-
-    bh = b * h
-    # transposed operands: query axis last (lanes)
-    dv = _round_up(d + 1, 16)  # bf16 sublane tile
-    qt = jnp.swapaxes(q, -1, -2).reshape(bh, d, n_q_pad)
-    vt = jnp.swapaxes(v, -1, -2)
-    pad_rows = jnp.zeros((b, h, dv - d - 1, n_kv_pad), v.dtype)
-    vt_ext = jnp.concatenate([vt, ones, pad_rows], axis=2).reshape(bh, dv, n_kv_pad)
-    k3 = k.reshape(bh, n_kv_pad, d)
 
     grid = (bh, n_q_pad // n_block)
     in_specs = [

@@ -11,8 +11,15 @@ axis: queries stay local, K/V shards rotate around the ring via
 
 Per step each device computes local-q x visiting-kv with the Pallas
 kernel, so compute stays on the MXU while the next shard is in flight on
-the ICI. Forward-only (the TPDM backbone is frozen; a backward ring is
-tracked in docs/ROADMAP.md).
+the ICI.
+
+Backward (differentiable=True) runs a second ring: dq accumulates locally
+against each visiting (k, v) shard, while dk/dv accumulators RIDE ALONG
+with their kv shard — after a full rotation every shard arrives home
+carrying gradient contributions from every query shard. The softmax
+gradient in the kernel's exp2 domain is ds2 = ln(2)·p·(dp - D); chained
+with s2 = log2(e)/sqrt(d)·(q·k^T), the ln(2)·log2(e) product cancels back
+to the natural 1/sqrt(d).
 """
 
 from __future__ import annotations
@@ -30,10 +37,12 @@ from tpdm_tpu.ops.attention import (
 )
 
 _NEG = -1e30
+_LOG2E = 1.4426950408889634
 
 
-def _ring_body(q, k, v, axis: str, n_dev: int, local_stats):
-    """The unrolled ring: rotate kv n_dev times, merging online."""
+def _ring_forward(q, k, v, axis: str, n_dev: int, local_stats):
+    """Rotate kv n_dev times, merging online. Returns (o, m, l) with the
+    global exp2-domain softmax stats (residuals for the backward ring)."""
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     b, h, n_q, d = q.shape
     num = jnp.zeros((b, h, n_q, d), jnp.float32)
@@ -51,7 +60,41 @@ def _ring_body(q, k, v, axis: str, n_dev: int, local_stats):
         if step + 1 < n_dev:
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
-    return (num / l_tot[..., None]).astype(q.dtype)
+    o = (num / l_tot[..., None]).astype(q.dtype)
+    return o, m, l_tot
+
+
+def _ring_backward(q, k, v, o, m, l, do, axis: str, n_dev: int):
+    """The backward ring. All math fp32; one full rotation of
+    (k, v, dk, dv) so gradient accumulators arrive back at their owners."""
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    d = q.shape[-1]
+    scale = _LOG2E / d**0.5
+    qf = q.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    D = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (b, h, n_q)
+
+    dq = jnp.zeros(q.shape[:3] + (d,), jnp.float32)
+    k_cur, v_cur = k, v
+    dk_cur = jnp.zeros_like(k, dtype=jnp.float32)
+    dv_cur = jnp.zeros_like(v, dtype=jnp.float32)
+    for step in range(n_dev):
+        kf = k_cur.astype(jnp.float32)
+        vf = v_cur.astype(jnp.float32)
+        s2 = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+        p = jnp.exp2(s2 - m[..., None]) / l[..., None]
+        dv_cur = dv_cur + jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+        ds = p * (dp - D[..., None]) * (1.0 / d**0.5)  # ln2 * log2e cancels
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+        dk_cur = dk_cur + jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+        # rotate kv AND its accumulated grads; after n_dev steps the
+        # accumulators complete the cycle and land on their home shard
+        k_cur = jax.lax.ppermute(k_cur, axis, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis, perm)
+        dk_cur = jax.lax.ppermute(dk_cur, axis, perm)
+        dv_cur = jax.lax.ppermute(dv_cur, axis, perm)
+    return dq.astype(q.dtype), dk_cur.astype(k.dtype), dv_cur.astype(v.dtype)
 
 
 def make_ring_attention(
@@ -60,6 +103,7 @@ def make_ring_attention(
     batch_axes: tuple = ("data", "fsdp"),
     use_pallas: bool = True,
     interpret: bool = False,
+    differentiable: bool = False,
 ):
     """Build attention with the TOKEN axis sharded over `axis`.
 
@@ -67,6 +111,10 @@ def make_ring_attention(
     local shard 128-aligned for the Pallas path on real hardware). The
     batch dim may additionally be sharded over `batch_axes`. Returns the
     fully-assembled (still token-sharded) attention output.
+
+    differentiable=True attaches the backward ring (long-context
+    fine-tuning); leave it off for frozen-backbone inference to skip
+    residual bookkeeping.
     """
     n_dev = mesh.shape[axis]
     present = tuple(a for a in batch_axes if a in mesh.axis_names)
@@ -77,6 +125,21 @@ def make_ring_attention(
             return flash_attention_with_stats(q, k, v, interpret=interpret)
         return attention_reference_stats(q, k, v)
 
+    @jax.custom_vjp
+    def ring_inner(q, k, v):
+        o, _, _ = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        return o
+
+    def ring_fwd(q, k, v):
+        o, m, l = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        return o, (q, k, v, o, m, l)
+
+    def ring_bwd(res, g):
+        q, k, v, o, m, l = res
+        return _ring_backward(q, k, v, o, m, l, g, axis, n_dev)
+
+    ring_inner.defvjp(ring_fwd, ring_bwd)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -85,6 +148,9 @@ def make_ring_attention(
         check_vma=False,  # pallas out_shapes carry no vma metadata
     )
     def ring_attention(q, k, v):
-        return _ring_body(q, k, v, axis, n_dev, local_stats)
+        if differentiable:
+            return ring_inner(q, k, v)
+        o, _, _ = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        return o
 
     return ring_attention
