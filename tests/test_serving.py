@@ -68,6 +68,18 @@ class TestBatchingEngine:
         np.testing.assert_array_equal(solo["image"], paired["image"])
         assert solo["inference_steps"] == paired["inference_steps"]
 
+    def test_stats_report_stage_latencies(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=4)
+        assert eng.stats() == {"batches_run": 0}
+        eng.generate_batch(["a"], [0])
+        eng.generate_batch(["b", "c"], [1, 2])
+        s = eng.stats()
+        assert s["batches_run"] == 2 and s["recent"] == 2
+        assert 0 < s["device_s_p50"] <= s["device_s_p95"]
+        assert 0.25 <= s["batch_fill_mean"] <= 1.0  # (1/2 + 2/2) / 2
+
     def test_error_propagates_to_all_waiters(self, toy):
         pipe, tokenize = toy
         eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=100,

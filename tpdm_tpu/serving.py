@@ -21,6 +21,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence
 
@@ -33,6 +34,7 @@ logger = logging.getLogger(__name__)
 class ServeRequest:
     prompt: str
     seed: int = 0
+    submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
     _error: Optional[BaseException] = None
@@ -80,6 +82,7 @@ class BatchingEngine:
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.batches_run = 0  # observability + test hook
+        self._stage_times: list = []  # recent per-batch stage timings
         self._mesh = None
         self._data_sharding = None
         if dp is not None:
@@ -132,6 +135,7 @@ class BatchingEngine:
         prompts = list(prompts) + [prompts[-1]] * pad
         seeds = list(seeds) + [seeds[-1]] * pad
 
+        t_start = time.monotonic()
         clip_rows, t5_rows = [], []
         for p in prompts:
             c, t = self.tokenize(p)
@@ -153,6 +157,7 @@ class BatchingEngine:
                 for s in seeds
             ]
         )
+        t_tokenized = time.monotonic()
         res = self.pipe.generate(
             clip_ids=clip_ids,
             t5_ids=t5_ids,
@@ -163,7 +168,17 @@ class BatchingEngine:
             max_inference_steps=self.max_steps,
             guidance_scale=self.guidance_scale,
         )
+        t_done = time.monotonic()
         self.batches_run += 1
+        self._stage_times.append(
+            {
+                "batch": n,
+                "tokenize_s": t_tokenized - t_start,
+                "device_s": t_done - t_tokenized,
+                "total_s": t_done - t_start,
+            }
+        )
+        del self._stage_times[:-256]
         out = []
         for i in range(n):
             nfe = int(res.last_valid_index[i]) + 1
@@ -220,9 +235,13 @@ class BatchingEngine:
             if not batch:
                 continue
             try:
+                now = time.monotonic()
+                waits = [now - r.submitted_at for r in batch]
                 results = self.generate_batch(
                     [r.prompt for r in batch], [r.seed for r in batch]
                 )
+                if self._stage_times:
+                    self._stage_times[-1]["queue_wait_s_max"] = max(waits)
                 for req, res in zip(batch, results):
                     req._result = res
             except BaseException as e:  # surface errors to every waiter
@@ -232,6 +251,30 @@ class BatchingEngine:
             finally:
                 for req in batch:
                     req._event.set()
+
+    def stats(self) -> dict:
+        """Latency summary over recent batches (p50/p95 per stage) plus
+        queue-wait, for dashboards/capacity planning."""
+        rows = list(self._stage_times)
+        if not rows:
+            return {"batches_run": self.batches_run}
+
+        def pct(key, q):
+            vals = sorted(r[key] for r in rows)
+            return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+        return {
+            "batches_run": self.batches_run,
+            "recent": len(rows),
+            "batch_fill_mean": float(np.mean([r["batch"] for r in rows]))
+            / self.max_batch,
+            "tokenize_s_p50": pct("tokenize_s", 0.5),
+            "tokenize_s_p95": pct("tokenize_s", 0.95),
+            "device_s_p50": pct("device_s", 0.5),
+            "device_s_p95": pct("device_s", 0.95),
+            "total_s_p50": pct("total_s", 0.5),
+            "total_s_p95": pct("total_s", 0.95),
+        }
 
     def warmup(self):
         """Compile the serving shape before taking traffic."""
