@@ -114,9 +114,11 @@ class FluxAgent:
             self.flux.config.dtype,
         )
 
-    def _sample(self, tpm_params, latents, txt, txt_ids, pooled, key, scfg):
+    def _sample(self, flux_params, tpm_params, latents, txt, txt_ids, pooled, key, scfg):
+        # backbone params as a jit ARGUMENT, not captured constants (see
+        # TPDMAgent._sample)
         denoise_fn = make_flux_denoise_fn(
-            lambda *a: self.flux.apply(self.flux_params, *a),
+            lambda *a: self.flux.apply(flux_params, *a),
             txt,
             txt_ids,
             pooled,
@@ -140,10 +142,11 @@ class FluxAgent:
             self.sampler_cfg, predict=predict
         )
         return self._sample_jit(
-            tpm_params, latents, txt, txt_ids, pooled, key_roll, scfg=scfg
+            self.flux_params, tpm_params, latents, txt, txt_ids, pooled,
+            key_roll, scfg=scfg,
         )
 
-    def replay(self, tpm_params, outputs, inputs=None) -> jax.Array:
+    def replay(self, tpm_params, outputs, inputs=None, backbone_params=None) -> jax.Array:
         return replay_logprobs(
             self.tpm_fn(tpm_params),
             outputs.h_cache,

@@ -296,6 +296,7 @@ class TPDMAgent:
 
     def _sample(
         self,
+        mmdit_params,
         tpm_params,
         latents,
         prompt_embeds,
@@ -303,8 +304,12 @@ class TPDMAgent:
         key,
         scfg: SamplerConfig,
     ) -> SampleOutput:
+        # The frozen backbone params arrive as a jit ARGUMENT: closing over
+        # self.mmdit_params would bake the 2B-param tree into the jaxpr as
+        # ~4GB of constants — re-shipped to the compiler on every lowering
+        # and double-resident in HBM.
         denoise_fn = make_cfg_denoise_fn(
-            lambda *a: self.mmdit.apply(self.mmdit_params, *a),
+            lambda *a: self.mmdit.apply(mmdit_params, *a),
             prompt_embeds,
             pooled_embeds,
             self.config.guidance_scale,
@@ -346,7 +351,10 @@ class TPDMAgent:
             # experiments/offload_minimal.py); degrade to the plain jit
             # (cache migrates to HBM at the boundary) rather than failing.
             try:
-                return fn(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
+                return fn(
+                    self.mmdit_params, tpm_params, latents, pe, pp, key_roll,
+                    scfg=scfg,
+                )
             except Exception as e:  # pragma: no cover - backend-dependent
                 logger.warning(
                     "pinned-host out_shardings compile failed (%s); "
@@ -355,18 +363,21 @@ class TPDMAgent:
                 )
                 self._offload_sample_jits[scfg] = self._sample_jit
                 fn = self._sample_jit
-        return fn(tpm_params, latents, pe, pp, key_roll, scfg=scfg)
+        return fn(
+            self.mmdit_params, tpm_params, latents, pe, pp, key_roll, scfg=scfg
+        )
 
     def _replay(self, tpm_params, h_cache, temb_cache, sigmas):
         return replay_logprobs(
             self.tpm_fn(tpm_params), h_cache, temb_cache, sigmas, self.sampler_cfg
         )
 
-    def _replay_recompute(self, tpm_params, outputs, inputs):
+    def _replay_recompute(self, mmdit_params, tpm_params, outputs, inputs):
         """Regenerate (h_combined, temb) by re-running the frozen backbone
         on the recorded chain, then score the recorded actions. Activations
         are bit-identical to the rollout's by construction (fixed latents,
-        fixed sigmas), so this matches the cached path exactly."""
+        fixed sigmas), so this matches the cached path exactly. Backbone
+        params are an explicit argument (see _sample for why)."""
         from tpdm_tpu.ops.beta import beta_log_prob
         from tpdm_tpu.pipeline.sampler import INVALID_LOGPROB, _raw_to_alpha_beta
 
@@ -375,7 +386,7 @@ class TPDMAgent:
             pe = jnp.concatenate([inputs["negative_prompt_embeds"], pe])
             pp = jnp.concatenate([inputs["negative_pooled_prompt_embeds"], pp])
         denoise_fn = make_cfg_denoise_fn(
-            lambda *a: self.mmdit.apply(self.mmdit_params, *a),
+            lambda *a: self.mmdit.apply(mmdit_params, *a),
             pe,
             pp,
             self.config.guidance_scale,
@@ -415,13 +426,24 @@ class TPDMAgent:
         )
         return lp_tm.T
 
-    def replay(self, tpm_params, outputs, inputs=None) -> jax.Array:
+    def replay_backbone_params(self):
+        """Backbone params the trainer must thread through its jitted step
+        when replay re-runs the backbone (recompute mode) — passing them as
+        a jit argument instead of letting replay() capture them as graph
+        constants. None in cached mode (replay is TPM-only)."""
+        return self.mmdit_params if self.replay_mode == "recompute" else None
+
+    def replay(
+        self, tpm_params, outputs, inputs=None, backbone_params=None
+    ) -> jax.Array:
         """Differentiable logprobs of the rollout's actions — traced inside
-        the trainer's jitted PPO step."""
+        the trainer's jitted PPO step (not self-jitted; the outer jit
+        compiles it)."""
         if self.replay_mode == "recompute":
             if inputs is None:
                 raise ValueError("recompute replay needs the batch inputs")
-            return self._replay_recompute(tpm_params, outputs, inputs)
+            bp = backbone_params if backbone_params is not None else self.mmdit_params
+            return self._replay_recompute(bp, tpm_params, outputs, inputs)
         return self._replay(
             tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
         )
@@ -433,7 +455,7 @@ class TPDMAgent:
                 for k, v in inputs.items()
                 if isinstance(v, (jax.Array, np.ndarray))
             }
-            return self._recompute_jit(tpm_params, outputs, inputs)
+            return self._recompute_jit(self.mmdit_params, tpm_params, outputs, inputs)
         return self._replay_jit(
             tpm_params, outputs.h_cache, outputs.temb_cache, outputs.sigmas
         )
@@ -557,13 +579,18 @@ class RLOOTrainer:
                 yield self.collate_fn(rows)
 
     # -- jitted PPO micro-step ------------------------------------------
-    def _train_step_impl(self, tpm_params, opt_state, outputs, advantages, inputs):
+    def _train_step_impl(
+        self, tpm_params, opt_state, outputs, advantages, inputs,
+        backbone_params=None,
+    ):
         old_logprobs = outputs.logprobs
         prob_masks = outputs.prob_masks
         alphas, betas = outputs.alphas, outputs.betas
 
         def loss_fn(p):
-            new_lp = self.agent.replay(p, outputs, inputs=inputs)
+            new_lp = self.agent.replay(
+                p, outputs, inputs=inputs, backbone_params=backbone_params
+            )
             return ppo_loss(new_lp, old_logprobs, advantages, self.config.cliprange)
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(tpm_params)
@@ -682,7 +709,10 @@ class RLOOTrainer:
                                 if isinstance(v, (jax.Array, np.ndarray))
                             }
                         tpm_params, opt_state, stats = self._train_step(
-                            tpm_params, opt_state, mo, advantages[inds], mb_inputs
+                            tpm_params, opt_state, mo, advantages[inds],
+                            mb_inputs,
+                            getattr(self.agent, "replay_backbone_params",
+                                    lambda: None)(),
                         )
                         stats_acc.append(stats)
 

@@ -105,9 +105,11 @@ class SD15Agent:
             ucfg.dtype,
         )
 
-    def _sample(self, tpm_params, latents, prompt_embeds, key, scfg):
+    def _sample(self, unet_params, tpm_params, latents, prompt_embeds, key, scfg):
+        # backbone params as a jit ARGUMENT, not captured constants (see
+        # TPDMAgent._sample)
         denoise_fn = make_sd15_denoise_fn(
-            lambda *a: self.unet.apply(self.unet_params, *a),
+            lambda *a: self.unet.apply(unet_params, *a),
             prompt_embeds,
             self.guidance_scale,
         )
@@ -131,9 +133,14 @@ class SD15Agent:
         scfg = sampler_cfg or dataclasses.replace(
             self.sampler_cfg, predict=predict
         )
-        return self._sample_jit(tpm_params, latents, pe, key_roll, scfg=scfg)
+        return self._sample_jit(
+            self.unet_params, tpm_params, latents, pe, key_roll, scfg=scfg
+        )
 
-    def replay(self, tpm_params, outputs: SD15SampleOutput, inputs=None) -> jax.Array:
+    def replay(
+        self, tpm_params, outputs: SD15SampleOutput, inputs=None,
+        backbone_params=None,
+    ) -> jax.Array:
         return sd15_replay_logprobs(
             self.tpm_fn(tpm_params),
             outputs.h_cache,
