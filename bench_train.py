@@ -92,22 +92,27 @@ def main():
     adv = jnp.ones((b,))
 
     replay_inputs = batch if agent.needs_inputs_for_replay else None
+    # backbone params flow through the jit signature in recompute mode —
+    # captured constants would embed the full 2B tree in the jaxpr
+    backbone = agent.replay_backbone_params()
 
     @jax.jit
-    def ppo_step(p, opt_state, out, adv):
+    def ppo_step(p, opt_state, out, adv, backbone):
         def loss_fn(p):
-            lp = agent.replay(p, out, inputs=replay_inputs)
+            lp = agent.replay(
+                p, out, inputs=replay_inputs, backbone_params=backbone
+            )
             return ppo_loss(lp, out.logprobs, adv, 0.2)
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
-    p, opt_state, loss = ppo_step(tpm_params, opt_state, out, adv)
+    p, opt_state, loss = ppo_step(tpm_params, opt_state, out, adv, backbone)
     sync(loss)
     t0 = time.time()
     for _ in range(5):
-        p, opt_state, loss = ppo_step(p, opt_state, out, adv)
+        p, opt_state, loss = ppo_step(p, opt_state, out, adv, backbone)
     sync(loss)
     ppo_s = (time.time() - t0) / 5
 

@@ -93,7 +93,7 @@ def build_pipeline(args):
         tok_t5 = T5Tokenizer.from_pretrained(
             os.path.join(args.pretrained, "tokenizer_3")
         )
-    except (FileNotFoundError, KeyError) as e:
+    except Exception as e:  # any native load failure -> transformers fallback
         logger.warning("native tokenizer load failed (%s); using transformers", e)
         from transformers import CLIPTokenizer, T5TokenizerFast
 

@@ -55,6 +55,38 @@ class TestFlashKernel:
         ref = attention_reference(q, k[:, :, :200], v[:, :, :200])
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    def test_kv_len_mask_with_strongly_negative_scores(self):
+        """Regression: masked rows must behave like -inf, not score-0.
+
+        If masking merely zeroed the K rows, the running max would be
+        pulled to 0 and exp2(real - 0) underflows when every real score is
+        strongly negative -> 0/0 NaN. The augmented bias row/column keeps
+        the max at the true valid max."""
+        q, k, v = _rand_qkv(jax.random.PRNGKey(20), b=1, h=1, n_q=128, n_kv=256)
+        # dominant channel drives every valid score to ~-120 (past the
+        # exp2 underflow horizon relative to a spurious max of 0) while
+        # keeping O(1) well-conditioned differences between columns
+        q = q.at[..., 0].add(12.0)
+        k = k.at[..., 0].set(-80.0)
+        out = flash_attention(q, k, v, 200, 128, True)
+        ref = attention_reference(q, k[:, :, :200], v[:, :, :200])
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_padding_only_mask_with_negative_scores(self):
+        # n_kv not 128-aligned: padding alone must also keep -inf semantics
+        q, k, v = _rand_qkv(jax.random.PRNGKey(21), b=1, h=1, n_q=128, n_kv=200)
+        q = q.at[..., 0].add(12.0)
+        k = k.at[..., 0].set(-80.0)
+        out = flash_attention(q, k, v, None, 128, True)
+        ref = attention_reference(q, k, v)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
     def test_bf16_io(self):
         q, k, v = _rand_qkv(jax.random.PRNGKey(5), n_q=128, n_kv=128, dtype=jnp.bfloat16)
         out = flash_attention(q, k, v, None, 128, True)

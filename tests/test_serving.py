@@ -98,6 +98,18 @@ class TestBatchingEngine:
         finally:
             eng.stop()
 
+    def test_stop_fails_pending_requests_instead_of_hanging(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=2)
+        # never start the worker: the queued request must be failed by stop()
+        eng._thread = threading.Thread(target=lambda: None)
+        eng._thread.start()
+        req = eng.submit("orphan")
+        eng.stop()
+        with pytest.raises(RuntimeError, match="engine stopped"):
+            req.result(timeout=5)
+
     def test_stop_is_idempotent_and_restartable(self, toy):
         pipe, tokenize = toy
         eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,

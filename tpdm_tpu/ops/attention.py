@@ -77,10 +77,10 @@ def _flash_kernel(qt_ref, k_ref, vt_ref, o_ref, *, kv_padded: int, chunk_kv: int
     - unrolled kv chunks (128 rows) let Mosaic overlap chunk t+1's QK^T
       with chunk t's exp2/PV.
 
-    Masking needs NO in-kernel iota: padded/masked K rows are zeroed
-    outside (their scores become 0, which only shifts the shared running
-    max — softmax is shift-invariant) and their V^T/ones columns are
-    zeroed, so they contribute to neither numerator nor denominator.
+    Masking needs NO in-kernel iota: _prep_transposed augments the
+    contraction dimension with a bias row/column that drives masked rows'
+    scores to -1e9 (true -inf semantics — see its docstring for why
+    zeroing alone would NaN).
     """
     acc, m = _chunk_walk(qt_ref[0], k_ref, vt_ref, kv_padded, chunk_kv)
     d = o_ref.shape[1]
@@ -140,9 +140,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _prep_transposed(q, k, v, kv_len: int, chunk_align: int):
     """Shared operand prep for the transposed kernels: prescale q by
-    log2(e)/sqrt(d), pad, zero masked kv (K rows + V^T/ones columns), and
-    lay out qt (bh, d, n_q_pad), k3 (bh, n_kv_pad, d), vt_ext
-    (bh, dv, n_kv_pad) with the ones denominator row at index d."""
+    log2(e)/sqrt(d), pad, mask kv, and lay out qt (bh, d[+1], n_q_pad),
+    k3 (bh, n_kv_pad, d[+1]), vt_ext (bh, dv, n_kv_pad) with the ones
+    denominator row at index d.
+
+    Masking uses an AUGMENTED contraction dimension instead of an
+    in-kernel iota: Q^T gains a ones row and K a bias column that is 0 on
+    valid rows and -1e9 on masked/padded ones, so masked scores come out
+    ~-1e9 — true -inf semantics. (Merely ZEROING masked K rows is wrong:
+    their score 0 would pull the running max up to 0, and when every real
+    score is strongly negative exp2(s - 0) underflows to 0 for all valid
+    columns, giving 0/0 = NaN.) The extra row costs nothing: the MXU
+    contraction is lane-padded past d anyway, and the hot path
+    (kv_len == n_kv_pad, the pad-free SD3 shape) skips augmentation
+    entirely."""
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
@@ -155,17 +166,26 @@ def _prep_transposed(q, k, v, kv_len: int, chunk_align: int):
         v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad - n_kv), (0, 0)))
     ones = jnp.ones((b, h, 1, n_kv_pad), v.dtype)
     if kv_len < n_kv_pad:
-        rowmask = (jnp.arange(n_kv_pad) < kv_len).astype(v.dtype)
-        k = k * rowmask[None, None, :, None].astype(k.dtype)
-        v = v * rowmask[None, None, :, None]
-        ones = ones * rowmask[None, None, None, :]
+        valid = (jnp.arange(n_kv_pad) < kv_len).astype(jnp.float32)
+        bias_col = ((valid - 1.0) * 1e9).astype(k.dtype)  # 0 valid, -1e9 masked
+        k = jnp.concatenate(
+            [k, jnp.broadcast_to(bias_col[None, None, :, None], (b, h, n_kv_pad, 1))],
+            axis=-1,
+        )
+        q = jnp.concatenate([q, jnp.ones((b, h, n_q_pad, 1), q.dtype)], axis=-1)
+        # belt-and-suspenders: masked V^T/ones columns contribute nothing
+        # even before the exp2 underflows their p to exact zero
+        vmask = valid.astype(v.dtype)
+        v = v * vmask[None, None, :, None]
+        ones = ones * vmask[None, None, None, :]
     bh = b * h
+    d_aug = q.shape[-1]
     dv = _round_up(d + 1, 16)  # bf16 sublane tile
-    qt = jnp.swapaxes(q, -1, -2).reshape(bh, d, n_q_pad)
+    qt = jnp.swapaxes(q, -1, -2).reshape(bh, d_aug, n_q_pad)
     vt = jnp.swapaxes(v, -1, -2)
     pad_rows = jnp.zeros((b, h, dv - d - 1, n_kv_pad), v.dtype)
     vt_ext = jnp.concatenate([vt, ones, pad_rows], axis=2).reshape(bh, dv, n_kv_pad)
-    return qt, k.reshape(bh, n_kv_pad, d), vt_ext, n_q_pad, n_kv_pad, dv, bh
+    return qt, k.reshape(bh, n_kv_pad, d_aug), vt_ext, n_q_pad, n_kv_pad, dv, bh
 
 
 def _flash_kernel_streaming(qt_ref, k_ref, vt_ref, o_ref, acc_ref, m_ref):
@@ -226,6 +246,7 @@ def _flash_attention_streaming_impl(
     qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
         q, k, v, kv_len, block_kv
     )
+    d_aug = qt.shape[1]
     block_q = _pick_n_block(n_q_pad, block_q)
 
     out = pl.pallas_call(
@@ -233,11 +254,11 @@ def _flash_attention_streaming_impl(
         grid=(bh, n_q_pad // block_q, n_kv_pad // block_kv),
         in_specs=[
             pl.BlockSpec(
-                (1, d, block_q), lambda i, j, t: (i, 0, j),
+                (1, d_aug, block_q), lambda i, j, t: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_kv, d), lambda i, j, t: (i, t, 0),
+                (1, block_kv, d_aug), lambda i, j, t: (i, t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -294,22 +315,22 @@ def _flash_attention_fwd_impl(
 
     # _prep_transposed folds scale + the exp->exp2 base change into q (one
     # tiny elementwise op instead of a per-score multiply), transposes the
-    # operands (query axis = lanes), and zeroes masked kv — K rows collapse
-    # to score 0 (harmless to the shared running max) and their V^T/ones
-    # columns contribute to neither numerator nor denominator, so the
-    # kernel needs no iota mask.
+    # operands (query axis = lanes), and masks kv via an augmented
+    # contraction row/column (masked scores -> -1e9), so the kernel needs
+    # no iota mask.
     qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
         q, k, v, kv_len, chunk_kv
     )
+    d_aug = qt.shape[1]
     n_block = _pick_n_block(n_q_pad, block_q)
 
     grid = (bh, n_q_pad // n_block)
     in_specs = [
         pl.BlockSpec(
-            (1, d, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, d_aug, n_block), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (1, n_kv_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, n_kv_pad, d_aug), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
             (1, dv, n_kv_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM

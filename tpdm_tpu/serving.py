@@ -211,6 +211,15 @@ class BatchingEngine:
         self._queue.put(None)  # wake the worker
         self._thread.join(timeout=30)
         self._thread = None
+        # fail any requests still queued so no waiter blocks forever
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req._error = RuntimeError("engine stopped before this request ran")
+                req._event.set()
 
     def _collect(self) -> List[ServeRequest]:
         """Block for the first request, then coalesce for window_ms."""
@@ -218,10 +227,13 @@ class BatchingEngine:
         if first is None:
             return []
         batch = [first]
-        deadline = self.window_ms / 1000.0
+        deadline = time.monotonic() + self.window_ms / 1000.0
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -263,9 +275,16 @@ class BatchingEngine:
             vals = sorted(r[key] for r in rows)
             return vals[min(len(vals) - 1, int(q * len(vals)))]
 
+        waits = [r["queue_wait_s_max"] for r in rows if "queue_wait_s_max" in r]
+        wait_stats = (
+            {"queue_wait_s_max": max(waits),
+             "queue_wait_s_p50": sorted(waits)[len(waits) // 2]}
+            if waits else {}
+        )
         return {
             "batches_run": self.batches_run,
             "recent": len(rows),
+            **wait_stats,
             "batch_fill_mean": float(np.mean([r["batch"] for r in rows]))
             / self.max_batch,
             "tokenize_s_p50": pct("tokenize_s", 0.5),
