@@ -110,6 +110,31 @@ def build(batch_images: int, on_tpu: bool):
         jnp.zeros((b, cfg.inner_dim), jnp.bfloat16),
     )
 
+    from tpdm_tpu.models.vae import VAE, VAEConfig
+
+    # bf16 decode: fp32 convs at 1024px measured 475 ms vs ~? bf16 — the
+    # diffusers anchor runs its VAE in fp16 too
+    vcfg = (
+        VAEConfig.sd3(dtype=jnp.bfloat16)
+        if on_tpu
+        else VAEConfig.toy(latent_channels=cfg.in_channels)
+    )
+    vae = VAE(vcfg)
+    vshapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), lat[:1],
+        jnp.zeros((1, 3, 8 * lat.shape[2], 8 * lat.shape[3]), jnp.bfloat16),
+    )
+    vae_params = jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        ),
+        vshapes,
+    )
+
+    @jax.jit
+    def run_decode(vae_params, z):
+        return vae.apply(vae_params, z, method="decode")
+
     steps = 28
     sigmas = uniform_flow_sigmas(steps)
 
@@ -142,9 +167,11 @@ def build(batch_images: int, on_tpu: bool):
     return dict(
         run_fixed=run_fixed,
         run_adaptive=run_adaptive,
+        run_decode=run_decode,
         params=params,
         tpm_params=tpm_params,
         tpm_trained_params=tpm_trained_params,
+        vae_params=vae_params,
         lat=lat,
         n_params=n_params,
         steps=steps,
@@ -201,11 +228,29 @@ def main():
     trained_nfe = float(np.mean(np.asarray(lvi_t)) + 1)
     trained_img_s = b / trained_dt
 
+    # ---- VAE decode (runs once per image; the diffusers anchor includes
+    # it, so the headline does too) ----
+    z = world["run_decode"](world["vae_params"], lat)
+    _sync(z)
+    t0 = time.time()
+    zz = lat
+    for _ in range(reps):
+        img = world["run_decode"](world["vae_params"], zz)
+        zz = lat + 0.0 * img[:, :1, :1, :1].astype(lat.dtype)
+    _sync(img)
+    decode_dt = (time.time() - t0) / reps
+
+    fixed_e2e_img_s = b / (fixed_dt + decode_dt)
+    trained_e2e_img_s = b / (trained_dt + decode_dt)
+
     result = {
-        "metric": "images/sec/chip (SD3-medium 1024x1024, 28-step CFG Euler, denoise loop)",
-        "value": round(fixed_img_s, 4),
+        "metric": "images/sec/chip (SD3-medium 1024x1024, 28-step CFG Euler + VAE decode)",
+        "value": round(fixed_e2e_img_s, 4),
         "unit": "img/s/chip",
-        "vs_baseline": round(fixed_img_s / H100_DIFFUSERS_IMG_PER_S, 3),
+        "vs_baseline": round(fixed_e2e_img_s / H100_DIFFUSERS_IMG_PER_S, 3),
+        "denoise_only_img_per_s": round(fixed_img_s, 4),
+        "decode_ms": round(decode_dt * 1000, 1),
+        "trained_like_e2e_img_per_s": round(trained_e2e_img_s, 4),
         "backend": backend,
         "batch_images": b,
         "params_B": round(world["n_params"] / 1e9, 3),

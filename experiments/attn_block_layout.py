@@ -103,16 +103,22 @@ def _sync(x):
 
 
 def time_loop(f, args, reps=30):
-    @jax.jit
-    def loop(*args):
-        def body(i, acc):
-            o = f(*args)
-            return acc + o.reshape(-1)[:1].astype(jnp.float32)
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((1,), jnp.float32))
+    """Residual chain x = x + 0.02*f(x): every iteration depends on the
+    previous one, so XLA cannot hoist ANY loop-invariant prep out of the
+    loop (the trap the first version of this experiment fell into — an
+    ignored carry let LICM hoist projections/transposes and fake a 1.1 ms
+    "block")."""
+    x0, *ws = args
 
-    _sync(loop(*args))
+    @jax.jit
+    def loop(x0, *ws):
+        def body(i, x):
+            return x + (0.02 * f(x, *ws).astype(jnp.float32)).astype(x.dtype)
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    _sync(loop(x0, *ws))
     t0 = time.perf_counter()
-    _sync(loop(*args))
+    _sync(loop(x0, *ws))
     return (time.perf_counter() - t0) / reps * 1000
 
 

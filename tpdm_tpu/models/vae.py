@@ -93,15 +93,22 @@ class VAEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from tpdm_tpu.ops.attention import joint_attention
+
         b, hgt, wid, c = x.shape
         h = GroupNorm(self.groups, c, name="group_norm")(x)
         h = h.reshape(b, hgt * wid, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
-        s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s * (c**-0.5), axis=-1).astype(v.dtype)
-        o = jnp.einsum("bqk,bkd->bqd", p, v)
+        # One 512-wide head over h*w tokens (16k at 1024px): the flash
+        # kernel never materializes the (n, n) scores — the einsum path
+        # would write a 1GB fp32 score tensor per image at 1024px. The
+        # dispatcher's VMEM model picks the streaming kernel for this
+        # (d=512) shape. CPU/tests keep the jnp reference path.
+        o = joint_attention(
+            q[:, None], k[:, None], v[:, None]
+        )[:, 0]
         o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         return x + o.reshape(b, hgt, wid, c)
 

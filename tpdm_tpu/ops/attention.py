@@ -284,6 +284,25 @@ def _flash_attention_streaming_impl(
 # the ~16MB VMEM budget; switch to the streaming online-softmax kernel.
 _STREAMING_KV_THRESHOLD = 8192
 
+# VMEM the resident kernel may budget for (of ~16MB/core, leaving room for
+# Mosaic's pipeline buffers).
+_RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _resident_fits(n_kv_pad: int, d: int, chunk_kv: int = 128) -> bool:
+    """Does the resident kernel's working set fit VMEM for this (kv, d)?
+
+    Resident cost: K (+ possible bias column) and V^T_ext stay whole in
+    VMEM; per query lane we hold a score-chunk column (fp32), an fp32
+    accumulator column, and bf16 qt/out columns. Wide single-head shapes
+    (e.g. the VAE's d=512 over 4k-16k tokens) exceed the budget and must
+    stream instead — this check generalizes the fixed kv-length threshold.
+    """
+    dv = _round_up(d + 1, 16)
+    resident = n_kv_pad * 2 * (d + 1 + dv)
+    per_lane = 4 * chunk_kv + 4 * dv + 2 * d * 2
+    return (_RESIDENT_VMEM_BUDGET - resident) // per_lane >= 128
+
 
 def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> int:
     """Largest 128-multiple divisor of n_q_pad, optionally capped by the
@@ -534,7 +553,9 @@ def flash_attention(
     use the faster transposed-layout resident-KV kernel (dense-recompute
     VJP).
     """
-    if k.shape[2] > _STREAMING_KV_THRESHOLD:
+    if k.shape[2] > _STREAMING_KV_THRESHOLD or not _resident_fits(
+        _round_up(k.shape[2], 128), q.shape[-1]
+    ):
         return _streaming_flash_attention(
             q, k, v, kv_len, 256 if block_q is None else min(block_q, 256),
             1024, interpret,
