@@ -92,6 +92,8 @@ class _CrossAttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _attn(self, x, y, prefix):
+        from tpdm_tpu.ops.attention import joint_attention
+
         d = self.dim
         h = self.heads
         hd = d // h
@@ -103,9 +105,13 @@ class _CrossAttnBlock(nn.Module):
         q = q.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, m, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, h, hd).transpose(0, 2, 1, 3)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s * hd**-0.5, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+        # flash kernel on TPU (the 64x64-latent self-attention is 4096
+        # tokens per level-0 layer); fp32 keeps the jnp reference path for
+        # exact oracle parity (same pattern as flux.py:170)
+        o = joint_attention(
+            q, k, v, use_pallas=False if self.dtype == jnp.float32 else None
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, name=f"{prefix}_to_out")(o)
 
     @nn.compact
