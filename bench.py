@@ -112,8 +112,8 @@ def build(batch_images: int, on_tpu: bool):
 
     from tpdm_tpu.models.vae import VAE, VAEConfig
 
-    # bf16 decode: fp32 convs at 1024px measured 475 ms vs ~? bf16 — the
-    # diffusers anchor runs its VAE in fp16 too
+    # bf16 decode (475 -> ~100 ms vs fp32; the diffusers anchor runs its
+    # VAE in fp16 too)
     vcfg = (
         VAEConfig.sd3(dtype=jnp.bfloat16)
         if on_tpu
@@ -130,10 +130,6 @@ def build(batch_images: int, on_tpu: bool):
         ),
         vshapes,
     )
-
-    @jax.jit
-    def run_decode(vae_params, z):
-        return vae.apply(vae_params, z, method="decode")
 
     @jax.jit
     def run_decode_reps(vae_params, z, reps):
@@ -176,7 +172,6 @@ def build(batch_images: int, on_tpu: bool):
     return dict(
         run_fixed=run_fixed,
         run_adaptive=run_adaptive,
-        run_decode=run_decode,
         run_decode_reps=run_decode_reps,
         params=params,
         tpm_params=tpm_params,

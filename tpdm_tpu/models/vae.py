@@ -104,10 +104,12 @@ class VAEAttention(nn.Module):
         # One 512-wide head over h*w tokens (16k at 1024px): the flash
         # kernel never materializes the (n, n) scores — the einsum path
         # would write a 1GB fp32 score tensor per image at 1024px. The
-        # dispatcher's VMEM model picks the streaming kernel for this
-        # (d=512) shape. CPU/tests keep the jnp reference path.
+        # dispatcher's VMEM model sizes/streams for this (d=512) shape.
+        # fp32 keeps the jnp reference path for exact oracle parity (same
+        # pattern as flux.py / unet_sd15.py).
         o = joint_attention(
-            q[:, None], k[:, None], v[:, None]
+            q[:, None], k[:, None], v[:, None],
+            use_pallas=False if self.dtype == jnp.float32 else None,
         )[:, 0]
         o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         return x + o.reshape(b, hgt, wid, c)

@@ -289,19 +289,21 @@ _STREAMING_KV_THRESHOLD = 8192
 _RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _resident_fits(n_kv_pad: int, d: int, chunk_kv: int = 128) -> bool:
-    """Does the resident kernel's working set fit VMEM for this (kv, d)?
+def _resident_lane_cap(n_kv_pad: int, d: int, itemsize: int,
+                       chunk_kv: int = 128) -> int:
+    """How many query LANES the resident kernel can afford in one block.
 
     Resident cost: K (+ possible bias column) and V^T_ext stay whole in
     VMEM; per query lane we hold a score-chunk column (fp32), an fp32
-    accumulator column, and bf16 qt/out columns. Wide single-head shapes
-    (e.g. the VAE's d=512 over 4k-16k tokens) exceed the budget and must
-    stream instead — this check generalizes the fixed kv-length threshold.
+    accumulator column, and qt/out columns at the input itemsize. The
+    dispatcher caps n_block to this (wide single-head shapes like the
+    VAE's d=512 get small blocks) and falls back to the streaming kernel
+    when fewer than 128 lanes fit.
     """
     dv = _round_up(d + 1, 16)
-    resident = n_kv_pad * 2 * (d + 1 + dv)
-    per_lane = 4 * chunk_kv + 4 * dv + 2 * d * 2
-    return (_RESIDENT_VMEM_BUDGET - resident) // per_lane >= 128
+    resident = n_kv_pad * itemsize * (d + 1 + dv)
+    per_lane = 4 * chunk_kv + 4 * dv + 2 * itemsize * d
+    return (_RESIDENT_VMEM_BUDGET - resident) // per_lane
 
 
 def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> int:
@@ -553,13 +555,15 @@ def flash_attention(
     use the faster transposed-layout resident-KV kernel (dense-recompute
     VJP).
     """
-    if k.shape[2] > _STREAMING_KV_THRESHOLD or not _resident_fits(
-        _round_up(k.shape[2], 128), q.shape[-1]
-    ):
+    lane_cap = _resident_lane_cap(
+        _round_up(k.shape[2], 128), q.shape[-1], q.dtype.itemsize
+    )
+    if k.shape[2] > _STREAMING_KV_THRESHOLD or lane_cap < 128:
         return _streaming_flash_attention(
             q, k, v, kv_len, 256 if block_q is None else min(block_q, 256),
             1024, interpret,
         )
+    block_q = lane_cap if block_q is None else min(block_q, lane_cap)
     return _resident_flash_attention(q, k, v, kv_len, block_q, interpret)
 
 
@@ -580,13 +584,17 @@ def flash_attention_with_stats(
     the TPDM backbone is frozen, and sequence-parallel backward would need
     its own ring (tracked in docs/ROADMAP.md).
     """
-    if k.shape[2] > _STREAMING_KV_THRESHOLD:
+    lane_cap = _resident_lane_cap(
+        _round_up(k.shape[2], 128), q.shape[-1], q.dtype.itemsize
+    )
+    if k.shape[2] > _STREAMING_KV_THRESHOLD or lane_cap < 128:
         raise ValueError(
             "stats variant is resident-KV only; shard kv below "
-            f"{_STREAMING_KV_THRESHOLD} per device (ring attention does)"
+            f"{_STREAMING_KV_THRESHOLD} per device and/or reduce head_dim "
+            "(ring attention shards the kv axis for exactly this)"
         )
     return _flash_attention_fwd_impl(
-        q, k, v, kv_len, None, interpret, with_stats=True
+        q, k, v, kv_len, lane_cap, interpret, with_stats=True
     )
 
 
