@@ -144,6 +144,11 @@ def main():
     p.add_argument("--prompt", default="a serene mountain lake at dawn")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_steps", type=int, default=35)
+    p.add_argument("--max_batch", type=int, default=2,
+                   help="compiled serving batch; partial batches pad to it")
+    p.add_argument("--batch_window_ms", type=float, default=25.0)
+    p.add_argument("--dp", type=int, default=None,
+                   help="shard batches over N devices (data-parallel replicas)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--out", default="generated.png")
     args = p.parse_args()
@@ -177,28 +182,70 @@ def main():
     except ImportError:
         logger.info("gradio not installed; starting stdlib HTTP server")
 
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    engine, server = make_http_server(pipe, tokenize, args)
+    engine.start()
+    logger.info(
+        "serving on http://127.0.0.1:%d/generate (POST json; GET /stats) — "
+        "batched (max_batch=%d, window=%.0fms%s)",
+        server.server_address[1], args.max_batch, args.batch_window_ms,
+        f", dp={args.dp}" if args.dp else "",
+    )
+    try:
+        server.serve_forever()
+    finally:
+        engine.stop()
+
+
+def make_http_server(pipe, tokenize, args):
+    """Threaded HTTP server over a BatchingEngine: concurrent requests
+    coalesce into one fixed-shape device batch (tpdm_tpu/serving.py)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from tpdm_tpu.serving import BatchingEngine
+
+    engine = BatchingEngine(
+        pipe,
+        tokenize,
+        max_batch=args.max_batch,
+        window_ms=args.batch_window_ms,
+        max_steps=args.max_steps,
+        dp=args.dp,
+    )
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/stats":
+                self.send_error(404)
+                return
+            self._reply(engine.stats())
+
         def do_POST(self):
             if self.path != "/generate":
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
-            res = generate(
-                pipe, tokenize, req.get("prompt", args.prompt),
-                int(req.get("seed", args.seed)), args.max_steps,
-            )
+            try:
+                res = engine.submit(
+                    req.get("prompt", args.prompt),
+                    int(req.get("seed", args.seed)),
+                ).result(timeout=600)
+            except Exception as e:
+                self.send_error(500, str(e)[:100])
+                return
             from PIL import Image
 
             buf = io.BytesIO()
-            Image.fromarray(res.images[0]).save(buf, format="PNG")
-            payload = {
-                "image_png_base64": base64.b64encode(buf.getvalue()).decode(),
-                "inference_steps": int(res.last_valid_index[0]) + 1,
-                "sigmas": res.sigmas[0][: res.num_steps].tolist(),
-            }
+            Image.fromarray(res["image"]).save(buf, format="PNG")
+            self._reply(
+                {
+                    "image_png_base64": base64.b64encode(buf.getvalue()).decode(),
+                    "inference_steps": res["inference_steps"],
+                    "sigmas": res["sigmas"],
+                }
+            )
+
+        def _reply(self, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -209,9 +256,8 @@ def main():
         def log_message(self, *a):
             logger.info("%s", a)
 
-    server = HTTPServer(("127.0.0.1", args.port), Handler)
-    logger.info("serving on http://127.0.0.1:%d/generate (POST json)", args.port)
-    server.serve_forever()
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    return engine, server
 
 
 if __name__ == "__main__":

@@ -124,6 +124,48 @@ class TestBatchingEngine:
             eng.stop()
 
 
+class TestHTTPServer:
+    def test_generate_and_stats_over_http(self, toy):
+        import base64
+        import http.client
+        import io
+        import json
+
+        import serve
+
+        pipe, tokenize = toy
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
+            prompt="default", seed=1, port=0,
+        )
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        engine.start()
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/generate",
+                body=json.dumps({"prompt": "a cat", "seed": 7}),
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+            assert 1 <= payload["inference_steps"] <= 3
+            png = base64.b64decode(payload["image_png_base64"])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+            conn.request("GET", "/stats")
+            stats = json.loads(conn.getresponse().read())
+            assert stats["batches_run"] == 1
+            conn.request("GET", "/nope")
+            assert conn.getresponse().status == 404
+        finally:
+            server.shutdown()
+            engine.stop()
+
+
 class TestDataParallelServing:
     def test_dp_requires_divisible_batch(self, toy):
         pipe, tokenize = toy
