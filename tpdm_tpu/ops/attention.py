@@ -285,8 +285,10 @@ def _flash_attention_streaming_impl(
 _STREAMING_KV_THRESHOLD = 8192
 
 # VMEM the resident kernel may budget for (of ~16MB/core, leaving room for
-# Mosaic's pipeline buffers).
-_RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic's pipeline buffers). 8MB also biases d=128 shapes toward
+# mid-size query blocks, which measured ~8% faster than max-size there
+# (experiments/attn_d128_tune.py: nb2304 3.26 ms vs nb4608 3.53 ms).
+_RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _resident_lane_cap(n_kv_pad: int, d: int, itemsize: int,
