@@ -138,7 +138,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _prep_transposed(q, k, v, kv_len: int, chunk_align: int):
+def _prep_transposed(q, k, v, kv_len: int, chunk_align: int,
+                     n_q_pad: Optional[int] = None):
     """Shared operand prep for the transposed kernels: prescale q by
     log2(e)/sqrt(d), pad, mask kv, and lay out qt (bh, d[+1], n_q_pad),
     k3 (bh, n_kv_pad, d[+1]), vt_ext (bh, dv, n_kv_pad) with the ones
@@ -157,7 +158,8 @@ def _prep_transposed(q, k, v, kv_len: int, chunk_align: int):
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     q = (q.astype(jnp.float32) * (_LOG2E / d**0.5)).astype(q.dtype)
-    n_q_pad = _round_up(n_q, 128)
+    if n_q_pad is None:
+        n_q_pad = _round_up(n_q, 128)
     n_kv_pad = _round_up(n_kv, chunk_align)
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad - n_q), (0, 0)))
@@ -243,11 +245,11 @@ def _flash_attention_streaming_impl(
     n_kv = k.shape[2]
     if kv_len is None:
         kv_len = n_kv
+    block_q, n_q_target = _pick_n_block(_round_up(n_q, 128), block_q)
     qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
-        q, k, v, kv_len, block_kv
+        q, k, v, kv_len, block_kv, n_q_pad=n_q_target
     )
     d_aug = qt.shape[1]
-    block_q = _pick_n_block(n_q_pad, block_q)
 
     out = pl.pallas_call(
         _flash_kernel_streaming,
@@ -308,17 +310,24 @@ def _resident_lane_cap(n_kv_pad: int, d: int, itemsize: int,
     return (_RESIDENT_VMEM_BUDGET - resident) // per_lane
 
 
-def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> int:
-    """Largest 128-multiple divisor of n_q_pad, optionally capped by the
-    caller's block_q hint. One big block measured fastest (the whole padded
-    query axis as lanes of a single program): resident K/V amortize over
-    the full chunk walk and Mosaic pipelines the 128-row kv chunks."""
+def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> tuple:
+    """Pick (n_block, padded_n_q): the largest 128-multiple block under the
+    caller's cap whose grid wastes <= ~4% of the query axis in padding.
+
+    Big blocks measured fastest (resident K/V amortize over the full chunk
+    walk, Mosaic pipelines the 128-row kv chunks), but requiring EXACT
+    divisibility strands awkward lengths — 2048px generation has
+    n_q_pad = 128*131 (131 prime), which would force 128-lane blocks
+    (~45 TF/s) when a 1536-lane block with 0.8% extra padding runs far
+    faster. Extra padded query lanes cost only their share of FLOPs and
+    are sliced off the output."""
     cap = n_q_pad if block_q is None else max(128, block_q // 128 * 128)
-    best = 128
-    for nb in range(128, n_q_pad + 1, 128):
-        if n_q_pad % nb == 0 and nb <= cap:
-            best = nb
-    return best
+    cap = min(cap, n_q_pad)
+    for nb in range(cap, 127, -128):
+        padded = _round_up(n_q_pad, nb)
+        if (padded - n_q_pad) * 25 <= n_q_pad:  # <= 4% waste
+            return nb, padded
+    return 128, n_q_pad
 
 
 def _flash_attention_fwd_impl(
@@ -341,11 +350,11 @@ def _flash_attention_fwd_impl(
     # operands (query axis = lanes), and masks kv via an augmented
     # contraction row/column (masked scores -> -1e9), so the kernel needs
     # no iota mask.
+    n_block, n_q_target = _pick_n_block(_round_up(n_q, 128), block_q)
     qt, k3, vt_ext, n_q_pad, n_kv_pad, dv, bh = _prep_transposed(
-        q, k, v, kv_len, chunk_kv
+        q, k, v, kv_len, chunk_kv, n_q_pad=n_q_target
     )
     d_aug = qt.shape[1]
-    n_block = _pick_n_block(n_q_pad, block_q)
 
     grid = (bh, n_q_pad // n_block)
     in_specs = [
@@ -562,8 +571,8 @@ def flash_attention(
     )
     if k.shape[2] > _STREAMING_KV_THRESHOLD or lane_cap < 128:
         return _streaming_flash_attention(
-            q, k, v, kv_len, 256 if block_q is None else min(block_q, 256),
-            1024, interpret,
+            q, k, v, kv_len, 1536 if block_q is None else block_q,
+            512, interpret,
         )
     block_q = lane_cap if block_q is None else min(block_q, lane_cap)
     return _resident_flash_attention(q, k, v, kv_len, block_q, interpret)
