@@ -223,13 +223,25 @@ def make_http_server(pipe, tokenize, args):
             if self.path != "/generate":
                 self.send_error(404)
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            # validate untrusted input BEFORE it reaches the batch worker:
+            # one bad request must not poison a coalesced batch
             try:
-                res = engine.submit(
-                    req.get("prompt", args.prompt),
-                    int(req.get("seed", args.seed)),
-                ).result(timeout=600)
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompt = req.get("prompt", args.prompt)
+                if not isinstance(prompt, str):
+                    raise ValueError("prompt must be a string")
+                seed = int(req.get("seed", args.seed))
+            except Exception as e:
+                self.send_error(400, str(e)[:100])
+                return
+            from tpdm_tpu.serving import EngineOverloaded
+
+            try:
+                res = engine.submit(prompt, seed).result(timeout=600)
+            except EngineOverloaded as e:
+                self.send_error(503, str(e)[:100])
+                return
             except Exception as e:
                 self.send_error(500, str(e)[:100])
                 return

@@ -80,6 +80,27 @@ class TestBatchingEngine:
         assert 0 < s["device_s_p50"] <= s["device_s_p95"]
         assert 0.25 <= s["batch_fill_mean"] <= 1.0  # (1/2 + 2/2) / 2
 
+    def test_http_seed_parity_with_direct_generate(self, toy):
+        # same (prompt, seed) must give the SAME image through the engine
+        # (HTTP path) and pipe.generate (cli/gradio path)
+        import serve
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        via_engine = eng.generate_batch(["a cat"], [11])[0]["image"]
+        via_pipe = serve.generate(pipe, tokenize, "a cat", 11, 4).images[0]
+        np.testing.assert_array_equal(via_engine, via_pipe)
+
+    def test_queue_limit_backpressure(self, toy):
+        from tpdm_tpu.serving import EngineOverloaded
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, queue_limit=1)
+        eng.submit("first")  # worker not started; sits in the queue
+        with pytest.raises(EngineOverloaded):
+            eng.submit("second")
+
     def test_error_propagates_to_all_waiters(self, toy):
         pipe, tokenize = toy
         eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=100,
@@ -161,6 +182,15 @@ class TestHTTPServer:
             assert stats["batches_run"] == 1
             conn.request("GET", "/nope")
             assert conn.getresponse().status == 404
+
+            # malformed body -> 400, not a dropped socket / poisoned batch
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/generate", body=b"not json")
+            assert conn.getresponse().status == 400
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/generate",
+                         body=json.dumps({"prompt": 42}))
+            assert conn.getresponse().status == 400
         finally:
             server.shutdown()
             engine.stop()

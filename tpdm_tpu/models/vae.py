@@ -102,15 +102,13 @@ class VAEAttention(nn.Module):
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
         # One 512-wide head over h*w tokens (16k at 1024px): the flash
-        # kernel never materializes the (n, n) scores — the einsum path
-        # would write a 1GB fp32 score tensor per image at 1024px. The
-        # dispatcher's VMEM model sizes/streams for this (d=512) shape.
-        # fp32 keeps the jnp reference path for exact oracle parity (same
-        # pattern as flux.py / unet_sd15.py).
-        o = joint_attention(
-            q[:, None], k[:, None], v[:, None],
-            use_pallas=False if self.dtype == jnp.float32 else None,
-        )[:, 0]
+        # kernel never materializes the (n, n) scores — the jnp path
+        # would write a 1GB fp32 score tensor per image at 1024px, so
+        # unlike flux/unet_sd15 the fp32 case must NOT force the
+        # reference on TPU (auto dispatch keeps the reference on CPU,
+        # where the oracle tests run, and the kernel on TPU for every
+        # dtype; the dispatcher's VMEM model sizes/streams d=512).
+        o = joint_attention(q[:, None], k[:, None], v[:, None])[:, 0]
         o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         return x + o.reshape(b, hgt, wid, c)
 

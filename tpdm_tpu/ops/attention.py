@@ -293,6 +293,27 @@ _STREAMING_KV_THRESHOLD = 8192
 _RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
 
 
+def _streaming_blocks(d: int, itemsize: int):
+    """(block_q, block_kv) for the streaming kernel, sized by the same
+    VMEM model as the resident path: fp32 score/acc blocks plus
+    double-buffered operand blocks must fit the budget. (1536, 512) is
+    the swept optimum for bf16 d<=128 (experiments/attn_d128_tune.py);
+    wide/fp32 shapes shrink automatically."""
+    dv = _round_up(d + 1, 16)
+    for bq in (1536, 1024, 512, 256, 128):
+        for bkv in (512, 256, 128):
+            use = (
+                4 * bkv * bq                      # fp32 score block
+                + 4 * dv * bq                     # fp32 accumulator
+                + 2 * itemsize * (
+                    (d + 1) * bq + bkv * (d + 1) + dv * bkv
+                )                                  # double-buffered operands
+            )
+            if use <= _RESIDENT_VMEM_BUDGET:
+                return bq, bkv
+    return 128, 128
+
+
 def _resident_lane_cap(n_kv_pad: int, d: int, itemsize: int,
                        chunk_kv: int = 128) -> int:
     """How many query LANES the resident kernel can afford in one block.
@@ -327,7 +348,8 @@ def _pick_n_block(n_q_pad: int, block_q: Optional[int]) -> tuple:
         padded = _round_up(n_q_pad, nb)
         if (padded - n_q_pad) * 25 <= n_q_pad:  # <= 4% waste
             return nb, padded
-    return 128, n_q_pad
+    # unreachable: nb=128 always has zero waste (n_q_pad is a 128-multiple)
+    raise AssertionError(n_q_pad)
 
 
 def _flash_attention_fwd_impl(
@@ -555,9 +577,11 @@ def flash_attention(
         kv_len: number of valid kv positions (static); positions >= kv_len
             are masked. None = all valid.
         block_q: optional cap on query columns per program (128 multiple).
-            None (default) = one block spanning the whole padded query
-            axis, which measured fastest (77 TF/s at the SD3 1024px shape,
-            experiments/attn_round3b.py).
+            None (default) = auto: the largest block the VMEM model
+            affords (the whole padded query axis at the SD3 d=64 shape,
+            77 TF/s; mid-size blocks at d=128, which measured ~8% faster
+            there — experiments/attn_round3b.py, attn_d128_tune.py). The
+            query axis may be padded a few % so the block tiles it.
         interpret: run the kernel in the Pallas interpreter (CPU testing).
 
     Long sequences (> _STREAMING_KV_THRESHOLD kv tokens, e.g. 2048px
@@ -570,9 +594,10 @@ def flash_attention(
         _round_up(k.shape[2], 128), q.shape[-1], q.dtype.itemsize
     )
     if k.shape[2] > _STREAMING_KV_THRESHOLD or lane_cap < 128:
+        bq, bkv = _streaming_blocks(q.shape[-1], q.dtype.itemsize)
         return _streaming_flash_attention(
-            q, k, v, kv_len, 1536 if block_q is None else block_q,
-            512, interpret,
+            q, k, v, kv_len, bq if block_q is None else min(block_q, bq),
+            bkv, interpret,
         )
     block_q = lane_cap if block_q is None else min(block_q, lane_cap)
     return _resident_flash_attention(q, k, v, kv_len, block_q, interpret)

@@ -30,6 +30,10 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is at its limit."""
+
+
 @dataclass
 class ServeRequest:
     prompt: str
@@ -58,6 +62,10 @@ class BatchingEngine:
         max_steps: adaptive-sampler step cap (gradio demo default 35).
         dp: if set, shard each batch over the first `dp` devices via a
             ("data",)-axis mesh. max_batch must be divisible by dp.
+        queue_limit: backpressure bound — submit() raises EngineOverloaded
+            beyond this many queued requests (default 8x max_batch), so
+            slow compiles / bursts surface as 503s instead of a silently
+            growing queue of work nobody will wait for.
     """
 
     def __init__(
@@ -69,6 +77,7 @@ class BatchingEngine:
         max_steps: int = 35,
         guidance_scale: Optional[float] = 7.0,
         dp: Optional[int] = None,
+        queue_limit: Optional[int] = None,
     ):
         if dp is not None and max_batch % dp != 0:
             raise ValueError(f"max_batch {max_batch} not divisible by dp {dp}")
@@ -78,7 +87,9 @@ class BatchingEngine:
         self.window_ms = window_ms
         self.max_steps = max_steps
         self.guidance_scale = guidance_scale
-        self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
+            maxsize=queue_limit if queue_limit is not None else 8 * max_batch
+        )
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.batches_run = 0  # observability + test hook
@@ -145,18 +156,21 @@ class BatchingEngine:
         t5_ids = np.stack(t5_rows)
 
         mcfg = self.pipe.mmdit.config
-        latents = np.stack(
-            [
-                np.asarray(
-                    jax.random.normal(
-                        jax.random.PRNGKey(s),
-                        (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
-                        mcfg.dtype,
-                    )
+        # derive each request's latent EXACTLY as a batch-1 pipe.generate
+        # with that seed would (key_lat = split(PRNGKey(seed))[0]), so the
+        # HTTP path, --cli, and gradio produce identical images for the
+        # same (prompt, seed)
+        def _latent(s):
+            key_lat = jax.random.split(jax.random.PRNGKey(s))[0]
+            return np.asarray(
+                jax.random.normal(
+                    key_lat,
+                    (1, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                    mcfg.dtype,
                 )
-                for s in seeds
-            ]
-        )
+            )[0]
+
+        latents = np.stack([_latent(s) for s in seeds])
         t_tokenized = time.monotonic()
         res = self.pipe.generate(
             clip_ids=clip_ids,
@@ -194,7 +208,12 @@ class BatchingEngine:
     # -- async surface -------------------------------------------------------
     def submit(self, prompt: str, seed: int = 0) -> ServeRequest:
         req = ServeRequest(prompt=prompt, seed=seed)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise EngineOverloaded(
+                f"request queue full ({self._queue.maxsize}); retry later"
+            )
         return req
 
     def start(self):
@@ -208,7 +227,10 @@ class BatchingEngine:
         if self._thread is None:
             return
         self._stop.set()
-        self._queue.put(None)  # wake the worker
+        try:
+            self._queue.put_nowait(None)  # wake the worker
+        except queue.Full:
+            pass  # worker is mid-batch; it checks _stop on the next loop
         self._thread.join(timeout=30)
         self._thread = None
         # fail any requests still queued so no waiter blocks forever
