@@ -185,3 +185,72 @@ class TestFluxAgent:
         assert np.isfinite(list(m.values())).all()
         diffs = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestFluxConverter:
+    """BFL-layout checkpoint mapping (convert_flux/export_flux) — the
+    converter that makes the beyond-reference FLUX backbone loadable from
+    released black-forest-labs weights."""
+
+    def _toy(self):
+        from tpdm_tpu.models.flux import Flux, FluxConfig
+
+        cfg = FluxConfig.toy()
+        model = Flux(cfg)
+        b, n_img, n_txt = 1, 4, 3
+        args = (
+            jnp.zeros((b, n_img, cfg.in_channels)),
+            jnp.zeros((b, n_img, 3)),
+            jnp.zeros((b, n_txt, cfg.txt_dim)),
+            jnp.zeros((b, n_txt, 3)),
+            jnp.full((b,), 0.5),
+            jnp.zeros((b, cfg.vec_dim)),
+            jnp.full((b,), 3.5),
+        )
+        params = model.init(jax.random.PRNGKey(5), *args)
+        return cfg, model, params, args
+
+    def test_round_trip_identity(self):
+        from tpdm_tpu.utils.convert import convert_flux, export_flux
+
+        cfg, model, params, args = self._toy()
+        sd = export_flux(params)
+        back = convert_flux(
+            sd, depth_double=cfg.depth_double, depth_single=cfg.depth_single
+        )
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(back)}
+        assert len(flat_a) == len(flat_b)
+        for k, v in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(v), flat_b[str(k)], err_msg=str(k)
+            )
+        out = model.apply(back, *args)[0]
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_canonical_bfl_keys_and_shapes(self):
+        from tpdm_tpu.utils.convert import export_flux
+
+        cfg, model, params, _ = self._toy()
+        sd = export_flux(params)
+        d = cfg.hidden_size
+        mlp = int(d * cfg.mlp_ratio)
+        for key in (
+            "img_in.weight",
+            "time_in.in_layer.weight",
+            "guidance_in.out_layer.bias",
+            "double_blocks.0.img_attn.qkv.weight",
+            "double_blocks.0.img_attn.norm.query_norm.scale",
+            "double_blocks.0.txt_mod.lin.weight",
+            "double_blocks.1.img_mlp.0.weight",
+            "single_blocks.0.linear1.weight",
+            "single_blocks.1.norm.key_norm.scale",
+            "final_layer.adaLN_modulation.1.weight",
+            "final_layer.linear.bias",
+        ):
+            assert key in sd, key
+        # torch (out, in) layouts; fused shapes
+        assert sd["double_blocks.0.img_attn.qkv.weight"].shape == (3 * d, d)
+        assert sd["single_blocks.0.linear1.weight"].shape == (3 * d + mlp, d)
+        assert sd["final_layer.adaLN_modulation.1.weight"].shape == (2 * d, d)
+        assert sd["img_in.weight"].shape == (d, cfg.in_channels)

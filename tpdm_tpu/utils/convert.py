@@ -518,3 +518,147 @@ def export_unet_sd15(params: dict) -> dict:
         else:
             raise ValueError(f"unmapped UNetSD15 module: {name}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# FLUX transformer (BFL checkpoint layout: black-forest-labs flux.1 repos)
+# ---------------------------------------------------------------------------
+
+
+def convert_flux(
+    state_dict: Mapping,
+    depth_double: int = 19,
+    depth_single: int = 38,
+    dtype=None,
+) -> dict:
+    """BFL flux.1 transformer state dict -> tpdm_tpu Flux params.
+
+    Key layout follows the official black-forest-labs checkpoints
+    (img_in/txt_in/time_in/vector_in[/guidance_in], double_blocks.N with
+    fused img_attn.qkv + query/key RMSNorm scales, single_blocks.N with
+    fused linear1 = [qkv | mlp], final_layer.{adaLN_modulation.1,linear}).
+    The fused qkv rows split into our per-projection Denses; everything
+    else is a straight torch (out, in) -> flax (in, out) transpose. The
+    reference repo names a FLUX variant but ships no code for it (SURVEY
+    §2.1); this converter makes the beyond-reference FLUX backbone
+    loadable from released weights.
+    """
+    sd = _SD(state_dict, dtype)
+
+    def mlp_embed(base: str) -> dict:
+        return {
+            "in_layer": _dense(sd, f"{base}.in_layer"),
+            "out_layer": _dense(sd, f"{base}.out_layer"),
+        }
+
+    def split_qkv(base: str, prefix: str) -> dict:
+        w = sd(f"{base}.qkv.weight")  # (3d, d) torch layout
+        b = sd(f"{base}.qkv.bias")
+        d = w.shape[1]
+        out = {}
+        for j, nm in enumerate(("q", "k", "v")):
+            out[f"{prefix}_to_{nm}"] = {
+                "kernel": np.ascontiguousarray(w[j * d:(j + 1) * d].T),
+                "bias": b[j * d:(j + 1) * d],
+            }
+        out[f"{prefix}_norm_q"] = {"scale": sd(f"{base}.norm.query_norm.scale")}
+        out[f"{prefix}_norm_k"] = {"scale": sd(f"{base}.norm.key_norm.scale")}
+        return out
+
+    p: dict = {
+        "img_in": _dense(sd, "img_in"),
+        "txt_in": _dense(sd, "txt_in"),
+        "time_in": mlp_embed("time_in"),
+        "vector_in": mlp_embed("vector_in"),
+        "final_mod": {"lin": _dense(sd, "final_layer.adaLN_modulation.1")},
+        "final_proj": _dense(sd, "final_layer.linear"),
+    }
+    if sd.has("guidance_in.in_layer.weight"):
+        p["guidance_in"] = mlp_embed("guidance_in")
+    for i in range(depth_double):
+        base = f"double_blocks.{i}"
+        blk = {
+            "img_mod": {"lin": _dense(sd, f"{base}.img_mod.lin")},
+            "txt_mod": {"lin": _dense(sd, f"{base}.txt_mod.lin")},
+            "img_attn_proj": _dense(sd, f"{base}.img_attn.proj"),
+            "txt_attn_proj": _dense(sd, f"{base}.txt_attn.proj"),
+            "img_mlp_0": _dense(sd, f"{base}.img_mlp.0"),
+            "img_mlp_2": _dense(sd, f"{base}.img_mlp.2"),
+            "txt_mlp_0": _dense(sd, f"{base}.txt_mlp.0"),
+            "txt_mlp_2": _dense(sd, f"{base}.txt_mlp.2"),
+        }
+        blk.update(split_qkv(f"{base}.img_attn", "img_attn"))
+        blk.update(split_qkv(f"{base}.txt_attn", "txt_attn"))
+        p[f"double_blocks_{i}"] = blk
+    for i in range(depth_single):
+        base = f"single_blocks.{i}"
+        p[f"single_blocks_{i}"] = {
+            "modulation": {"lin": _dense(sd, f"{base}.modulation.lin")},
+            "linear1": _dense(sd, f"{base}.linear1"),
+            "linear2": _dense(sd, f"{base}.linear2"),
+            "norm_q": {"scale": sd(f"{base}.norm.query_norm.scale")},
+            "norm_k": {"scale": sd(f"{base}.norm.key_norm.scale")},
+        }
+    return {"params": p}
+
+
+def export_flux(params: dict) -> dict:
+    """tpdm_tpu Flux params -> BFL-layout state dict (inverse of
+    convert_flux; safetensors-safe contiguity)."""
+    tree = params["params"]
+    out: dict = {}
+
+    def dense(sub: dict, key: str):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(sub["kernel"]).T)
+        if "bias" in sub:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(sub["bias"]))
+
+    def mlp_embed(sub: dict, base: str):
+        dense(sub["in_layer"], f"{base}.in_layer")
+        dense(sub["out_layer"], f"{base}.out_layer")
+
+    def fuse_qkv(blk: dict, prefix: str, base: str):
+        w = np.concatenate(
+            [np.asarray(blk[f"{prefix}_to_{nm}"]["kernel"]).T for nm in ("q", "k", "v")]
+        )
+        b = np.concatenate(
+            [np.asarray(blk[f"{prefix}_to_{nm}"]["bias"]) for nm in ("q", "k", "v")]
+        )
+        out[f"{base}.qkv.weight"] = np.ascontiguousarray(w)
+        out[f"{base}.qkv.bias"] = np.ascontiguousarray(b)
+        out[f"{base}.norm.query_norm.scale"] = np.asarray(
+            blk[f"{prefix}_norm_q"]["scale"]
+        )
+        out[f"{base}.norm.key_norm.scale"] = np.asarray(blk[f"{prefix}_norm_k"]["scale"])
+
+    dense(tree["img_in"], "img_in")
+    dense(tree["txt_in"], "txt_in")
+    mlp_embed(tree["time_in"], "time_in")
+    mlp_embed(tree["vector_in"], "vector_in")
+    if "guidance_in" in tree:
+        mlp_embed(tree["guidance_in"], "guidance_in")
+    dense(tree["final_mod"]["lin"], "final_layer.adaLN_modulation.1")
+    dense(tree["final_proj"], "final_layer.linear")
+    for name, blk in tree.items():
+        if name.startswith("double_blocks_"):
+            i = name.split("_")[-1]
+            base = f"double_blocks.{i}"
+            dense(blk["img_mod"]["lin"], f"{base}.img_mod.lin")
+            dense(blk["txt_mod"]["lin"], f"{base}.txt_mod.lin")
+            dense(blk["img_attn_proj"], f"{base}.img_attn.proj")
+            dense(blk["txt_attn_proj"], f"{base}.txt_attn.proj")
+            dense(blk["img_mlp_0"], f"{base}.img_mlp.0")
+            dense(blk["img_mlp_2"], f"{base}.img_mlp.2")
+            dense(blk["txt_mlp_0"], f"{base}.txt_mlp.0")
+            dense(blk["txt_mlp_2"], f"{base}.txt_mlp.2")
+            fuse_qkv(blk, "img_attn", f"{base}.img_attn")
+            fuse_qkv(blk, "txt_attn", f"{base}.txt_attn")
+        elif name.startswith("single_blocks_"):
+            i = name.split("_")[-1]
+            base = f"single_blocks.{i}"
+            dense(blk["modulation"]["lin"], f"{base}.modulation.lin")
+            dense(blk["linear1"], f"{base}.linear1")
+            dense(blk["linear2"], f"{base}.linear2")
+            out[f"{base}.norm.query_norm.scale"] = np.asarray(blk["norm_q"]["scale"])
+            out[f"{base}.norm.key_norm.scale"] = np.asarray(blk["norm_k"]["scale"])
+    return out
