@@ -113,6 +113,51 @@ class TestFlashKernel:
         np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-4, atol=1e-5)
 
 
+class TestDispatchChoices:
+    """Pin the VMEM-model decisions for the production shapes (regression
+    guards for the measured optima in docs/PERF.md)."""
+
+    def test_sd3_1024px_uses_one_full_block(self):
+        from tpdm_tpu.ops.attention import _pick_n_block, _resident_lane_cap
+
+        cap = _resident_lane_cap(4480, 64, 2)
+        assert cap >= 4480  # resident, single block
+        assert _pick_n_block(4480, cap) == (4480, 4480)
+
+    def test_flux_d128_uses_midsize_block(self):
+        from tpdm_tpu.ops.attention import _pick_n_block, _resident_lane_cap
+
+        cap = _resident_lane_cap(4608, 128, 2)
+        assert 128 <= cap < 4608
+        nb, padded = _pick_n_block(4608, cap)
+        assert nb == 2304 and padded == 4608  # measured ~8% over max-size
+
+    def test_wide_head_streams(self):
+        from tpdm_tpu.ops.attention import _resident_lane_cap, _streaming_blocks
+
+        # 512px VAE attention (d=512, kv=4096): resident can't fit
+        assert _resident_lane_cap(4096, 512, 2) < 128
+        bq, bkv = _streaming_blocks(512, 2)
+        assert bq >= 1024 and bkv >= 128
+
+    def test_2048px_prime_length_gets_large_padded_block(self):
+        from tpdm_tpu.ops.attention import _pick_n_block
+
+        # 16768 = 128 * 131 (prime): exact-divisor blocking would force
+        # 128-lane programs; padding tolerance unlocks 1536 lanes
+        nb, padded = _pick_n_block(16768, 1536)
+        assert nb == 1536 and padded == 16896
+        assert (padded - 16768) / 16768 < 0.04
+
+    def test_streaming_blocks_shrink_for_fp32(self):
+        from tpdm_tpu.ops.attention import _streaming_blocks
+
+        bq16, _ = _streaming_blocks(64, 2)
+        bq32, _ = _streaming_blocks(512, 4)
+        assert bq16 == 1536  # the swept optimum for bf16 small-d
+        assert bq32 < bq16
+
+
 class TestStreamingKernel:
     def test_matches_reference(self):
         from tpdm_tpu.ops.attention import _flash_attention_streaming_impl
