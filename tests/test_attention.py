@@ -152,10 +152,14 @@ class TestDispatchChoices:
     def test_streaming_blocks_shrink_for_fp32(self):
         from tpdm_tpu.ops.attention import _streaming_blocks
 
-        bq16, _ = _streaming_blocks(64, 2)
-        bq32, _ = _streaming_blocks(512, 4)
-        assert bq16 == 1536  # the swept optimum for bf16 small-d
-        assert bq32 < bq16
+        assert _streaming_blocks(64, 2) == (1536, 512)  # swept bf16 optimum
+        # the dtype axis, isolated at a width where operands dominate VMEM:
+        # same head_dim, different itemsize must shrink the blocks
+        bq_bf16, _ = _streaming_blocks(512, 2)
+        bq_fp32, _ = _streaming_blocks(512, 4)
+        assert bq_fp32 < bq_bf16
+        # the head-dim axis, isolated at fixed itemsize
+        assert _streaming_blocks(512, 2)[1] < _streaming_blocks(64, 2)[1]
 
 
 class TestStreamingKernel:

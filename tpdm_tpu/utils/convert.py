@@ -626,10 +626,12 @@ def export_flux(params: dict) -> dict:
         )
         out[f"{base}.qkv.weight"] = np.ascontiguousarray(w)
         out[f"{base}.qkv.bias"] = np.ascontiguousarray(b)
-        out[f"{base}.norm.query_norm.scale"] = np.asarray(
-            blk[f"{prefix}_norm_q"]["scale"]
+        out[f"{base}.norm.query_norm.scale"] = np.ascontiguousarray(
+            np.asarray(blk[f"{prefix}_norm_q"]["scale"])
         )
-        out[f"{base}.norm.key_norm.scale"] = np.asarray(blk[f"{prefix}_norm_k"]["scale"])
+        out[f"{base}.norm.key_norm.scale"] = np.ascontiguousarray(
+            np.asarray(blk[f"{prefix}_norm_k"]["scale"])
+        )
 
     dense(tree["img_in"], "img_in")
     dense(tree["txt_in"], "txt_in")
@@ -659,6 +661,15 @@ def export_flux(params: dict) -> dict:
             dense(blk["modulation"]["lin"], f"{base}.modulation.lin")
             dense(blk["linear1"], f"{base}.linear1")
             dense(blk["linear2"], f"{base}.linear2")
-            out[f"{base}.norm.query_norm.scale"] = np.asarray(blk["norm_q"]["scale"])
-            out[f"{base}.norm.key_norm.scale"] = np.asarray(blk["norm_k"]["scale"])
+            out[f"{base}.norm.query_norm.scale"] = np.ascontiguousarray(
+                np.asarray(blk["norm_q"]["scale"])
+            )
+            out[f"{base}.norm.key_norm.scale"] = np.ascontiguousarray(
+                np.asarray(blk["norm_k"]["scale"])
+            )
+        elif name in ("img_in", "txt_in", "time_in", "vector_in",
+                      "guidance_in", "final_mod", "final_proj"):
+            pass  # handled explicitly above
+        else:
+            raise ValueError(f"unmapped Flux module: {name}")
     return out
