@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(num_updates: int = 30):
+def main(num_updates: int = 30, kl_coef: float = 0.0, lr: float = 3e-3,
+         out_name: str = "learning_curve_sd3.json"):
     from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
     from tpdm_tpu.train import RLOOConfig, RLOOTrainer, TPDMAgent
 
@@ -58,9 +59,9 @@ def main(num_updates: int = 30):
         max_inference_steps=12,
         min_sigma=0.25,
         total_episodes=rloo_k * num_updates,
-        learning_rate=3e-3,
+        learning_rate=lr,
         gamma=0.8,
-        kl_coef=0.0,
+        kl_coef=kl_coef,
         init_alpha=3.0,  # Beta mode ~0.90 -> ~12 steps to sigma 0.28
         init_beta=0.5,
         guidance_scale=7.0,
@@ -114,7 +115,7 @@ def main(num_updates: int = 30):
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
-        "learning_curve_sd3.json",
+        out_name,
     )
     with open(out, "w") as f:
         json.dump({"wall_s": round(time.time() - t0, 1), "curve": rows}, f, indent=1)
@@ -124,4 +125,16 @@ def main(num_updates: int = 30):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=30)
+    ap.add_argument("--kl", type=float, default=0.0,
+                    help="KL-to-reference coefficient; >0 anchors the "
+                         "policy and avoids post-convergence Beta-extreme "
+                         "churn (the kl=0 curve converges then trips the "
+                         "NaN guard every update)")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--out", default="learning_curve_sd3.json")
+    a = ap.parse_args()
+    main(a.updates, a.kl, a.lr, a.out)
