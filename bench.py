@@ -186,6 +186,15 @@ def build(batch_images: int, on_tpu: bool):
 def main():
     if "--cpu" in sys.argv:  # force the CPU fallback (the session env pins
         jax.config.update("jax_platforms", "cpu")  # the axon TPU plugin)
+    # persistent compile cache: the remote compile helper degrades under
+    # load (10+ min per jit observed); cached executables make bench runs
+    # reproducible in minutes. Harmless no-op if the backend can't
+    # serialize executables.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpdm_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu", "gpu")
     # batch 1 (CFG batch 2) measured best img/s/chip; throughput is flat in
