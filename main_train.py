@@ -43,7 +43,15 @@ def parse_args():
     p.add_argument("--resume_from_checkpoint", default=None,
                    help="'true' for latest in output_dir, or a path")
     p.add_argument("--multihost", action="store_true",
-                   help="call jax.distributed.initialize() first")
+                   help="call jax.distributed.initialize() and train "
+                        "mesh-native over all global devices")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the session env pins the "
+                        "TPU plugin regardless of JAX_PLATFORMS)")
+    p.add_argument("--mesh_shape", default=None,
+                   help="'data,fsdp,tensor' (e.g. 4,2,1) or 'auto': build a "
+                        "device mesh and run the trainer GSPMD-sharded "
+                        "(implied by --multihost)")
     for f in dataclasses.fields(RLOOConfig):
         flag = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
@@ -58,6 +66,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         import jax
 
@@ -91,6 +103,34 @@ def main():
 
         collate_fn = make_prompt_encoder(agent)
 
+    # Mesh-native scale-out (TPU analogue of the reference's accelerate
+    # prepare + torchrun launch, src/train/rloo_trainer.py:187-193,
+    # scripts/launch_sd3_train.sh:10): one GSPMD program shards the batch
+    # over (data, fsdp) and the frozen backbone over (fsdp, tensor).
+    mesh = None
+    if args.multihost or args.mesh_shape:
+        import jax
+
+        from tpdm_tpu.parallel.mesh import auto_mesh_shape, make_mesh
+
+        devices = jax.devices()
+        if args.mesh_shape and args.mesh_shape.lower() != "auto":
+            d, f, t = (int(x) for x in args.mesh_shape.split(","))
+        else:
+            d, f, t = auto_mesh_shape(len(devices))
+        mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+        logger.info(
+            "mesh-native training: data=%d fsdp=%d tensor=%d over %d devices "
+            "(%d processes)", d, f, t, len(devices), jax.process_count(),
+        )
+        if hasattr(agent, "shard"):
+            agent.shard(mesh)
+        else:
+            logger.warning(
+                "agent %s has no .shard(mesh); backbone stays unsharded",
+                type(agent).__name__,
+            )
+
     callbacks = []
     if config.eval_steps:
         from tpdm_tpu.train.callbacks import EvalVisualizationCallback
@@ -106,7 +146,8 @@ def main():
         )
 
     trainer = RLOOTrainer(
-        config, agent, reward_fn, dataset, collate_fn=collate_fn, callbacks=callbacks
+        config, agent, reward_fn, dataset, collate_fn=collate_fn,
+        callbacks=callbacks, mesh=mesh,
     )
 
     resume = args.resume_from_checkpoint

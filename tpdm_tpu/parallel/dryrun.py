@@ -163,3 +163,87 @@ def dryrun_training_step(
         if isinstance(v, float):
             assert np.isfinite(v), (k, v)
     return metrics
+
+
+def dryrun_trainer(
+    n_devices: int,
+    mesh_shape: tuple[int, int, int] | None = None,
+    num_updates: int = 2,
+    output_dir: str | None = None,
+) -> dict:
+    """Run the REAL ``RLOOTrainer.train()`` mesh-native for ``num_updates``
+    updates plus a checkpoint-resumed extra update.
+
+    Unlike :func:`dryrun_training_step` (which hand-rolls one sharded
+    update), this exercises the production path end to end under GSPMD:
+    batch algebra with world_size = data*fsdp shards, PPO epoch/minibatch/
+    micro loops over the global batch, optax.MultiSteps grad accumulation,
+    NaN-guarded train step, checkpoint save + resume — everything the
+    reference runs under accelerate/torchrun
+    (reference: src/train/rloo_trainer.py:187-193, scripts/launch_sd3_train.sh:10).
+    """
+    import shutil
+    import tempfile
+
+    from tpdm_tpu.train.builders import (
+        build_toy_agent,
+        build_toy_reward,
+        make_prompt_encoder,
+    )
+    from tpdm_tpu.train.rloo import RLOOTrainer
+
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    data, fsdp, tensor = mesh_shape
+    mesh = make_mesh(devices, data=data, fsdp=fsdp, tensor=tensor)
+    dp = data * fsdp
+
+    cfg = RLOOConfig(
+        per_device_train_batch_size=2,
+        rloo_k=2,
+        num_mini_batches=1,
+        gradient_accumulation_steps=2,
+        num_ppo_epochs=2,
+        max_inference_steps=2,
+        guidance_scale=7.0,
+        kl_coef=0.01,
+        learning_rate=1e-4,
+        save_steps=num_updates,
+        logging_steps=1,
+        output_dir=output_dir or tempfile.mkdtemp(prefix="tpdm_dryrun_"),
+    )
+    batch = cfg.per_device_train_batch_size * cfg.gradient_accumulation_steps * dp
+    cfg = dataclasses.replace(cfg, total_episodes=num_updates * batch)
+
+    agent = build_toy_agent(cfg)
+    agent.shard(mesh)
+    dataset = [{"prompt": f"a photo of object {i}"} for i in range(max(8, batch))]
+    collate = make_prompt_encoder(agent)
+    reward_fn = build_toy_reward()
+
+    trainer = RLOOTrainer(
+        cfg, agent, reward_fn, dataset, collate_fn=collate, mesh=mesh
+    )
+    trainer.train()
+    assert len(trainer.metrics_history) == num_updates
+    metrics = dict(trainer.metrics_history[-1])
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+
+    # resume from the saved checkpoint for one more update, still sharded
+    cfg2 = dataclasses.replace(cfg, total_episodes=(num_updates + 1) * batch)
+    trainer2 = RLOOTrainer(
+        cfg2, agent, reward_fn, dataset, collate_fn=collate, mesh=mesh
+    )
+    trainer2.train(resume_from_checkpoint=True)
+    assert trainer2.metrics_history, "resumed trainer produced no metrics"
+    resumed = trainer2.metrics_history[-1]
+    assert np.isfinite(resumed["loss/policy_avg"]), resumed
+
+    if output_dir is None:
+        shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    metrics["mesh"] = f"data={data} fsdp={fsdp} tensor={tensor}"
+    metrics["resumed_loss"] = float(resumed["loss/policy_avg"])
+    return metrics

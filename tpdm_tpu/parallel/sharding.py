@@ -11,7 +11,7 @@ FSDP `summon_full_params` wrappers (modeling_sd3_pnt.py:798-802).
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -21,7 +21,15 @@ _COLUMN = re.compile(
     r"(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj|proj_in|linear_1"
     r"|context_embedder)"
 )
-# row-parallel consumers: in-dim over "tensor", out-dim over "fsdp"
+# row-parallel consumers: in-dim over "tensor"; the out-dim's second shard
+# axis is mesh-dependent (see mmdit_param_specs): "fsdp" on tensor-trivial
+# meshes (pure ZeRO), "data" when tensor>1 — the combination
+# col=(fsdp,tensor) + row=(tensor,fsdp) + batch over (data,fsdp) MISCOMPILES
+# in the XLA SPMD partitioner (numerically wrong outputs once per-shard
+# batch >= 2; verified on the CPU backend, tests/test_parallel.py
+# test_sharded_forward_matches_unsharded b=8 leg — same bug class as the
+# _MODULATION carve-out below). row=(tensor,data) is exact and keeps the
+# kernels sharded tensor*data ways.
 _ROW = re.compile(r"(to_out|to_add_out|ff(_context)?/proj_out|linear_2)")
 # AdaLN modulation producers: weight-shard over fsdp only. Their outputs are
 # per-sample vectors consumed by every tensor shard (split into 6/9 chunks
@@ -36,7 +44,7 @@ def _path_str(path) -> str:
     return "/".join(getattr(p, "key", str(p)) for p in path)
 
 
-def mmdit_param_spec(path, leaf) -> P:
+def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "fsdp")) -> P:
     """PartitionSpec for one MMDiT parameter leaf."""
     name = _path_str(path)
     if leaf.ndim == 2:
@@ -45,7 +53,7 @@ def mmdit_param_spec(path, leaf) -> P:
         if _COLUMN.search(name):
             return P("fsdp", "tensor")
         if _ROW.search(name):
-            return P("tensor", "fsdp")
+            return row_spec
         if leaf.shape[0] >= 256 and leaf.shape[1] >= 256:
             return P("fsdp", None)  # misc large kernels: plain weight shard
         return P()
@@ -53,15 +61,28 @@ def mmdit_param_spec(path, leaf) -> P:
     return P()
 
 
-def mmdit_param_specs(params) -> Any:
+def row_parallel_spec(mesh: Optional[Mesh]) -> P:
+    """Out-dim shard axis for row-parallel kernels, mesh-dependent (see the
+    _ROW miscompile note above): ZeRO over fsdp when the tensor axis is
+    trivial, else over data. With tensor>1 and data==1 the row kernels end
+    up replicated across fsdp — the price of dodging the partitioner bug."""
+    if mesh is not None and mesh.shape.get("tensor", 1) > 1:
+        return P("tensor", "data")
+    return P("tensor", "fsdp")
+
+
+def mmdit_param_specs(params, mesh: Optional[Mesh] = None) -> Any:
     """Tree of PartitionSpecs matching an MMDiT param tree."""
-    return jax.tree_util.tree_map_with_path(mmdit_param_spec, params)
+    row = row_parallel_spec(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: mmdit_param_spec(p, l, row_spec=row), params
+    )
 
 
 def shard_params(params, mesh: Mesh, specs=None):
     """device_put the param tree with its sharding specs onto the mesh."""
     if specs is None:
-        specs = mmdit_param_specs(params)
+        specs = mmdit_param_specs(params, mesh)
     return jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
         params,

@@ -95,5 +95,11 @@ class RLOOConfig:
             local_dataloader_batch_size=exact_div(
                 local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
             ),
+            # global prompts per update; under GSPMD one program loads the
+            # whole global batch (vs the reference's per-rank loaders)
+            dataloader_batch_size=exact_div(
+                local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
+            )
+            * self.world_size,
             total_episodes=total_episodes,
         )

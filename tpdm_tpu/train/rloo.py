@@ -149,6 +149,23 @@ _TIME_MAJOR_FIELDS = ("h_cache", "temb_cache", "history_latents")
 _SCALAR_FIELDS = ("num_steps",)
 
 
+def subset_inputs(data: dict, inds) -> dict:
+    """Micro-batch view of the collated input batch (wrapper.subset_inputs,
+    modeling_sd3_pnt.py:903-914): array fields are row-indexed along the
+    batch axis, python lists are fancy-indexed, everything else passes
+    through unchanged."""
+    inds = np.asarray(inds)
+    out = {}
+    for k, v in data.items():
+        if isinstance(v, (jax.Array, np.ndarray)):
+            out[k] = v[jnp.asarray(inds)]
+        elif isinstance(v, list):
+            out[k] = [v[int(i)] for i in inds]
+        else:
+            out[k] = v
+    return out
+
+
 def subset_outputs(outputs, inds: np.ndarray):
     """Micro-batch view of a rollout NamedTuple (wrapper.subset_outputs,
     modeling_sd3_pnt.py:916-933). Caches are time-major -> index axis 1.
@@ -167,6 +184,65 @@ def subset_outputs(outputs, inds: np.ndarray):
                 values[name] = value[:, inds]
         else:
             values[name] = value[inds]
+    return type(outputs)(**values)
+
+
+# ---------------------------------------------------------------------------
+# Mesh placement helpers (GSPMD scale-out of the trainer loop)
+# ---------------------------------------------------------------------------
+
+
+def _named_put(leaf, mesh, spec):
+    """Place a host/global array with a NamedSharding, multi-process safe.
+
+    Single-process (incl. the N-virtual-device CPU mesh) takes the plain
+    device_put path; under multi-controller JAX each process contributes the
+    addressable shards of the *identical* host-side global batch (GSPMD is
+    single-program: every process computes the same host values, parity note
+    at RLOOTrainer.train)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    arr = np.asarray(leaf)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def shard_inputs(data: dict, mesh) -> dict:
+    """Shard the collated batch's array fields over the mesh's (data, fsdp)
+    batch axes; lists/scalars (prompt strings) stay host-side."""
+    from tpdm_tpu.parallel.sharding import batch_spec
+
+    out = {}
+    for k, v in data.items():
+        if isinstance(v, (jax.Array, np.ndarray)):
+            out[k] = _named_put(v, mesh, batch_spec(v.ndim))
+        else:
+            out[k] = v
+    return out
+
+
+def shard_rollout(outputs, mesh):
+    """Shard a rollout record over the mesh: per-step stats shard their
+    leading batch axis, time-major caches shard axis 1, scalar counters
+    replicate. Works for any agent family's output NamedTuple (the layout
+    contract shared by SampleOutput / SD15SampleOutput)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpdm_tpu.parallel.sharding import batch_spec
+
+    values = {}
+    for name, value in outputs._asdict().items():
+        if value is None:
+            values[name] = None
+        elif name in _SCALAR_FIELDS or getattr(value, "ndim", 0) == 0:
+            values[name] = _named_put(value, mesh, P())
+        elif name in _TIME_MAJOR_FIELDS:
+            spec = P(None, ("data", "fsdp"), *([None] * (value.ndim - 2)))
+            values[name] = _named_put(value, mesh, spec)
+        else:
+            values[name] = _named_put(value, mesh, batch_spec(value.ndim))
     return type(outputs)(**values)
 
 
@@ -273,6 +349,17 @@ class TPDMAgent:
             )
             self._offload_sample_jits[scfg] = fn
         return fn
+
+    def shard(self, mesh):
+        """Move the frozen backbone onto the mesh: MMDiT kernels sharded over
+        (fsdp, tensor) column/row splits (tpdm_tpu.parallel.sharding). The
+        TPU-native analogue of the reference wrapping the backbone in
+        FSDP/ZeRO-3 (accelerate.prepare, rloo_trainer.py:187-193). Returns
+        self for chaining."""
+        from tpdm_tpu.parallel.sharding import shard_params
+
+        self.mmdit_params = shard_params(self.mmdit_params, mesh)
+        return self
 
     def init_tpm_params(self, key: jax.Array):
         mcfg = self.mmdit.config
@@ -510,6 +597,16 @@ class RLOOTrainer:
         dataset: sequence of dicts; each must provide the embed fields the
             agent needs, plus optionally "prompt" strings for the reward_fn.
         callbacks: objects with on_step_end(trainer, update, metrics).
+        mesh: optional jax.sharding.Mesh with ("data", "fsdp", "tensor")
+            axes. When given, the trainer scales out the WHOLE loop under
+            GSPMD: the rollout batch is sharded over (data, fsdp), the frozen
+            backbone should already be mesh-sharded (agent.shard(mesh)), and
+            the TPM + optimizer state are replicated. world_size is derived
+            from the mesh (data*fsdp shards), matching the reference's
+            accelerate/torchrun world (rloo_trainer.py:112-138,187-193) —
+            except that here one program drives all shards, so "local" sizes
+            in the batch algebra are per-shard while the loop iterates the
+            GLOBAL batch.
     """
 
     def __init__(
@@ -520,6 +617,7 @@ class RLOOTrainer:
         dataset,
         collate_fn: Optional[Callable] = None,
         callbacks: Iterable = (),
+        mesh=None,
     ):
         self.config = config
         self.agent = agent
@@ -527,6 +625,17 @@ class RLOOTrainer:
         self.dataset = dataset
         self.collate_fn = collate_fn or _default_collate
         self.callbacks = list(callbacks)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["data"] * mesh.shape["fsdp"]
+            if config.world_size not in (1, dp):
+                raise ValueError(
+                    f"config.world_size={config.world_size} inconsistent with "
+                    f"mesh data*fsdp={dp}"
+                )
+            if config.world_size != dp:
+                config = dataclasses.replace(config, world_size=dp)
+                self.config = config
         self.sizes = config.derive_batch_sizes(len(dataset))
         self.metrics_history: list[dict] = []
 
@@ -562,15 +671,29 @@ class RLOOTrainer:
         self.global_step = 0
         self.episode = 0
 
+    # -- mesh placement --------------------------------------------------
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from tpdm_tpu.parallel.sharding import replicate
+
+        return replicate(tree, self.mesh)
+
+    def _put_inputs(self, data):
+        return data if self.mesh is None else shard_inputs(data, self.mesh)
+
+    def _put_outputs(self, outputs):
+        return outputs if self.mesh is None else shard_rollout(outputs, self.mesh)
+
     # -- data ------------------------------------------------------------
     def _loader(self, rng: np.random.Generator) -> Iterator[dict]:
-        bsz = self.sizes["local_dataloader_batch_size"]
+        bsz = self.sizes["dataloader_batch_size"]
         n = len(self.dataset)
         if bsz > n:
             raise ValueError(
                 f"dataset ({n} rows) smaller than the derived dataloader "
-                f"batch ({bsz} = local_batch_size/rloo_k); add data or "
-                f"shrink the batch configuration"
+                f"batch ({bsz} = world_size*local_batch_size/rloo_k); add "
+                f"data or shrink the batch configuration"
             )
         while True:
             order = rng.permutation(n)
@@ -642,6 +765,14 @@ class RLOOTrainer:
             key, sub = jax.random.split(key)
             tpm_params = self.agent.init_tpm_params(sub)
         opt_state = self.tx.init(tpm_params)
+        if self.mesh is not None and jax.process_count() > 1:
+            # Host-side reward computation needs addressable final latents;
+            # multi-controller runs must route reward_fn through
+            # parallel.multihost.process_allgather (callbacks do).
+            logger.info(
+                "multi-controller mesh: %d processes, %d global devices",
+                jax.process_count(), self.mesh.size,
+            )
 
         if resume_from_checkpoint is not None and resume_state is None:
             from tpdm_tpu.train import checkpoint as ckpt
@@ -667,13 +798,18 @@ class RLOOTrainer:
             if "np_rng_state" in resume_state:
                 np_rng.bit_generator.state = resume_state["np_rng_state"]
 
+        # under a mesh, the trainable state and optimizer live replicated on
+        # every device (the TPM is ~7M params; sharding it buys nothing)
+        tpm_params = self._replicate(tpm_params)
+        opt_state = self._replicate(opt_state)
+
         loader = self._loader(np_rng)
         start_time = time.time()
 
         for update in range(start_update, sizes["num_total_batches"] + 1):
             self.episode += sizes["batch_size"]
             data = next(loader)
-            data = rloo_repeat(data, cfg.rloo_k)
+            data = self._put_inputs(rloo_repeat(data, cfg.rloo_k))
 
             # ---- experience collection (no grad) ----
             key, k_roll = jax.random.split(key)
@@ -691,25 +827,34 @@ class RLOOTrainer:
             advantages = rloo_advantages(rlhf_reward, cfg.rloo_k)
 
             # ---- PPO epochs over the same rollout ----
+            # One program iterates the GLOBAL batch; each micro-step is
+            # micro_batch_size = per_device * world_size rows sharded over
+            # (data, fsdp) — per-shard compute matches the reference's
+            # per-rank per_device_train_batch_size micro-batches.
             stats_acc: list[dict] = []
-            local_bs = sizes["local_batch_size"]
-            micro_bs = cfg.per_device_train_batch_size
+            global_bs = sizes["batch_size"]
+            micro_bs = sizes["micro_batch_size"]
             for _ in range(cfg.num_ppo_epochs):
-                b_inds = np_rng.permutation(local_bs)
-                for mb_start in range(0, local_bs, sizes["local_mini_batch_size"]):
-                    mb_inds = b_inds[mb_start : mb_start + sizes["local_mini_batch_size"]]
+                b_inds = np_rng.permutation(global_bs)
+                for mb_start in range(0, global_bs, sizes["mini_batch_size"]):
+                    mb_inds = b_inds[mb_start : mb_start + sizes["mini_batch_size"]]
                     for mi_start in range(0, len(mb_inds), micro_bs):
                         inds = mb_inds[mi_start : mi_start + micro_bs]
-                        mo = subset_outputs(outputs, inds)
+                        mo = self._put_outputs(subset_outputs(outputs, inds))
+                        adv = advantages[jnp.asarray(inds)]
+                        if self.mesh is not None:
+                            from tpdm_tpu.parallel.sharding import batch_spec
+
+                            adv = _named_put(adv, self.mesh, batch_spec(1))
                         mb_inputs = None
                         if getattr(self.agent, "needs_inputs_for_replay", False):
-                            mb_inputs = {
-                                k: v[jnp.asarray(inds)]
-                                for k, v in data.items()
+                            mb_inputs = self._put_inputs({
+                                k: v
+                                for k, v in subset_inputs(data, inds).items()
                                 if isinstance(v, (jax.Array, np.ndarray))
-                            }
+                            })
                         tpm_params, opt_state, stats = self._train_step(
-                            tpm_params, opt_state, mo, advantages[inds],
+                            tpm_params, opt_state, mo, adv,
                             mb_inputs,
                             getattr(self.agent, "replay_backbone_params",
                                     lambda: None)(),
