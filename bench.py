@@ -110,16 +110,18 @@ def build(batch_images: int, on_tpu: bool):
         jnp.zeros((b, cfg.inner_dim), jnp.bfloat16),
     )
 
-    from tpdm_tpu.models.vae import VAE, VAEConfig
+    from tpdm_tpu.models.vae import VAE, VAEConfig, make_fast_decode
 
     # bf16 decode (475 -> ~100 ms vs fp32; the diffusers anchor runs its
-    # VAE in fp16 too)
+    # VAE in fp16 too). ONE code path with the training reward decode:
+    # make_fast_decode builds the bf16+fp32-GN twin for both.
     vcfg = (
-        VAEConfig.sd3(dtype=jnp.bfloat16)
+        VAEConfig.sd3()
         if on_tpu
         else VAEConfig.toy(latent_channels=cfg.in_channels)
     )
     vae = VAE(vcfg)
+    decode_fn, _ = make_fast_decode(vae, None, jit=False)
     vshapes = jax.eval_shape(
         vae.init, jax.random.PRNGKey(0), lat[:1],
         jnp.zeros((1, 3, 8 * lat.shape[2], 8 * lat.shape[3]), jnp.bfloat16),
@@ -136,7 +138,7 @@ def build(batch_images: int, on_tpu: bool):
         # rep-chain INSIDE one dispatch: a per-call dispatch costs ~90 ms
         # of tunnel latency, comparable to the decode itself
         def body(i, zz):
-            img = vae.apply(vae_params, zz, method="decode")
+            img = decode_fn(vae_params, zz)
             return z + 0.0 * img[:, :1, :1, :1].astype(z.dtype)
         return jax.lax.fori_loop(0, reps, body, z)
 

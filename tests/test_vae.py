@@ -179,3 +179,91 @@ class TestVAEConverter:
         assert ref_shapes == conv_shapes
         out = vae.apply(converted, z)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFastDecode:
+    """The bf16+fp32-GN decode fast path (models/vae.py make_fast_decode) —
+    ONE code path for bench.py and the training reward decode (round-2
+    VERDICT item 3)."""
+
+    def _toy(self):
+        from tpdm_tpu.models.vae import VAE, VAEConfig
+
+        cfg = VAEConfig.toy()
+        vae = VAE(cfg)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.latent_channels, 8, 8))
+        params = vae.init(
+            jax.random.PRNGKey(1), z, jnp.zeros((1, 3, 16, 16))
+        )
+        return vae, cfg, params, z
+
+    def test_matches_fp32_decode(self):
+        from tpdm_tpu.models.vae import make_fast_decode
+
+        vae, cfg, params, z = self._toy()
+        ref = vae.apply(
+            params, z / cfg.scaling_factor + cfg.shift_factor, method="decode"
+        )
+        fast, bparams = make_fast_decode(vae, params)
+        out = fast(bparams, z)
+        assert out.dtype == jnp.float32
+        assert jax.tree.leaves(bparams)[0].dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=0.08, rtol=0.1
+        )
+
+    def test_reward_builder_routes_through_fast_decode(self, tmp_path, monkeypatch):
+        """build_image_reward_fn must use models.vae.make_fast_decode — the
+        exact decode configuration bench.py measures."""
+        from types import SimpleNamespace
+
+        import tpdm_tpu.models.vae as vae_mod
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.image_reward import ImageRewardModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+        from tpdm_tpu.train.builders import build_image_reward_fn
+
+        calls = []
+        orig = vae_mod.make_fast_decode
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(vae_mod, "make_fast_decode", spy)
+
+        vae, cfg, params, z = self._toy()
+        vocab = tmp_path / "vocab.txt"
+        toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "photo",
+                "of", "cat"]
+        toks += [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        vocab.write_text("\n".join(toks) + "\n", encoding="utf-8")
+
+        reward_fn = build_image_reward_fn(
+            tokenizer_path=str(vocab),
+            vae_config="toy",
+            vae_params=params,
+            reward_model=ImageRewardModel.create(
+                vit_config=ViTConfig.toy(),
+                bert_config=BertMedConfig.toy(
+                    vocab_size=64, max_position_embeddings=40
+                ),
+            ),
+        )
+        assert calls, "reward decode did not route through make_fast_decode"
+
+        outputs = SimpleNamespace(final_latents=z)
+        scores, last = reward_fn(["a photo of cat", "a cat"], outputs)
+        assert scores.shape == (2,)
+        assert np.isfinite(scores).all()
+
+    def test_bench_source_uses_shared_decode(self):
+        """bench.py must not hand-roll its own decode configuration."""
+        import os
+
+        src = open(
+            os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+            encoding="utf-8",
+        ).read()
+        assert "make_fast_decode" in src
+        assert 'method="decode"' not in src

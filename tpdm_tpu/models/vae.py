@@ -214,3 +214,47 @@ class VAE(nn.Module):
         if img is not None:
             self.encode(img)
         return out
+
+
+# ---------------------------------------------------------------------------
+# The production decode fast path (bf16 compute, fp32 GroupNorm statistics)
+# ---------------------------------------------------------------------------
+
+
+def fast_decode_vae(vae: VAE) -> VAE:
+    """bf16 twin of a VAE module over the SAME parameter tree structure.
+
+    bf16 convs/matmuls are the 475->102 ms decode win on v5e (docs/PERF.md
+    "VAE decode"); numerical safety comes from GroupNorm computing its
+    statistics in fp32 regardless of module dtype (models/layers.py)."""
+    return VAE(dataclasses.replace(vae.config, dtype=jnp.bfloat16))
+
+
+def fast_decode_params(params):
+    """Cast fp32 leaves to bf16 (weights live bf16 on-chip for the decode)."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+
+
+def make_fast_decode(vae: VAE, params=None, jit: bool = True):
+    """(decode_fn, bf16_params): THE decode code path shared by bench.py and
+    the training reward (`train/builders.py build_image_reward_fn`) — one
+    implementation so the RL rollout critical path gets the same bf16+fp32-GN
+    configuration the benchmark measures (round-2 VERDICT item 3).
+
+    decode_fn(params, z): raw (b, c, h, w) latents -> fp32 images in
+    [-1, 1]ish, applying the `z / scaling + shift` un-scaling the reference
+    applies before decode (modeling_sd3_pnt.py:629-631).
+    """
+    cfg = vae.config
+    bvae = fast_decode_vae(vae)
+
+    def decode(p, z):
+        z = z.astype(jnp.bfloat16) / cfg.scaling_factor + cfg.shift_factor
+        return bvae.apply(p, z, method="decode").astype(jnp.float32)
+
+    fn = jax.jit(decode) if jit else decode
+    bparams = None if params is None else fast_decode_params(params)
+    return fn, bparams

@@ -92,19 +92,29 @@ def build_image_reward_fn(
     reward_checkpoint: Optional[str] = None,
     tokenizer_path: Optional[str] = None,
     max_length: int = 35,
+    vae_config: str = "sd3",
+    vae_params=None,
+    reward_model=None,
 ) -> Callable:
     """ImageReward-based reward: decode final latents -> preprocess ->
     BLIP score (reference reward path, modeling_sd3_pnt.py:828-842, with
     batched scoring instead of the per-sample loop).
+
+    ``vae_config``/``vae_params`` allow injecting a toy VAE for smoke runs
+    and tests; the decode always routes through the production fast path
+    (`models.vae.make_fast_decode`, bf16 + fp32-GN — the configuration
+    bench.py measures).
     """
-    from tpdm_tpu.models.vae import VAE, VAEConfig
+    from tpdm_tpu.models.vae import VAE, VAEConfig, make_fast_decode
     from tpdm_tpu.rewards.image_reward import ImageRewardModel, convert_image_reward
     from tpdm_tpu.utils import convert as C
     from tpdm_tpu.utils.image import postprocess_images
 
-    vcfg = VAEConfig.sd3()
+    vcfg = getattr(VAEConfig, vae_config)()
     vae = VAE(vcfg)
-    if vae_pretrained is not None:
+    if vae_params is None:
+        if vae_pretrained is None:
+            raise ValueError("image reward needs vae_pretrained for decoding")
         import os
 
         sd = {}
@@ -112,10 +122,10 @@ def build_image_reward_fn(
             if f.endswith(".safetensors"):
                 sd.update(C.load_safetensors(os.path.join(vae_pretrained, "vae", f)))
         vae_params = C.convert_vae(sd)
-    else:
-        raise ValueError("image reward needs vae_pretrained for decoding")
 
-    if reward_checkpoint is not None:
+    if reward_model is not None:
+        model = reward_model
+    elif reward_checkpoint is not None:
         params = convert_image_reward(C.load_safetensors(reward_checkpoint))
         model = ImageRewardModel.create(params=params)
     else:
@@ -123,16 +133,17 @@ def build_image_reward_fn(
         logger.warning("ImageReward running with RANDOM weights (no checkpoint)")
 
     if tokenizer_path is None:
-        raise ValueError("image reward needs a BertTokenizer path")
-    from transformers import BertTokenizer
+        raise ValueError("image reward needs a BERT vocab.txt path")
+    # Native WordPiece (reference loads transformers' BertTokenizer,
+    # ImageReward.py:111-112; ours is transformers-free at runtime)
+    from tpdm_tpu.utils.bert_tokenizer import BertTokenizer
 
     tokenizer = BertTokenizer.from_pretrained(tokenizer_path)
 
-    decode = jax.jit(
-        lambda p, z: vae.apply(
-            p, z.astype(jnp.float32) / vcfg.scaling_factor + vcfg.shift_factor
-        )
-    )
+    # bf16 fast decode — same code path as bench.py (~102 ms vs the 475 ms
+    # fp32 configuration; this sits on the rollout critical path once per
+    # update)
+    decode, vae_params = make_fast_decode(vae, vae_params)
 
     def reward_fn(prompts, outputs):
         images = postprocess_images(decode(vae_params, outputs.final_latents))
