@@ -221,6 +221,73 @@ class TestEvalCallback:
         assert agent.sampler_cfg.max_inference_steps == 3
 
 
+class TestEvalWandbPayload:
+    def test_full_payload_parity(self, tmp_path, monkeypatch):
+        """When a wandb run is active, the callback must send the reference's
+        full payload (callbacks.py:99-154): scalars, NFE histogram,
+        per-prompt schedule figures with captions, and the image strip."""
+        import sys
+        import types
+
+        import numpy as np
+
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+
+        logged = {}
+
+        fake = types.ModuleType("wandb")
+        fake.run = object()
+        fake.Histogram = lambda vals: ("hist", tuple(vals))
+        fake.Image = lambda obj, caption=None: ("img", caption)
+        fake.log = lambda payload, step=None: logged.update(
+            payload, __step=step
+        )
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+        cb = EvalVisualizationCallback({}, str(tmp_path), sigma_filter=0.0)
+        b, T = 3, 4
+        rec = {
+            "update": 7,
+            "sigmas": np.linspace(1.0, 0.2, b * T).reshape(b, T),
+            "alphas": np.full((b, T), 1.5),
+            "betas": np.full((b, T), 2.5),
+            "masks": np.zeros((b, T), bool),
+            "nfe": np.array([3, 4, 2]),
+            "rewards": np.array([0.1, 0.5, -0.2]),
+        }
+        imgs = np.zeros((b, 8, 8, 3), np.uint8)
+        cb._maybe_wandb(rec, imgs=imgs, prompts=["p one", "p two", "p three"])
+
+        assert logged["__step"] == 7
+        assert logged["eval/mean_nfe"] == 3.0
+        assert abs(logged["eval/mean_reward"] - rec["rewards"].mean()) < 1e-9
+        assert logged["eval/nfe_hist"] == ("hist", (3, 4, 2))
+        for i in range(b):
+            kind, caption = logged[f"eval/curves/{i}"]
+            assert kind == "img"
+            assert caption.startswith(f"p ")
+            assert f"nfe={int(rec['nfe'][i])}" in caption
+            assert "reward=" in caption
+        assert logged["eval/images"][0] == "img"
+
+    def test_no_run_no_log(self, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        import numpy as np
+
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+
+        fake = types.ModuleType("wandb")
+        fake.run = None
+        fake.log = lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        cb = EvalVisualizationCallback({}, str(tmp_path))
+        cb._maybe_wandb({"update": 1, "sigmas": np.zeros((1, 2)),
+                         "alphas": np.zeros((1, 2)), "betas": np.zeros((1, 2)),
+                         "nfe": np.array([1])})
+
+
 class TestOrbaxBackend:
     def test_save_restore_sharded(self, tmp_path):
         from tpdm_tpu.train.checkpoint import restore_sharded, save_sharded

@@ -180,6 +180,32 @@ class TestImageReward:
         assert abs(IR_MEAN - 0.16717362830052426) < 1e-12
         assert abs(IR_STD - 1.0333394966054072) < 1e-12
 
+    def test_inference_rank(self):
+        """List-ranking parity (ImageReward.inference_rank, :144-183):
+        1-based ranks in original candidate order, rewards normalized
+        WITHOUT the +3 sigma shift the scalar score applies."""
+        model = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(),
+            bert_config=BertMedConfig.toy(),
+        )
+        k = 4
+        images = np.random.default_rng(1).integers(
+            0, 255, size=(k, 20, 24, 3), dtype=np.uint8
+        )
+        prompt_ids = np.array([1, 4, 6], np.int32)
+        ranking, rewards = model.inference_rank(prompt_ids, images)
+        assert sorted(ranking) == [1, 2, 3, 4]
+        # rank 1 = highest reward, consistent through the whole order
+        order = np.argsort(-np.asarray(rewards))
+        assert [ranking[i] for i in order] == [1, 2, 3, 4]
+        # same forward as score(), minus the +3 sigma reporting shift
+        scores = model.score(
+            np.repeat(prompt_ids[None], k, axis=0), images
+        )
+        np.testing.assert_allclose(
+            np.asarray(rewards), scores - 3 * IR_STD, rtol=1e-5, atol=1e-5
+        )
+
     def test_converter_on_synthetic_blip_state_dict(self):
         vit_cfg = ViTConfig.toy()
         bert_cfg = BertMedConfig.toy()

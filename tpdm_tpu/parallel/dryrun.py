@@ -247,3 +247,126 @@ def dryrun_trainer(
     metrics["mesh"] = f"data={data} fsdp={fsdp} tensor={tensor}"
     metrics["resumed_loss"] = float(resumed["loss/policy_avg"])
     return metrics
+
+
+def _run_family_trainer(agent, cfg, dataset, mesh) -> dict:
+    from tpdm_tpu.train.rloo import RLOOTrainer
+
+    def reward_fn(prompts, outputs):
+        s = np.asarray(jnp.tanh(outputs.final_latents.mean(axis=(1, 2, 3))))
+        return s, s
+
+    trainer = RLOOTrainer(cfg, agent, reward_fn, dataset, mesh=mesh)
+    trainer.train()
+    m = trainer.metrics_history[-1]
+    for k, v in m.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+    return m
+
+
+def dryrun_agent_families(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
+    """One mesh-native RLOO update per agent family beyond SD3: the SD1.5
+    integer-t DPM agent and the FLUX packed-token no-CFG agent, each with
+    its backbone sharded by the shared specs and the batch over (data, fsdp)
+    — through the REAL RLOOTrainer (SURVEY §2.5; round-2 VERDICT item 5).
+    """
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    d, f, t = mesh_shape
+    mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+    dp = d * f
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # ---- SD1.5 (integer-t DPM-Solver++ loop, zero KL) ----
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from tpdm_tpu.train.sd15_agent import SD15Agent
+
+    ucfg = UNetConfig.toy()
+    unet = UNetSD15(ucfg)
+    n_txt = 7
+    uparams = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 4, ucfg.sample_size, ucfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, n_txt, ucfg.cross_attention_dim)),
+    )
+    cfg = RLOOConfig(
+        per_device_train_batch_size=2,
+        rloo_k=2,
+        max_inference_steps=2,
+        total_episodes=2 * dp,
+        learning_rate=1e-4,
+        kl_coef=0.0,
+        save_steps=0,
+    )
+    agent = SD15Agent(
+        unet, uparams, cfg,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * ucfg.block_out_channels[0],
+            temb_dim=ucfg.time_embed_dim,
+        ),
+    ).shard(mesh)
+    dataset = [
+        {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(
+                size=(n_txt, ucfg.cross_attention_dim)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, ucfg.cross_attention_dim), np.float32
+            ),
+        }
+        for i in range(max(4, dp))
+    ]
+    results["sd15"] = _run_family_trainer(agent, cfg, dataset, mesh)
+
+    # ---- FLUX (packed tokens, embedded guidance, no CFG doubling) ----
+    from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
+    from tpdm_tpu.train.flux_agent import FluxAgent
+
+    fcfg = FluxConfig.toy()
+    flux = Flux(fcfg)
+    lat = jnp.zeros((2, 4, 8, 8))
+    tokens, img_ids = pack_latents(lat)
+    n_txt_f = 5
+    fparams = flux.init(
+        jax.random.PRNGKey(1),
+        tokens,
+        img_ids,
+        jnp.zeros((2, n_txt_f, fcfg.txt_dim)),
+        jnp.zeros((2, n_txt_f, 3)),
+        jnp.ones((2,)),
+        jnp.zeros((2, fcfg.vec_dim)),
+        jnp.full((2,), 3.5),
+    )
+    fagent = FluxAgent(
+        flux, fparams, cfg,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * fcfg.hidden_size,
+            temb_dim=fcfg.hidden_size,
+        ),
+        latent_size=8,
+        latent_channels=4,
+    ).shard(mesh)
+    fdataset = [
+        {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(size=(n_txt_f, fcfg.txt_dim)).astype(
+                np.float32
+            ),
+            "pooled_prompt_embeds": rng.normal(size=(fcfg.vec_dim,)).astype(
+                np.float32
+            ),
+        }
+        for i in range(max(4, dp))
+    ]
+    results["flux"] = _run_family_trainer(fagent, cfg, fdataset, mesh)
+    results["mesh"] = f"data={d} fsdp={f} tensor={t}"
+    return results

@@ -16,10 +16,12 @@ from typing import Any, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# column-parallel producers: out-dim over "tensor", in-dim over "fsdp"
+# column-parallel producers: out-dim over "tensor", in-dim over "fsdp".
+# Covers MMDiT, the SD1.5 UNet attention (same to_q/to_k/to_v naming), and
+# FLUX (img/txt_mlp_0 producers, the single-stream fused qkv+mlp linear1).
 _COLUMN = re.compile(
     r"(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj|proj_in|linear_1"
-    r"|context_embedder)"
+    r"|context_embedder|img_mlp_0|txt_mlp_0|linear1/)"
 )
 # row-parallel consumers: in-dim over "tensor"; the out-dim's second shard
 # axis is mesh-dependent (see mmdit_param_specs): "fsdp" on tensor-trivial
@@ -30,14 +32,20 @@ _COLUMN = re.compile(
 # test_sharded_forward_matches_unsharded b=8 leg — same bug class as the
 # _MODULATION carve-out below). row=(tensor,data) is exact and keeps the
 # kernels sharded tensor*data ways.
-_ROW = re.compile(r"(to_out|to_add_out|ff(_context)?/proj_out|linear_2)")
+_ROW = re.compile(
+    r"(to_out|to_add_out|ff(_context)?/proj_out|linear_2"
+    r"|img_attn_proj|txt_attn_proj|img_mlp_2|txt_mlp_2|linear2/)"
+)
 # AdaLN modulation producers: weight-shard over fsdp only. Their outputs are
 # per-sample vectors consumed by every tensor shard (split into 6/9 chunks
 # then broadcast), so tensor-sharding the out-dim buys nothing — and the
 # combination (tensor-sharded modulations + batch over (data, fsdp) + other
 # sharded kernels) miscompiles on the CPU SPMD backend (verified numerically;
 # singles fine, pairs wrong). Keep them P("fsdp", None).
-_MODULATION = re.compile(r"(norm1(_context)?/linear|norm_out/linear)")
+_MODULATION = re.compile(
+    r"(norm1(_context)?/linear|norm_out/linear"
+    r"|(img_mod|txt_mod|modulation|final_mod)/lin/)"
+)
 
 
 def _path_str(path) -> str:

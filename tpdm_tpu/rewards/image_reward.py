@@ -124,6 +124,40 @@ class ImageRewardModel:
         r = self.net.apply(params, pixels, ids, mask)
         return (r - IR_MEAN) / IR_STD
 
+    def inference_rank(
+        self,
+        prompt_ids: np.ndarray,  # (n,) or (1, n) — ONE prompt's token ids
+        images: np.ndarray,  # (k, H, W, 3) uint8 — k candidate generations
+        text_mask: Optional[np.ndarray] = None,
+    ) -> tuple[list, list]:
+        """Rank k candidate generations for one prompt.
+
+        Parity with ImageReward.inference_rank (ImageReward.py:144-183), but
+        batched (the reference loops the k generations one BLIP forward at a
+        time). Returns (ranking, rewards) in the candidates' original order:
+        ranking[i] is the 1-based rank of candidate i (1 = best) and
+        rewards[i] = (r - mean)/std — the normalization WITHOUT the +3σ
+        shift (:179), matching the reference exactly.
+        """
+        from tpdm_tpu.utils.image import bicubic_resize_center_crop, normalize_clip
+
+        k = int(np.asarray(images).shape[0])
+        ids = np.asarray(prompt_ids).reshape(1, -1).repeat(k, axis=0)
+        mask = (
+            np.asarray(text_mask).reshape(1, -1).repeat(k, axis=0).astype(bool)
+            if text_mask is not None
+            else np.ones(ids.shape, bool)
+        )
+        pixels = normalize_clip(bicubic_resize_center_crop(images, self.image_size))
+        r = self._score_jit(
+            self.params, jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask)
+        )
+        rewards = (np.asarray(r, np.float64) - IR_MEAN) / IR_STD
+        order = np.argsort(-rewards, kind="stable")
+        ranking = np.empty(k, dtype=int)
+        ranking[order] = np.arange(1, k + 1)
+        return ranking.tolist(), rewards.tolist()
+
 
 # ---------------------------------------------------------------------------
 # checkpoint conversion (ImageReward.pt layout: blip.visual_encoder.*,

@@ -218,7 +218,7 @@ class EvalVisualizationCallback:
                 else ""
             ),
         )
-        self._maybe_wandb(record)
+        self._maybe_wandb(record, imgs=imgs, prompts=self.eval_batch.get("prompt"))
 
     # -- internals -------------------------------------------------------
     def _plot(self, rec: dict):
@@ -258,14 +258,65 @@ class EvalVisualizationCallback:
             os.path.join(self.output_dir, f"eval_images_{update}.png")
         )
 
-    def _maybe_wandb(self, rec: dict):
+    def _plot_prompt(self, rec: dict, i: int):
+        """One prompt's sigma/alpha/beta/concentration figure (the per-prompt
+        figures the reference sends to wandb, callbacks.py:99-130)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        sig = rec["sigmas"][i]
+        keep = sig > self.sigma_filter
+        steps = np.arange(len(sig))[keep]
+        fig, axes = plt.subplots(1, 4, figsize=(14, 3))
+        series = (
+            sig[keep],
+            rec["alphas"][i][keep],
+            rec["betas"][i][keep],
+            (rec["alphas"][i] + rec["betas"][i])[keep],
+        )
+        for ax, ys, title in zip(
+            axes, series, ("sigma", "alpha", "beta", "concentration")
+        ):
+            ax.plot(steps, ys, marker="o", markersize=3)
+            ax.set_title(title)
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        return fig
+
+    def _maybe_wandb(self, rec: dict, imgs=None, prompts=None):
+        """Full eval payload parity with the reference's wandb callback
+        (callbacks.py:99-154): scalars + NFE histogram + per-prompt
+        schedule figures (captioned with prompt/reward/NFE) + image strip.
+        Disk artifacts above remain the fallback when no run is active."""
         try:
             import wandb  # noqa: F401
-
-            if wandb.run is not None:
-                payload = {"eval/mean_nfe": float(rec["nfe"].mean())}
-                if "rewards" in rec:
-                    payload["eval/mean_reward"] = float(rec["rewards"].mean())
-                wandb.log(payload, step=rec["update"])
         except ImportError:
-            pass
+            return
+        if wandb.run is None:
+            return
+        import matplotlib.pyplot as plt
+
+        payload = {"eval/mean_nfe": float(rec["nfe"].mean())}
+        if "rewards" in rec:
+            payload["eval/mean_reward"] = float(rec["rewards"].mean())
+        payload["eval/nfe_hist"] = wandb.Histogram(
+            np.asarray(rec["nfe"]).tolist()
+        )
+        b = rec["sigmas"].shape[0]
+        for i in range(b):
+            label = (
+                prompts[i][:60] if prompts is not None and i < len(prompts)
+                else f"prompt_{i}"
+            )
+            caption = f"{label} | nfe={int(rec['nfe'][i])}"
+            if "rewards" in rec:
+                caption += f" | reward={float(rec['rewards'][i]):.3f}"
+            fig = self._plot_prompt(rec, i)
+            payload[f"eval/curves/{i}"] = wandb.Image(fig, caption=caption)
+            plt.close(fig)
+        if imgs is not None:
+            strip = np.concatenate(list(np.asarray(imgs)), axis=1)
+            payload["eval/images"] = wandb.Image(strip)
+        wandb.log(payload, step=rec["update"])

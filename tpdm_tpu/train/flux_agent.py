@@ -95,6 +95,16 @@ class FluxAgent:
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
         self._replay_jit = jax.jit(self.replay)
 
+    def shard(self, mesh):
+        """Mesh-shard the frozen FLUX backbone: qkv/mlp producers column-
+        parallel, attn/mlp consumers row-parallel, modulation producers
+        fsdp-only (tpdm_tpu.parallel.sharding regexes cover the Flux
+        naming). 12B bf16 REQUIRES fsdp>=2 on 16GB chips."""
+        from tpdm_tpu.parallel.sharding import shard_params
+
+        self.flux_params = shard_params(self.flux_params, mesh)
+        return self
+
     def init_tpm_params(self, key):
         fcfg = self.flux.config
         g = self.grid

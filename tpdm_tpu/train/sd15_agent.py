@@ -84,6 +84,16 @@ class SD15Agent:
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
         self._replay_jit = jax.jit(self.replay)
 
+    def shard(self, mesh):
+        """Mesh-shard the frozen UNet: 2D attention/FF kernels follow the
+        shared column/row specs (same to_q/to_out naming as MMDiT); conv
+        kernels replicate (they are a minority of UNet FLOPs and SD1.5 fits
+        replicated in HBM). See tpdm_tpu.parallel.sharding."""
+        from tpdm_tpu.parallel.sharding import shard_params
+
+        self.unet_params = shard_params(self.unet_params, mesh)
+        return self
+
     def init_tpm_params(self, key: jax.Array):
         ucfg = self.unet.config
         s = ucfg.sample_size
