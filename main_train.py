@@ -75,6 +75,12 @@ def main():
 
         jax.distributed.initialize()
 
+    # rank-0 debugger attach, TPDM_DEBUG=1 gated (reference setup_debug,
+    # src/train/train_utilis.py:22-33)
+    from tpdm_tpu.utils.debug import setup_debug_from_env
+
+    setup_debug_from_env()
+
     cfg_kwargs = {
         f.name: getattr(args, f.name) for f in dataclasses.fields(RLOOConfig)
     }

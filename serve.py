@@ -227,6 +227,9 @@ def make_http_server(pipe, tokenize, args):
             # one bad request must not poison a coalesced batch
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > 65536:  # a generate request is a prompt + seed
+                    self.send_error(413, "request body too large")
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 prompt = req.get("prompt", args.prompt)
                 if not isinstance(prompt, str):

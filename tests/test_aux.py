@@ -496,3 +496,21 @@ class TestNativeTarIndex:
         # full iterator (shuffle buffer) sees the same rows
         keys = sorted(r["__key__"] for r in ds)
         assert keys == [f"{i:04d}" for i in range(5)]
+
+
+class TestSetupDebug:
+    def test_env_gate_off(self, monkeypatch):
+        from tpdm_tpu.utils.debug import setup_debug_from_env
+
+        monkeypatch.delenv("TPDM_DEBUG", raising=False)
+        assert setup_debug_from_env() is False
+
+    def test_missing_debugpy_is_nonfatal(self, monkeypatch):
+        import sys
+
+        from tpdm_tpu.utils import debug
+
+        monkeypatch.setitem(sys.modules, "debugpy", None)
+        monkeypatch.setenv("TPDM_DEBUG", "1")
+        # import of a None module raises ImportError -> returns False
+        assert debug.setup_debug_from_env() is False

@@ -218,3 +218,77 @@ class TestDataParallelServing:
                 a["image"].astype(np.int32) - b["image"].astype(np.int32)
             )
             assert diff.max() <= 1, diff.max()
+
+
+class TestObservabilityRoundout:
+    """Round-2 VERDICT item 8 + ADVICE fixes."""
+
+    def test_padded_slot_waste_counter(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=3, window_ms=1,
+                             max_steps=4)
+        eng.generate_batch(["a"], [0])          # 2 wasted slots
+        eng.generate_batch(["a", "b", "c"], [0, 1, 2])  # 0 wasted
+        s = eng.stats()
+        assert s["padded_slots"] == 2
+        assert abs(s["padded_slot_frac"] - 2 / 6) < 1e-9
+
+    def test_split_stages_reports_decode_latency(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=4, split_stages=True)
+        out = eng.generate_batch(["a", "b"], [0, 1])
+        s = eng.stats()
+        assert 0 < s["decode_s_p50"] <= s["decode_s_p95"]
+        assert 0 < s["denoise_s_p50"]
+        assert out[0]["image"].shape[-1] == 3  # still decoded images
+
+    def test_split_stages_matches_fused_images(self, toy):
+        pipe, tokenize = toy
+        fused = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                               max_steps=4)
+        split = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                               max_steps=4, split_stages=True)
+        a = fused.generate_batch(["same prompt"], [11])[0]
+        b = split.generate_batch(["same prompt"], [11])[0]
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+    def test_submit_after_stop_raises(self, toy):
+        from tpdm_tpu.serving import EngineOverloaded
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        eng.start()
+        eng.stop()
+        with pytest.raises(EngineOverloaded, match="stopped"):
+            eng.submit("too late")
+        # restart clears the stop flag and serves again
+        eng.start()
+        try:
+            assert eng.submit("ok", seed=0).result(timeout=300)
+        finally:
+            eng.stop()
+
+
+class TestT5AddedTokenContiguity:
+    def test_gap_in_added_ids_raises(self, tmp_path):
+        import json
+
+        from tpdm_tpu.utils.t5_tokenizer import T5Tokenizer
+
+        spec = {
+            "model": {
+                "type": "Unigram",
+                "unk_id": 2,
+                "vocab": [["<pad>", 0.0], ["</s>", 0.0], ["<unk>", 0.0],
+                          ["▁a", -2.0]],
+            },
+            "added_tokens": [
+                {"id": 6, "content": "<extra>", "special": True},  # gap: 4,5
+            ],
+        }
+        p = tmp_path / "tokenizer.json"
+        p.write_text(json.dumps(spec), encoding="utf-8")
+        with pytest.raises(ValueError, match="non-contiguous"):
+            T5Tokenizer.from_tokenizer_json(str(p))

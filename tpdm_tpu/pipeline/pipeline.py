@@ -94,8 +94,11 @@ class TPDMPipeline:
             self._decode_jit = jax.jit(self._decode_impl)
         return self._decode_jit(self.vae_params, latents)
 
-    def _run(self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig):
-        sig = (guidance_scale, scfg)
+    def _run(
+        self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig,
+        decode: bool = True,
+    ):
+        sig = (guidance_scale, scfg, decode)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key):
@@ -114,7 +117,7 @@ class TPDMPipeline:
                     key,
                     scfg,
                 )
-                if self.vae is not None:
+                if decode and self.vae is not None:
                     decoded = self._decode_impl(vae_params, out.final_latents)
                 else:
                     decoded = out.final_latents
@@ -142,12 +145,17 @@ class TPDMPipeline:
         predict: bool = True,
         seed: int = 0,
         return_full_process_images: bool = False,
+        decode: bool = True,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
         Supply either precomputed embeds (pre_process mode) or token ids
         (requires text_encoders). Defaults mirror the gradio demo
         (predict=True deterministic schedules, gradio_sd3_inference.py:41-47).
+
+        ``decode=False`` skips the in-graph VAE decode and returns raw final
+        latents in ``images`` — for callers that decode separately (e.g. the
+        serving engine's split-stage timing mode).
         """
         if prompt_embeds is None:
             if self.text_encoders is None or clip_ids is None:
@@ -194,7 +202,9 @@ class TPDMPipeline:
             cache_activations=False,
             keep_history=return_full_process_images,
         )
-        out, decoded = self._run(key_roll, latents, pe, pp, guidance_scale, scfg)
+        out, decoded = self._run(
+            key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode
+        )
 
         history = None
         if return_full_process_images and self.vae is not None:
@@ -208,7 +218,7 @@ class TPDMPipeline:
 
         images = (
             postprocess_images(decoded)
-            if self.vae is not None
+            if decode and self.vae is not None
             else np.asarray(decoded)
         )
         return GenerationResult(

@@ -66,6 +66,10 @@ class BatchingEngine:
             beyond this many queued requests (default 8x max_batch), so
             slow compiles / bursts surface as 503s instead of a silently
             growing queue of work nobody will wait for.
+        split_stages: run the VAE decode as a separate dispatch so stats()
+            can report true per-stage decode latency. Costs one extra
+            host<->device round trip per batch (~190 ms over the tunnel),
+            so it is OFF by default; turn on for capacity planning.
     """
 
     def __init__(
@@ -78,7 +82,10 @@ class BatchingEngine:
         guidance_scale: Optional[float] = 7.0,
         dp: Optional[int] = None,
         queue_limit: Optional[int] = None,
+        split_stages: bool = False,
     ):
+        import collections
+
         if dp is not None and max_batch % dp != 0:
             raise ValueError(f"max_batch {max_batch} not divisible by dp {dp}")
         self.pipe = pipe
@@ -87,13 +94,17 @@ class BatchingEngine:
         self.window_ms = window_ms
         self.max_steps = max_steps
         self.guidance_scale = guidance_scale
+        self.split_stages = split_stages
         self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
             maxsize=queue_limit if queue_limit is not None else 8 * max_batch
         )
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.batches_run = 0  # observability + test hook
-        self._stage_times: list = []  # recent per-batch stage timings
+        self.padded_slots = 0  # cumulative tail-padding waste (slots)
+        # deque(maxlen): worker appends while HTTP handler threads read
+        # stats() — deque append/iteration is documented thread-safe
+        self._stage_times: "collections.deque" = collections.deque(maxlen=256)
         self._mesh = None
         self._data_sharding = None
         if dp is not None:
@@ -172,6 +183,7 @@ class BatchingEngine:
 
         latents = np.stack([_latent(s) for s in seeds])
         t_tokenized = time.monotonic()
+        split = self.split_stages and self.pipe.vae is not None
         res = self.pipe.generate(
             clip_ids=clip_ids,
             t5_ids=t5_ids,
@@ -181,24 +193,33 @@ class BatchingEngine:
             predict=True,
             max_inference_steps=self.max_steps,
             guidance_scale=self.guidance_scale,
+            decode=not split,
         )
-        t_done = time.monotonic()
+        stage = {"batch": n, "padded": pad, "tokenize_s": t_tokenized - t_start}
+        if split:
+            # res.images holds raw final latents (decode=False); the np
+            # materialization in generate() already synced the denoise
+            from tpdm_tpu.utils.image import postprocess_images
+
+            t_denoised = time.monotonic()
+            images = postprocess_images(self.pipe._decode(res.images))
+            t_done = time.monotonic()
+            stage["denoise_s"] = t_denoised - t_tokenized
+            stage["decode_s"] = t_done - t_denoised
+        else:
+            images = res.images
+            t_done = time.monotonic()
+        stage["device_s"] = t_done - t_tokenized
+        stage["total_s"] = t_done - t_start
         self.batches_run += 1
-        self._stage_times.append(
-            {
-                "batch": n,
-                "tokenize_s": t_tokenized - t_start,
-                "device_s": t_done - t_tokenized,
-                "total_s": t_done - t_start,
-            }
-        )
-        del self._stage_times[:-256]
+        self.padded_slots += pad
+        self._stage_times.append(stage)
         out = []
         for i in range(n):
             nfe = int(res.last_valid_index[i]) + 1
             out.append(
                 {
-                    "image": res.images[i],
+                    "image": images[i],
                     "inference_steps": nfe,
                     "sigmas": np.asarray(res.sigmas[i][:nfe]).tolist(),
                 }
@@ -207,6 +228,10 @@ class BatchingEngine:
 
     # -- async surface -------------------------------------------------------
     def submit(self, prompt: str, seed: int = 0) -> ServeRequest:
+        if self._stop.is_set():
+            # a request enqueued after stop() would never be processed and
+            # leave the caller blocked until its result() timeout
+            raise EngineOverloaded("engine is stopped; no worker will run this")
         req = ServeRequest(prompt=prompt, seed=seed)
         try:
             self._queue.put_nowait(req)
@@ -303,16 +328,33 @@ class BatchingEngine:
              "queue_wait_s_p50": sorted(waits)[len(waits) // 2]}
             if waits else {}
         )
+        decode_rows = [r for r in rows if "decode_s" in r]
+        decode_stats = {}
+        if decode_rows:
+            dvals = sorted(r["decode_s"] for r in decode_rows)
+            nvals = sorted(r["denoise_s"] for r in decode_rows)
+            q = lambda vals, p: vals[min(len(vals) - 1, int(p * len(vals)))]
+            decode_stats = {
+                "denoise_s_p50": q(nvals, 0.5),
+                "denoise_s_p95": q(nvals, 0.95),
+                "decode_s_p50": q(dvals, 0.5),
+                "decode_s_p95": q(dvals, 0.95),
+            }
         return {
             "batches_run": self.batches_run,
             "recent": len(rows),
             **wait_stats,
             "batch_fill_mean": float(np.mean([r["batch"] for r in rows]))
             / self.max_batch,
+            # cumulative tail-padding waste: slots computed but thrown away
+            "padded_slots": self.padded_slots,
+            "padded_slot_frac": self.padded_slots
+            / max(1, self.batches_run * self.max_batch),
             "tokenize_s_p50": pct("tokenize_s", 0.5),
             "tokenize_s_p95": pct("tokenize_s", 0.95),
             "device_s_p50": pct("device_s", 0.5),
             "device_s_p95": pct("device_s", 0.95),
+            **decode_stats,
             "total_s_p50": pct("total_s", 0.5),
             "total_s_p95": pct("total_s", 0.95),
         }

@@ -285,6 +285,14 @@ class T5Tokenizer:
             pieces.append((piece, score, ptype))
         for i, tok in sorted(added.items()):
             if i >= len(pieces):
+                # ids must stay contiguous: a gap between len(pieces) and the
+                # declared id would silently shift every later piece's id —
+                # fail loudly on malformed tokenizer.json instead
+                if i != len(pieces):
+                    raise ValueError(
+                        f"added token id {i} is non-contiguous (next slot is "
+                        f"{len(pieces)}); refusing to mis-number the vocab"
+                    )
                 pieces.append(
                     (tok["content"], 0.0,
                      _TYPE_CONTROL if tok.get("special") else _TYPE_USER_DEFINED)
