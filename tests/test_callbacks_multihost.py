@@ -75,3 +75,41 @@ def test_two_process_eval_callback(tmp_path):
     # rank-encoded rewards prove rank 1's slice reached rank 0:
     # rows 0-1 scored by process 0 (reward 1), row 2 by process 1 (reward 2)
     assert summary["rewards"] == [1.0, 1.0, 2.0]
+
+
+def test_two_process_mesh_trainer(tmp_path):
+    """REAL multi-controller training: 2 processes x 2 local devices, one
+    (data=2, fsdp=2) mesh spanning both, RLOOTrainer.train() for 2 updates
+    with allgather'ed host rewards and a rank-0 checkpoint. Both processes
+    must finish with identical replicated params (one SPMD program)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_train_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    sums = []
+    for i in range(2):
+        with open(tmp_path / f"summary_{i}.json") as f:
+            sums.append(json.load(f))
+    assert sums[0]["updates"] == 2 and sums[1]["updates"] == 2
+    assert sums[0]["digest"] == sums[1]["digest"]
+    assert np.isfinite(sums[0]["loss"])
+    assert sums[0]["ckpt_exists"]  # process 0 saved; process 1 skipped
+    assert not sums[1]["ckpt_exists"] or sums[0]["ckpt_exists"]

@@ -685,6 +685,29 @@ class RLOOTrainer:
     def _put_outputs(self, outputs):
         return outputs if self.mesh is None else shard_rollout(outputs, self.mesh)
 
+    def _host_reward_view(self, outputs):
+        """Reward functions run on host numpy (decode -> BLIP -> scores). In
+        a multi-controller run the rollout arrays are GLOBAL (each process
+        holds only its shards), so materialize the fields rewards read —
+        final latents + per-step stats — to every host via process_allgather.
+        Caches (h_cache etc.) stay device-side: rewards never read them and
+        they are the big ones. Single-process: identity."""
+        if self.mesh is None or jax.process_count() == 1:
+            return outputs
+        from jax.experimental import multihost_utils
+
+        values = {}
+        for name, value in outputs._asdict().items():
+            if value is None or name in _TIME_MAJOR_FIELDS:
+                values[name] = value
+            elif isinstance(value, jax.Array) and not value.is_fully_addressable:
+                values[name] = multihost_utils.process_allgather(
+                    value, tiled=True
+                )
+            else:
+                values[name] = value
+        return type(outputs)(**values)
+
     # -- data ------------------------------------------------------------
     def _loader(self, rng: np.random.Generator) -> Iterator[dict]:
         bsz = self.sizes["dataloader_batch_size"]
@@ -815,7 +838,7 @@ class RLOOTrainer:
             key, k_roll = jax.random.split(key)
             outputs = self.agent.sample(tpm_params, data, k_roll)
             scores, last_image_scores = self.reward_fn(
-                data.get("prompt"), outputs
+                data.get("prompt"), self._host_reward_view(outputs)
             )
             scores = discounted_rewards(
                 jnp.asarray(scores, jnp.float32), outputs.last_valid_index, cfg.gamma
