@@ -78,6 +78,43 @@ class TestParamSpecs:
         )
 
 
+class TestConvKernelSharding:
+    def test_spec_shards_large_conv_out_dim(self):
+        from tpdm_tpu.parallel.sharding import mmdit_param_specs
+
+        tree = {
+            "conv_big": jnp.zeros((3, 3, 320, 640)),
+            "conv_small": jnp.zeros((3, 3, 8, 16)),
+        }
+        specs = mmdit_param_specs(tree)
+        assert specs["conv_big"] == P(None, None, None, "fsdp")
+        assert specs["conv_small"] == P()
+
+    def test_sharded_conv_matches_unsharded(self):
+        """NHWC conv with the kernel fsdp-sharded on the output-feature dim
+        and the batch over (data, fsdp): per-shard batch >= 2 (the regression
+        regime of the row-spec miscompile)."""
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 6, 256))
+        k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 256, 512)) * 0.02
+
+        conv = lambda x, k: jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        ref = jax.jit(conv)(x, k)
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(("data", "fsdp"), None, None, None))
+        )
+        ks = jax.device_put(k, NamedSharding(mesh, P(None, None, None, "fsdp")))
+        with mesh:
+            out = jax.jit(conv)(xs, ks)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4
+        )
+
+
 class TestDryrun:
     @pytest.mark.parametrize("n", [1, 4, 8])
     def test_dryrun_training_step(self, n):
@@ -150,6 +187,58 @@ class TestMeshTrainer:
         m = dryrun_trainer(4, mesh_shape=(2, 2, 1), num_updates=1)
         assert np.isfinite(m["loss/policy_avg"])
         assert np.isfinite(m["resumed_loss"])
+
+    def test_recompute_replay_mode_sharded(self):
+        """recompute replay re-runs the SHARDED frozen backbone inside the
+        jitted train step (backbone params as sharded jit arguments) — the
+        memory mode production SD3 training would use at scale."""
+        import dataclasses
+
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.train.builders import (
+            build_toy_agent,
+            build_toy_reward,
+            make_prompt_encoder,
+        )
+        from tpdm_tpu.train.config import RLOOConfig
+        from tpdm_tpu.train.rloo import RLOOTrainer, TPDMAgent
+
+        cfg = RLOOConfig(
+            per_device_train_batch_size=2,
+            rloo_k=2,
+            num_ppo_epochs=1,
+            max_inference_steps=2,
+            guidance_scale=7.0,
+            learning_rate=1e-4,
+            total_episodes=8,
+        )
+        base = build_toy_agent(cfg)
+        mcfg = base.mmdit.config
+        agent = TPDMAgent(
+            base.mmdit,
+            base.mmdit_params,
+            cfg,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * mcfg.inner_dim,
+                temb_dim=mcfg.inner_dim,
+            ),
+            replay_mode="recompute",
+        )
+        mesh = make_mesh(jax.devices()[:4], data=2, fsdp=2, tensor=1)
+        agent.shard(mesh)
+        trainer = RLOOTrainer(
+            cfg,
+            agent,
+            build_toy_reward(),
+            [{"prompt": f"p{i}"} for i in range(8)],
+            collate_fn=make_prompt_encoder(agent),
+            mesh=mesh,
+        )
+        params, _ = trainer.train()
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(m["loss/policy_avg"])
+        assert np.isfinite(m["policy/grad_norm_avg"])
 
     def test_dryrun_agent_families(self):
         """SD1.5 and FLUX agents each run a sharded RLOO update through the

@@ -439,3 +439,32 @@ class TestOffloadPlumbing:
         np.testing.assert_allclose(
             np.asarray(base.h_cache), np.asarray(off.h_cache), rtol=1e-6
         )
+
+
+class TestMetricsJsonl:
+    def test_metrics_stream_written_with_checkpointing(self, tmp_path):
+        import dataclasses
+        import json as _json
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(
+            config, save_steps=3, output_dir=str(tmp_path)
+        )
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        trainer.train()
+        path = tmp_path / "metrics.jsonl"
+        assert path.exists()
+        rows = [_json.loads(l) for l in path.read_text().splitlines()]
+        assert len(rows) == 3
+        assert rows[0]["update"] == 1 and rows[-1]["update"] == 3
+        assert all("policy/steps_avg" in r for r in rows)
+
+    def test_no_stream_without_output_usage(self):
+        import os
+
+        config, agent, reward_fn, dataset = _toy_world()
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        trainer.train()
+        assert not os.path.exists(
+            os.path.join(config.output_dir, "metrics.jsonl")
+        )

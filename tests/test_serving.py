@@ -292,3 +292,35 @@ class TestT5AddedTokenContiguity:
         p.write_text(json.dumps(spec), encoding="utf-8")
         with pytest.raises(ValueError, match="non-contiguous"):
             T5Tokenizer.from_tokenizer_json(str(p))
+
+
+class TestMeshShardedServing:
+    def test_mesh_serving_matches_single_device(self):
+        """One model instance sharded over a (2,2,2) mesh serves the same
+        images as an unsharded engine for the same (prompt, seed)s."""
+        pipe1, tokenize1 = _toy_pipeline()
+        plain = BatchingEngine(pipe1, tokenize1, max_batch=4, window_ms=1,
+                               max_steps=4)
+        ref = plain.generate_batch(["a", "b", "c", "d"], [1, 2, 3, 4])
+
+        pipe2, tokenize2 = _toy_pipeline()
+        eng = BatchingEngine(pipe2, tokenize2, max_batch=4, window_ms=1,
+                             max_steps=4, mesh_shape=(2, 2, 2))
+        out = eng.generate_batch(["a", "b", "c", "d"], [1, 2, 3, 4])
+        for r, o in zip(ref, out):
+            assert r["inference_steps"] == o["inference_steps"]
+            # uint8 post-processing: allow off-by-one rounding at shard seams
+            diff = np.abs(
+                r["image"].astype(np.int32) - o["image"].astype(np.int32)
+            )
+            assert diff.max() <= 1, diff.max()
+
+    def test_mesh_and_dp_mutually_exclusive(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="not both"):
+            BatchingEngine(pipe, tokenize, dp=2, mesh_shape=(2, 1, 1))
+
+    def test_mesh_batch_divisibility(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="divisible"):
+            BatchingEngine(pipe, tokenize, max_batch=3, mesh_shape=(2, 2, 1))

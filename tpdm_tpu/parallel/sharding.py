@@ -65,6 +65,11 @@ def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "fsdp")) -> P:
         if leaf.shape[0] >= 256 and leaf.shape[1] >= 256:
             return P("fsdp", None)  # misc large kernels: plain weight shard
         return P()
+    if leaf.ndim == 4 and leaf.shape[-1] >= 256 and leaf.shape[-2] >= 64:
+        # large conv kernels (HWIO): ZeRO-shard the output-feature dim over
+        # fsdp — the UNet/VAE weight-memory analogue of the 2D weight shard
+        # (SD1.5's 320-1280ch convs; XLA all-gathers per-op like the rest)
+        return P(None, None, None, "fsdp")
     # biases / norm scales / pos tables: replicate (tiny)
     return P()
 

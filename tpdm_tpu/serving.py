@@ -62,6 +62,12 @@ class BatchingEngine:
         max_steps: adaptive-sampler step cap (gradio demo default 35).
         dp: if set, shard each batch over the first `dp` devices via a
             ("data",)-axis mesh. max_batch must be divisible by dp.
+        mesh_shape: full (data, fsdp, tensor) serving mesh — beyond DP
+            replicas: backbone/VAE weights sharded by the training specs
+            (tpdm_tpu.parallel.sharding), batch over (data, fsdp). Use when
+            one replica's weights should not be replicated per chip (e.g.
+            FLUX-scale backbones) or to cut per-request latency via tensor
+            parallelism. Mutually exclusive with dp.
         queue_limit: backpressure bound — submit() raises EngineOverloaded
             beyond this many queued requests (default 8x max_batch), so
             slow compiles / bursts surface as 503s instead of a silently
@@ -83,11 +89,20 @@ class BatchingEngine:
         dp: Optional[int] = None,
         queue_limit: Optional[int] = None,
         split_stages: bool = False,
+        mesh_shape: Optional[tuple] = None,
     ):
         import collections
 
+        if dp is not None and mesh_shape is not None:
+            raise ValueError("pass dp OR mesh_shape, not both")
         if dp is not None and max_batch % dp != 0:
             raise ValueError(f"max_batch {max_batch} not divisible by dp {dp}")
+        if mesh_shape is not None:
+            bshards = mesh_shape[0] * mesh_shape[1]
+            if max_batch % bshards != 0:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by data*fsdp={bshards}"
+                )
         self.pipe = pipe
         self.tokenize = tokenize
         self.max_batch = max_batch
@@ -109,6 +124,8 @@ class BatchingEngine:
         self._data_sharding = None
         if dp is not None:
             self._setup_dp(dp)
+        elif mesh_shape is not None:
+            self._setup_mesh(mesh_shape)
 
     # -- data-parallel replicas -------------------------------------------
     def _setup_dp(self, dp: int):
@@ -137,6 +154,41 @@ class BatchingEngine:
             te.clip_g = (te.clip_g[0], place(te.clip_g[1]))
             if te.t5[1] is not None:
                 te.t5 = (te.t5[0], place(te.t5[1]))
+
+    def _setup_mesh(self, shape):
+        """Sharded-model serving: ONE model instance spread over the mesh.
+
+        Backbone kernels follow the training specs (column/row splits over
+        (fsdp, tensor)); TPM and text towers replicate (tiny); the VAE's
+        large conv kernels ZeRO-shard via the 4D rule. Batch rides
+        (data, fsdp) like the trainer."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpdm_tpu.parallel.mesh import make_mesh
+        from tpdm_tpu.parallel.sharding import batch_spec, shard_params
+
+        d, f, t = shape
+        n = d * f * t
+        devices = jax.devices()
+        if len(devices) < n:
+            raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+        self._mesh = make_mesh(devices[:n], data=d, fsdp=f, tensor=t)
+        self._data_sharding = NamedSharding(self._mesh, batch_spec(4))
+        rep = NamedSharding(self._mesh, P())
+        place_rep = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, rep), tree
+        )
+        self.pipe.mmdit_params = shard_params(self.pipe.mmdit_params, self._mesh)
+        self.pipe.tpm_params = place_rep(self.pipe.tpm_params)
+        if self.pipe.vae_params is not None:
+            self.pipe.vae_params = shard_params(self.pipe.vae_params, self._mesh)
+        te = self.pipe.text_encoders
+        if te is not None:
+            te.clip_l = (te.clip_l[0], place_rep(te.clip_l[1]))
+            te.clip_g = (te.clip_g[0], place_rep(te.clip_g[1]))
+            if te.t5[1] is not None:
+                te.t5 = (te.t5[0], place_rep(te.t5[1]))
 
     def _place_batch(self, x):
         if self._data_sharding is None:

@@ -913,6 +913,7 @@ class RLOOTrainer:
             if cfg.logging_steps and update % cfg.logging_steps == 0:
                 logger.info("update %d: %s", update, metrics)
                 self.metrics_history.append(metrics)
+                self._append_metrics_jsonl(update, metrics)
 
             for cb in self.callbacks:
                 cb.on_step_end(self, update, metrics, tpm_params)
@@ -923,6 +924,28 @@ class RLOOTrainer:
         if cfg.save_steps:
             self._save(sizes["num_total_batches"], tpm_params, opt_state, np_rng)
         return tpm_params, opt_state
+
+    def _append_metrics_jsonl(self, update, metrics):
+        """Durable per-update metric stream: output_dir/metrics.jsonl, one
+        JSON object per logged update (the greppable analogue of the
+        reference's HF-Trainer log history / tensorboard scalars)."""
+        import json
+        import os
+
+        # only for runs that already use output_dir (checkpoints or eval);
+        # pure smoke runs stay filesystem-free
+        if not (self.config.save_steps or self.config.eval_steps):
+            return
+        if jax.process_index() != 0:
+            return
+        try:
+            os.makedirs(self.config.output_dir, exist_ok=True)
+            with open(
+                os.path.join(self.config.output_dir, "metrics.jsonl"), "a"
+            ) as f:
+                f.write(json.dumps({"update": update, **metrics}) + "\n")
+        except OSError as e:  # metrics must never kill training
+            logger.warning("metrics.jsonl write failed: %s", e)
 
     def _save(self, update, tpm_params, opt_state, np_rng):
         from tpdm_tpu.train import checkpoint as ckpt
