@@ -149,6 +149,9 @@ def main():
     p.add_argument("--batch_window_ms", type=float, default=25.0)
     p.add_argument("--dp", type=int, default=None,
                    help="shard batches over N devices (data-parallel replicas)")
+    p.add_argument("--mesh", default=None,
+                   help="'data,fsdp,tensor' sharded-MODEL serving: weights "
+                        "split over the mesh instead of replicated per chip")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--out", default="generated.png")
     args = p.parse_args()
@@ -203,6 +206,9 @@ def make_http_server(pipe, tokenize, args):
 
     from tpdm_tpu.serving import BatchingEngine
 
+    mesh_shape = getattr(args, "mesh", None)
+    if mesh_shape:
+        mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
     engine = BatchingEngine(
         pipe,
         tokenize,
@@ -210,6 +216,7 @@ def make_http_server(pipe, tokenize, args):
         window_ms=args.batch_window_ms,
         max_steps=args.max_steps,
         dp=args.dp,
+        mesh_shape=mesh_shape,
     )
 
     class Handler(BaseHTTPRequestHandler):
