@@ -40,15 +40,24 @@ class TestParamSpecs:
             jnp.ones((1, 4, cfg.joint_attention_dim)),
             jnp.ones((1, cfg.pooled_projection_dim)),
         )
+        # no mesh given -> row kernels take the SAFE (tensor, data) spec
+        # (the (tensor, fsdp) variant miscompiles when tensor>1; see the
+        # _ROW note in parallel/sharding.py)
         specs = mmdit_param_specs(params)
         blk = specs["params"]["transformer_blocks_0"]
         assert blk["attn"]["to_q"]["kernel"] == P("fsdp", "tensor")
-        assert blk["attn"]["to_out"]["kernel"] == P("tensor", "fsdp")
+        assert blk["attn"]["to_out"]["kernel"] == P("tensor", "data")
         assert blk["ff"]["proj_in"]["kernel"] == P("fsdp", "tensor")
-        assert blk["ff"]["proj_out"]["kernel"] == P("tensor", "fsdp")
+        assert blk["ff"]["proj_out"]["kernel"] == P("tensor", "data")
         assert blk["norm1"]["linear"]["kernel"] == P("fsdp", None)
         # biases replicated
         assert blk["attn"]["to_q"]["bias"] == P()
+
+        # tensor-trivial mesh -> rows regain full ZeRO sharding over fsdp
+        mesh = make_mesh(jax.devices()[:4], data=2, fsdp=2, tensor=1)
+        specs = mmdit_param_specs(params, mesh)
+        blk = specs["params"]["transformer_blocks_0"]
+        assert blk["attn"]["to_out"]["kernel"] == P("tensor", "fsdp")
 
     def test_sharded_forward_matches_unsharded(self):
         # b=8 (2 rows per (data,fsdp) shard) is the regression trigger for
@@ -76,6 +85,72 @@ class TestParamSpecs:
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(out), rtol=2e-4, atol=2e-4
         )
+
+
+class TestFamilyShardedForwardParity:
+    """SD1.5 and FLUX forwards under the shared specs on a FULL (2,2,2)
+    mesh, per-shard batch 2 — the regime where the XLA SPMD row-spec
+    miscompile hides at batch 1 (see parallel/sharding.py _ROW note). The
+    SD3 equivalent lives in TestParamSpecs."""
+
+    def test_sd15_unet_sharded_matches_unsharded(self):
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.parallel.sharding import shard_batch, shard_params
+
+        cfg = UNetConfig.toy()
+        unet = UNetSD15(cfg)
+        b, n_txt = 8, 7
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, cfg.sample_size, cfg.sample_size))
+        t = jnp.full((b,), 321.0)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.cross_attention_dim))
+        params = unet.init(jax.random.PRNGKey(2), lat, t, ctx)
+        ref = jax.jit(unet.apply)(params, lat, t, ctx)
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        sp = shard_params(params, mesh)
+        sb = shard_batch({"lat": lat, "t": t, "ctx": ctx}, mesh)
+        with mesh:
+            out = jax.jit(unet.apply)(sp, sb["lat"], sb["t"], sb["ctx"])
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(o), rtol=2e-4, atol=2e-4
+            )
+
+    def test_flux_sharded_matches_unsharded(self):
+        from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
+        from tpdm_tpu.parallel.sharding import shard_batch, shard_params
+
+        cfg = FluxConfig.toy()
+        model = Flux(cfg)
+        b, n_txt = 8, 5
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        txt = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.txt_dim))
+        txt_ids = jnp.zeros((b, n_txt, 3))
+        sig = jnp.full((b,), 0.7)
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_dim))
+        g = jnp.full((b,), 3.5)
+        params = model.init(
+            jax.random.PRNGKey(3), tokens, img_ids, txt, txt_ids, sig, pooled, g
+        )
+        ref = jax.jit(model.apply)(params, tokens, img_ids, txt, txt_ids, sig, pooled, g)
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        sp = shard_params(params, mesh)
+        sb = shard_batch(
+            {"tok": tokens, "ids": img_ids, "txt": txt, "tids": txt_ids,
+             "sig": sig, "pooled": pooled, "g": g},
+            mesh,
+        )
+        with mesh:
+            out = jax.jit(model.apply)(
+                sp, sb["tok"], sb["ids"], sb["txt"], sb["tids"], sb["sig"],
+                sb["pooled"], sb["g"],
+            )
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(o), rtol=3e-4, atol=3e-4
+            )
 
 
 class TestConvKernelSharding:

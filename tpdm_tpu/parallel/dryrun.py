@@ -250,13 +250,10 @@ def dryrun_trainer(
 
 
 def _run_family_trainer(agent, cfg, dataset, mesh) -> dict:
+    from tpdm_tpu.train.builders import build_toy_reward
     from tpdm_tpu.train.rloo import RLOOTrainer
 
-    def reward_fn(prompts, outputs):
-        s = np.asarray(jnp.tanh(outputs.final_latents.mean(axis=(1, 2, 3))))
-        return s, s
-
-    trainer = RLOOTrainer(cfg, agent, reward_fn, dataset, mesh=mesh)
+    trainer = RLOOTrainer(cfg, agent, build_toy_reward(), dataset, mesh=mesh)
     trainer.train()
     m = trainer.metrics_history[-1]
     for k, v in m.items():

@@ -52,7 +52,7 @@ def _path_str(path) -> str:
     return "/".join(getattr(p, "key", str(p)) for p in path)
 
 
-def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "fsdp")) -> P:
+def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "data")) -> P:
     """PartitionSpec for one MMDiT parameter leaf."""
     name = _path_str(path)
     if leaf.ndim == 2:
@@ -76,12 +76,15 @@ def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "fsdp")) -> P:
 
 def row_parallel_spec(mesh: Optional[Mesh]) -> P:
     """Out-dim shard axis for row-parallel kernels, mesh-dependent (see the
-    _ROW miscompile note above): ZeRO over fsdp when the tensor axis is
-    trivial, else over data. With tensor>1 and data==1 the row kernels end
-    up replicated across fsdp — the price of dodging the partitioner bug."""
-    if mesh is not None and mesh.shape.get("tensor", 1) > 1:
-        return P("tensor", "data")
-    return P("tensor", "fsdp")
+    _ROW miscompile note above): ZeRO over fsdp ONLY when the mesh is known
+    to have a trivial tensor axis, else over data. Unknown mesh (None)
+    defaults to the SAFE (tensor, data) spec — a caller that later
+    device_puts onto a tensor>1 mesh must never inherit the miscompiling
+    combination. With tensor>1 and data==1 the row kernels end up
+    replicated across fsdp — the price of dodging the partitioner bug."""
+    if mesh is not None and mesh.shape.get("tensor", 1) == 1:
+        return P("tensor", "fsdp")
+    return P("tensor", "data")
 
 
 def mmdit_param_specs(params, mesh: Optional[Mesh] = None) -> Any:

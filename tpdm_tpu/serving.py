@@ -198,9 +198,13 @@ class BatchingEngine:
         return jax.device_put(x, self._data_sharding)
 
     # -- synchronous core ---------------------------------------------------
-    def generate_batch(self, prompts: Sequence[str], seeds: Sequence[int]):
+    def generate_batch(
+        self, prompts: Sequence[str], seeds: Sequence[int],
+        record_stats: bool = True,
+    ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
-        {image, inference_steps, sigmas}."""
+        {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
+        keeps the compile run out of the capacity-planning counters."""
         import jax
 
         n = len(prompts)
@@ -263,9 +267,10 @@ class BatchingEngine:
             t_done = time.monotonic()
         stage["device_s"] = t_done - t_tokenized
         stage["total_s"] = t_done - t_start
-        self.batches_run += 1
-        self.padded_slots += pad
-        self._stage_times.append(stage)
+        if record_stats:
+            self.batches_run += 1
+            self.padded_slots += pad
+            self._stage_times.append(stage)
         out = []
         for i in range(n):
             nfe = int(res.last_valid_index[i]) + 1
@@ -291,6 +296,12 @@ class BatchingEngine:
             raise EngineOverloaded(
                 f"request queue full ({self._queue.maxsize}); retry later"
             )
+        if self._stop.is_set():
+            # TOCTOU window: stop() may have drained the queue between our
+            # check above and the enqueue — re-drain so this request cannot
+            # strand its caller until the result() timeout
+            self._drain_failed("engine stopped before this request ran")
+            raise EngineOverloaded("engine is stopped; no worker will run this")
         return req
 
     def start(self):
@@ -311,13 +322,16 @@ class BatchingEngine:
         self._thread.join(timeout=30)
         self._thread = None
         # fail any requests still queued so no waiter blocks forever
+        self._drain_failed("engine stopped before this request ran")
+
+    def _drain_failed(self, message: str):
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
             if req is not None:
-                req._error = RuntimeError("engine stopped before this request ran")
+                req._error = RuntimeError(message)
                 req._event.set()
 
     def _collect(self) -> List[ServeRequest]:
@@ -370,9 +384,11 @@ class BatchingEngine:
         if not rows:
             return {"batches_run": self.batches_run}
 
-        def pct(key, q):
-            vals = sorted(r[key] for r in rows)
+        def pct_of(vals, q):
+            vals = sorted(vals)
             return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+        pct = lambda key, q: pct_of((r[key] for r in rows), q)
 
         waits = [r["queue_wait_s_max"] for r in rows if "queue_wait_s_max" in r]
         wait_stats = (
@@ -383,14 +399,11 @@ class BatchingEngine:
         decode_rows = [r for r in rows if "decode_s" in r]
         decode_stats = {}
         if decode_rows:
-            dvals = sorted(r["decode_s"] for r in decode_rows)
-            nvals = sorted(r["denoise_s"] for r in decode_rows)
-            q = lambda vals, p: vals[min(len(vals) - 1, int(p * len(vals)))]
             decode_stats = {
-                "denoise_s_p50": q(nvals, 0.5),
-                "denoise_s_p95": q(nvals, 0.95),
-                "decode_s_p50": q(dvals, 0.5),
-                "decode_s_p95": q(dvals, 0.95),
+                "denoise_s_p50": pct_of((r["denoise_s"] for r in decode_rows), 0.5),
+                "denoise_s_p95": pct_of((r["denoise_s"] for r in decode_rows), 0.95),
+                "decode_s_p50": pct_of((r["decode_s"] for r in decode_rows), 0.5),
+                "decode_s_p95": pct_of((r["decode_s"] for r in decode_rows), 0.95),
             }
         return {
             "batches_run": self.batches_run,
@@ -412,5 +425,6 @@ class BatchingEngine:
         }
 
     def warmup(self):
-        """Compile the serving shape before taking traffic."""
-        self.generate_batch(["warmup"], [0])
+        """Compile the serving shape before taking traffic (not counted in
+        stats — a padded warmup batch is not traffic waste)."""
+        self.generate_batch(["warmup"], [0], record_stats=False)

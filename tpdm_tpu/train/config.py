@@ -79,6 +79,9 @@ class RLOOConfig:
                 raise ValueError(f"{what}: {a} not divisible by {b}")
             return a // b
 
+        local_dataloader_batch_size = exact_div(
+            local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
+        )
         return dict(
             local_batch_size=local_batch_size,
             micro_batch_size=self.per_device_train_batch_size * self.world_size,
@@ -92,14 +95,9 @@ class RLOOConfig:
                 "local_batch_size/num_mini_batches",
             ),
             num_total_batches=math.ceil(total_episodes / batch_size),
-            local_dataloader_batch_size=exact_div(
-                local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
-            ),
+            local_dataloader_batch_size=local_dataloader_batch_size,
             # global prompts per update; under GSPMD one program loads the
             # whole global batch (vs the reference's per-rank loaders)
-            dataloader_batch_size=exact_div(
-                local_batch_size, self.rloo_k, "local_batch_size/rloo_k"
-            )
-            * self.world_size,
+            dataloader_batch_size=local_dataloader_batch_size * self.world_size,
             total_episodes=total_episodes,
         )
