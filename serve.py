@@ -193,10 +193,23 @@ def main():
         server.server_address[1], args.max_batch, args.batch_window_ms,
         f", dp={args.dp}" if args.dp else "",
     )
+    # Graceful drain on SIGTERM (pod eviction / ctrl-C): stop accepting,
+    # let the engine finish in-flight batches, then exit. serve_forever()
+    # returns once shutdown() is called from the signal handler's thread.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        logger.info("signal %d: draining and shutting down", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _drain)
     try:
         server.serve_forever()
     finally:
         engine.stop()
+        server.server_close()
 
 
 def make_http_server(pipe, tokenize, args):

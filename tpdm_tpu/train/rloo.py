@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import signal
+import threading
 import time
 from typing import Callable, Iterable, Iterator, Optional
 
@@ -670,6 +672,38 @@ class RLOOTrainer:
         self._train_step = jax.jit(self._train_step_impl)
         self.global_step = 0
         self.episode = 0
+        self._stop_requested = False
+        self.stopped_early = False
+
+    # -- preemption / graceful stop --------------------------------------
+    def request_stop(self) -> None:
+        """Ask train() to stop after the current update and checkpoint.
+
+        Async-signal-safe (only sets a flag); train() installs this as the
+        SIGTERM/SIGINT action so a TPU-pod preemption notice turns into a
+        clean save+exit instead of a killed run. Also callable from
+        callbacks (e.g. a wall-clock budget watchdog). The reference has no
+        analogue — a preempted torchrun loses everything since the last
+        `save_steps` boundary.
+        """
+        self._stop_requested = True
+
+    def _stop_agreed(self) -> bool:
+        """Every process must agree to stop at the SAME update.
+
+        SIGTERM delivery on a preempted pod is per-process and not
+        simultaneous; if one host exits while the others enter the next
+        update's collectives, the survivors hang until the grace period
+        kills them. One tiny host-side allgather per update (only in
+        multi-controller runs) makes the decision collective: stop iff ANY
+        process was signalled.
+        """
+        if jax.process_count() == 1:
+            return self._stop_requested
+        from tpdm_tpu.parallel.multihost import allgather_arrays
+
+        flags = allgather_arrays(np.array([self._stop_requested], np.int32))
+        return bool(np.max(flags))
 
     # -- mesh placement --------------------------------------------------
     def _replicate(self, tree):
@@ -829,6 +863,40 @@ class RLOOTrainer:
         loader = self._loader(np_rng)
         start_time = time.time()
 
+        # SIGTERM (pod preemption notice) / SIGINT -> checkpoint + clean
+        # exit after the current update. Handlers can only be installed in
+        # the main thread; elsewhere (e.g. a serving-engine worker driving
+        # a background fine-tune) request_stop() remains available.
+        prev_handlers: dict = {}
+        if threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                logger.warning(
+                    "signal %d: will checkpoint and stop after the current "
+                    "update", signum,
+                )
+                self.request_stop()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    prev_handlers[sig] = signal.signal(sig, _on_signal)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
+        try:
+            tpm_params, opt_state = self._train_loop(
+                tpm_params, opt_state, loader, np_rng, key, start_update,
+                start_time,
+            )
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+        return tpm_params, opt_state
+
+    def _train_loop(
+        self, tpm_params, opt_state, loader, np_rng, key, start_update,
+        start_time,
+    ):
+        cfg = self.config
+        sizes = self.sizes
         for update in range(start_update, sizes["num_total_batches"] + 1):
             self.episode += sizes["batch_size"]
             data = next(loader)
@@ -918,10 +986,22 @@ class RLOOTrainer:
             for cb in self.callbacks:
                 cb.on_step_end(self, update, metrics, tpm_params)
 
-            if cfg.save_steps and update % cfg.save_steps == 0:
+            saved_this_update = bool(cfg.save_steps) and update % cfg.save_steps == 0
+            if saved_this_update:
                 self._save(update, tpm_params, opt_state, np_rng)
 
-        if cfg.save_steps:
+            if self._stop_agreed():
+                if not saved_this_update:
+                    self._save(update, tpm_params, opt_state, np_rng)
+                self.stopped_early = True
+                logger.warning(
+                    "graceful stop: checkpoint saved at update %d/%d; resume "
+                    "with --resume_from_checkpoint", update,
+                    sizes["num_total_batches"],
+                )
+                break
+
+        if cfg.save_steps and not self.stopped_early:
             self._save(sizes["num_total_batches"], tpm_params, opt_state, np_rng)
         return tpm_params, opt_state
 
