@@ -68,9 +68,22 @@ def main():
         s = np.tanh(lat.mean(axis=(1, 2, 3))).astype(np.float32)
         return s, s
 
+    # optional one-sided preemption simulation: ONLY process TPDM_STOP_PID
+    # requests a stop at update TPDM_STOP_AT; the trainer's cross-process
+    # agreement (allgather) must make BOTH processes checkpoint and exit at
+    # that same update instead of desyncing into hung collectives
+    stop_at = int(os.environ.get("TPDM_STOP_AT", "0"))
+    stop_pid = int(os.environ.get("TPDM_STOP_PID", "0"))
+
+    class _OneSidedStop:
+        def on_step_end(self, trainer, update, metrics, tpm_params):
+            if update == stop_at and jax.process_index() == stop_pid:
+                trainer.request_stop()
+
     trainer = RLOOTrainer(
         cfg, agent, reward_fn, dataset,
         collate_fn=make_prompt_encoder(agent), mesh=mesh,
+        callbacks=[_OneSidedStop()] if stop_at else (),
     )
     params, _ = trainer.train()
 
@@ -89,9 +102,14 @@ def main():
                 "updates": len(trainer.metrics_history),
                 "loss": m["loss/policy_avg"],
                 "steps_avg": m["policy/steps_avg"],
+                "stopped_early": trainer.stopped_early,
                 "ckpt_exists": os.path.isdir(
                     os.path.join(outdir, "ckpt", "checkpoint-2")
                 ),
+                "checkpoints": sorted(
+                    d for d in os.listdir(os.path.join(outdir, "ckpt"))
+                    if d.startswith("checkpoint-")
+                ) if os.path.isdir(os.path.join(outdir, "ckpt")) else [],
             },
             f,
         )

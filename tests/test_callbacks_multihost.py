@@ -113,3 +113,44 @@ def test_two_process_mesh_trainer(tmp_path):
     assert np.isfinite(sums[0]["loss"])
     assert sums[0]["ckpt_exists"]  # process 0 saved; process 1 skipped
     assert not sums[1]["ckpt_exists"] or sums[0]["ckpt_exists"]
+
+
+def test_two_process_one_sided_preemption_stop(tmp_path):
+    """One process gets the 'preemption' (request_stop at update 1); the
+    trainer's cross-process agreement must stop BOTH processes at that same
+    update with a checkpoint — not desync into hung collectives (the
+    failure mode of per-process SIGTERM delivery on a preempted pod)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_train_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPDM_STOP_AT"] = "1"
+    env["TPDM_STOP_PID"] = "1"  # NOT the checkpoint-writing process
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    sums = []
+    for i in range(2):
+        with open(tmp_path / f"summary_{i}.json") as f:
+            sums.append(json.load(f))
+    # both stopped at update 1 (agreement), same replicated params
+    assert sums[0]["updates"] == 1 and sums[1]["updates"] == 1
+    assert sums[0]["stopped_early"] and sums[1]["stopped_early"]
+    assert sums[0]["digest"] == sums[1]["digest"]
+    # process 0 wrote the preemption checkpoint for update 1
+    assert sums[0]["checkpoints"] == ["checkpoint-1"]

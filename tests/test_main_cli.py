@@ -1,0 +1,77 @@
+"""End-to-end smoke of the two runnable entry points as SUBPROCESSES —
+the L6 surface a reference user actually launches (reference:
+main_diff_rloo_trainer.py via scripts/launch_sd3_train.sh:10).
+
+Everything else in the suite drives the library API; this is the only
+place the CLI arg-parsing + YAML component resolution + trainer wiring is
+exercised exactly as shipped.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd, **env_extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+    return subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=900
+    )
+
+
+class TestMainTrainCLI:
+    def test_toy_training_run_saves_and_resumes(self, tmp_path):
+        out = str(tmp_path)
+        cmd = [
+            # --cpu is load-bearing: the session env pins the TPU plugin
+            # regardless of JAX_PLATFORMS (see CLAUDE.md), and a toy smoke
+            # must not compile on a shared real chip
+            sys.executable, "main_train.py", "--cpu",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--reward_model_config", "configs/models/toy_reward.yaml",
+            "--train_dataset", "configs/datasets/jsonl_prompts.yaml",
+            # no --data_collator: the toy agent path wraps the default
+            # collator with the hash-embed prompt encoder (README quick-start)
+            "--total_episodes", "16", "--per_device_train_batch_size", "4",
+            "--rloo_k", "2", "--max_inference_steps", "3",
+            "--save_steps", "2", "--logging_steps", "1",
+            "--output_dir", out,
+        ]
+        r = _run(cmd)
+        assert r.returncode == 0, r.stderr[-2000:]
+        # 16 episodes / batch 4 = 4 updates; boundaries at 2 and 4
+        assert (tmp_path / "checkpoint-2").is_dir()
+        assert (tmp_path / "checkpoint-4" / "tpm.safetensors").exists()
+        rows = [
+            json.loads(l)
+            for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert [row["update"] for row in rows] == [1, 2, 3, 4]
+        assert all("policy/steps_avg" in row for row in rows)
+
+        # resume dispatch parity (main_diff_rloo_trainer.py:60-69): 'true'
+        # resolves the latest checkpoint; run is already complete, so the
+        # trainer starts past the horizon and exits immediately
+        r2 = _run(cmd + ["--resume_from_checkpoint", "true"])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "resumed from" in (r2.stderr + r2.stdout)
+
+    def test_prompts_only_collator_fails_with_guidance(self, tmp_path):
+        """An embeds-less collator with an embeds-consuming agent must fail
+        fast with an actionable message, not a bare KeyError."""
+        cmd = [
+            sys.executable, "main_train.py", "--cpu",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--reward_model_config", "configs/models/toy_reward.yaml",
+            "--train_dataset", "configs/datasets/jsonl_prompts.yaml",
+            "--data_collator", "configs/collators/json_prompt.yaml",
+            "--total_episodes", "4", "--per_device_train_batch_size", "4",
+            "--rloo_k", "2", "--max_inference_steps", "3",
+            "--output_dir", str(tmp_path),
+        ]
+        r = _run(cmd)
+        assert r.returncode != 0
+        assert "prompt_embeds" in r.stderr and "make_prompt_encoder" in r.stderr

@@ -81,3 +81,27 @@ class TestGracefulStop:
         assert trainer.stopped_early
         dirs = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
         assert dirs == ["checkpoint-1", "checkpoint-2"]
+
+
+class TestTimeBudgetCallback:
+    def test_expired_budget_stops_after_first_update(self, tmp_path):
+        from tpdm_tpu.train.callbacks import TimeBudgetCallback
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(config, output_dir=str(tmp_path))
+        cb = TimeBudgetCallback(budget_seconds=0.0, margin_seconds=0.0)
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset, callbacks=[cb])
+        trainer.train()
+        assert trainer.stopped_early
+        assert trainer.global_step == 1
+        assert (tmp_path / "checkpoint-1").is_dir()
+
+    def test_generous_budget_never_fires(self):
+        from tpdm_tpu.train.callbacks import TimeBudgetCallback
+
+        config, agent, reward_fn, dataset = _toy_world()
+        cb = TimeBudgetCallback(budget_seconds=3600.0)
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset, callbacks=[cb])
+        trainer.train()
+        assert not trainer.stopped_early
+        assert trainer.global_step == 3

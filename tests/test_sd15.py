@@ -275,6 +275,101 @@ class TestSD15TrainerIntegration:
         diffs = jax.tree.map(lambda a, b_: float(jnp.abs(a - b_).max()), p0, p1)
         assert max(jax.tree.leaves(diffs)) > 0
 
+    def test_eval_callback_on_trained_policy(self, tmp_path):
+        """Eval-callback pseudo-sigma branch against a TRAINED SD1.5 policy
+        (not a fresh init): the callback runs inside a real training run,
+        recomputes rewards on eval outputs produced under
+        cache_activations=False, and the times-derived pseudo-sigmas it
+        plots are a valid decreasing schedule (reference eval flow:
+        src/train/callbacks.py:54-97 with the SD1.5 model's integer-t
+        outputs, src/models/stable_diffusion_v1_5/modeling_sd_v1_5.py:816-825).
+        """
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.train import RLOOConfig, RLOOTrainer
+        from tpdm_tpu.train.callbacks import EvalVisualizationCallback
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy()
+        unet = UNetSD15(cfg)
+        b = 4
+        n_txt = 7
+        params = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, n_txt, cfg.cross_attention_dim)),
+        )
+        config = RLOOConfig(
+            per_device_train_batch_size=b,
+            rloo_k=2,
+            max_inference_steps=3,
+            total_episodes=2 * b,
+            learning_rate=1e-3,
+            kl_coef=0.0,
+        )
+        agent = SD15Agent(
+            unet, params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.time_embed_dim,
+            ),
+        )
+        rng = np.random.default_rng(0)
+        dataset = [
+            {
+                "prompt": f"p{i}",
+                "prompt_embeds": rng.normal(
+                    size=(n_txt, cfg.cross_attention_dim)
+                ).astype(np.float32),
+                "negative_prompt_embeds": np.zeros(
+                    (n_txt, cfg.cross_attention_dim), np.float32
+                ),
+            }
+            for i in range(4)
+        ]
+
+        def reward_fn(prompts, outputs):
+            s = np.asarray(jnp.tanh(outputs.final_latents.mean(axis=(1, 2, 3))))
+            return s, s
+
+        eval_batch = {
+            "prompt": ["e0", "e1"],
+            "prompt_embeds": jnp.asarray(
+                rng.normal(size=(2, n_txt, cfg.cross_attention_dim)),
+                jnp.float32,
+            ),
+            "negative_prompt_embeds": jnp.zeros(
+                (2, n_txt, cfg.cross_attention_dim), jnp.float32
+            ),
+        }
+        cb = EvalVisualizationCallback(
+            eval_batch, str(tmp_path), reward_fn=reward_fn, eval_steps=2,
+            max_inference_steps=4,
+        )
+        trainer = RLOOTrainer(
+            config, agent, reward_fn, dataset, callbacks=[cb]
+        )
+        trainer.train()
+
+        # fired at update 2 of 2, with the policy the run actually trained
+        assert len(cb.history) == 1
+        rec = cb.history[0]
+        assert rec["update"] == 2
+        # rewards recomputed on the eval rollout (weak item: this path)
+        assert rec["rewards"].shape == (2,) and np.isfinite(rec["rewards"]).all()
+        # pseudo-sigmas t/1000: in (0, 1], strictly decreasing while alive
+        sig = rec["sigmas"]
+        assert sig.shape == (2, 4)
+        assert (sig <= 1.0).all() and (sig >= 0.0).all()
+        alive = np.asarray(rec["masks"])[:, :] == 0  # mask 1 = already done
+        for i in range(2):
+            s_alive = sig[i][alive[i][: sig.shape[1]]]
+            assert (np.diff(s_alive) < 0).all()
+        # curve figure written to disk for the trained policy
+        assert (tmp_path / "eval_curves_2.png").exists()
+
 
 class TestSD15Pipeline:
     def test_generate_with_text_encoder_and_vae(self):

@@ -320,3 +320,34 @@ class EvalVisualizationCallback:
             strip = np.concatenate(list(np.asarray(imgs)), axis=1)
             payload["eval/images"] = wandb.Image(strip)
         wandb.log(payload, step=rec["update"])
+
+
+class TimeBudgetCallback:
+    """Stop training gracefully before a wall-clock budget expires.
+
+    TPU reservations and spot/preemptible slices come with fixed windows;
+    this callback calls ``trainer.request_stop()`` once the budget (minus a
+    safety margin for the final update + checkpoint write) is spent, so the
+    run checkpoints itself resumably instead of being killed mid-update.
+    Complements the trainer's SIGTERM handling (which needs the platform to
+    deliver a preemption notice at all). No reference analogue — a
+    preempted reference run loses everything since the last save_steps
+    boundary (src/train/rloo_trainer.py:598-600).
+    """
+
+    def __init__(self, budget_seconds: float, margin_seconds: float = 60.0):
+        import time
+
+        self.deadline = time.monotonic() + budget_seconds - margin_seconds
+        self._fired = False
+
+    def on_step_end(self, trainer, update: int, metrics: dict, tpm_params):
+        import time
+
+        if not self._fired and time.monotonic() >= self.deadline:
+            self._fired = True
+            logger.info(
+                "wall-clock budget reached at update %d: requesting stop",
+                update,
+            )
+            trainer.request_stop()

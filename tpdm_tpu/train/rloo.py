@@ -421,6 +421,15 @@ class TPDMAgent:
         prompt_embeds/pooled_prompt_embeds (b, ...) and, when guidance is on,
         negative_* counterparts (concatenated [neg; pos] here, parity with
         modeling_sd3_pnt.py:504-506)."""
+        if "prompt_embeds" not in batch:
+            raise ValueError(
+                "batch has no 'prompt_embeds' (keys: "
+                f"{sorted(batch)}). The trainer consumes CFG-ready embeds: "
+                "precompute them in the dataset/collator (the reference's "
+                "pre_process mode, modeling_sd3_pnt.py:162), wrap your "
+                "collator with train.builders.make_prompt_encoder for toy "
+                "runs, or omit --data_collator so main_train.py does so."
+            )
         pe, pp = batch["prompt_embeds"], batch["pooled_prompt_embeds"]
         if self.config.guidance_scale is not None:
             pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
