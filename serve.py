@@ -152,6 +152,13 @@ def main():
     p.add_argument("--mesh", default=None,
                    help="'data,fsdp,tensor' sharded-MODEL serving: weights "
                         "split over the mesh instead of replicated per chip")
+    p.add_argument("--continuous", action="store_true",
+                   help="step-level continuous batching: finished slots are "
+                        "refilled mid-denoise (best with a trained TPM whose "
+                        "NFE varies per prompt)")
+    p.add_argument("--seg_steps", type=int, default=4,
+                   help="denoise steps per jitted segment between slot-"
+                        "recycling syncs (--continuous only)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--out", default="generated.png")
     args = p.parse_args()
@@ -222,15 +229,30 @@ def make_http_server(pipe, tokenize, args):
     mesh_shape = getattr(args, "mesh", None)
     if mesh_shape:
         mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
-    engine = BatchingEngine(
-        pipe,
-        tokenize,
-        max_batch=args.max_batch,
-        window_ms=args.batch_window_ms,
-        max_steps=args.max_steps,
-        dp=args.dp,
-        mesh_shape=mesh_shape,
-    )
+    if getattr(args, "continuous", False):
+        if args.dp or mesh_shape:
+            raise ValueError(
+                "--continuous is single-device for now; drop --dp/--mesh"
+            )
+        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+
+        engine = ContinuousBatchingEngine(
+            pipe,
+            tokenize,
+            slots=args.max_batch,
+            seg_steps=getattr(args, "seg_steps", 4),
+            max_steps=args.max_steps,
+        )
+    else:
+        engine = BatchingEngine(
+            pipe,
+            tokenize,
+            max_batch=args.max_batch,
+            window_ms=args.batch_window_ms,
+            max_steps=args.max_steps,
+            dp=args.dp,
+            mesh_shape=mesh_shape,
+        )
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):

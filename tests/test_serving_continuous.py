@@ -1,0 +1,257 @@
+"""Continuous-batching serving engine: slot recycling, parity, stats.
+
+The engine's correctness claim is strong: with predict=True a request's
+image must be BIT-IDENTICAL to the fixed-batch engine / pipe.generate for
+the same (prompt, seed), no matter when the request joined a slot or what
+shared its segments (tpdm_tpu/serving_continuous.py).
+"""
+
+import argparse
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpdm_tpu.serving import BatchingEngine, EngineOverloaded
+from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+
+
+def _toy_pipeline():
+    import serve
+
+    args = argparse.Namespace(toy=True, cpu=True, pretrained=None, tpm=None)
+    return serve.build_pipeline(args)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    pipe, tokenize = _toy_pipeline()
+    return pipe, tokenize
+
+
+REQUESTS = [("a cat", 3), ("a dog on a hill", 7), ("blue bird", 11),
+            ("a cat", 3), ("red square", 23)]
+
+
+class TestContinuousParity:
+    def test_bitwise_parity_with_fixed_batch_engine(self, toy):
+        """5 requests through 2 slots (staggered joins, mixed slot peers)
+        == each request run solo through the fixed-batch engine."""
+        pipe, tokenize = toy
+        ref_eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=6)
+        want = {
+            (p, s): ref_eng.generate_batch([p], [s])[0]
+            for p, s in set(REQUESTS)
+        }
+
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=6)
+        eng.start()
+        try:
+            reqs = [(p, s, eng.submit(p, seed=s)) for p, s in REQUESTS]
+            for p, s, r in reqs:
+                got = r.result(timeout=600)
+                exp = want[(p, s)]
+                assert got["inference_steps"] == exp["inference_steps"]
+                np.testing.assert_array_equal(got["image"], exp["image"])
+                # the f32 sigma traces come from two different jit graphs
+                # (scan-segment vs while_loop) — XLA may fuse the
+                # sigma*ratio chain differently, so allow float-ulp slack
+                np.testing.assert_allclose(
+                    got["sigmas"], exp["sigmas"], rtol=1e-5, atol=1e-8
+                )
+        finally:
+            eng.stop()
+
+    def test_max_steps_cap_parity(self, toy):
+        """A request that never crosses min_sigma finishes at exactly the
+        step cap with the same latents as the fixed-batch path."""
+        pipe, tokenize = toy
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=3).generate_batch(["capped"], [5])[0]
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                       max_steps=3)
+        eng.start()
+        try:
+            got = eng.submit("capped", seed=5).result(timeout=600)
+        finally:
+            eng.stop()
+        assert got["inference_steps"] == ref["inference_steps"] <= 3
+        np.testing.assert_array_equal(got["image"], ref["image"])
+
+    def test_one_compiled_shape_under_mixed_traffic(self, toy):
+        """The segment jit must never recompile as slots churn."""
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=1,
+                                       max_steps=4)
+        eng.start()
+        try:
+            for p, s in REQUESTS:
+                eng.submit(p, seed=s).result(timeout=600)
+        finally:
+            eng.stop()
+        assert eng._segment._cache_size() == 1
+
+
+class TestSlotRecycling:
+    def test_utilization_accounting(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=1,
+                                       max_steps=4)
+        eng.start()
+        try:
+            reqs = [eng.submit(p, seed=s) for p, s in REQUESTS[:4]]
+            nfes = [r.result(timeout=600)["inference_steps"] for r in reqs]
+        finally:
+            eng.stop()
+        s = eng.stats()
+        assert s["requests_done"] == 4
+        assert s["slot_steps_active"] == sum(nfes)
+        assert s["slot_steps_total"] >= s["slot_steps_active"]
+        assert 0 < s["slot_utilization"] <= 1.0
+        assert s["nfe_mean"] == pytest.approx(np.mean(nfes))
+        # seg_steps=1 with a saturated queue: every segment advances at
+        # least one real request, so waste only appears at the tail drain
+        assert s["slot_utilization"] >= 0.5
+
+    def test_embed_cache_dedupes_repeat_prompts(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                       max_steps=3, embed_cache_size=8)
+        eng.start()
+        try:
+            for seed in (1, 2, 3):
+                eng.submit("same prompt", seed=seed).result(timeout=600)
+        finally:
+            eng.stop()
+        assert eng.stats()["embed_cache_entries"] == 1
+
+    def test_warmup_compiles_without_counting_traffic(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=3)
+        eng.warmup()
+        s = eng.stats()
+        assert s["requests_done"] == 0 and s["segments_run"] == 0
+        eng.start()
+        try:
+            assert eng.submit("after warmup").result(timeout=600)[
+                "inference_steps"] >= 1
+        finally:
+            eng.stop()
+
+
+class TestLifecycle:
+    def test_backpressure(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       queue_limit=1)
+        eng.submit("first")  # worker not started; sits in the queue
+        with pytest.raises(EngineOverloaded):
+            eng.submit("second")
+
+    def test_stop_fails_queued_and_inflight(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=3)
+        # queued-only: worker never started
+        eng._thread = threading.Thread(target=lambda: None)
+        eng._thread.start()
+        req = eng.submit("orphan")
+        eng.stop()
+        with pytest.raises(RuntimeError, match="engine stopped"):
+            req.result(timeout=5)
+        with pytest.raises(EngineOverloaded):
+            eng.submit("too late")
+
+    def test_restart_serves_again(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                       max_steps=3)
+        eng.start()
+        eng.stop()
+        eng.stop()  # idempotent
+        eng.start()
+        try:
+            assert eng.submit("hello").result(timeout=600)["inference_steps"] >= 1
+        finally:
+            eng.stop()
+
+    def test_segment_error_propagates_and_engine_recovers(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=3)
+        real = eng._segment
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected")
+            return real(*a, **k)
+
+        eng._segment = flaky
+        eng.start()
+        try:
+            bad = eng.submit("boom", seed=1)
+            with pytest.raises(RuntimeError, match="injected"):
+                bad.result(timeout=600)
+            ok = eng.submit("fine", seed=2)
+            assert ok.result(timeout=600)["inference_steps"] >= 1
+        finally:
+            eng._segment = real
+            eng.stop()
+
+
+class TestServeIntegration:
+    def test_http_server_with_continuous_flag(self, toy):
+        import base64
+        import http.client
+        import json
+
+        import serve
+
+        pipe, tokenize = toy
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
+            mesh=None, continuous=True, seg_steps=1,
+            prompt="default", seed=1, port=0,
+        )
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        assert isinstance(engine, ContinuousBatchingEngine)
+        engine.start()
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/generate",
+                body=json.dumps({"prompt": "a cat", "seed": 7}),
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+            assert 1 <= payload["inference_steps"] <= 3
+            png = base64.b64decode(payload["image_png_base64"])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            conn.request("GET", "/stats")
+            stats = json.loads(conn.getresponse().read())
+            assert stats["requests_done"] == 1
+        finally:
+            server.shutdown()
+            engine.stop()
+
+    def test_continuous_excludes_dp_and_mesh(self, toy):
+        import serve
+
+        pipe, tokenize = toy
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=2,
+            mesh=None, continuous=True, seg_steps=1,
+            prompt="d", seed=1, port=0,
+        )
+        with pytest.raises(ValueError, match="single-device"):
+            serve.make_http_server(pipe, tokenize, args)

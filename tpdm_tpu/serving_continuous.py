@@ -1,0 +1,492 @@
+"""Continuous batching for adaptive-NFE serving: step-level slot recycling.
+
+Why this exists: TPDM's whole point is that each prompt gets its OWN number
+of denoise steps (the adaptive schedule self-terminates, reference:
+src/models/stable_diffusion_3/modeling_sd3_pnt.py:582-609). Under the
+fixed-batch engine (`tpdm_tpu.serving.BatchingEngine`) a batch runs until
+its SLOWEST sample finishes — with a trained policy whose NFE varies
+per prompt, every other slot idles for (max − own) steps. This engine
+instead treats the batch as S persistent *slots* and the denoise loop as a
+sequence of fixed-length jitted *segments*:
+
+    ┌─ refill free slots from the request queue (encode prompt, init latent)
+    │  run ONE jitted segment: `seg_steps` adaptive steps over all S slots
+    │  (finished/empty slots freeze in-graph: sigma & latents held by mask)
+    │  host sync: read (sigma, steps) — slots that crossed min_sigma or the
+    │  step cap are decoded (batch-1 jit) and their requests completed
+    └─ repeat
+
+so a finished slot is re-used after at most `seg_steps` more forwards
+instead of waiting for the batch max. Everything stays ONE compiled shape:
+one segment jit (S slots × seg_steps), one batch-1 prompt encode, one
+batch-1 decode — no recompiles at any traffic level or NFE mix.
+
+TPU-native reasoning: SPMD batches are fixed-shape, so LLM-style
+token-level continuous batching maps to *segment-level* recycling here;
+`seg_steps` trades host-sync frequency (one ~ms readback per segment; ~190
+ms over a tunnel) against recycling latency (a finished slot idles at most
+seg_steps − 1 forwards). The per-request step waste drops from
+E[max NFE in batch] − E[NFE] (static) to at most seg_steps/2 on average.
+
+Determinism: with predict=True (the serving default, reference
+gradio_sd3_inference.py:45) a request's image depends only on its
+(prompt, seed) — bit-identical to `pipe.generate` / `BatchingEngine` for
+the same inputs, whatever the slot mix (convs/attention never cross the
+batch axis). With predict=False, draws come from one carried key, so
+per-request reproducibility is not guaranteed (same as any shared-stream
+sampler).
+
+The negative-prompt embedding (CFG uncond branch, always the empty prompt
+in serving) is encoded ONCE at startup and broadcast — the fixed-batch
+engine re-encodes it every batch through pipe.generate.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import queue
+import threading
+import time
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+from tpdm_tpu.serving import EngineOverloaded, ServeRequest
+
+logger = logging.getLogger(__name__)
+
+
+class _SlotState(NamedTuple):
+    """Device-resident per-slot state carried across segments."""
+
+    latents: object  # (S, c, h, w) model dtype
+    sigma: object  # (S,) f32; 0.0 == finished/empty (< min_sigma)
+    steps: object  # (S,) i32 — executed denoise steps (NFE so far)
+    pe: object  # (S, L, D) positive prompt embeds
+    pp: object  # (S, P) positive pooled embeds
+    key: object  # PRNG key (predict=False draws)
+
+
+class ContinuousBatchingEngine:
+    """Slot-recycling serving engine for adaptive-NFE pipelines.
+
+    Args:
+        pipe: a TPDMPipeline with text_encoders (prompt -> embeds on refill).
+        tokenize: prompt -> (clip_ids (1, 77), t5_ids (1, L)) numpy arrays.
+        slots: compiled slot count S (the persistent batch width).
+        seg_steps: denoise steps per jitted segment between host syncs.
+        max_steps: per-request adaptive step cap (gradio demo default 35).
+        predict: deterministic Beta-mode schedules (serving default).
+        queue_limit: submit() backpressure bound (default 8 * slots).
+        embed_cache_size: LRU entries of prompt -> embeds (repeat prompts
+            skip the text towers entirely).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        tokenize: Callable[[str], tuple],
+        slots: int = 4,
+        seg_steps: int = 4,
+        max_steps: int = 35,
+        guidance_scale: Optional[float] = 7.0,
+        predict: bool = True,
+        queue_limit: Optional[int] = None,
+        embed_cache_size: int = 256,
+    ):
+        if slots < 1 or seg_steps < 1:
+            raise ValueError("slots and seg_steps must be >= 1")
+        self.pipe = pipe
+        self.tokenize = tokenize
+        self.slots = slots
+        self.seg_steps = seg_steps
+        self.max_steps = max_steps
+        self.guidance_scale = guidance_scale
+        self.predict = predict
+        self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
+            maxsize=queue_limit if queue_limit is not None else 8 * slots
+        )
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        # host-side slot table: index -> in-flight ServeRequest (or None)
+        self._slot_req: list = [None] * slots
+        self._slot_sigmas: list = [[] for _ in range(slots)]
+        # host mirror of the device step counters (avoids a pre-segment
+        # device readback just to compute per-segment executed-step deltas)
+        self._steps_host = np.zeros((slots,), np.int64)
+        # observability
+        self.segments_run = 0
+        self.requests_done = 0
+        self.slot_steps_total = 0  # S * seg_steps * segments
+        self.slot_steps_active = 0  # steps that advanced a real request
+        self._nfe_done: "collections.deque" = collections.deque(maxlen=512)
+        self._latency_done: "collections.deque" = collections.deque(maxlen=512)
+        self._embed_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._embed_cache_size = embed_cache_size
+        self._lock = threading.Lock()  # guards counters read by stats()
+
+        self._build_device_functions()
+
+    # -- compiled pieces ---------------------------------------------------
+    def _build_device_functions(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn
+        from tpdm_tpu.pipeline.sampler import _clamp_ratio, _raw_to_alpha_beta
+        from tpdm_tpu.ops.beta import beta_mode, beta_sample
+        from tpdm_tpu.ops.flow_euler import flow_euler_step
+
+        pipe = self.pipe
+        mcfg = pipe.mmdit.config
+        self._mcfg = mcfg
+        scfg_predict = self.predict
+        gs = self.guidance_scale
+        min_sigma = pipe.min_sigma
+        relative = pipe.relative
+        prediction_type = pipe.prediction_type
+        max_steps = self.max_steps
+        seg = self.seg_steps
+
+        # The serving uncond branch is always the empty prompt (zero ids,
+        # matching BatchingEngine -> pipe.generate's zeros_like negatives):
+        # encode it ONCE here — this also probes the embed shapes.
+        c, t = self.tokenize("")
+        probe = pipe.text_encoders.encode(np.zeros_like(c), np.zeros_like(t))
+        if gs is not None:
+            self._neg_pe = jnp.asarray(probe.prompt_embeds)  # (1, L, D)
+            self._neg_pp = jnp.asarray(probe.pooled_prompt_embeds)  # (1, P)
+        else:
+            self._neg_pe = self._neg_pp = None
+
+        # SamplerConfig stand-in for _clamp_ratio (only .relative/.epsilon)
+        from tpdm_tpu.pipeline.sampler import SamplerConfig
+
+        clamp_cfg = SamplerConfig(relative=relative)
+
+        def segment(mmdit_params, tpm_params, st: _SlotState, neg_pe, neg_pp):
+            """seg_steps adaptive steps; finished/empty slots frozen by mask.
+
+            Step semantics mirror `adaptive_sample`'s body
+            (pipeline/sampler.py body(): done-before-step masking, ratio
+            clamp, per-sample Euler) so a slot's latent trajectory is
+            identical to a solo `pipe.generate` run.
+            """
+            if gs is not None:
+                pe_full = jnp.concatenate(
+                    [jnp.broadcast_to(neg_pe, st.pe.shape), st.pe]
+                )
+                pp_full = jnp.concatenate(
+                    [jnp.broadcast_to(neg_pp, st.pp.shape), st.pp]
+                )
+            else:
+                pe_full, pp_full = st.pe, st.pp
+            denoise_fn = make_cfg_denoise_fn(
+                lambda *a: pipe.mmdit.apply(mmdit_params, *a),
+                pe_full,
+                pp_full,
+                gs,
+                pipe.token_grid,
+                mcfg.patch_size,
+            )
+            tpm_fn = lambda h, t: pipe.tpm.apply(tpm_params, h, t)
+
+            def step(carry, _):
+                lat, sigma, steps, key = carry
+                vel, temb, h = denoise_fn(lat, sigma.astype(mcfg.dtype))
+                raw = tpm_fn(h, temb).astype(jnp.float32)
+                alpha, beta = _raw_to_alpha_beta(raw, prediction_type)
+                key, sub = jax.random.split(key)
+                if scfg_predict:
+                    ratio = beta_mode(alpha, beta)
+                else:
+                    ratio = beta_sample(sub, alpha, beta)
+                ratio = _clamp_ratio(ratio, sigma, clamp_cfg)
+                sig_next = sigma * ratio if relative else sigma - ratio
+                done = (sigma < min_sigma) | (steps >= max_steps)
+                sig_next = jnp.where(done, sigma, sig_next)
+                bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
+                new_lat = jnp.where(
+                    bcast, lat, flow_euler_step(vel, sig_next, sigma, lat)
+                )
+                new_steps = steps + (~done).astype(jnp.int32)
+                return (new_lat, sig_next, new_steps, key), sig_next
+
+            (lat, sigma, steps, key), trace = jax.lax.scan(
+                step, (st.latents, st.sigma, st.steps, st.key), None, length=seg
+            )
+            return (
+                _SlotState(lat, sigma, steps, st.pe, st.pp, key),
+                trace,  # (seg, S) sigma-after-step
+            )
+
+        donate = () if jax.default_backend() == "cpu" else (2,)
+        self._segment = jax.jit(segment, donate_argnums=donate)
+
+        S = self.slots
+
+        def fresh_state():
+            return _SlotState(
+                latents=jnp.zeros(
+                    (S, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                    mcfg.dtype,
+                ),
+                sigma=jnp.zeros((S,), jnp.float32),
+                steps=jnp.zeros((S,), jnp.int32),
+                pe=jnp.zeros(
+                    (S,) + probe.prompt_embeds.shape[1:],
+                    probe.prompt_embeds.dtype,
+                ),
+                pp=jnp.zeros(
+                    (S,) + probe.pooled_prompt_embeds.shape[1:],
+                    probe.pooled_prompt_embeds.dtype,
+                ),
+                key=jax.random.PRNGKey(0),
+            )
+
+        self._fresh_state = fresh_state
+        self._state = fresh_state()
+
+    # -- host-side pieces --------------------------------------------------
+    def _prompt_embeds(self, prompt: str):
+        """LRU-cached batch-1 positive embeds for one prompt."""
+        hit = self._embed_cache.get(prompt)
+        if hit is not None:
+            self._embed_cache.move_to_end(prompt)
+            return hit
+        c, t = self.tokenize(prompt)
+        pe = self.pipe.text_encoders.encode(c, t)
+        val = (pe.prompt_embeds[0], pe.pooled_prompt_embeds[0])
+        self._embed_cache[prompt] = val
+        while len(self._embed_cache) > self._embed_cache_size:
+            self._embed_cache.popitem(last=False)
+        return val
+
+    def _init_latent(self, seed: int):
+        """Same derivation as BatchingEngine/pipe.generate batch-1: the
+        request's latent is split(PRNGKey(seed))[0] so (prompt, seed) images
+        match every other entry path bit-for-bit (predict mode)."""
+        import jax
+
+        mcfg = self._mcfg
+        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
+        return jax.random.normal(
+            key_lat,
+            (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+            mcfg.dtype,
+        )
+
+    def _assign(self, slot: int, req: ServeRequest):
+        st = self._state
+        pe_row, pp_row = self._prompt_embeds(req.prompt)
+        lat = self._init_latent(req.seed)
+        self._state = _SlotState(
+            latents=st.latents.at[slot].set(lat),
+            sigma=st.sigma.at[slot].set(1.0),
+            steps=st.steps.at[slot].set(0),
+            pe=st.pe.at[slot].set(pe_row),
+            pp=st.pp.at[slot].set(pp_row),
+            key=st.key,
+        )
+        self._slot_req[slot] = req
+        self._slot_sigmas[slot] = []
+        self._steps_host[slot] = 0
+
+    def _finish(self, slot: int, nfe: int):
+        """Decode one finished slot (batch-1 jit) and complete its request."""
+        from tpdm_tpu.utils.image import postprocess_images
+
+        req = self._slot_req[slot]
+        lat_row = self._state.latents[slot : slot + 1]
+        if self.pipe.vae is not None:
+            image = postprocess_images(self.pipe._decode(lat_row))[0]
+        else:
+            image = np.asarray(lat_row)[0]
+        req._result = {
+            "image": image,
+            "inference_steps": nfe,
+            "sigmas": [float(s) for s in self._slot_sigmas[slot][:nfe]],
+        }
+        req._event.set()
+        with self._lock:
+            self.requests_done += 1
+            self._nfe_done.append(nfe)
+            self._latency_done.append(time.monotonic() - req.submitted_at)
+        self._slot_req[slot] = None
+        self._slot_sigmas[slot] = []
+
+    def _refill(self, block: bool) -> bool:
+        """Fill free slots from the queue. Returns False on shutdown."""
+        free = [i for i in range(self.slots) if self._slot_req[i] is None]
+        for slot in free:
+            try:
+                req = self._queue.get(block=block) if block else (
+                    self._queue.get_nowait()
+                )
+            except queue.Empty:
+                break
+            if req is None:
+                return False
+            self._assign(slot, req)
+            block = False  # only the first wait may block
+        return True
+
+    def _run_segment(self):
+        import jax
+
+        busy_before = [i for i in range(self.slots) if self._slot_req[i] is not None]
+        steps_before = self._steps_host.copy()
+        self._state, trace = self._segment(
+            self.pipe.mmdit_params,
+            self.pipe.tpm_params,
+            self._state,
+            self._neg_pe,
+            self._neg_pp,
+        )
+        sigma, steps, trace = jax.device_get(
+            (self._state.sigma, self._state.steps, trace)
+        )
+        self._steps_host[:] = steps
+        with self._lock:
+            self.segments_run += 1
+            self.slot_steps_total += self.slots * self.seg_steps
+            self.slot_steps_active += int(
+                (steps - steps_before)[busy_before].sum()
+            )
+        for i in busy_before:
+            executed = int(steps[i] - steps_before[i])
+            self._slot_sigmas[i].extend(float(s) for s in trace[:executed, i])
+            if sigma[i] < self.pipe.min_sigma or steps[i] >= self.max_steps:
+                self._finish(i, int(steps[i]))
+
+    # -- public surface ----------------------------------------------------
+    def submit(self, prompt: str, seed: int = 0) -> ServeRequest:
+        if self._stop.is_set():
+            raise EngineOverloaded("engine is stopped; no worker will run this")
+        req = ServeRequest(prompt=prompt, seed=seed)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise EngineOverloaded(
+                f"request queue full ({self._queue.maxsize}); retry later"
+            )
+        if self._stop.is_set():
+            # TOCTOU: stop() may have drained between check and enqueue
+            self._drain_failed("engine stopped before this request ran")
+            raise EngineOverloaded("engine is stopped; no worker will run this")
+        return req
+
+    def start(self):
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        if self._thread is None:
+            return
+        self._stop.set()
+        try:
+            self._queue.put_nowait(None)
+        except queue.Full:
+            pass
+        self._thread.join(timeout=60)
+        self._thread = None
+        self._drain_failed("engine stopped before this request ran")
+        # fail in-flight slot requests too: their segments will not resume
+        had_inflight = False
+        for i in range(self.slots):
+            req = self._slot_req[i]
+            if req is not None:
+                had_inflight = True
+                req._error = RuntimeError("engine stopped mid-generation")
+                req._event.set()
+                self._slot_req[i] = None
+                self._slot_sigmas[i] = []
+        if had_inflight:  # restart begins from clean, all-empty slots
+            self._state = self._fresh_state()
+            self._steps_host[:] = 0
+
+    def _drain_failed(self, message: str):
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req._error = RuntimeError(message)
+                req._event.set()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            have_work = any(r is not None for r in self._slot_req)
+            try:
+                if not self._refill(block=not have_work):
+                    continue  # shutdown sentinel; loop re-checks _stop
+            except BaseException:
+                logger.exception("refill failed")
+                continue
+            if all(r is None for r in self._slot_req):
+                continue
+            try:
+                self._run_segment()
+            except BaseException as e:
+                logger.exception("segment failed")
+                for i in range(self.slots):
+                    req = self._slot_req[i]
+                    if req is not None:
+                        req._error = e
+                        req._event.set()
+                        self._slot_req[i] = None
+                        self._slot_sigmas[i] = []
+                # the failed segment may have consumed (donated) the state
+                # buffers — rebuild from scratch rather than touch them
+                self._state = self._fresh_state()
+                self._steps_host[:] = 0
+
+    def warmup(self):
+        """Compile the segment + encode + decode shapes before traffic."""
+        req = ServeRequest(prompt="warmup", seed=0)
+        self._assign(0, req)
+        while self._slot_req[0] is not None:
+            self._run_segment()
+        # warmup is not traffic: reset the counters it touched
+        with self._lock:
+            self.segments_run = 0
+            self.requests_done = 0
+            self.slot_steps_total = 0
+            self.slot_steps_active = 0
+            self._nfe_done.clear()
+            self._latency_done.clear()
+
+    def stats(self) -> dict:
+        with self._lock:
+            nfes = list(self._nfe_done)
+            lats = sorted(self._latency_done)
+            out = {
+                "segments_run": self.segments_run,
+                "requests_done": self.requests_done,
+                "slots": self.slots,
+                "seg_steps": self.seg_steps,
+                "slot_steps_total": self.slot_steps_total,
+                "slot_steps_active": self.slot_steps_active,
+                # fraction of slot-steps that advanced a real request —
+                # the number static batching cannot keep high under NFE
+                # variance (its finished slots idle until the batch max)
+                "slot_utilization": (
+                    self.slot_steps_active / self.slot_steps_total
+                    if self.slot_steps_total
+                    else 0.0
+                ),
+                "queue_depth": self._queue.qsize(),
+                "embed_cache_entries": len(self._embed_cache),
+            }
+        if nfes:
+            out["nfe_mean"] = float(np.mean(nfes))
+            out["nfe_max"] = int(np.max(nfes))
+        if lats:
+            out["latency_s_p50"] = lats[len(lats) // 2]
+            out["latency_s_p95"] = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
+        return out
