@@ -277,13 +277,22 @@ def make_http_server(pipe, tokenize, args):
                 if not isinstance(prompt, str):
                     raise ValueError("prompt must be a string")
                 seed = int(req.get("seed", args.seed))
+                steps = req.get("steps")
+                if steps is not None:
+                    steps = int(steps)
+                    if not 1 <= steps <= args.max_steps:
+                        raise ValueError(
+                            f"steps must be in [1, {args.max_steps}]"
+                        )
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
             from tpdm_tpu.serving import EngineOverloaded
 
             try:
-                res = engine.submit(prompt, seed).result(timeout=600)
+                res = engine.submit(prompt, seed, steps=steps).result(
+                    timeout=600
+                )
             except EngineOverloaded as e:
                 self.send_error(503, str(e)[:100])
                 return

@@ -143,6 +143,67 @@ class TestSlotRecycling:
             eng.stop()
 
 
+class TestPerRequestSteps:
+    """Per-request step caps (ServeRequest.steps) across both engines."""
+
+    def test_fixed_batch_engine_honors_mixed_caps(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=3, window_ms=1,
+                             max_steps=6)
+        # same compiled batch shape for the reference run: different batch
+        # shapes are different XLA programs (uint8 rounding may differ 1 LSB)
+        solo2 = eng.generate_batch(["a"], [1], steps=[2])[0]
+        out = eng.generate_batch(["a", "b", "c"], [1, 2, 3],
+                                 steps=[2, None, 4])
+        assert out[0]["inference_steps"] == 2
+        assert out[2]["inference_steps"] <= 4
+        assert len(out[0]["sigmas"]) == 2
+        # capped request in a mixed batch == capped solo run, bit for bit
+        np.testing.assert_array_equal(out[0]["image"], solo2["image"])
+        # caps are a traced argument: no recompile across cap mixes
+        n_sigs = len(pipe._jit_cache)
+        eng.generate_batch(["a", "b", "c"], [1, 2, 3], steps=[5, 1, None])
+        assert len(pipe._jit_cache) == n_sigs
+
+    def test_cap_matches_engine_with_smaller_max_steps(self, toy):
+        """steps=k must reproduce an engine whose compiled max IS k."""
+        pipe, tokenize = toy
+        small = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                               max_steps=3).generate_batch(["p"], [9])[0]
+        capped = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                max_steps=6).generate_batch(
+                                    ["p"], [9], steps=[3])[0]
+        assert capped["inference_steps"] == small["inference_steps"]
+        np.testing.assert_array_equal(capped["image"], small["image"])
+
+    def test_continuous_engine_matches_fixed_engine_per_cap(self, toy):
+        pipe, tokenize = toy
+        ref_eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=6)
+        want = {k: ref_eng.generate_batch(["vary"], [5], steps=[k])[0]
+                for k in (1, 3, 6)}
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=6)
+        eng.start()
+        try:
+            reqs = {k: eng.submit("vary", seed=5, steps=k) for k in (1, 3, 6)}
+            for k, r in reqs.items():
+                got = r.result(timeout=600)
+                assert got["inference_steps"] == want[k]["inference_steps"]
+                np.testing.assert_array_equal(got["image"], want[k]["image"])
+        finally:
+            eng.stop()
+
+    def test_submit_rejects_bad_steps(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1)
+        with pytest.raises(ValueError, match="steps"):
+            eng.submit("x", steps=0)
+        feng = BatchingEngine(pipe, tokenize, max_batch=1)
+        with pytest.raises(ValueError, match="steps"):
+            feng.submit("x", steps=-1)
+
+
 class TestLifecycle:
     def test_backpressure(self, toy):
         pipe, tokenize = toy

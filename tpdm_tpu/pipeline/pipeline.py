@@ -96,12 +96,19 @@ class TPDMPipeline:
 
     def _run(
         self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig,
-        decode: bool = True,
+        decode: bool = True, step_caps=None,
     ):
+        # caps are a traced (b,) argument, NOT part of the cache signature:
+        # one compiled shape serves every per-request step-cap mix
+        if step_caps is None:
+            step_caps = jnp.full(
+                (latents.shape[0],), scfg.max_inference_steps, jnp.int32
+            )
         sig = (guidance_scale, scfg, decode)
         if sig not in self._jit_cache:
 
-            def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key):
+            def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key,
+                   caps):
                 denoise_fn = make_cfg_denoise_fn(
                     lambda *a: self.mmdit.apply(mmdit_params, *a),
                     pe,
@@ -116,6 +123,7 @@ class TPDMPipeline:
                     latents,
                     key,
                     scfg,
+                    step_caps=caps,
                 )
                 if decode and self.vae is not None:
                     decoded = self._decode_impl(vae_params, out.final_latents)
@@ -125,7 +133,8 @@ class TPDMPipeline:
 
             self._jit_cache[sig] = jax.jit(go)
         return self._jit_cache[sig](
-            self.mmdit_params, self.tpm_params, self.vae_params, latents, pe, pp, key
+            self.mmdit_params, self.tpm_params, self.vae_params, latents, pe, pp,
+            key, step_caps,
         )
 
     # -- public API ------------------------------------------------------
@@ -146,6 +155,7 @@ class TPDMPipeline:
         seed: int = 0,
         return_full_process_images: bool = False,
         decode: bool = True,
+        step_caps=None,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -156,6 +166,10 @@ class TPDMPipeline:
         ``decode=False`` skips the in-graph VAE decode and returns raw final
         latents in ``images`` — for callers that decode separately (e.g. the
         serving engine's split-stage timing mode).
+
+        ``step_caps`` (optional (b,) ints) caps each sample's NFE
+        individually without recompiling — the serving per-request
+        quality/latency knob (the batch still runs to the max cap).
         """
         if prompt_embeds is None:
             if self.text_encoders is None or clip_ids is None:
@@ -203,7 +217,8 @@ class TPDMPipeline:
             keep_history=return_full_process_images,
         )
         out, decoded = self._run(
-            key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode
+            key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,
+            step_caps=None if step_caps is None else jnp.asarray(step_caps),
         )
 
         history = None

@@ -117,14 +117,27 @@ def adaptive_sample(
     init_latents: jax.Array,
     key: jax.Array,
     cfg: SamplerConfig,
+    step_caps: Optional[jax.Array] = None,
 ) -> SampleOutput:
     """Run the adaptive, self-terminating denoise loop.
 
     Everything happens inside one jittable while_loop; call under jit.
+
+    Args:
+        step_caps: optional (b,) int32 PER-SAMPLE step caps (a serving
+            quality/latency knob beyond the reference, which only has the
+            global ``max_inference_steps``). Sample i is masked done once
+            it has executed ``step_caps[i]`` steps; the loop still runs to
+            the batch max (a traced value, so ONE compiled shape serves
+            every cap mix). None = everyone runs to ``max_inference_steps``.
     """
     b = init_latents.shape[0]
     T = cfg.max_inference_steps
     dtype = init_latents.dtype
+    if step_caps is None:
+        caps = jnp.full((b,), T, jnp.int32)
+    else:
+        caps = jnp.minimum(step_caps.astype(jnp.int32), T)
 
     # Probe shapes once (outside the loop, via eval_shape — no FLOPs).
     vel_s, temb_s, h_s = jax.eval_shape(
@@ -190,7 +203,9 @@ def adaptive_sample(
 
         sigma_next = sigma * ratio if cfg.relative else sigma - ratio
         logprob = beta_log_prob(alpha, beta, ratio)
-        done = sigma < cfg.min_sigma  # done BEFORE this step -> step invalid
+        # done BEFORE this step -> step invalid (per-sample cap counts the
+        # same way: a sample that already executed caps[i] steps is done)
+        done = (sigma < cfg.min_sigma) | (step >= caps)
         if cfg.predict:
             sigma_next = jnp.where(done, 0.0, sigma_next)
 
@@ -204,7 +219,7 @@ def adaptive_sample(
             sigma=sigma_next,
             latents=new_latents,
             last_valid=jnp.where(bcast, s["last_valid"], new_latents),
-            all_done=jnp.all(sigma_next < cfg.min_sigma),
+            all_done=jnp.all((sigma_next < cfg.min_sigma) | (step + 1 >= caps)),
             sigmas=s["sigmas"].at[step].set(sigma_next),
             logprobs=s["logprobs"].at[step].set(
                 jnp.where(done, INVALID_LOGPROB, logprob)

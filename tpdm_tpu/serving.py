@@ -38,6 +38,10 @@ class EngineOverloaded(RuntimeError):
 class ServeRequest:
     prompt: str
     seed: int = 0
+    # per-request step cap (quality/latency knob); None = engine default.
+    # Honored slot-wise by ContinuousBatchingEngine; the fixed-batch engine
+    # runs every batch to its max and cannot exploit per-request caps.
+    steps: Optional[int] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -200,11 +204,16 @@ class BatchingEngine:
     # -- synchronous core ---------------------------------------------------
     def generate_batch(
         self, prompts: Sequence[str], seeds: Sequence[int],
-        record_stats: bool = True,
+        record_stats: bool = True, steps: Optional[Sequence] = None,
     ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
         {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
-        keeps the compile run out of the capacity-planning counters."""
+        keeps the compile run out of the capacity-planning counters.
+
+        ``steps`` (optional per-request ints, None entries = engine max)
+        caps each request's NFE; caps are a traced argument so any mix runs
+        on the one compiled shape — but the BATCH still pays its max cap
+        (use the continuous engine to recycle short requests' slots)."""
         import jax
 
         n = len(prompts)
@@ -212,6 +221,11 @@ class BatchingEngine:
         pad = self.max_batch - n
         prompts = list(prompts) + [prompts[-1]] * pad
         seeds = list(seeds) + [seeds[-1]] * pad
+        caps = [
+            min(c or self.max_steps, self.max_steps)
+            for c in (list(steps) if steps is not None else [None] * n)
+        ]
+        caps = caps + [caps[-1]] * pad
 
         t_start = time.monotonic()
         clip_rows, t5_rows = [], []
@@ -250,6 +264,7 @@ class BatchingEngine:
             max_inference_steps=self.max_steps,
             guidance_scale=self.guidance_scale,
             decode=not split,
+            step_caps=np.asarray(caps, np.int32),
         )
         stage = {"batch": n, "padded": pad, "tokenize_s": t_tokenized - t_start}
         if split:
@@ -284,12 +299,16 @@ class BatchingEngine:
         return out
 
     # -- async surface -------------------------------------------------------
-    def submit(self, prompt: str, seed: int = 0) -> ServeRequest:
+    def submit(
+        self, prompt: str, seed: int = 0, steps: Optional[int] = None
+    ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
             # leave the caller blocked until its result() timeout
             raise EngineOverloaded("engine is stopped; no worker will run this")
-        req = ServeRequest(prompt=prompt, seed=seed)
+        if steps is not None and steps < 1:
+            raise ValueError("steps must be >= 1")
+        req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -363,7 +382,9 @@ class BatchingEngine:
                 now = time.monotonic()
                 waits = [now - r.submitted_at for r in batch]
                 results = self.generate_batch(
-                    [r.prompt for r in batch], [r.seed for r in batch]
+                    [r.prompt for r in batch],
+                    [r.seed for r in batch],
+                    steps=[r.steps for r in batch],
                 )
                 if self._stage_times:
                     self._stage_times[-1]["queue_wait_s_max"] = max(waits)

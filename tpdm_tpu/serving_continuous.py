@@ -63,6 +63,7 @@ class _SlotState(NamedTuple):
     latents: object  # (S, c, h, w) model dtype
     sigma: object  # (S,) f32; 0.0 == finished/empty (< min_sigma)
     steps: object  # (S,) i32 — executed denoise steps (NFE so far)
+    caps: object  # (S,) i32 per-request step cap (ServeRequest.steps)
     pe: object  # (S, L, D) positive prompt embeds
     pp: object  # (S, P) positive pooled embeds
     key: object  # PRNG key (predict=False draws)
@@ -115,6 +116,7 @@ class ContinuousBatchingEngine:
         # host mirror of the device step counters (avoids a pre-segment
         # device readback just to compute per-segment executed-step deltas)
         self._steps_host = np.zeros((slots,), np.int64)
+        self._caps_host = np.full((slots,), max_steps, np.int64)
         # observability
         self.segments_run = 0
         self.requests_done = 0
@@ -204,7 +206,7 @@ class ContinuousBatchingEngine:
                     ratio = beta_sample(sub, alpha, beta)
                 ratio = _clamp_ratio(ratio, sigma, clamp_cfg)
                 sig_next = sigma * ratio if relative else sigma - ratio
-                done = (sigma < min_sigma) | (steps >= max_steps)
+                done = (sigma < min_sigma) | (steps >= st.caps)
                 sig_next = jnp.where(done, sigma, sig_next)
                 bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
                 new_lat = jnp.where(
@@ -217,7 +219,7 @@ class ContinuousBatchingEngine:
                 step, (st.latents, st.sigma, st.steps, st.key), None, length=seg
             )
             return (
-                _SlotState(lat, sigma, steps, st.pe, st.pp, key),
+                _SlotState(lat, sigma, steps, st.caps, st.pe, st.pp, key),
                 trace,  # (seg, S) sigma-after-step
             )
 
@@ -234,6 +236,7 @@ class ContinuousBatchingEngine:
                 ),
                 sigma=jnp.zeros((S,), jnp.float32),
                 steps=jnp.zeros((S,), jnp.int32),
+                caps=jnp.full((S,), self.max_steps, jnp.int32),
                 pe=jnp.zeros(
                     (S,) + probe.prompt_embeds.shape[1:],
                     probe.prompt_embeds.dtype,
@@ -281,10 +284,12 @@ class ContinuousBatchingEngine:
         st = self._state
         pe_row, pp_row = self._prompt_embeds(req.prompt)
         lat = self._init_latent(req.seed)
+        cap = min(req.steps or self.max_steps, self.max_steps)
         self._state = _SlotState(
             latents=st.latents.at[slot].set(lat),
             sigma=st.sigma.at[slot].set(1.0),
             steps=st.steps.at[slot].set(0),
+            caps=st.caps.at[slot].set(cap),
             pe=st.pe.at[slot].set(pe_row),
             pp=st.pp.at[slot].set(pp_row),
             key=st.key,
@@ -292,6 +297,7 @@ class ContinuousBatchingEngine:
         self._slot_req[slot] = req
         self._slot_sigmas[slot] = []
         self._steps_host[slot] = 0
+        self._caps_host[slot] = cap
 
     def _finish(self, slot: int, nfe: int):
         """Decode one finished slot (batch-1 jit) and complete its request."""
@@ -357,14 +363,21 @@ class ContinuousBatchingEngine:
         for i in busy_before:
             executed = int(steps[i] - steps_before[i])
             self._slot_sigmas[i].extend(float(s) for s in trace[:executed, i])
-            if sigma[i] < self.pipe.min_sigma or steps[i] >= self.max_steps:
+            if sigma[i] < self.pipe.min_sigma or steps[i] >= self._caps_host[i]:
                 self._finish(i, int(steps[i]))
 
     # -- public surface ----------------------------------------------------
-    def submit(self, prompt: str, seed: int = 0) -> ServeRequest:
+    def submit(
+        self, prompt: str, seed: int = 0, steps: Optional[int] = None
+    ) -> ServeRequest:
+        """Enqueue one request. `steps` caps THIS request's NFE (quality vs
+        latency knob, clamped to the engine max) — slot recycling means a
+        short request frees its slot early instead of riding out the batch."""
         if self._stop.is_set():
             raise EngineOverloaded("engine is stopped; no worker will run this")
-        req = ServeRequest(prompt=prompt, seed=seed)
+        if steps is not None and steps < 1:
+            raise ValueError("steps must be >= 1")
+        req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -408,6 +421,7 @@ class ContinuousBatchingEngine:
         if had_inflight:  # restart begins from clean, all-empty slots
             self._state = self._fresh_state()
             self._steps_host[:] = 0
+            self._caps_host[:] = self.max_steps
 
     def _drain_failed(self, message: str):
         while True:
@@ -445,6 +459,7 @@ class ContinuousBatchingEngine:
                 # buffers — rebuild from scratch rather than touch them
                 self._state = self._fresh_state()
                 self._steps_host[:] = 0
+                self._caps_host[:] = self.max_steps
 
     def warmup(self):
         """Compile the segment + encode + decode shapes before traffic."""
