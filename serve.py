@@ -230,10 +230,6 @@ def make_http_server(pipe, tokenize, args):
     if mesh_shape:
         mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
     if getattr(args, "continuous", False):
-        if args.dp or mesh_shape:
-            raise ValueError(
-                "--continuous is single-device for now; drop --dp/--mesh"
-            )
         from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 
         engine = ContinuousBatchingEngine(
@@ -242,6 +238,8 @@ def make_http_server(pipe, tokenize, args):
             slots=args.max_batch,
             seg_steps=getattr(args, "seg_steps", 4),
             max_steps=args.max_steps,
+            dp=args.dp,
+            mesh_shape=mesh_shape,
         )
     else:
         engine = BatchingEngine(

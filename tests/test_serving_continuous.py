@@ -204,6 +204,70 @@ class TestPerRequestSteps:
             feng.submit("x", steps=-1)
 
 
+class TestMeshContinuous:
+    """Slot-axis sharding over a device mesh (dp and mesh_shape modes).
+
+    Each test builds a FRESH pipeline: placement setup commits the params
+    to the mesh in place, which must not leak into the shared fixture.
+    Images may differ by 1 uint8 LSB from the single-device reference —
+    a differently-partitioned XLA program may round differently — but
+    step counts and schedules must match exactly.
+    """
+
+    def _reference(self, toy, caps):
+        pipe, tokenize = toy
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=6)
+        return {k: ref.generate_batch(["vary"], [5], steps=[k])[0]
+                for k in set(caps)}
+
+    def _drive(self, caps, **kw):
+        pipe2, tokenize2 = _toy_pipeline()
+        eng = ContinuousBatchingEngine(pipe2, tokenize2, seg_steps=2,
+                                       max_steps=6, **kw)
+        eng.start()
+        try:
+            reqs = [(k, eng.submit("vary", seed=5, steps=k)) for k in caps]
+            return [(k, r.result(timeout=600)) for k, r in reqs]
+        finally:
+            eng.stop()
+
+    def _check(self, got_list, want):
+        for k, got in got_list:
+            exp = want[k]
+            assert got["inference_steps"] == exp["inference_steps"]
+            np.testing.assert_allclose(got["sigmas"], exp["sigmas"],
+                                       rtol=1e-5, atol=1e-8)
+            diff = np.abs(
+                got["image"].astype(np.int64) - exp["image"].astype(np.int64)
+            ).max()
+            assert diff <= 1, f"cap {k}: image off by {diff} > 1 LSB"
+
+    def test_dp_slots_match_single_device(self, toy):
+        caps = [1, 3, 6, 2, 5]  # 5 requests churning 2 dp-sharded slots
+        want = self._reference(toy, caps)
+        self._check(self._drive(caps, dp=2, slots=2), want)
+
+    def test_full_mesh_sharded_model(self, toy):
+        # (2,2,2): sharded backbone incl. tensor axis, slots over
+        # (data, fsdp) = 4 shards x 2 slots each — per-shard batch >= 2
+        # is REQUIRED to expose row-mixing partitioner bugs (CLAUDE.md
+        # landmine; see test_parallel.py sharded-forward test)
+        caps = [1, 2, 3, 4, 5, 6, 2, 4, 6, 1]
+        want = self._reference(toy, caps)
+        self._check(
+            self._drive(caps, mesh_shape=(2, 2, 2), slots=8), want
+        )
+
+    def test_bad_shapes_rejected(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="divisible"):
+            ContinuousBatchingEngine(pipe, tokenize, slots=3, dp=2)
+        with pytest.raises(ValueError, match="not both"):
+            ContinuousBatchingEngine(pipe, tokenize, slots=4, dp=2,
+                                     mesh_shape=(2, 1, 1))
+
+
 class TestLifecycle:
     def test_backpressure(self, toy):
         pipe, tokenize = toy
@@ -305,14 +369,23 @@ class TestServeIntegration:
             server.shutdown()
             engine.stop()
 
-    def test_continuous_excludes_dp_and_mesh(self, toy):
+    def test_continuous_with_dp_builds_mesh_engine(self):
+        """--continuous --dp N is supported: the engine shards its slot
+        axis over a data mesh (fresh pipeline — placement commits params
+        to the mesh in place)."""
         import serve
 
-        pipe, tokenize = toy
+        pipe, tokenize = _toy_pipeline()
         args = argparse.Namespace(
             max_steps=3, max_batch=2, batch_window_ms=10.0, dp=2,
             mesh=None, continuous=True, seg_steps=1,
             prompt="d", seed=1, port=0,
         )
-        with pytest.raises(ValueError, match="single-device"):
-            serve.make_http_server(pipe, tokenize, args)
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        try:
+            assert isinstance(engine, ContinuousBatchingEngine)
+            assert engine._mesh is not None
+            assert engine._mesh.shape["data"] == 2
+        finally:
+            server.server_close()
+            engine.stop()

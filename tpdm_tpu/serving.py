@@ -55,6 +55,72 @@ class ServeRequest:
         return self._result
 
 
+def setup_dp_placement(pipe, dp: int):
+    """Replicate every tower's weights over a ("data",)-axis mesh of the
+    first `dp` devices. Mutates `pipe` params in place; returns
+    (mesh, batch_sharding) — batches ride the data axis, one jitted
+    program spans the replicas (GSPMD data parallelism). Shared by the
+    fixed-batch and continuous engines."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpdm_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < dp:
+        raise ValueError(f"dp={dp} but only {len(devices)} devices")
+    mesh = make_mesh(devices[:dp], data=dp, fsdp=1, tensor=1)
+    rep = NamedSharding(mesh, P())
+    place = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    pipe.mmdit_params = place(pipe.mmdit_params)
+    pipe.tpm_params = place(pipe.tpm_params)
+    if pipe.vae_params is not None:
+        pipe.vae_params = place(pipe.vae_params)
+    te = pipe.text_encoders
+    if te is not None:
+        te.clip_l = (te.clip_l[0], place(te.clip_l[1]))
+        te.clip_g = (te.clip_g[0], place(te.clip_g[1]))
+        if te.t5[1] is not None:
+            te.t5 = (te.t5[0], place(te.t5[1]))
+    return mesh, NamedSharding(mesh, P("data"))
+
+
+def setup_mesh_placement(pipe, shape):
+    """Sharded-model serving placement: ONE model instance spread over a
+    (data, fsdp, tensor) mesh. Backbone kernels follow the training specs
+    (tpdm_tpu.parallel.sharding); TPM and text towers replicate (tiny);
+    the VAE's large conv kernels ZeRO-shard via the 4D rule. Mutates
+    `pipe` params in place; returns (mesh, batch_sharding) with batches
+    over (data, fsdp) like the trainer."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpdm_tpu.parallel.mesh import make_mesh
+    from tpdm_tpu.parallel.sharding import batch_spec, shard_params
+
+    d, f, t = shape
+    n = d * f * t
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    mesh = make_mesh(devices[:n], data=d, fsdp=f, tensor=t)
+    rep = NamedSharding(mesh, P())
+    place_rep = lambda tree: jax.tree.map(
+        lambda x: jax.device_put(x, rep), tree
+    )
+    pipe.mmdit_params = shard_params(pipe.mmdit_params, mesh)
+    pipe.tpm_params = place_rep(pipe.tpm_params)
+    if pipe.vae_params is not None:
+        pipe.vae_params = shard_params(pipe.vae_params, mesh)
+    te = pipe.text_encoders
+    if te is not None:
+        te.clip_l = (te.clip_l[0], place_rep(te.clip_l[1]))
+        te.clip_g = (te.clip_g[0], place_rep(te.clip_g[1]))
+        if te.t5[1] is not None:
+            te.t5 = (te.t5[0], place_rep(te.t5[1]))
+    return mesh, NamedSharding(mesh, batch_spec(4))
+
+
 class BatchingEngine:
     """Coalesces requests into fixed-shape batches for one jitted pipeline.
 
@@ -133,66 +199,10 @@ class BatchingEngine:
 
     # -- data-parallel replicas -------------------------------------------
     def _setup_dp(self, dp: int):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from tpdm_tpu.parallel.mesh import make_mesh
-
-        devices = jax.devices()
-        if len(devices) < dp:
-            raise ValueError(f"dp={dp} but only {len(devices)} devices")
-        self._mesh = make_mesh(devices[:dp], data=dp, fsdp=1, tensor=1)
-        self._data_sharding = NamedSharding(self._mesh, P("data"))
-        rep = NamedSharding(self._mesh, P())
-        place = lambda tree: jax.tree.map(
-            lambda x: jax.device_put(x, rep), tree
-        )
-        # weights replicate ONCE at startup; batches ride the data axis
-        self.pipe.mmdit_params = place(self.pipe.mmdit_params)
-        self.pipe.tpm_params = place(self.pipe.tpm_params)
-        if self.pipe.vae_params is not None:
-            self.pipe.vae_params = place(self.pipe.vae_params)
-        te = self.pipe.text_encoders
-        if te is not None:
-            te.clip_l = (te.clip_l[0], place(te.clip_l[1]))
-            te.clip_g = (te.clip_g[0], place(te.clip_g[1]))
-            if te.t5[1] is not None:
-                te.t5 = (te.t5[0], place(te.t5[1]))
+        self._mesh, self._data_sharding = setup_dp_placement(self.pipe, dp)
 
     def _setup_mesh(self, shape):
-        """Sharded-model serving: ONE model instance spread over the mesh.
-
-        Backbone kernels follow the training specs (column/row splits over
-        (fsdp, tensor)); TPM and text towers replicate (tiny); the VAE's
-        large conv kernels ZeRO-shard via the 4D rule. Batch rides
-        (data, fsdp) like the trainer."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from tpdm_tpu.parallel.mesh import make_mesh
-        from tpdm_tpu.parallel.sharding import batch_spec, shard_params
-
-        d, f, t = shape
-        n = d * f * t
-        devices = jax.devices()
-        if len(devices) < n:
-            raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
-        self._mesh = make_mesh(devices[:n], data=d, fsdp=f, tensor=t)
-        self._data_sharding = NamedSharding(self._mesh, batch_spec(4))
-        rep = NamedSharding(self._mesh, P())
-        place_rep = lambda tree: jax.tree.map(
-            lambda x: jax.device_put(x, rep), tree
-        )
-        self.pipe.mmdit_params = shard_params(self.pipe.mmdit_params, self._mesh)
-        self.pipe.tpm_params = place_rep(self.pipe.tpm_params)
-        if self.pipe.vae_params is not None:
-            self.pipe.vae_params = shard_params(self.pipe.vae_params, self._mesh)
-        te = self.pipe.text_encoders
-        if te is not None:
-            te.clip_l = (te.clip_l[0], place_rep(te.clip_l[1]))
-            te.clip_g = (te.clip_g[0], place_rep(te.clip_g[1]))
-            if te.t5[1] is not None:
-                te.t5 = (te.t5[0], place_rep(te.t5[1]))
+        self._mesh, self._data_sharding = setup_mesh_placement(self.pipe, shape)
 
     def _place_batch(self, x):
         if self._data_sharding is None:

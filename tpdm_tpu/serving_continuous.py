@@ -82,6 +82,13 @@ class ContinuousBatchingEngine:
         queue_limit: submit() backpressure bound (default 8 * slots).
         embed_cache_size: LRU entries of prompt -> embeds (repeat prompts
             skip the text towers entirely).
+        dp: shard the SLOT axis over a ("data",)-axis mesh of the first
+            `dp` devices (weights replicated once; slots must divide by
+            dp). Segments stay ONE jitted program — GSPMD data
+            parallelism, same placement as BatchingEngine(dp=...).
+        mesh_shape: full (data, fsdp, tensor) serving mesh — backbone/VAE
+            weights sharded by the training specs, slots over
+            (data, fsdp). Mutually exclusive with dp.
     """
 
     def __init__(
@@ -95,9 +102,20 @@ class ContinuousBatchingEngine:
         predict: bool = True,
         queue_limit: Optional[int] = None,
         embed_cache_size: int = 256,
+        dp: Optional[int] = None,
+        mesh_shape: Optional[tuple] = None,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
+        if dp is not None and mesh_shape is not None:
+            raise ValueError("pass dp OR mesh_shape, not both")
+        bshards = dp if dp is not None else (
+            mesh_shape[0] * mesh_shape[1] if mesh_shape is not None else 1
+        )
+        if slots % bshards != 0:
+            raise ValueError(
+                f"slots {slots} not divisible by batch shards {bshards}"
+            )
         self.pipe = pipe
         self.tokenize = tokenize
         self.slots = slots
@@ -127,6 +145,16 @@ class ContinuousBatchingEngine:
         self._embed_cache: "collections.OrderedDict" = collections.OrderedDict()
         self._embed_cache_size = embed_cache_size
         self._lock = threading.Lock()  # guards counters read by stats()
+
+        self._mesh = None
+        if dp is not None:
+            from tpdm_tpu.serving import setup_dp_placement
+
+            self._mesh, _ = setup_dp_placement(pipe, dp)
+        elif mesh_shape is not None:
+            from tpdm_tpu.serving import setup_mesh_placement
+
+            self._mesh, _ = setup_mesh_placement(pipe, mesh_shape)
 
         self._build_device_functions()
 
@@ -161,6 +189,38 @@ class ContinuousBatchingEngine:
             self._neg_pp = jnp.asarray(probe.pooled_prompt_embeds)  # (1, P)
         else:
             self._neg_pe = self._neg_pp = None
+
+        # Mesh placement: slot-axis arrays shard over (data, fsdp) like the
+        # trainer's batches; everything batch-1 or scalar replicates. All
+        # jits below pin their out_shardings so the state NEVER silently
+        # migrates off the mesh between segments/refills.
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tpdm_tpu.parallel.sharding import batch_spec
+
+            mesh = self._mesh
+            slot_sh = lambda ndim: NamedSharding(mesh, batch_spec(ndim))
+            self._rep_sharding = NamedSharding(mesh, P())
+            self._state_shardings = _SlotState(
+                latents=slot_sh(4),
+                sigma=slot_sh(1),
+                steps=slot_sh(1),
+                caps=slot_sh(1),
+                pe=slot_sh(3),
+                pp=slot_sh(2),
+                key=self._rep_sharding,
+            )
+            self._trace_sharding = NamedSharding(
+                mesh, P(None, ("data", "fsdp"))
+            )
+            if gs is not None:
+                self._neg_pe = jax.device_put(self._neg_pe, self._rep_sharding)
+                self._neg_pp = jax.device_put(self._neg_pp, self._rep_sharding)
+        else:
+            self._rep_sharding = None
+            self._state_shardings = None
+            self._trace_sharding = None
 
         # SamplerConfig stand-in for _clamp_ratio (only .relative/.epsilon)
         from tpdm_tpu.pipeline.sampler import SamplerConfig
@@ -224,11 +284,42 @@ class ContinuousBatchingEngine:
             )
 
         donate = () if jax.default_backend() == "cpu" else (2,)
-        self._segment = jax.jit(segment, donate_argnums=donate)
+        if self._mesh is not None:
+            self._segment = jax.jit(
+                segment,
+                donate_argnums=donate,
+                out_shardings=(self._state_shardings, self._trace_sharding),
+            )
+        else:
+            self._segment = jax.jit(segment, donate_argnums=donate)
+
+        def assign(st, slot, lat, pe_row, pp_row, cap):
+            """Slot refill as ONE jitted update (slot index is traced —
+            one compiled shape for any slot/cap mix); out_shardings keep
+            the state on the serving mesh."""
+            return _SlotState(
+                latents=st.latents.at[slot].set(lat),
+                sigma=st.sigma.at[slot].set(1.0),
+                steps=st.steps.at[slot].set(0),
+                caps=st.caps.at[slot].set(cap),
+                pe=st.pe.at[slot].set(pe_row),
+                pp=st.pp.at[slot].set(pp_row),
+                key=st.key,
+            )
+
+        self._assign_fn = jax.jit(
+            assign, out_shardings=self._state_shardings
+        )
 
         S = self.slots
 
         def fresh_state():
+            st = _fresh_state_impl()
+            if self._mesh is not None:
+                st = jax.tree.map(jax.device_put, st, self._state_shardings)
+            return st
+
+        def _fresh_state_impl():
             return _SlotState(
                 latents=jnp.zeros(
                     (S, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
@@ -281,18 +372,20 @@ class ContinuousBatchingEngine:
         )
 
     def _assign(self, slot: int, req: ServeRequest):
-        st = self._state
+        import jax
+
         pe_row, pp_row = self._prompt_embeds(req.prompt)
         lat = self._init_latent(req.seed)
         cap = min(req.steps or self.max_steps, self.max_steps)
-        self._state = _SlotState(
-            latents=st.latents.at[slot].set(lat),
-            sigma=st.sigma.at[slot].set(1.0),
-            steps=st.steps.at[slot].set(0),
-            caps=st.caps.at[slot].set(cap),
-            pe=st.pe.at[slot].set(pe_row),
-            pp=st.pp.at[slot].set(pp_row),
-            key=st.key,
+        if self._mesh is not None:
+            # committed-device discipline: rows must live on the serving
+            # mesh before they meet the mesh-committed state in the jit
+            lat, pe_row, pp_row = (
+                jax.device_put(x, self._rep_sharding)
+                for x in (lat, pe_row, pp_row)
+            )
+        self._state = self._assign_fn(
+            self._state, np.int32(slot), lat, pe_row, pp_row, np.int32(cap)
         )
         self._slot_req[slot] = req
         self._slot_sigmas[slot] = []
@@ -305,6 +398,12 @@ class ContinuousBatchingEngine:
 
         req = self._slot_req[slot]
         lat_row = self._state.latents[slot : slot + 1]
+        if self._mesh is not None:
+            import jax
+
+            # the batch-1 decode runs replicated on the mesh (the VAE
+            # params may themselves be sharded over it in mesh_shape mode)
+            lat_row = jax.device_put(lat_row, self._rep_sharding)
         if self.pipe.vae is not None:
             image = postprocess_images(self.pipe._decode(lat_row))[0]
         else:
