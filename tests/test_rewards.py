@@ -614,3 +614,22 @@ class TestBLIPScoreOracle:
         txtf = txtf / txtf.norm(dim=-1, keepdim=True)
         ref = (imgf * txtf).sum(-1).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestOutOfVocabGuard:
+    def test_oov_prompt_ids_raise_not_nan(self):
+        """OOV ids would hit JAX's 'fill' out-of-bounds gather and yield NaN
+        rewards silently; score/inference_rank must fail loudly instead."""
+        model = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(), bert_config=BertMedConfig.toy()
+        )
+        images = np.random.default_rng(0).integers(
+            0, 255, size=(2, 20, 24, 3), dtype=np.uint8
+        )
+        bad = np.array([[1, 999, 6], [2, 5, 0]], np.int32)
+        with pytest.raises(ValueError, match="out of range"):
+            model.score(bad, images)
+        with pytest.raises(ValueError, match="out of range"):
+            model.inference_rank(bad[0], images)
+        with pytest.raises(ValueError, match="out of range"):
+            model.score(np.array([[-1, 2, 3]], np.int32), images[:1])

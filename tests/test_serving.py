@@ -324,3 +324,77 @@ class TestMeshShardedServing:
         pipe, tokenize = toy
         with pytest.raises(ValueError, match="divisible"):
             BatchingEngine(pipe, tokenize, max_batch=3, mesh_shape=(2, 2, 1))
+
+
+class TestBestOfN:
+    """Serving surface for the reference's list-ranking API
+    (ImageReward.inference_rank, reference:
+    src/reward_models/ImageReward/ImageReward.py:144-183): submit N seeds
+    for one prompt, rank the candidates, return the best."""
+
+    def test_generate_ranked_without_ranker(self, toy):
+        from tpdm_tpu.serving import generate_ranked
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=3, window_ms=50,
+                             max_steps=4)
+        eng.start()
+        try:
+            out = generate_ranked(eng, "a cat", seed=7, n=3)
+        finally:
+            eng.stop()
+        assert out["seeds"] == [7, 8, 9]
+        assert len(out["candidates"]) == 3
+        assert "ranking" not in out and "best" not in out
+        for c in out["candidates"]:
+            assert c["image"].shape[-1] == 3
+
+    def test_generate_ranked_with_image_reward_ranker(self, toy):
+        from tpdm_tpu.rewards.image_reward import ImageRewardModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.serving import generate_ranked
+        from tpdm_tpu.train.builders import build_inference_ranker
+
+        class StubTok:
+            # ids must stay inside the toy vocab (50): OOV ids raise in
+            # ImageRewardModel._check_ids (NaN-embedding guard)
+            def __call__(self, texts, max_length=35, **kw):
+                ids = np.zeros((len(texts), max_length), np.int32)
+                mask = np.zeros((len(texts), max_length), np.int32)
+                for i, t in enumerate(texts):
+                    toks = [2] + [hash(w) % 40 + 4 for w in t.split()][
+                        : max_length - 2
+                    ] + [3]
+                    ids[i, : len(toks)] = toks
+                    mask[i, : len(toks)] = 1
+                return {"input_ids": ids, "attention_mask": mask}
+
+        reward = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(), bert_config=BertMedConfig.toy()
+        )
+        ranker = build_inference_ranker(
+            reward_model=reward, tokenizer=StubTok(), max_length=8
+        )
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=4, window_ms=50,
+                             max_steps=4)
+        eng.start()
+        try:
+            out = generate_ranked(eng, "a dog", seed=0, n=4, ranker=ranker)
+        finally:
+            eng.stop()
+        assert sorted(out["ranking"]) == [1, 2, 3, 4]
+        assert len(out["rewards"]) == 4
+        assert np.isfinite(out["rewards"]).all()
+        assert out["best"] == int(np.argmax(out["rewards"]))
+        assert out["ranking"][out["best"]] == 1
+
+    def test_generate_ranked_rejects_bad_n(self, toy):
+        from tpdm_tpu.serving import generate_ranked
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1)
+        with pytest.raises(ValueError):
+            generate_ranked(eng, "x", n=0)

@@ -95,6 +95,18 @@ class ImageRewardModel:
     def _raw_scores(self, params, pixels, ids, mask):
         return self.net.apply(params, pixels, ids, mask)
 
+    def _check_ids(self, prompt_ids: np.ndarray) -> None:
+        # Out-of-vocab ids hit JAX's default out-of-bounds gather ("fill"),
+        # which silently yields NaN embeddings and NaN rewards downstream;
+        # fail loudly on host instead (torch would have raised here too).
+        vocab = self.net.bert_config.vocab_size
+        ids = np.asarray(prompt_ids)
+        if ids.size and (ids.min() < 0 or ids.max() >= vocab):
+            raise ValueError(
+                f"prompt ids out of range for vocab_size={vocab}: "
+                f"min={ids.min()}, max={ids.max()} — tokenizer/model mismatch?"
+            )
+
     def score(
         self,
         prompt_ids: np.ndarray,  # (b, n) int
@@ -105,6 +117,7 @@ class ImageRewardModel:
         (ImageReward.py:140)."""
         from tpdm_tpu.utils.image import bicubic_resize_center_crop, normalize_clip
 
+        self._check_ids(prompt_ids)
         pixels = normalize_clip(bicubic_resize_center_crop(images, self.image_size))
         mask = (
             jnp.asarray(text_mask)
@@ -141,6 +154,7 @@ class ImageRewardModel:
         """
         from tpdm_tpu.utils.image import bicubic_resize_center_crop, normalize_clip
 
+        self._check_ids(prompt_ids)
         k = int(np.asarray(images).shape[0])
         ids = np.asarray(prompt_ids).reshape(1, -1).repeat(k, axis=0)
         mask = (

@@ -55,6 +55,42 @@ class ServeRequest:
         return self._result
 
 
+def generate_ranked(
+    engine,
+    prompt: str,
+    seed: int = 0,
+    n: int = 4,
+    steps: Optional[int] = None,
+    ranker: Optional[Callable] = None,
+    timeout: float = 600.0,
+) -> dict:
+    """Best-of-N generation: submit `n` seeds (seed..seed+n-1) for one
+    prompt, optionally rank the candidates with an ImageReward ranker.
+
+    Engine-agnostic (anything with submit/result — fixed-batch or
+    continuous): the n candidates coalesce into batches / recycle slots
+    like any other traffic. `ranker` is
+    ``(prompt, images_uint8 (n,H,W,3)) -> (ranking, rewards)`` — see
+    ``train.builders.build_inference_ranker``, the serving surface for the
+    reference's list-ranking API (ImageReward.inference_rank,
+    reference: src/reward_models/ImageReward/ImageReward.py:144-183).
+    Returns {candidates, seeds[, ranking, rewards, best]} with ranking
+    1-based in candidate order (1 = best) and best = argmax reward index.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    reqs = [engine.submit(prompt, seed=seed + i, steps=steps) for i in range(n)]
+    results = [r.result(timeout=timeout) for r in reqs]
+    out = {"candidates": results, "seeds": [seed + i for i in range(n)]}
+    if ranker is not None:
+        images = np.stack([np.asarray(r["image"]) for r in results])
+        ranking, rewards = ranker(prompt, images)
+        out["ranking"] = [int(x) for x in ranking]
+        out["rewards"] = [float(x) for x in rewards]
+        out["best"] = int(np.argmax(out["rewards"]))
+    return out
+
+
 def setup_dp_placement(pipe, dp: int):
     """Replicate every tower's weights over a ("data",)-axis mesh of the
     first `dp` devices. Mutates `pipe` params in place; returns

@@ -162,6 +162,56 @@ def build_image_reward_fn(
     return reward_fn
 
 
+def build_inference_ranker(
+    reward_checkpoint: Optional[str] = None,
+    tokenizer_path: Optional[str] = None,
+    max_length: int = 35,
+    reward_model=None,
+    tokenizer=None,
+) -> Callable:
+    """Best-of-N candidate ranker for serving: ``(prompt, images_uint8
+    (k,H,W,3)) -> (ranking, rewards)`` via ImageReward.inference_rank
+    (reference: src/reward_models/ImageReward/ImageReward.py:144-183).
+
+    ``reward_model``/``tokenizer`` allow injecting toy towers and a stub
+    tokenizer for tests and the toy server; production passes a converted
+    ImageReward safetensors + BERT vocab.txt (native WordPiece, zero
+    runtime transformers).
+    """
+    from tpdm_tpu.rewards.image_reward import ImageRewardModel, convert_image_reward
+    from tpdm_tpu.utils import convert as C
+
+    if reward_model is None:
+        if reward_checkpoint is not None:
+            params = convert_image_reward(C.load_safetensors(reward_checkpoint))
+            reward_model = ImageRewardModel.create(params=params)
+        else:
+            reward_model = ImageRewardModel.create()
+            logger.warning("ImageReward ranker running with RANDOM weights")
+    if tokenizer is None:
+        if tokenizer_path is None:
+            raise ValueError("ranker needs a BERT vocab.txt path")
+        from tpdm_tpu.utils.bert_tokenizer import BertTokenizer
+
+        tokenizer = BertTokenizer.from_pretrained(tokenizer_path)
+
+    def ranker(prompt: str, images):
+        enc = tokenizer(
+            [prompt],
+            padding="max_length",
+            truncation=True,
+            max_length=max_length,
+            return_tensors="np",
+        )
+        return reward_model.inference_rank(
+            enc["input_ids"][0],
+            images,
+            text_mask=enc["attention_mask"][0].astype(bool),
+        )
+
+    return ranker
+
+
 def make_prompt_encoder(
     agent: TPDMAgent, n_txt: int = 8, seed: int = 1234
 ) -> Callable:
