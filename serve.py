@@ -161,6 +161,14 @@ def main():
                         "recycling syncs (--continuous only)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--out", default="generated.png")
+    p.add_argument("--reward_checkpoint", default=None,
+                   help="converted ImageReward safetensors: enables reward "
+                        "ranking on the /rank best-of-N endpoint")
+    p.add_argument("--bert_vocab", default=None,
+                   help="BERT vocab.txt for the ImageReward tokenizer "
+                        "(required with --reward_checkpoint)")
+    p.add_argument("--max_rank_n", type=int, default=8,
+                   help="cap on candidates per /rank request")
     args = p.parse_args()
 
     pipe, tokenize = build_pipeline(args)
@@ -252,6 +260,17 @@ def make_http_server(pipe, tokenize, args):
             mesh_shape=mesh_shape,
         )
 
+    # best-of-N reward ranking (/rank): optional — needs a converted
+    # ImageReward checkpoint + BERT vocab (native WordPiece tokenizer)
+    ranker = None
+    if getattr(args, "reward_checkpoint", None):
+        from tpdm_tpu.train.builders import build_inference_ranker
+
+        ranker = build_inference_ranker(
+            reward_checkpoint=args.reward_checkpoint,
+            tokenizer_path=args.bert_vocab,
+        )
+
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             if self.path != "/stats":
@@ -260,6 +279,9 @@ def make_http_server(pipe, tokenize, args):
             self._reply(engine.stats())
 
         def do_POST(self):
+            if self.path == "/rank":
+                self._do_rank()
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return
@@ -308,6 +330,65 @@ def make_http_server(pipe, tokenize, args):
                     "sigmas": res["sigmas"],
                 }
             )
+
+        def _do_rank(self):
+            """Best-of-N: generate `n` seeds for one prompt; with a reward
+            ranker configured, rank them (serving surface for
+            ImageReward.inference_rank, reference
+            src/reward_models/ImageReward/ImageReward.py:144-183)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > 65536:
+                    self.send_error(413, "request body too large")
+                    return
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompt = req.get("prompt", args.prompt)
+                if not isinstance(prompt, str):
+                    raise ValueError("prompt must be a string")
+                seed = int(req.get("seed", args.seed))
+                n = int(req.get("n", 4))
+                max_n = getattr(args, "max_rank_n", 8)
+                if not 1 <= n <= max_n:
+                    raise ValueError(f"n must be in [1, {max_n}]")
+                steps = req.get("steps")
+                if steps is not None:
+                    steps = int(steps)
+                    if not 1 <= steps <= args.max_steps:
+                        raise ValueError(f"steps must be in [1, {args.max_steps}]")
+            except Exception as e:
+                self.send_error(400, str(e)[:100])
+                return
+            from tpdm_tpu.serving import EngineOverloaded, generate_ranked
+
+            try:
+                out = generate_ranked(
+                    engine, prompt, seed=seed, n=n, steps=steps, ranker=ranker
+                )
+            except EngineOverloaded as e:
+                self.send_error(503, str(e)[:100])
+                return
+            except Exception as e:
+                self.send_error(500, str(e)[:100])
+                return
+            from PIL import Image
+
+            payload = {
+                "seeds": out["seeds"],
+                "inference_steps": [
+                    c["inference_steps"] for c in out["candidates"]
+                ],
+                "ranked": "ranking" in out,
+            }
+            for k in ("ranking", "rewards", "best"):
+                if k in out:
+                    payload[k] = out[k]
+            pngs = []
+            for c in out["candidates"]:
+                buf = io.BytesIO()
+                Image.fromarray(c["image"]).save(buf, format="PNG")
+                pngs.append(base64.b64encode(buf.getvalue()).decode())
+            payload["images_png_base64"] = pngs
+            self._reply(payload)
 
         def _reply(self, payload: dict):
             body = json.dumps(payload).encode()

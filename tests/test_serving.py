@@ -398,3 +398,45 @@ class TestBestOfN:
         eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1)
         with pytest.raises(ValueError):
             generate_ranked(eng, "x", n=0)
+
+    def test_rank_endpoint_over_http(self, toy):
+        """POST /rank: best-of-N over HTTP. Without a reward checkpoint the
+        endpoint still fans out seeds (ranked=false); bad n -> 400."""
+        import base64
+        import http.client
+        import json
+
+        import serve
+
+        pipe, tokenize = toy
+        args = argparse.Namespace(
+            max_steps=3, max_batch=3, batch_window_ms=10.0, dp=None,
+            prompt="default", seed=1, port=0, max_rank_n=4,
+        )
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        engine.start()
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/rank",
+                body=json.dumps({"prompt": "a cat", "seed": 5, "n": 3}),
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+            assert payload["seeds"] == [5, 6, 7]
+            assert payload["ranked"] is False
+            assert len(payload["images_png_base64"]) == 3
+            for png64 in payload["images_png_base64"]:
+                assert base64.b64decode(png64)[:8] == b"\x89PNG\r\n\x1a\n"
+            assert all(1 <= s <= 3 for s in payload["inference_steps"])
+
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/rank", body=json.dumps({"n": 99}))
+            assert conn.getresponse().status == 400
+        finally:
+            server.shutdown()
+            engine.stop()
