@@ -118,6 +118,128 @@ def build_pipeline(args):
     return pipe, tokenize
 
 
+def build_family_runner(args):
+    """--family sd15|flux: serve the non-SD3 families through the same
+    engine via a runner delegate (tpdm_tpu/serving_families.py). Toy
+    configs only from the CLI — for real checkpoints construct the agent
+    and call make_sd15_runner/make_flux_runner yourself (weights
+    conversion is checkpoint-layout specific)."""
+    fam = getattr(args, "family", "sd3")
+    if fam == "sd3":
+        return None
+    if not args.toy:
+        raise SystemExit(
+            f"--family {fam} currently serves --toy configs from the CLI; "
+            "for real checkpoints build a runner with "
+            "tpdm_tpu.serving_families.make_[sd15|flux]_runner"
+        )
+    import jax
+
+    if args.cpu and "axon" in str(jax.config.jax_platforms):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpdm_tpu.models import TimePredictor
+    from tpdm_tpu.models.vae import VAE, VAEConfig
+    from tpdm_tpu.serving_families import make_vae_decoder
+    from tpdm_tpu.train import RLOOConfig
+
+    key = jax.random.PRNGKey(0)
+    config = RLOOConfig(max_inference_steps=min(args.max_steps, 8))
+
+    if fam == "sd15":
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.serving_families import make_sd15_runner
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy(cross_attention_dim=32)
+        unet = UNetSD15(cfg)
+        tcfg = CLIPTextConfig.toy(hidden_size=32, max_position_embeddings=8)
+        text = CLIPTextModel(tcfg)
+        text_params = text.init(key, jnp.zeros((1, 8), jnp.int32))
+        unet_params = unet.init(
+            key,
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, 8, 32)),
+        )
+        agent = SD15Agent(
+            unet, unet_params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.time_embed_dim,
+            ),
+        )
+        vae = VAE(VAEConfig.toy(latent_channels=4))
+        vae_params = vae.init(
+            key,
+            jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.zeros((1, 3, 2 * cfg.sample_size, 2 * cfg.sample_size)),
+        )
+
+        def toy_ids(prompt):
+            ids = [97] + [abs(hash(w)) % 90 + 1 for w in prompt.split()[:6]] + [98]
+            return np.array([ids[:8] + [0] * (8 - len(ids))], np.int32)
+
+        def encode(prompts):
+            ids = np.concatenate([toy_ids(p) for p in prompts])
+            pe = text.apply(text_params, jnp.asarray(ids))[1]
+            npe = text.apply(text_params, jnp.zeros_like(jnp.asarray(ids)))[1]
+            return pe, npe
+
+        return make_sd15_runner(
+            agent, agent.init_tpm_params(key), encode,
+            make_vae_decoder(vae, vae_params),
+        )
+
+    from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
+    from tpdm_tpu.serving_families import make_flux_runner
+    from tpdm_tpu.train.flux_agent import FluxAgent
+
+    fcfg = FluxConfig.toy()
+    model = Flux(fcfg)
+    n_txt = 5
+    tokens, img_ids = pack_latents(jnp.zeros((2, 4, 8, 8)))
+    params = model.init(
+        key, tokens, img_ids, jnp.zeros((2, n_txt, fcfg.txt_dim)),
+        jnp.zeros((2, n_txt, 3)), jnp.ones((2,)),
+        jnp.zeros((2, fcfg.vec_dim)), jnp.full((2,), 3.5),
+    )
+    agent = FluxAgent(
+        model, params, config,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * fcfg.hidden_size,
+            temb_dim=fcfg.hidden_size,
+        ),
+        latent_size=8,
+        latent_channels=4,
+    )
+    vae = VAE(VAEConfig.toy(latent_channels=4))
+    vae_params = vae.init(key, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1, 3, 16, 16)))
+
+    def encode(prompts):
+        txt = np.stack([
+            np.random.default_rng(abs(hash(p)) % 2**31)
+            .normal(size=(n_txt, fcfg.txt_dim)).astype(np.float32)
+            for p in prompts
+        ])
+        pooled = np.stack([
+            np.random.default_rng(abs(hash(p)) % 2**31 + 1)
+            .normal(size=(fcfg.vec_dim,)).astype(np.float32)
+            for p in prompts
+        ])
+        return jnp.asarray(txt), jnp.asarray(pooled)
+
+    return make_flux_runner(
+        agent, agent.init_tpm_params(key), encode,
+        make_vae_decoder(vae, vae_params),
+    )
+
+
 def generate(pipe, tokenize, prompt, seed, max_steps):
     import numpy as np
 
@@ -139,6 +261,9 @@ def main():
     p.add_argument("--pretrained", default=None)
     p.add_argument("--tpm", default=None)
     p.add_argument("--toy", action="store_true")
+    p.add_argument("--family", choices=["sd3", "sd15", "flux"], default="sd3",
+                   help="model family to serve (sd15/flux: toy configs via "
+                        "the engine's runner delegate)")
     p.add_argument("--cli", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--prompt", default="a serene mountain lake at dawn")
@@ -170,6 +295,36 @@ def main():
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
     args = p.parse_args()
+
+    runner = build_family_runner(args)
+    if runner is not None:
+        pipe = None
+
+        def tokenize(prompt, _n=None):  # runner owns encoding; engine only
+            return None, None           # needs the prompt strings
+
+        if args.cli:
+            from PIL import Image
+
+            res = runner([args.prompt], [args.seed], [args.max_steps])[0]
+            Image.fromarray(res["image"]).save(args.out)
+            print(
+                f"saved {args.out}; inference steps: "
+                f"{res['inference_steps']} / cap {args.max_steps}"
+            )
+            return
+        engine, server = make_http_server(pipe, tokenize, args, runner=runner)
+        engine.start()
+        logger.info(
+            "serving %s on http://127.0.0.1:%d/generate",
+            args.family, server.server_address[1],
+        )
+        try:
+            server.serve_forever()
+        finally:
+            engine.stop()
+            server.server_close()
+        return
 
     pipe, tokenize = build_pipeline(args)
 
@@ -227,7 +382,7 @@ def main():
         server.server_close()
 
 
-def make_http_server(pipe, tokenize, args):
+def make_http_server(pipe, tokenize, args, runner=None):
     """Threaded HTTP server over a BatchingEngine: concurrent requests
     coalesce into one fixed-shape device batch (tpdm_tpu/serving.py)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -237,7 +392,21 @@ def make_http_server(pipe, tokenize, args):
     mesh_shape = getattr(args, "mesh", None)
     if mesh_shape:
         mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
-    if getattr(args, "continuous", False):
+    if runner is not None:
+        if getattr(args, "continuous", False):
+            raise SystemExit(
+                "--continuous is SD3-only for now (slot recycling needs the "
+                "segmented SD3 denoise loop)"
+            )
+        engine = BatchingEngine(
+            pipe,
+            tokenize,
+            max_batch=args.max_batch,
+            window_ms=args.batch_window_ms,
+            max_steps=args.max_steps,
+            runner=runner,
+        )
+    elif getattr(args, "continuous", False):
         from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 
         engine = ContinuousBatchingEngine(
@@ -272,6 +441,13 @@ def make_http_server(pipe, tokenize, args):
         )
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length
+        # (_reply and send_error both do), so persistent connections are
+        # safe — and they remove the HTTP/1.0 close-vs-reuse race where a
+        # client pipelining a second request onto a just-closed socket got
+        # RemoteDisconnected.
+        protocol_version = "HTTP/1.1"
+
         def do_GET(self):
             if self.path != "/stats":
                 self.send_error(404)

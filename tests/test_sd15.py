@@ -217,6 +217,41 @@ class TestSD15Sampler:
         )
 
 
+    def test_step_caps_none_equals_full(self):
+        denoise_fn, tpm, params, lat, Cfg, sample = self._setup()
+        cfg = Cfg(num_inference_steps=8, min_time=10, predict=True)
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        a = sample(denoise_fn, tpm_fn, lat, jax.random.PRNGKey(5), cfg)
+        b = sample(denoise_fn, tpm_fn, lat, jax.random.PRNGKey(5), cfg,
+                   step_caps=jnp.array([8, 8], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(a.final_latents),
+                                      np.asarray(b.final_latents))
+        np.testing.assert_array_equal(np.asarray(a.times), np.asarray(b.times))
+        np.testing.assert_array_equal(np.asarray(a.last_valid_index),
+                                      np.asarray(b.last_valid_index))
+
+    def test_step_caps_per_sample(self):
+        """Capped sample executes exactly cap steps; its terminal step
+        integrates to x0 (t pinned to 0 after cap); the uncapped sample is
+        untouched by its neighbor's cap."""
+        denoise_fn, tpm, params, lat, Cfg, sample = self._setup()
+        cfg = Cfg(num_inference_steps=10, min_time=10, predict=True)
+        tpm_fn = lambda h, t: tpm.apply(params, h, t)
+        full = sample(denoise_fn, tpm_fn, lat, jax.random.PRNGKey(6), cfg)
+        capped = sample(denoise_fn, tpm_fn, lat, jax.random.PRNGKey(6), cfg,
+                        step_caps=jnp.array([3, 10], jnp.int32))
+        lvi = np.asarray(capped.last_valid_index)
+        assert lvi[0] == 2  # 3 steps -> last valid index 2
+        times = np.asarray(capped.times)
+        assert (times[0, 3:] == 0).all()  # pinned after the cap
+        # sample 1 (uncapped) matches the all-uncapped run exactly
+        np.testing.assert_array_equal(times[1], np.asarray(full.times)[1])
+        np.testing.assert_array_equal(
+            np.asarray(capped.final_latents)[1], np.asarray(full.final_latents)[1]
+        )
+        assert np.isfinite(np.asarray(capped.final_latents)).all()
+
+
 class TestSD15TrainerIntegration:
     def test_rloo_trainer_runs_with_sd15_agent(self):
         from tpdm_tpu.models import TimePredictor

@@ -70,11 +70,23 @@ def sd15_adaptive_sample(
     init_latents: jax.Array,
     key: jax.Array,
     cfg: SD15SamplerConfig,
+    step_caps: Optional[jax.Array] = None,
 ) -> SD15SampleOutput:
+    """``step_caps``: optional (b,) int32 PER-SAMPLE step caps (serving
+    quality/latency knob, same semantics as the SD3 sampler's —
+    sampler.py adaptive_sample). Sample i's step ``caps[i]-1`` becomes its
+    terminal step: t_next forced to 0, which makes the DPM update take the
+    well-defined first-order integrate-to-x0 limit (exactly what the
+    global cap step does, modeling_sd_v1_5.py:846-848). Caps are traced,
+    so any mix runs on the one compiled shape."""
     b = init_latents.shape[0]
     T = cfg.num_inference_steps
     dtype = init_latents.dtype
     sigmas_table = ddpm_sigmas_from_betas()
+    if step_caps is None:
+        caps = jnp.full((b,), T, jnp.int32)
+    else:
+        caps = jnp.minimum(step_caps.astype(jnp.int32), T)
 
     eps_s, temb_s, h_s = jax.eval_shape(
         denoise_fn, init_latents, jnp.full((b,), 999.0)
@@ -126,7 +138,10 @@ def sd15_adaptive_sample(
         t_next = (t.astype(jnp.float32) * ratio).astype(jnp.int32)
         logprob = beta_log_prob(alpha, beta, ratio)
         done = t < cfg.min_time
-        t_next = jnp.where(done, 0, t_next)
+        # per-sample cap: this is sample i's final allowed step — force the
+        # terminal integrate-to-x0 transition (t_next=0 => use_first below)
+        cap_now = step >= caps - 1
+        t_next = jnp.where(done | cap_now, 0, t_next)
 
         # --- per-sample DPM-Solver++ step ---
         lat32 = latents.astype(jnp.float32)
@@ -134,7 +149,7 @@ def sd15_adaptive_sample(
         sigma_s0 = sigmas_table[t]
         sigma_s1 = sigmas_table[s["t_prev"]]
         sigma_t = jnp.where(
-            step == T - 1, 0.0, sigmas_table[t_next]
+            (step == T - 1) | cap_now, 0.0, sigmas_table[t_next]
         )  # cap step integrates to x0 (modeling_sd_v1_5.py:846-848)
         x0 = epsilon_to_x0(eps32, lat32, sigma_s0)
         first = dpm_first_order_update(x0, lat32, sigma_t, sigma_s0)

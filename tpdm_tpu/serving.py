@@ -182,6 +182,14 @@ class BatchingEngine:
             can report true per-stage decode latency. Costs one extra
             host<->device round trip per batch (~190 ms over the tunnel),
             so it is OFF by default; turn on for capacity planning.
+        runner: model-family escape hatch — a callable
+            ``(prompts, seeds, caps) -> [ {image, inference_steps, sigmas}
+            ... ]`` (all lists length max_batch, padded) that replaces the
+            SD3 pipeline path entirely. Queueing, coalescing, padding, and
+            stats stay in the engine; the runner owns tokenize/encode/
+            sample/decode. See tpdm_tpu.serving_families for the SD1.5 and
+            FLUX runners. Mutually exclusive with dp/mesh_shape (the
+            runner owns its own device placement).
     """
 
     def __init__(
@@ -196,9 +204,14 @@ class BatchingEngine:
         queue_limit: Optional[int] = None,
         split_stages: bool = False,
         mesh_shape: Optional[tuple] = None,
+        runner: Optional[Callable] = None,
     ):
         import collections
 
+        if runner is not None and (dp is not None or mesh_shape is not None):
+            raise ValueError(
+                "runner owns its own placement; pass runner OR dp/mesh_shape"
+            )
         if dp is not None and mesh_shape is not None:
             raise ValueError("pass dp OR mesh_shape, not both")
         if dp is not None and max_batch % dp != 0:
@@ -211,6 +224,7 @@ class BatchingEngine:
                 )
         self.pipe = pipe
         self.tokenize = tokenize
+        self._runner = runner
         self.max_batch = max_batch
         self.window_ms = window_ms
         self.max_steps = max_steps
@@ -272,6 +286,28 @@ class BatchingEngine:
             for c in (list(steps) if steps is not None else [None] * n)
         ]
         caps = caps + [caps[-1]] * pad
+
+        if self._runner is not None:
+            t_start = time.monotonic()
+            results = self._runner(prompts, seeds, caps)
+            t_done = time.monotonic()
+            if len(results) != self.max_batch:
+                raise RuntimeError(
+                    f"runner returned {len(results)} results for a padded "
+                    f"batch of {self.max_batch}"
+                )
+            if record_stats:
+                self.batches_run += 1
+                self.padded_slots += pad
+                self._stage_times.append(
+                    {
+                        "batch": n,
+                        "padded": pad,
+                        "device_s": t_done - t_start,
+                        "total_s": t_done - t_start,
+                    }
+                )
+            return results[:n]
 
         t_start = time.monotonic()
         clip_rows, t5_rows = [], []
@@ -455,7 +491,11 @@ class BatchingEngine:
             vals = sorted(vals)
             return vals[min(len(vals) - 1, int(q * len(vals)))]
 
-        pct = lambda key, q: pct_of((r[key] for r in rows), q)
+        # runner-path records carry no tokenize_s (the runner owns
+        # encoding); aggregate only the rows that report a given stage
+        def pct(key, q):
+            vals = [r[key] for r in rows if key in r]
+            return pct_of(vals, q) if vals else 0.0
 
         waits = [r["queue_wait_s_max"] for r in rows if "queue_wait_s_max" in r]
         wait_stats = (

@@ -1,0 +1,165 @@
+"""Model-family serving runners: SD1.5 and FLUX behind the same engine.
+
+The reference serves only SD3 (gradio_sd3_inference.py); its SD1.5 model
+is training-only and FLUX is named-but-absent. Here every family the
+framework trains can also be SERVED: these factories produce the
+``runner(prompts, seeds, caps) -> [result, ...]`` callable that
+`BatchingEngine(runner=...)` delegates batch execution to, while the
+engine keeps the production machinery (queueing, request coalescing,
+fixed-shape padding, stats) family-agnostic.
+
+Per-request seed determinism matches the batch-1 direct path exactly:
+request i's latent is ``agent.prepare_latents(split(PRNGKey(seed_i))[0], 1)``
+— the same derivation ``agent.sample(..., key=PRNGKey(seed_i))`` performs
+for a batch of one — so the same (prompt, seed) produces the same image
+through the engine, the variants pipeline, and any batch composition.
+
+Per-request step caps ride the samplers' traced ``step_caps`` argument
+(one compiled shape serves every cap mix).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def _per_seed_latents(agent, seeds):
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+    for s in seeds:
+        key_lat = jax.random.split(jax.random.PRNGKey(int(s)))[0]
+        rows.append(agent.prepare_latents(key_lat, 1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def make_sd15_runner(
+    agent,
+    tpm_params,
+    encode: Callable,
+    decode: Optional[Callable] = None,
+) -> Callable:
+    """Serving runner for the SD1.5 family (integer-t DPM-Solver++ loop).
+
+    Args:
+        agent: an ``SD15Agent``.
+        tpm_params: TPM params (trained checkpoint or ``init_tpm_params``).
+        encode: ``(prompts: list[str]) -> (prompt_embeds,
+            negative_prompt_embeds)`` — CLIP final-hidden-state features;
+            the negative branch encodes the empty prompt (the reference's
+            CFG convention, modeling_sd_v1_5.py:623-689).
+        decode: optional ``final_latents -> uint8 images (b, H, W, 3)``;
+            None returns raw latents (toy/latent-space callers).
+    """
+    import jax
+
+    def runner(prompts, seeds, caps):
+        pe, npe = encode(prompts)
+        latents = _per_seed_latents(agent, seeds)
+        out = agent.sample(
+            tpm_params,
+            {
+                "prompt_embeds": pe,
+                "negative_prompt_embeds": npe,
+                "latents": latents,
+            },
+            jax.random.PRNGKey(0),  # predict=True: rollout key is unused
+            predict=True,
+            step_caps=np.asarray(caps, np.int32),
+        )
+        images = (
+            decode(out.final_latents) if decode is not None
+            else np.asarray(out.final_latents)
+        )
+        times = np.asarray(out.times)
+        lvi = np.asarray(out.last_valid_index)
+        results = []
+        for i in range(len(prompts)):
+            nfe = int(lvi[i]) + 1
+            results.append(
+                {
+                    "image": images[i],
+                    "inference_steps": nfe,
+                    # integer timesteps for SD1.5 (t in [0, 999]) — same
+                    # payload slot the SD3 path fills with sigmas
+                    "sigmas": times[i][1 : nfe + 1].tolist(),
+                }
+            )
+        return results
+
+    return runner
+
+
+def make_flux_runner(
+    agent,
+    tpm_params,
+    encode: Callable,
+    decode: Optional[Callable] = None,
+) -> Callable:
+    """Serving runner for the FLUX family (packed tokens, embedded
+    guidance, no CFG batch-doubling).
+
+    Args:
+        agent: a ``FluxAgent``.
+        tpm_params: TPM params.
+        encode: ``(prompts) -> (prompt_embeds (b, n, txt_dim),
+            pooled_prompt_embeds (b, vec_dim))`` — T5 features + CLIP
+            pooled vector.
+        decode: optional ``final_latents -> uint8 images``.
+    """
+    import jax
+
+    def runner(prompts, seeds, caps):
+        txt, pooled = encode(prompts)
+        latents = _per_seed_latents(agent, seeds)
+        out = agent.sample(
+            tpm_params,
+            {
+                "prompt_embeds": txt,
+                "pooled_prompt_embeds": pooled,
+                "latents": latents,
+            },
+            jax.random.PRNGKey(0),
+            predict=True,
+            step_caps=np.asarray(caps, np.int32),
+        )
+        images = (
+            decode(out.final_latents) if decode is not None
+            else np.asarray(out.final_latents)
+        )
+        sigmas = np.asarray(out.sigmas)
+        lvi = np.asarray(out.last_valid_index)
+        results = []
+        for i in range(len(prompts)):
+            nfe = int(lvi[i]) + 1
+            results.append(
+                {
+                    "image": images[i],
+                    "inference_steps": nfe,
+                    "sigmas": sigmas[i][:nfe].tolist(),
+                }
+            )
+        return results
+
+    return runner
+
+
+def make_vae_decoder(vae, vae_params) -> Callable:
+    """Standard latent->uint8 decode for the family runners: scale/shift
+    by the VAE config, fp32 apply, uint8 postprocess (the shared
+    convention of pipeline/variants.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpdm_tpu.utils.image import postprocess_images
+
+    cfg = vae.config
+    dec = jax.jit(
+        lambda p, z: vae.apply(
+            p, z.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
+        )
+    )
+    return lambda z: postprocess_images(dec(vae_params, z))

@@ -124,7 +124,8 @@ class FluxAgent:
             self.flux.config.dtype,
         )
 
-    def _sample(self, flux_params, tpm_params, latents, txt, txt_ids, pooled, key, scfg):
+    def _sample(self, flux_params, tpm_params, latents, txt, txt_ids, pooled,
+                key, step_caps, scfg):
         # backbone params as a jit ARGUMENT, not captured constants (see
         # TPDMAgent._sample)
         denoise_fn = make_flux_denoise_fn(
@@ -135,10 +136,14 @@ class FluxAgent:
             self.guidance,
             (self.latent_size, self.latent_size),
         )
-        return adaptive_sample(denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg)
+        return adaptive_sample(
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
+            step_caps=step_caps,
+        )
 
     def sample(
-        self, tpm_params, batch, key, predict=False, sampler_cfg=None
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None,
+        step_caps=None,
     ) -> SampleOutput:
         txt = batch["prompt_embeds"]  # (b, n_txt, txt_dim) — T5 features
         b, n_txt = txt.shape[:2]
@@ -151,9 +156,11 @@ class FluxAgent:
         scfg = sampler_cfg or dataclasses.replace(
             self.sampler_cfg, predict=predict
         )
+        if step_caps is not None:
+            step_caps = jnp.asarray(step_caps, jnp.int32)
         return self._sample_jit(
             self.flux_params, tpm_params, latents, txt, txt_ids, pooled,
-            key_roll, scfg=scfg,
+            key_roll, step_caps, scfg=scfg,
         )
 
     def replay(self, tpm_params, outputs, inputs=None, backbone_params=None) -> jax.Array:

@@ -115,7 +115,8 @@ class SD15Agent:
             ucfg.dtype,
         )
 
-    def _sample(self, unet_params, tpm_params, latents, prompt_embeds, key, scfg):
+    def _sample(self, unet_params, tpm_params, latents, prompt_embeds, key,
+                step_caps, scfg):
         # backbone params as a jit ARGUMENT, not captured constants (see
         # TPDMAgent._sample)
         denoise_fn = make_sd15_denoise_fn(
@@ -124,11 +125,13 @@ class SD15Agent:
             self.guidance_scale,
         )
         return sd15_adaptive_sample(
-            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
+            step_caps=step_caps,
         )
 
     def sample(
-        self, tpm_params, batch, key, predict=False, sampler_cfg=None
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None,
+        step_caps=None,
     ) -> SD15SampleOutput:
         pe = batch["prompt_embeds"]
         if self.guidance_scale is not None and self.guidance_scale > 1:
@@ -143,8 +146,11 @@ class SD15Agent:
         scfg = sampler_cfg or dataclasses.replace(
             self.sampler_cfg, predict=predict
         )
+        if step_caps is not None:
+            step_caps = jnp.asarray(step_caps, jnp.int32)
         return self._sample_jit(
-            self.unet_params, tpm_params, latents, pe, key_roll, scfg=scfg
+            self.unet_params, tpm_params, latents, pe, key_roll, step_caps,
+            scfg=scfg,
         )
 
     def replay(
