@@ -440,3 +440,54 @@ class TestBestOfN:
         finally:
             server.shutdown()
             engine.stop()
+
+
+class TestEmbedCache:
+    """Per-prompt text-embedding LRU: repeated prompts (the /rank best-of-N
+    pattern) skip the CLIP/T5 towers with bitwise-identical results."""
+
+    def test_cached_batch_matches_encoded_batch(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=4)
+        first = eng.generate_batch(["a cat", "a dog"], [1, 2])
+        assert eng.embed_misses == 2 and eng.embed_hits == 0
+        again = eng.generate_batch(["a cat", "a dog"], [1, 2])
+        assert eng.embed_hits == 2
+        for a, b in zip(first, again):
+            np.testing.assert_array_equal(a["image"], b["image"])
+        s = eng.stats()
+        assert s["embed_cache_hits"] == 2 and s["embed_cache_misses"] == 2
+
+    def test_cache_disabled(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=4, embed_cache=0)
+        eng.generate_batch(["a cat"], [1])
+        eng.generate_batch(["a cat"], [1])
+        assert eng.embed_hits == 0 and eng.embed_misses == 0
+
+    def test_lru_bound(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4, embed_cache=2)
+        for p in ["a", "b", "c"]:
+            eng.generate_batch([p], [0])
+        assert len(eng._embed_cache) == 2
+        assert "a" not in eng._embed_cache  # oldest evicted
+        # evicted prompt re-encodes; fresh ones hit
+        eng.generate_batch(["c"], [0])
+        assert eng.embed_hits == 1
+
+    def test_cache_hit_matches_direct_generate(self, toy):
+        """A cache-hit image equals pipe.generate's ids path bit-for-bit."""
+        import serve
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        eng.generate_batch(["a cat"], [11])  # fill
+        via_cache = eng.generate_batch(["a cat"], [11])[0]["image"]
+        assert eng.embed_hits >= 1
+        via_pipe = serve.generate(pipe, tokenize, "a cat", 11, 4).images[0]
+        np.testing.assert_array_equal(via_cache, via_pipe)
