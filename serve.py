@@ -294,6 +294,11 @@ def main():
                         "(required with --reward_checkpoint)")
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
+    p.add_argument("--resolutions", default=None,
+                   help="comma-separated extra output resolutions (image px) "
+                        "servable per request, e.g. '512,2048'; the model "
+                        "default is always served. Each is one compiled "
+                        "shape (requests coalesce per-resolution)")
     args = p.parse_args()
 
     runner = build_family_runner(args)
@@ -419,6 +424,9 @@ def make_http_server(pipe, tokenize, args, runner=None):
             mesh_shape=mesh_shape,
         )
     else:
+        res_list = getattr(args, "resolutions", None)
+        if isinstance(res_list, str):
+            res_list = [int(x) for x in res_list.split(",") if x]
         engine = BatchingEngine(
             pipe,
             tokenize,
@@ -427,6 +435,7 @@ def make_http_server(pipe, tokenize, args, runner=None):
             max_steps=args.max_steps,
             dp=args.dp,
             mesh_shape=mesh_shape,
+            resolutions=res_list,
         )
 
     # best-of-N reward ranking (/rank): optional — needs a converted
@@ -480,15 +489,21 @@ def make_http_server(pipe, tokenize, args, runner=None):
                         raise ValueError(
                             f"steps must be in [1, {args.max_steps}]"
                         )
+                resolution = req.get("resolution")
+                if resolution is not None:
+                    resolution = int(resolution)
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
             from tpdm_tpu.serving import EngineOverloaded
 
             try:
-                res = engine.submit(prompt, seed, steps=steps).result(
-                    timeout=600
-                )
+                res = engine.submit(
+                    prompt, seed, steps=steps, resolution=resolution
+                ).result(timeout=600)
+            except ValueError as e:  # unknown resolution etc.
+                self.send_error(400, str(e)[:100])
+                return
             except EngineOverloaded as e:
                 self.send_error(503, str(e)[:100])
                 return

@@ -491,3 +491,57 @@ class TestEmbedCache:
         assert eng.embed_hits >= 1
         via_pipe = serve.generate(pipe, tokenize, "a cat", 11, 4).images[0]
         np.testing.assert_array_equal(via_cache, via_pipe)
+
+
+class TestMultiResolutionServing:
+    """Per-request output resolution: requests coalesce per-resolution,
+    each resolution is one compiled shape (PatchEmbed center-crops the pos
+    table, so the backbone is size-flexible — same path as the 2048px
+    bench leg)."""
+
+    def _engine(self, toy, **kw):
+        pipe, tokenize = toy
+        # toy VAE upscales 2x: default resolution 8*2=16 px; extra 24 px
+        # rides a 12x12 latent grid (within the toy pos table of 12)
+        return BatchingEngine(
+            pipe, tokenize, max_batch=2, window_ms=200, max_steps=3,
+            vae_scale_factor=2, resolutions=[24], **kw,
+        )
+
+    def test_mixed_window_groups_by_resolution(self, toy):
+        eng = self._engine(toy)
+        assert eng.default_resolution == 16
+        eng.start()
+        try:
+            a = eng.submit("a cat", seed=1)                  # default 16
+            b = eng.submit("a cat", seed=1, resolution=24)   # 24 px
+            ra, rb = a.result(timeout=300), b.result(timeout=300)
+        finally:
+            eng.stop()
+        assert ra["image"].shape == (16, 16, 3)
+        assert rb["image"].shape == (24, 24, 3)
+        assert eng.batches_run == 2  # one sub-batch per resolution
+
+    def test_default_resolution_unchanged_by_mixed_traffic(self, toy):
+        eng = self._engine(toy)
+        solo = eng.generate_batch(["a cat"], [7])[0]
+        hi = eng.generate_batch(["a cat"], [7], resolution=24)[0]
+        assert solo["image"].shape == (16, 16, 3)
+        assert hi["image"].shape == (24, 24, 3)
+        # default-res image matches an engine without multi-res configured
+        pipe, tokenize = toy
+        plain = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                               max_steps=3)
+        ref = plain.generate_batch(["a cat"], [7])[0]
+        np.testing.assert_array_equal(solo["image"], ref["image"])
+
+    def test_unknown_resolution_rejected(self, toy):
+        eng = self._engine(toy)
+        with pytest.raises(ValueError, match="not in the served set"):
+            eng.submit("a cat", resolution=999)
+
+    def test_resolution_must_divide_scale(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="multiple"):
+            BatchingEngine(pipe, tokenize, vae_scale_factor=2,
+                           resolutions=[23])

@@ -109,12 +109,16 @@ class TPDMPipeline:
 
             def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key,
                    caps):
+                # grid follows the RUNTIME latent size (jit retraces per
+                # shape): non-default serving resolutions ride the same
+                # code path as the config size
+                grid = latents.shape[-1] // self.mmdit.config.patch_size
                 denoise_fn = make_cfg_denoise_fn(
                     lambda *a: self.mmdit.apply(mmdit_params, *a),
                     pe,
                     pp,
                     guidance_scale,
-                    self.token_grid,
+                    grid,
                     self.mmdit.config.patch_size,
                 )
                 out = adaptive_sample(

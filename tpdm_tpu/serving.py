@@ -42,6 +42,9 @@ class ServeRequest:
     # Honored slot-wise by ContinuousBatchingEngine; the fixed-batch engine
     # runs every batch to its max and cannot exploit per-request caps.
     steps: Optional[int] = None
+    # per-request output resolution in image pixels; None = engine default.
+    # Requests coalesce per-resolution (one compiled shape each).
+    resolution: Optional[int] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -198,6 +201,14 @@ class BatchingEngine:
             (SD3-scale: ~2.7 MB bf16 per prompt at 333x4096), and a
             cached batch is numerically identical to an encoded one (the
             towers have no cross-batch coupling).
+        resolutions: additional allowed per-request output resolutions in
+            image pixels (the model-config default is always allowed).
+            Requests coalesce per-resolution; each resolution is its own
+            compiled shape (PatchEmbed center-crops/regenerates the pos
+            table, so the backbone itself is size-flexible — the 2048px
+            bench leg uses the same path). SD3-only (not runner families).
+        vae_scale_factor: image-pixels per latent cell (SD3 VAE: 8; the
+            toy VAE in tests: 2). Used to map resolutions to latent grids.
     """
 
     def __init__(
@@ -214,8 +225,13 @@ class BatchingEngine:
         mesh_shape: Optional[tuple] = None,
         runner: Optional[Callable] = None,
         embed_cache: int = 32,
+        resolutions: Optional[Sequence[int]] = None,
+        vae_scale_factor: int = 8,
     ):
         import collections
+
+        if runner is not None and resolutions:
+            raise ValueError("per-request resolutions are SD3-pipeline-only")
 
         if runner is not None and (dp is not None or mesh_shape is not None):
             raise ValueError(
@@ -255,6 +271,21 @@ class BatchingEngine:
         self._neg_embed = None
         self.embed_hits = 0
         self.embed_misses = 0
+        self.vae_scale_factor = vae_scale_factor
+        self.default_resolution = (
+            pipe.mmdit.config.sample_size * vae_scale_factor
+            if pipe is not None else None
+        )
+        self.resolutions = set(resolutions or [])
+        if self.default_resolution is not None:
+            self.resolutions.add(self.default_resolution)
+        for r in self.resolutions:
+            lat = r // vae_scale_factor
+            if lat * vae_scale_factor != r or lat < 1:
+                raise ValueError(
+                    f"resolution {r} not a multiple of vae_scale_factor "
+                    f"{vae_scale_factor}"
+                )
         # deque(maxlen): worker appends while HTTP handler threads read
         # stats() — deque append/iteration is documented thread-safe
         self._stage_times: "collections.deque" = collections.deque(maxlen=256)
@@ -338,6 +369,7 @@ class BatchingEngine:
     def generate_batch(
         self, prompts: Sequence[str], seeds: Sequence[int],
         record_stats: bool = True, steps: Optional[Sequence] = None,
+        resolution: Optional[int] = None,
     ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
         {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
@@ -392,16 +424,26 @@ class BatchingEngine:
         t5_ids = np.stack(t5_rows)
 
         mcfg = self.pipe.mmdit.config
+        if resolution is not None and resolution not in self.resolutions:
+            raise ValueError(
+                f"resolution {resolution} not in the served set "
+                f"{sorted(self.resolutions)}"
+            )
+        lat_size = (
+            resolution // self.vae_scale_factor
+            if resolution is not None else mcfg.sample_size
+        )
         # derive each request's latent EXACTLY as a batch-1 pipe.generate
         # with that seed would (key_lat = split(PRNGKey(seed))[0]), so the
         # HTTP path, --cli, and gradio produce identical images for the
-        # same (prompt, seed)
+        # same (prompt, seed); non-default resolutions use the same
+        # derivation at their latent grid
         def _latent(s):
             key_lat = jax.random.split(jax.random.PRNGKey(s))[0]
             return np.asarray(
                 jax.random.normal(
                     key_lat,
-                    (1, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                    (1, mcfg.in_channels, lat_size, lat_size),
                     mcfg.dtype,
                 )
             )[0]
@@ -441,6 +483,8 @@ class BatchingEngine:
                 **common,
             )
         stage = {"batch": n, "padded": pad, "tokenize_s": t_tokenized - t_start}
+        if resolution is not None:
+            stage["resolution"] = resolution
         if embeds is not None:
             stage["encode_s"] = t_encoded - t_tokenized
         if split:
@@ -480,7 +524,8 @@ class BatchingEngine:
 
     # -- async surface -------------------------------------------------------
     def submit(
-        self, prompt: str, seed: int = 0, steps: Optional[int] = None
+        self, prompt: str, seed: int = 0, steps: Optional[int] = None,
+        resolution: Optional[int] = None,
     ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
@@ -488,7 +533,17 @@ class BatchingEngine:
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
-        req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
+        if resolution is not None:
+            if self._runner is not None:
+                raise ValueError("per-request resolutions are SD3-only")
+            if resolution not in self.resolutions:
+                raise ValueError(
+                    f"resolution {resolution} not in the served set "
+                    f"{sorted(self.resolutions)}"
+                )
+        req = ServeRequest(
+            prompt=prompt, seed=seed, steps=steps, resolution=resolution
+        )
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -558,25 +613,32 @@ class BatchingEngine:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                now = time.monotonic()
-                waits = [now - r.submitted_at for r in batch]
-                results = self.generate_batch(
-                    [r.prompt for r in batch],
-                    [r.seed for r in batch],
-                    steps=[r.steps for r in batch],
-                )
-                if self._stage_times:
-                    self._stage_times[-1]["queue_wait_s_max"] = max(waits)
-                for req, res in zip(batch, results):
-                    req._result = res
-            except BaseException as e:  # surface errors to every waiter
-                logger.exception("batch failed")
-                for req in batch:
-                    req._error = e
-            finally:
-                for req in batch:
-                    req._event.set()
+            # group by resolution (first-seen order): each resolution is
+            # its own compiled shape, so mixed windows run as sub-batches
+            groups: dict = {}
+            for r in batch:
+                groups.setdefault(r.resolution, []).append(r)
+            for res_px, group in groups.items():
+                try:
+                    now = time.monotonic()
+                    waits = [now - r.submitted_at for r in group]
+                    results = self.generate_batch(
+                        [r.prompt for r in group],
+                        [r.seed for r in group],
+                        steps=[r.steps for r in group],
+                        resolution=res_px,
+                    )
+                    if self._stage_times:
+                        self._stage_times[-1]["queue_wait_s_max"] = max(waits)
+                    for req, res in zip(group, results):
+                        req._result = res
+                except BaseException as e:  # surface errors to every waiter
+                    logger.exception("batch failed")
+                    for req in group:
+                        req._error = e
+                finally:
+                    for req in group:
+                        req._event.set()
 
     def stats(self) -> dict:
         """Latency summary over recent batches (p50/p95 per stage) plus
