@@ -51,12 +51,19 @@ def build_pipeline(args):
             clip_l, clip_l.init(key, ids), clip_g, clip_g.init(key, ids),
             t5, t5.init(key, jnp.zeros((1, 12), jnp.int32)), t5_width=96,
         )
-        mcfg = MMDiTConfig.toy(joint_attention_dim=96, pooled_projection_dim=64)
+        mcfg = MMDiTConfig.toy(
+            joint_attention_dim=96, pooled_projection_dim=64,
+            quant_matmuls=getattr(args, "int8", False),
+        )
         mmdit = MMDiT(mcfg)
         mparams = mmdit.init(
             key, jnp.zeros((2, 16, 8, 8)), jnp.ones((2,)),
             jnp.zeros((2, 20, 96)), jnp.zeros((2, 64)),
         )
+        if mcfg.quant_matmuls:
+            from tpdm_tpu.ops.quant import prequantize_params
+
+            mparams = prequantize_params(mparams)
         tpm = TimePredictor(
             conv_out_channels=4, in_channels=2 * mcfg.inner_dim,
             temb_dim=mcfg.inner_dim, init_alpha=0.5, init_beta=2.0,
@@ -78,7 +85,8 @@ def build_pipeline(args):
     from tpdm_tpu.pipeline.pipeline import load_pipeline_from_pretrained
 
     pipe = load_pipeline_from_pretrained(
-        args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True
+        args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True,
+        quant_int8=getattr(args, "int8", False),
     )
 
     # Native tokenizers (pure Python, no transformers at runtime); fall back
@@ -294,6 +302,10 @@ def main():
                         "(required with --reward_checkpoint)")
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
+    p.add_argument("--int8", action="store_true",
+                   help="stored-int8 MMDiT matmul weights (W8A8-dynamic): "
+                        "halves backbone weight HBM for bigger batches/"
+                        "caches; quality must be validated per checkpoint")
     p.add_argument("--resolutions", default=None,
                    help="comma-separated extra output resolutions (image px) "
                         "servable per request, e.g. '512,2048'; the model "

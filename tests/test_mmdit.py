@@ -192,3 +192,55 @@ class TestPrequantizedParams:
         np.testing.assert_allclose(
             np.asarray(v_pre), np.asarray(v_ingraph), rtol=2e-3, atol=2e-3
         )
+
+
+class TestFitQuantParams:
+    """Fitting CONVERTED (scale-less float) checkpoints into a
+    quant_matmuls=True model: the serve.py --int8 pretrained path."""
+
+    def test_converted_tree_fits_and_matches_ingraph(self):
+        import dataclasses
+
+        from tpdm_tpu.ops.quant import fit_quant_params, prequantize_params
+
+        cfg = MMDiTConfig.toy()
+        qcfg = dataclasses.replace(cfg, quant_matmuls=True)
+        model, qmodel = MMDiT(cfg), MMDiT(qcfg)
+        b = 1
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 16, 8, 8))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 5, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim))
+        t = jnp.array([500.0])
+        # a float-model init has NO kernel_scale leaves — exactly the
+        # structure the checkpoint converters produce
+        converted = model.init(jax.random.PRNGKey(3), lat, t, ctx, pooled)
+        expected = jax.eval_shape(
+            qmodel.init, jax.random.PRNGKey(3), lat, t, ctx, pooled
+        )
+        fitted = prequantize_params(fit_quant_params(converted, expected))
+        assert (
+            fitted["params"]["transformer_blocks_0"]["attn"]["to_q"]["kernel"].dtype
+            == jnp.int8
+        )
+        v_fp, *_ = model.apply(converted, lat, t, ctx, pooled)
+        v_q, *_ = qmodel.apply(fitted, lat, t, ctx, pooled)
+        err = float(jnp.abs(v_fp - v_q).mean()) / (float(jnp.abs(v_fp).mean()) + 1e-9)
+        assert 0.0 < err < 0.15, err
+
+    def test_missing_param_fails_loudly(self):
+        import dataclasses
+
+        import pytest
+
+        from tpdm_tpu.ops.quant import fit_quant_params
+
+        qcfg = dataclasses.replace(MMDiTConfig.toy(), quant_matmuls=True)
+        qmodel = MMDiT(qcfg)
+        lat = jnp.zeros((1, 16, 8, 8))
+        ctx = jnp.zeros((1, 5, qcfg.joint_attention_dim))
+        pooled = jnp.zeros((1, qcfg.pooled_projection_dim))
+        expected = jax.eval_shape(
+            qmodel.init, jax.random.PRNGKey(0), lat, jnp.array([1.0]), ctx, pooled
+        )
+        with pytest.raises(ValueError, match="missing param"):
+            fit_quant_params({"params": {}}, expected)

@@ -135,3 +135,34 @@ def prequantize_params(params):
         return {k: walk(v) for k, v in node.items()}
 
     return walk(params)
+
+
+def fit_quant_params(params, expected_shapes):
+    """Fit a CONVERTED (float, scale-less) param tree into a
+    quant_matmuls=True model's structure.
+
+    Checkpoint converters produce plain {kernel, bias} modules; a
+    DenseMaybeQuant(quant=True) model additionally expects a
+    "kernel_scale" leaf per quantized Dense. Walk the model's
+    ``jax.eval_shape(init, ...)`` tree and insert unit scales wherever the
+    converted tree lacks them — then ``prequantize_params`` fills the real
+    per-channel factors. Raises on any other structural mismatch so a bad
+    conversion fails loudly.
+    """
+    def walk(p, e, path):
+        if isinstance(e, dict):
+            if not isinstance(p, dict):
+                raise ValueError(f"param tree mismatch at {path}: "
+                                 f"expected a module dict")
+            out = {}
+            for k, v in e.items():
+                if k == "kernel_scale" and k not in p:
+                    out[k] = jnp.ones(v.shape, v.dtype)
+                elif k not in p:
+                    raise ValueError(f"missing param {path + (k,)}")
+                else:
+                    out[k] = walk(p[k], v, path + (k,))
+            return out
+        return p
+
+    return walk(params, expected_shapes, ())

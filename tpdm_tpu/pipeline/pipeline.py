@@ -318,6 +318,7 @@ def load_pipeline_from_pretrained(
     tpm_checkpoint: Optional[str] = None,
     mmdit_config: Optional[MMDiTConfig] = None,
     device_put_backbones: bool = True,
+    quant_int8: bool = False,
 ) -> TPDMPipeline:
     """Build a pipeline from a diffusers-layout SD3 directory.
 
@@ -344,7 +345,9 @@ def load_pipeline_from_pretrained(
                 sd.update(C.load_safetensors(os.path.join(d, f)))
         return sd
 
-    mcfg = mmdit_config or MMDiTConfig.sd3_medium(dtype=dtype)
+    mcfg = mmdit_config or MMDiTConfig.sd3_medium(
+        dtype=dtype, quant_matmuls=quant_int8
+    )
     mmdit = MMDiT(mcfg)
     mmdit_params = C.convert_mmdit(
         load_dir("transformer"),
@@ -353,6 +356,24 @@ def load_pipeline_from_pretrained(
         qk_norm=mcfg.qk_norm,
         dtype=np.dtype("float32") if dtype == jnp.float32 else np.dtype("bfloat16"),
     )
+    if mcfg.quant_matmuls:
+        # stored-int8 backbone: halves MMDiT weight HBM (docs/PERF.md) —
+        # fit the converted float tree into the quant structure, then
+        # quantize once here instead of in-graph per forward
+        from tpdm_tpu.ops.quant import fit_quant_params, prequantize_params
+
+        expected = jax.eval_shape(
+            mmdit.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                      mcfg.dtype),
+            jnp.ones((1,)),
+            jnp.zeros((1, 8, mcfg.joint_attention_dim), mcfg.dtype),
+            jnp.zeros((1, mcfg.pooled_projection_dim), mcfg.dtype),
+        )
+        mmdit_params = prequantize_params(
+            fit_quant_params(mmdit_params, expected)
+        )
 
     vcfg = VAEConfig.sd3(dtype=dtype)
     vae = VAE(vcfg)
