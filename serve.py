@@ -126,11 +126,12 @@ def build_pipeline(args):
     return pipe, tokenize
 
 
-def build_family_runner(args):
-    """--family sd15|flux: serve the non-SD3 families through the same
-    engine via a runner delegate (tpdm_tpu/serving_families.py). Toy
-    configs only from the CLI — for real checkpoints construct the agent
-    and call make_sd15_runner/make_flux_runner yourself (weights
+def build_family_world(args):
+    """--family sd15|flux: build the agent + encode/decode parts the
+    serving engines consume (tpdm_tpu/serving_families.py runner for the
+    fixed-batch engine; the parts directly for the continuous engines).
+    Toy configs only from the CLI — for real checkpoints construct the
+    agent and call make_sd15_runner/make_flux_runner yourself (weights
     conversion is checkpoint-layout specific)."""
     fam = getattr(args, "family", "sd3")
     if fam == "sd3":
@@ -198,9 +199,12 @@ def build_family_runner(args):
             npe = text.apply(text_params, jnp.zeros_like(jnp.asarray(ids)))[1]
             return pe, npe
 
-        return make_sd15_runner(
-            agent, agent.init_tpm_params(key), encode,
-            make_vae_decoder(vae, vae_params),
+        tpm_params = agent.init_tpm_params(key)
+        decode = make_vae_decoder(vae, vae_params)
+        return dict(
+            family="sd15", agent=agent, tpm_params=tpm_params,
+            encode=encode, decode=decode,
+            runner=make_sd15_runner(agent, tpm_params, encode, decode),
         )
 
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
@@ -242,10 +246,19 @@ def build_family_runner(args):
         ])
         return jnp.asarray(txt), jnp.asarray(pooled)
 
-    return make_flux_runner(
-        agent, agent.init_tpm_params(key), encode,
-        make_vae_decoder(vae, vae_params),
+    tpm_params = agent.init_tpm_params(key)
+    decode = make_vae_decoder(vae, vae_params)
+    return dict(
+        family="flux", agent=agent, tpm_params=tpm_params,
+        encode=encode, decode=decode,
+        runner=make_flux_runner(agent, tpm_params, encode, decode),
     )
+
+
+def build_family_runner(args):
+    """Back-compat: the fixed-batch runner for --family sd15|flux."""
+    world = build_family_world(args)
+    return None if world is None else world["runner"]
 
 
 def generate(pipe, tokenize, prompt, seed, max_steps):
@@ -313,9 +326,10 @@ def main():
                         "shape (requests coalesce per-resolution)")
     args = p.parse_args()
 
-    runner = build_family_runner(args)
-    if runner is not None:
+    world = build_family_world(args)
+    if world is not None:
         pipe = None
+        runner = world["runner"]
 
         def tokenize(prompt, _n=None):  # runner owns encoding; engine only
             return None, None           # needs the prompt strings
@@ -330,7 +344,9 @@ def main():
                 f"{res['inference_steps']} / cap {args.max_steps}"
             )
             return
-        engine, server = make_http_server(pipe, tokenize, args, runner=runner)
+        engine, server = make_http_server(
+            pipe, tokenize, args, runner=runner, family_world=world
+        )
         engine.start()
         logger.info(
             "serving %s on http://127.0.0.1:%d/generate",
@@ -399,7 +415,7 @@ def main():
         server.server_close()
 
 
-def make_http_server(pipe, tokenize, args, runner=None):
+def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
     """Threaded HTTP server over a BatchingEngine: concurrent requests
     coalesce into one fixed-shape device batch (tpdm_tpu/serving.py)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -411,18 +427,39 @@ def make_http_server(pipe, tokenize, args, runner=None):
         mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
     if runner is not None:
         if getattr(args, "continuous", False):
-            raise SystemExit(
-                "--continuous is SD3-only for now (slot recycling needs the "
-                "segmented SD3 denoise loop)"
+            if family_world is None:
+                raise SystemExit(
+                    "--continuous with a bare runner needs the family world "
+                    "(agent/encode/decode) — use serve.py --family, or build "
+                    "a Continuous{SD15,Flux}Engine directly"
+                )
+            from tpdm_tpu.serving_continuous import (
+                ContinuousFluxEngine,
+                ContinuousSD15Engine,
             )
-        engine = BatchingEngine(
-            pipe,
-            tokenize,
-            max_batch=args.max_batch,
-            window_ms=args.batch_window_ms,
-            max_steps=args.max_steps,
-            runner=runner,
-        )
+
+            cls = {
+                "sd15": ContinuousSD15Engine, "flux": ContinuousFluxEngine
+            }[family_world["family"]]
+            engine = cls(
+                family_world["agent"],
+                family_world["encode"],
+                decode=family_world["decode"],
+                tpm_params=family_world["tpm_params"],
+                slots=args.max_batch,
+                seg_steps=getattr(args, "seg_steps", 4),
+                # default: the agent's own compiled step budget (the toy
+                # worlds already clamp it to min(args.max_steps, 8))
+            )
+        else:
+            engine = BatchingEngine(
+                pipe,
+                tokenize,
+                max_batch=args.max_batch,
+                window_ms=args.batch_window_ms,
+                max_steps=args.max_steps,
+                runner=runner,
+            )
     elif getattr(args, "continuous", False):
         from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 

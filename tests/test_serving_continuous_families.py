@@ -1,0 +1,181 @@
+"""Continuous batching for the SD1.5 and FLUX families.
+
+Correctness bar (like test_serving_continuous.py's mesh tests): with
+predict=True a request's SCHEDULE and step count must exactly match the
+fixed-batch runner path for the same (prompt, seed, cap), no matter when
+it joined a slot or what shared its segments — the segment bodies mirror
+`sd15_adaptive_sample` / `adaptive_sample`. Images may differ by 1 uint8
+LSB: the segment scan (batch = slots) and the solo while_loop (batch = 1)
+are different XLA programs whose f32 results can differ in the last ulp,
+which flips a pixel sitting exactly on a quantization boundary.
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+
+from _toy_worlds import build_flux_world, build_sd15_world
+
+from tpdm_tpu.serving import BatchingEngine
+from tpdm_tpu.serving_continuous import (
+    ContinuousFluxEngine,
+    ContinuousSD15Engine,
+)
+
+
+@pytest.fixture(scope="module")
+def sd15_world():
+    return build_sd15_world()
+
+
+@pytest.fixture(scope="module")
+def flux_world():
+    return build_flux_world()
+
+
+def _noop_tokenize(prompt, _n=None):
+    return None, None
+
+
+REQUESTS = [("a cat", 3, None), ("a dog on a hill", 7, 2),
+            ("blue bird", 11, None), ("a cat", 3, None),
+            ("red square", 23, 1)]
+
+
+def _fixed_reference(world, requests, max_steps=4):
+    """Each (prompt, seed, cap) run SOLO through the fixed-batch runner
+    engine — the batch-1 oracle every slot trajectory must reproduce."""
+    eng = BatchingEngine(None, _noop_tokenize, max_batch=1, window_ms=1,
+                         max_steps=max_steps, runner=world["runner"])
+    return {
+        (p, s, c): eng.generate_batch([p], [s], steps=[c])[0]
+        for p, s, c in set(requests)
+    }
+
+
+def _drive_continuous(eng, requests):
+    eng.start()
+    try:
+        reqs = [(k, eng.submit(k[0], seed=k[1], steps=k[2]))
+                for k in requests]
+        return [(k, r.result(timeout=600)) for k, r in reqs]
+    finally:
+        eng.stop()
+
+
+def _assert_images_within_1lsb(got, exp, key):
+    diff = np.abs(
+        got.astype(np.int64) - exp.astype(np.int64)
+    ).max()
+    assert diff <= 1, f"{key}: image off by {diff} > 1 LSB"
+
+
+class TestContinuousSD15:
+    def test_parity_with_fixed_runner(self, sd15_world):
+        """5 requests (mixed caps) through 2 recycled slots == each run
+        solo through make_sd15_runner: exact schedules, images <= 1 LSB."""
+        w = sd15_world
+        want = _fixed_reference(w, REQUESTS)
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=2,
+        )
+        for k, got in _drive_continuous(eng, REQUESTS):
+            exp = want[k]
+            assert got["inference_steps"] == exp["inference_steps"], k
+            # SD1.5 schedules are integer timesteps — must match exactly
+            assert [int(t) for t in got["sigmas"]] == exp["sigmas"], k
+            _assert_images_within_1lsb(got["image"], exp["image"], k)
+
+    def test_one_compiled_shape_and_stats(self, sd15_world):
+        w = sd15_world
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=1,
+        )
+        got = _drive_continuous(eng, REQUESTS[:3])
+        assert eng._segment._cache_size() == 1
+        s = eng.stats()
+        assert s["requests_done"] == 3
+        assert s["slot_steps_active"] == sum(
+            r["inference_steps"] for _, r in got
+        )
+        assert 0 < s["slot_utilization"] <= 1.0
+
+    def test_rejects_per_request_resolution(self, sd15_world):
+        w = sd15_world
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
+        )
+        with pytest.raises(ValueError, match="resolution"):
+            eng.submit("x", resolution=512)
+
+
+class TestContinuousFlux:
+    def test_parity_with_fixed_runner(self, flux_world):
+        w = flux_world
+        want = _fixed_reference(w, REQUESTS)
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=2,
+        )
+        for k, got in _drive_continuous(eng, REQUESTS):
+            exp = want[k]
+            assert got["inference_steps"] == exp["inference_steps"], k
+            # f32 sigma traces from two different jit graphs (scan-segment
+            # vs while_loop): allow float-ulp slack, like the SD3 test
+            np.testing.assert_allclose(got["sigmas"], exp["sigmas"],
+                                       rtol=1e-5, atol=1e-8)
+            _assert_images_within_1lsb(got["image"], exp["image"], k)
+
+    def test_one_compiled_shape(self, flux_world):
+        w = flux_world
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=1,
+        )
+        _drive_continuous(eng, REQUESTS[:3])
+        assert eng._segment._cache_size() == 1
+
+    def test_embed_cache_dedupes_repeat_prompts(self, flux_world):
+        w = flux_world
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], tpm_params=w["tpm_params"],
+            slots=1, seg_steps=2, embed_cache_size=8,
+        )
+        eng.start()
+        try:
+            for seed in (1, 2):
+                eng.submit("same prompt", seed=seed).result(timeout=600)
+        finally:
+            eng.stop()
+        assert eng.stats()["embed_cache_entries"] == 1
+
+
+class TestServeCLIWiring:
+    @pytest.mark.parametrize("family,cls", [
+        ("sd15", ContinuousSD15Engine), ("flux", ContinuousFluxEngine),
+    ])
+    def test_http_server_builds_family_continuous_engine(self, family, cls):
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, family=family, max_steps=3, max_batch=2,
+            batch_window_ms=10.0, dp=None, mesh=None, continuous=True,
+            seg_steps=1, prompt="d", seed=1, port=0,
+        )
+        world = serve.build_family_world(args)
+        engine, server = serve.make_http_server(
+            None, _noop_tokenize, args, runner=world["runner"],
+            family_world=world,
+        )
+        try:
+            assert isinstance(engine, cls)
+            engine.start()
+            got = engine.submit("a cat", seed=7).result(timeout=600)
+            assert 1 <= got["inference_steps"] <= engine.max_steps
+            assert got["image"].dtype == np.uint8
+        finally:
+            server.server_close()
+            engine.stop()

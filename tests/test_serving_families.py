@@ -9,135 +9,21 @@ seed determinism and per-request step caps for every family.
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
+from _toy_worlds import build_flux_world, build_sd15_world, tokenize_ids
 
 from tpdm_tpu.serving import BatchingEngine
-from tpdm_tpu.serving_families import (
-    make_flux_runner,
-    make_sd15_runner,
-    make_vae_decoder,
-)
 
-
-def _tokenize_ids(prompt, n=8):
-    ids = [97] + [abs(hash(w)) % 90 + 1 for w in prompt.split()[:6]] + [98]
-    ids = ids[:n] + [0] * (n - len(ids))
-    return np.array([ids], np.int32)
+_tokenize_ids = tokenize_ids
 
 
 @pytest.fixture(scope="module")
 def sd15_world():
-    from tpdm_tpu.models import TimePredictor
-    from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
-    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
-    from tpdm_tpu.models.vae import VAE, VAEConfig
-    from tpdm_tpu.train import RLOOConfig
-    from tpdm_tpu.train.sd15_agent import SD15Agent
-
-    cfg = UNetConfig.toy(cross_attention_dim=32)
-    unet = UNetSD15(cfg)
-    tcfg = CLIPTextConfig.toy(hidden_size=32, max_position_embeddings=8)
-    text = CLIPTextModel(tcfg)
-    key = jax.random.PRNGKey(0)
-    text_params = text.init(key, jnp.zeros((1, 8), jnp.int32))
-    unet_params = unet.init(
-        key,
-        jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
-        jnp.ones((2,)),
-        jnp.zeros((2, 8, 32)),
-    )
-    config = RLOOConfig(max_inference_steps=4)
-    agent = SD15Agent(
-        unet, unet_params, config,
-        tpm=TimePredictor(
-            conv_out_channels=4,
-            in_channels=2 * cfg.block_out_channels[0],
-            temb_dim=cfg.time_embed_dim,
-        ),
-    )
-    vae = VAE(VAEConfig.toy(latent_channels=4))
-    vae_params = vae.init(
-        key,
-        jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
-        jnp.zeros((1, 3, 2 * cfg.sample_size, 2 * cfg.sample_size)),
-    )
-    tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
-
-    def encode(prompts):
-        ids = np.concatenate([_tokenize_ids(p) for p in prompts])
-        pe = text.apply(text_params, jnp.asarray(ids))[1]
-        npe = text.apply(text_params, jnp.zeros_like(jnp.asarray(ids)))[1]
-        return pe, npe
-
-    decode = make_vae_decoder(vae, vae_params)
-    runner = make_sd15_runner(agent, tpm_params, encode, decode)
-    return dict(
-        agent=agent, tpm_params=tpm_params, encode=encode, decode=decode,
-        runner=runner, text=text, text_params=text_params, vae=vae,
-        vae_params=vae_params, sample_size=cfg.sample_size,
-    )
+    return build_sd15_world()
 
 
 @pytest.fixture(scope="module")
 def flux_world():
-    from tpdm_tpu.models import TimePredictor
-    from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
-    from tpdm_tpu.models.vae import VAE, VAEConfig
-    from tpdm_tpu.train import RLOOConfig
-    from tpdm_tpu.train.flux_agent import FluxAgent
-
-    cfg = FluxConfig.toy()
-    model = Flux(cfg)
-    n_txt = 5
-    lat = jnp.zeros((2, 4, 8, 8))
-    tokens, img_ids = pack_latents(lat)
-    params = model.init(
-        jax.random.PRNGKey(0),
-        tokens,
-        img_ids,
-        jnp.zeros((2, n_txt, cfg.txt_dim)),
-        jnp.zeros((2, n_txt, 3)),
-        jnp.ones((2,)),
-        jnp.zeros((2, cfg.vec_dim)),
-        jnp.full((2,), 3.5),
-    )
-    config = RLOOConfig(max_inference_steps=4)
-    agent = FluxAgent(
-        model, params, config,
-        tpm=TimePredictor(
-            conv_out_channels=4,
-            in_channels=2 * cfg.hidden_size,
-            temb_dim=cfg.hidden_size,
-        ),
-        latent_size=8,
-        latent_channels=4,
-    )
-    key = jax.random.PRNGKey(1)
-    vae = VAE(VAEConfig.toy(latent_channels=4))
-    vae_params = vae.init(
-        key, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1, 3, 16, 16))
-    )
-    tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
-
-    def encode(prompts):
-        # deterministic per-prompt toy features (a hash-seeded stand-in for
-        # the T5 + CLIP-pooled towers)
-        txt = np.stack([
-            np.random.default_rng(abs(hash(p)) % 2**31)
-            .normal(size=(n_txt, cfg.txt_dim)).astype(np.float32)
-            for p in prompts
-        ])
-        pooled = np.stack([
-            np.random.default_rng(abs(hash(p)) % 2**31 + 1)
-            .normal(size=(cfg.vec_dim,)).astype(np.float32)
-            for p in prompts
-        ])
-        return jnp.asarray(txt), jnp.asarray(pooled)
-
-    decode = make_vae_decoder(vae, vae_params)
-    runner = make_flux_runner(agent, tpm_params, encode, decode)
-    return dict(agent=agent, tpm_params=tpm_params, runner=runner)
+    return build_flux_world()
 
 
 def _noop_tokenize(prompt, n=8):

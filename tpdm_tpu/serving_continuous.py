@@ -283,6 +283,9 @@ class ContinuousBatchingEngine:
                 trace,  # (seg, S) sigma-after-step
             )
 
+        self._segment_params = (pipe.mmdit_params, pipe.tpm_params)
+        self._min_live = min_sigma  # completion threshold on the carried scalar
+
         donate = () if jax.default_backend() == "cpu" else (2,)
         if self._mesh is not None:
             self._segment = jax.jit(
@@ -392,10 +395,16 @@ class ContinuousBatchingEngine:
         self._steps_host[slot] = 0
         self._caps_host[slot] = cap
 
-    def _finish(self, slot: int, nfe: int):
-        """Decode one finished slot (batch-1 jit) and complete its request."""
+    def _decode_row(self, lat_row) -> "np.ndarray":
+        """Batch-1 latent -> uint8 image (family-overridable)."""
         from tpdm_tpu.utils.image import postprocess_images
 
+        if self.pipe.vae is not None:
+            return postprocess_images(self.pipe._decode(lat_row))[0]
+        return np.asarray(lat_row)[0]
+
+    def _finish(self, slot: int, nfe: int):
+        """Decode one finished slot (batch-1 jit) and complete its request."""
         req = self._slot_req[slot]
         lat_row = self._state.latents[slot : slot + 1]
         if self._mesh is not None:
@@ -404,10 +413,7 @@ class ContinuousBatchingEngine:
             # the batch-1 decode runs replicated on the mesh (the VAE
             # params may themselves be sharded over it in mesh_shape mode)
             lat_row = jax.device_put(lat_row, self._rep_sharding)
-        if self.pipe.vae is not None:
-            image = postprocess_images(self.pipe._decode(lat_row))[0]
-        else:
-            image = np.asarray(lat_row)[0]
+        image = self._decode_row(lat_row)
         req._result = {
             "image": image,
             "inference_steps": nfe,
@@ -443,8 +449,7 @@ class ContinuousBatchingEngine:
         busy_before = [i for i in range(self.slots) if self._slot_req[i] is not None]
         steps_before = self._steps_host.copy()
         self._state, trace = self._segment(
-            self.pipe.mmdit_params,
-            self.pipe.tpm_params,
+            *self._segment_params,
             self._state,
             self._neg_pe,
             self._neg_pp,
@@ -462,12 +467,13 @@ class ContinuousBatchingEngine:
         for i in busy_before:
             executed = int(steps[i] - steps_before[i])
             self._slot_sigmas[i].extend(float(s) for s in trace[:executed, i])
-            if sigma[i] < self.pipe.min_sigma or steps[i] >= self._caps_host[i]:
+            if sigma[i] < self._min_live or steps[i] >= self._caps_host[i]:
                 self._finish(i, int(steps[i]))
 
     # -- public surface ----------------------------------------------------
     def submit(
-        self, prompt: str, seed: int = 0, steps: Optional[int] = None
+        self, prompt: str, seed: int = 0, steps: Optional[int] = None,
+        resolution: Optional[int] = None,
     ) -> ServeRequest:
         """Enqueue one request. `steps` caps THIS request's NFE (quality vs
         latency knob, clamped to the engine max) — slot recycling means a
@@ -476,6 +482,11 @@ class ContinuousBatchingEngine:
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
+        if resolution is not None:
+            raise ValueError(
+                "per-request resolutions need the fixed-batch engine (slots "
+                "here share one compiled latent shape)"
+            )
         req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
         try:
             self._queue.put_nowait(req)
@@ -604,3 +615,417 @@ class ContinuousBatchingEngine:
             out["latency_s_p50"] = lats[len(lats) // 2]
             out["latency_s_p95"] = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
         return out
+
+
+class ContinuousFluxEngine(ContinuousBatchingEngine):
+    """Slot-recycling serving for the FLUX family.
+
+    Same segment semantics as the SD3 engine (the sigma-ratio adaptive
+    loop is shared math), with packed-token denoise + embedded guidance
+    instead of CFG batch-doubling. Single-device v1 (no dp/mesh).
+    Determinism: schedules/step counts exactly match a solo
+    `make_flux_runner` run per (prompt, seed, cap); decoded images may
+    differ by 1 uint8 LSB (segment scan at batch=slots vs solo while_loop
+    are different XLA programs; last-ulp f32 drift can flip a pixel on a
+    quantization boundary).
+
+    Args:
+        agent: a ``FluxAgent``.
+        encode: ``(prompts) -> (txt (b, n, txt_dim), pooled (b, vec))``.
+        decode: optional ``final_latents (b,c,h,w) -> uint8 images``
+            (``tpdm_tpu.serving_families.make_vae_decoder``); None returns
+            raw latents.
+        tpm_params: TPM params (default: ``agent.init_tpm_params``).
+    """
+
+    def __init__(
+        self,
+        agent,
+        encode,
+        decode=None,
+        tpm_params=None,
+        slots: int = 4,
+        seg_steps: int = 4,
+        max_steps: Optional[int] = None,
+        predict: bool = True,
+        queue_limit: Optional[int] = None,
+        embed_cache_size: int = 256,
+    ):
+        import jax
+
+        self.agent = agent
+        self._encode = encode
+        self._decode_fn = decode
+        self._tpm_params = (
+            tpm_params if tpm_params is not None
+            else agent.init_tpm_params(jax.random.PRNGKey(0))
+        )
+        super().__init__(
+            pipe=None,
+            tokenize=None,
+            slots=slots,
+            seg_steps=seg_steps,
+            max_steps=max_steps or agent.sampler_cfg.max_inference_steps,
+            guidance_scale=None,  # FLUX guidance is embedded, never CFG
+            predict=predict,
+            queue_limit=queue_limit,
+            embed_cache_size=embed_cache_size,
+        )
+
+    def _build_device_functions(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpdm_tpu.ops.beta import beta_mode, beta_sample
+        from tpdm_tpu.ops.flow_euler import flow_euler_step
+        from tpdm_tpu.pipeline.sampler import (
+            SamplerConfig,
+            _clamp_ratio,
+            _raw_to_alpha_beta,
+        )
+        from tpdm_tpu.train.flux_agent import make_flux_denoise_fn
+
+        agent = self.agent
+        scfg = agent.sampler_cfg
+        self._min_live = scfg.min_sigma
+        seg = self.seg_steps
+        S = self.slots
+        predict = self.predict
+        clamp_cfg = SamplerConfig(relative=scfg.relative, epsilon=scfg.epsilon)
+        relative = scfg.relative
+        prediction_type = scfg.prediction_type
+        dtype = agent.flux.config.dtype
+
+        txt_probe, pooled_probe = self._encode(["probe"])
+        n_txt = txt_probe.shape[1]
+        self._neg_pe = self._neg_pp = None
+        self._rep_sharding = None
+        self._state_shardings = None
+        self._trace_sharding = None
+
+        def segment(flux_params, tpm_params, st: _SlotState, _neg_pe, _neg_pp):
+            txt_ids = jnp.zeros((S, n_txt, 3))
+            denoise_fn = make_flux_denoise_fn(
+                lambda *a: agent.flux.apply(flux_params, *a),
+                st.pe,
+                txt_ids,
+                st.pp,
+                agent.guidance,
+                (agent.latent_size, agent.latent_size),
+            )
+            tpm_fn = agent.tpm_fn(tpm_params)
+
+            def step(carry, _):
+                lat, sigma, steps, key = carry
+                vel, temb, h = denoise_fn(lat, sigma.astype(dtype))
+                raw = tpm_fn(h, temb).astype(jnp.float32)
+                alpha, beta = _raw_to_alpha_beta(raw, prediction_type)
+                key, sub = jax.random.split(key)
+                if predict:
+                    ratio = beta_mode(alpha, beta)
+                else:
+                    ratio = beta_sample(sub, alpha, beta)
+                ratio = _clamp_ratio(ratio, sigma, clamp_cfg)
+                sig_next = sigma * ratio if relative else sigma - ratio
+                done = (sigma < scfg.min_sigma) | (steps >= st.caps)
+                sig_next = jnp.where(done, sigma, sig_next)
+                bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
+                new_lat = jnp.where(
+                    bcast, lat, flow_euler_step(vel, sig_next, sigma, lat)
+                )
+                return (new_lat, sig_next,
+                        steps + (~done).astype(jnp.int32), key), sig_next
+
+            (lat, sigma, steps, key), trace = jax.lax.scan(
+                step, (st.latents, st.sigma, st.steps, st.key), None, length=seg
+            )
+            return (
+                _SlotState(lat, sigma, steps, st.caps, st.pe, st.pp, key),
+                trace,
+            )
+
+        donate = () if jax.default_backend() == "cpu" else (2,)
+        self._segment = jax.jit(segment, donate_argnums=donate)
+        self._segment_params = (agent.flux_params, self._tpm_params)
+
+        def assign(st, slot, lat, pe_row, pp_row, cap):
+            return _SlotState(
+                latents=st.latents.at[slot].set(lat),
+                sigma=st.sigma.at[slot].set(1.0),
+                steps=st.steps.at[slot].set(0),
+                caps=st.caps.at[slot].set(cap),
+                pe=st.pe.at[slot].set(pe_row),
+                pp=st.pp.at[slot].set(pp_row),
+                key=st.key,
+            )
+
+        self._assign_fn = jax.jit(assign)
+
+        def fresh_state():
+            return _SlotState(
+                latents=jnp.zeros(
+                    (S, agent.latent_channels, agent.latent_size,
+                     agent.latent_size), dtype,
+                ),
+                sigma=jnp.zeros((S,), jnp.float32),
+                steps=jnp.zeros((S,), jnp.int32),
+                caps=jnp.full((S,), self.max_steps, jnp.int32),
+                pe=jnp.zeros((S, n_txt, txt_probe.shape[-1]),
+                             jnp.asarray(txt_probe).dtype),
+                pp=jnp.zeros((S, pooled_probe.shape[-1]),
+                             jnp.asarray(pooled_probe).dtype),
+                key=jax.random.PRNGKey(0),
+            )
+
+        self._fresh_state = fresh_state
+        self._state = fresh_state()
+
+    def _prompt_embeds(self, prompt: str):
+        hit = self._embed_cache.get(prompt)
+        if hit is not None:
+            self._embed_cache.move_to_end(prompt)
+            return hit
+        txt, pooled = self._encode([prompt])
+        val = (txt[0], pooled[0])
+        self._embed_cache[prompt] = val
+        while len(self._embed_cache) > self._embed_cache_size:
+            self._embed_cache.popitem(last=False)
+        return val
+
+    def _init_latent(self, seed: int):
+        import jax
+
+        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
+        return self.agent.prepare_latents(key_lat, 1)[0]
+
+    def _decode_row(self, lat_row):
+        if self._decode_fn is not None:
+            return self._decode_fn(lat_row)[0]
+        return np.asarray(lat_row)[0]
+
+
+class _SD15SlotState(NamedTuple):
+    """SD1.5 per-slot state: integer t (carried as float in `sigma` so the
+    base host loop's completion check reads it uniformly) plus the
+    DPM-Solver++ 2nd-order history (t_prev, x0_prev)."""
+
+    latents: object  # (S, 4, h, w)
+    sigma: object  # (S,) f32 — the integer timestep t; < min_time == done
+    steps: object  # (S,) i32
+    caps: object  # (S,) i32
+    pe: object  # (S, n, d) positive CLIP embeds
+    pp: object  # (S, 1) unused (uniform assign signature)
+    key: object
+    t_prev: object  # (S,) i32
+    x0_prev: object  # (S, 4, h, w) f32
+
+
+class ContinuousSD15Engine(ContinuousBatchingEngine):
+    """Slot-recycling serving for the SD1.5 family (integer-t adaptive
+    DPM-Solver++ loop, modeling_sd_v1_5.py:816-849 semantics per slot).
+
+    The segment body mirrors ``sd15_adaptive_sample``'s step exactly
+    (done-before-step masking, truncated integer t decay, per-sample
+    1st/2nd-order selection, terminal integrate-to-x0 at the per-request
+    cap) so a slot's integer-t schedule equals a solo rollout's exactly;
+    decoded images may differ by 1 uint8 LSB across the two differently
+    compiled programs. Single-device v1.
+
+    Args:
+        agent: an ``SD15Agent``.
+        encode: ``(prompts) -> (prompt_embeds, negative_prompt_embeds)``
+            (the negative branch encodes the empty prompt).
+        decode: optional ``final_latents -> uint8 images``; None returns
+            raw latents.
+        tpm_params: TPM params (default: ``agent.init_tpm_params``).
+    """
+
+    def __init__(
+        self,
+        agent,
+        encode,
+        decode=None,
+        tpm_params=None,
+        slots: int = 4,
+        seg_steps: int = 4,
+        max_steps: Optional[int] = None,
+        predict: bool = True,
+        queue_limit: Optional[int] = None,
+        embed_cache_size: int = 256,
+    ):
+        import jax
+
+        self.agent = agent
+        self._encode = encode
+        self._decode_fn = decode
+        self._tpm_params = (
+            tpm_params if tpm_params is not None
+            else agent.init_tpm_params(jax.random.PRNGKey(0))
+        )
+        super().__init__(
+            pipe=None,
+            tokenize=None,
+            slots=slots,
+            seg_steps=seg_steps,
+            max_steps=max_steps or agent.sampler_cfg.num_inference_steps,
+            guidance_scale=agent.guidance_scale,
+            predict=predict,
+            queue_limit=queue_limit,
+            embed_cache_size=embed_cache_size,
+        )
+
+    def _build_device_functions(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tpdm_tpu.ops.beta import beta_log_prob  # noqa: F401 (parity)
+        from tpdm_tpu.ops.beta import beta_mode, beta_sample
+        from tpdm_tpu.ops.dpm_solver import (
+            ddpm_sigmas_from_betas,
+            dpm_first_order_update,
+            dpm_second_order_update,
+            epsilon_to_x0,
+        )
+        from tpdm_tpu.train.sd15_agent import make_sd15_denoise_fn
+
+        agent = self.agent
+        scfg = agent.sampler_cfg
+        self._min_live = float(scfg.min_time)  # carried scalar is t
+        seg = self.seg_steps
+        S = self.slots
+        predict = self.predict
+        gs = agent.guidance_scale
+        eps_clip = scfg.epsilon
+        solver_type = scfg.solver_type
+        ucfg = agent.unet.config
+        dtype = ucfg.dtype
+        sigmas_table = ddpm_sigmas_from_betas()
+
+        pe_probe, npe_probe = self._encode(["probe"])
+        self._neg_pe = jnp.asarray(npe_probe[:1])  # (1, n, d)
+        self._neg_pp = None
+        self._rep_sharding = None
+        self._state_shardings = None
+        self._trace_sharding = None
+
+        def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, _npp):
+            pe_full = (
+                jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
+                if gs is not None and gs > 1 else st.pe
+            )
+            denoise_fn = make_sd15_denoise_fn(
+                lambda *a: agent.unet.apply(unet_params, *a), pe_full, gs
+            )
+            tpm_fn = agent.tpm_fn(tpm_params)
+
+            def step(carry, _):
+                lat, t_f, steps, key, t_prev, x0_prev = carry
+                t = t_f.astype(jnp.int32)
+                eps_pred, temb, h = denoise_fn(lat, t.astype(jnp.float32))
+                raw = tpm_fn(h, temb).astype(jnp.float32)
+                alpha, beta = raw[:, 0], raw[:, 1]
+                key, sub = jax.random.split(key)
+                ratio = (
+                    beta_mode(alpha, beta) if predict
+                    else beta_sample(sub, alpha, beta)
+                )
+                ratio = jnp.clip(ratio, eps_clip, 1.0 - eps_clip)
+                t_next = (t.astype(jnp.float32) * ratio).astype(jnp.int32)
+                done = (t < scfg.min_time) | (steps >= st.caps)
+                cap_now = (~done) & (steps >= st.caps - 1)
+                t_next = jnp.where(cap_now, 0, t_next)
+
+                lat32 = lat.astype(jnp.float32)
+                eps32 = eps_pred.astype(jnp.float32)
+                sigma_s0 = sigmas_table[t]
+                sigma_s1 = sigmas_table[t_prev]
+                sigma_t = jnp.where(cap_now, 0.0, sigmas_table[t_next])
+                x0 = epsilon_to_x0(eps32, lat32, sigma_s0)
+                first = dpm_first_order_update(x0, lat32, sigma_t, sigma_s0)
+                second = dpm_second_order_update(
+                    x0, x0_prev, lat32, sigma_t, sigma_s0, sigma_s1,
+                    solver_type=solver_type,
+                )
+                use_first = (steps == 0) | (t_next == 0) | cap_now
+                sel = use_first.reshape((-1,) + (1,) * (lat.ndim - 1))
+                stepped = jnp.where(sel, first, second).astype(dtype)
+                bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
+                new_lat = jnp.where(bcast, lat, stepped)
+                new_t = jnp.where(done, t, t_next).astype(jnp.float32)
+                new_t_prev = jnp.where(done, t_prev, t)
+                new_x0_prev = jnp.where(bcast, x0_prev, x0)
+                return (
+                    new_lat, new_t, steps + (~done).astype(jnp.int32), key,
+                    new_t_prev, new_x0_prev,
+                ), new_t
+
+            (lat, t_f, steps, key, t_prev, x0_prev), trace = jax.lax.scan(
+                step,
+                (st.latents, st.sigma, st.steps, st.key, st.t_prev, st.x0_prev),
+                None, length=seg,
+            )
+            return (
+                _SD15SlotState(lat, t_f, steps, st.caps, st.pe, st.pp, key,
+                               t_prev, x0_prev),
+                trace,
+            )
+
+        donate = () if jax.default_backend() == "cpu" else (2,)
+        self._segment = jax.jit(segment, donate_argnums=donate)
+        self._segment_params = (agent.unet_params, self._tpm_params)
+
+        def assign(st, slot, lat, pe_row, pp_row, cap):
+            return _SD15SlotState(
+                latents=st.latents.at[slot].set(lat),
+                sigma=st.sigma.at[slot].set(999.0),
+                steps=st.steps.at[slot].set(0),
+                caps=st.caps.at[slot].set(cap),
+                pe=st.pe.at[slot].set(pe_row),
+                pp=st.pp,
+                key=st.key,
+                t_prev=st.t_prev.at[slot].set(999),
+                x0_prev=st.x0_prev.at[slot].set(0.0),
+            )
+
+        self._assign_fn = jax.jit(assign)
+
+        def fresh_state():
+            hw = (ucfg.in_channels, ucfg.sample_size, ucfg.sample_size)
+            return _SD15SlotState(
+                latents=jnp.zeros((S,) + hw, dtype),
+                sigma=jnp.zeros((S,), jnp.float32),
+                steps=jnp.zeros((S,), jnp.int32),
+                caps=jnp.full((S,), self.max_steps, jnp.int32),
+                pe=jnp.zeros((S,) + jnp.asarray(pe_probe).shape[1:],
+                             jnp.asarray(pe_probe).dtype),
+                pp=jnp.zeros((S, 1), jnp.float32),
+                key=jax.random.PRNGKey(0),
+                t_prev=jnp.full((S,), 999, jnp.int32),
+                x0_prev=jnp.zeros((S,) + hw, jnp.float32),
+            )
+
+        self._fresh_state = fresh_state
+        self._state = fresh_state()
+
+    def _prompt_embeds(self, prompt: str):
+        hit = self._embed_cache.get(prompt)
+        if hit is not None:
+            self._embed_cache.move_to_end(prompt)
+            return hit
+        pe, _ = self._encode([prompt])
+        val = (pe[0], np.zeros((1,), np.float32))
+        self._embed_cache[prompt] = val
+        while len(self._embed_cache) > self._embed_cache_size:
+            self._embed_cache.popitem(last=False)
+        return val
+
+    def _init_latent(self, seed: int):
+        import jax
+
+        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
+        return self.agent.prepare_latents(key_lat, 1)[0]
+
+    def _decode_row(self, lat_row):
+        if self._decode_fn is not None:
+            return self._decode_fn(lat_row)[0]
+        return np.asarray(lat_row)[0]
