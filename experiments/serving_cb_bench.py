@@ -144,12 +144,13 @@ def run_static(pipe, tokenize, prompts, seeds, caps, max_batch, max_steps):
 
 
 def run_continuous(pipe, tokenize, prompts, seeds, caps, slots, seg_steps,
-                   max_steps):
+                   max_steps, async_decode=True):
     from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 
     eng = ContinuousBatchingEngine(pipe, tokenize, slots=slots,
                                    seg_steps=seg_steps, max_steps=max_steps,
-                                   queue_limit=len(prompts) + slots)
+                                   queue_limit=len(prompts) + slots,
+                                   async_decode=async_decode)
     eng.warmup()
     eng.start()
     t0 = time.monotonic()
@@ -161,6 +162,7 @@ def run_continuous(pipe, tokenize, prompts, seeds, caps, slots, seg_steps,
     s = eng.stats()
     return {
         "engine": f"continuous(seg={seg_steps})",
+        "async_decode": async_decode,
         "wall_s": round(dt, 3),
         "img_per_s": round(len(prompts) / dt, 4),
         "nfe_mean": round(float(np.mean(nfes)), 2),
@@ -182,6 +184,9 @@ def main():
     ap.add_argument("--nfe_lo", type=int, default=10)
     ap.add_argument("--nfe_hi", type=int, default=28)
     ap.add_argument("--segs", default="4,7", help="seg_steps values to sweep")
+    ap.add_argument("--async_sweep", action="store_true",
+                    help="also measure async_decode=False (decode/readback "
+                         "inline between segments) for each seg_steps")
     args = ap.parse_args()
 
     pipe, tokenize = build_world(args.toy)
@@ -197,10 +202,14 @@ def main():
                         args.max_steps)
     print(json.dumps(static), flush=True)
     for seg in (int(x) for x in args.segs.split(",")):
-        cb = run_continuous(pipe, tokenize, prompts, seeds, caps, args.slots,
-                            seg, args.max_steps)
-        cb["speedup_vs_static"] = round(cb["img_per_s"] / static["img_per_s"], 3)
-        print(json.dumps(cb), flush=True)
+        for async_decode in ((True, False) if args.async_sweep else (True,)):
+            cb = run_continuous(pipe, tokenize, prompts, seeds, caps,
+                                args.slots, seg, args.max_steps,
+                                async_decode=async_decode)
+            cb["speedup_vs_static"] = round(
+                cb["img_per_s"] / static["img_per_s"], 3
+            )
+            print(json.dumps(cb), flush=True)
 
 
 if __name__ == "__main__":

@@ -448,8 +448,10 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 tpm_params=family_world["tpm_params"],
                 slots=args.max_batch,
                 seg_steps=getattr(args, "seg_steps", 4),
-                # default: the agent's own compiled step budget (the toy
-                # worlds already clamp it to min(args.max_steps, 8))
+                dp=args.dp,
+                mesh_shape=mesh_shape,
+                # default max_steps: the agent's own compiled step budget
+                # (the toy worlds already clamp it to min(args.max_steps, 8))
             )
         else:
             engine = BatchingEngine(

@@ -304,6 +304,52 @@ class TestLifecycle:
         finally:
             eng.stop()
 
+    def test_sync_decode_mode_matches(self, toy):
+        """async_decode=False (strictly sequential loop) must produce the
+        same results as the default decode-worker pipeline."""
+        pipe, tokenize = toy
+        kw = dict(slots=1, seg_steps=2, max_steps=3)
+        res = {}
+        for mode in (True, False):
+            eng = ContinuousBatchingEngine(pipe, tokenize,
+                                           async_decode=mode, **kw)
+            eng.start()
+            try:
+                assert (eng._decode_thread is not None) == mode
+                res[mode] = eng.submit("modes", seed=4).result(timeout=600)
+            finally:
+                eng.stop()
+        assert res[True]["inference_steps"] == res[False]["inference_steps"]
+        np.testing.assert_array_equal(res[True]["image"], res[False]["image"])
+
+    def test_stop_completes_pending_decodes(self, toy):
+        """A request whose denoise finished but whose decode is still queued
+        at stop() time COMPLETES (stop drains the decode worker) instead of
+        failing like undecoded in-flight work."""
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                       max_steps=3)
+        real = eng._decode_row
+        eng._decode_row = lambda lat: (time.sleep(1.0), real(lat))[1]
+        eng.start()
+        try:
+            req = eng.submit("slow decode", seed=6)
+            # phase 1: the worker assigns the request to the slot
+            for _ in range(2400):
+                if eng._slot_req[0] is not None or req._event.is_set():
+                    break
+                time.sleep(0.05)
+            # phase 2: denoise finishes — slot freed, decode in flight
+            for _ in range(2400):
+                if eng._slot_req[0] is None or req._event.is_set():
+                    break
+                time.sleep(0.05)
+        finally:
+            eng.stop()
+        got = req.result(timeout=5)  # must not raise
+        assert got["inference_steps"] >= 1
+        assert eng.stats()["decode_pending"] == 0
+
     def test_segment_error_propagates_and_engine_recovers(self, toy):
         pipe, tokenize = toy
         eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,

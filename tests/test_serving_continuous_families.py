@@ -153,6 +153,71 @@ class TestContinuousFlux:
         assert eng.stats()["embed_cache_entries"] == 1
 
 
+class TestShardedFamilies:
+    """dp / mesh_shape legs for the family engines.
+
+    Each test builds a FRESH world (the builders are PRNGKey-deterministic,
+    so weights equal the module fixture's): placement setup commits / shards
+    the agent's params in place, which must not leak into the shared
+    fixtures. Per-shard slot batch is kept >= 2 everywhere — the regime
+    that exposes XLA SPMD row-mixing partitioner bugs (CLAUDE.md landmine;
+    see tests/test_parallel.py sharded-forward test).
+    """
+
+    def _check(self, world, eng):
+        want = _fixed_reference(world, REQUESTS)
+        for k, got in _drive_continuous(eng, REQUESTS):
+            exp = want[k]
+            assert got["inference_steps"] == exp["inference_steps"], k
+            _assert_images_within_1lsb(got["image"], exp["image"], k)
+
+    def test_sd15_dp(self):
+        w = build_sd15_world()
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=4, seg_steps=2, dp=2,
+        )
+        assert eng._mesh is not None and eng._state_shardings is not None
+        self._check(w, eng)
+
+    def test_flux_dp(self):
+        w = build_flux_world()
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=4, seg_steps=2, dp=2,
+        )
+        assert eng._mesh is not None and eng._state_shardings is not None
+        self._check(w, eng)
+
+    def test_sd15_mesh_sharded_model(self):
+        # (2,2,2): UNet sharded incl. the tensor axis via SD15Agent.shard;
+        # slots over (data, fsdp) = 4 shards x 2 slots each
+        w = build_sd15_world()
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=8, seg_steps=2,
+            mesh_shape=(2, 2, 2),
+        )
+        self._check(w, eng)
+
+    def test_flux_mesh_sharded_model(self):
+        w = build_flux_world()
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=8, seg_steps=2,
+            mesh_shape=(2, 2, 2),
+        )
+        self._check(w, eng)
+
+    def test_bad_slot_shapes_rejected(self):
+        w = build_sd15_world()
+        with pytest.raises(ValueError, match="divisible"):
+            ContinuousSD15Engine(
+                w["agent"], w["encode"], tpm_params=w["tpm_params"],
+                slots=3, dp=2,
+            )
+
+
 class TestServeCLIWiring:
     @pytest.mark.parametrize("family,cls", [
         ("sd15", ContinuousSD15Engine), ("flux", ContinuousFluxEngine),

@@ -13,7 +13,9 @@ sequence of fixed-length jitted *segments*:
     │  run ONE jitted segment: `seg_steps` adaptive steps over all S slots
     │  (finished/empty slots freeze in-graph: sigma & latents held by mask)
     │  host sync: read (sigma, steps) — slots that crossed min_sigma or the
-    │  step cap are decoded (batch-1 jit) and their requests completed
+    │  step cap capture their latent row and free the slot; a decode worker
+    │  thread runs the batch-1 decode + readback OFF the segment loop (the
+    │  decode host sync would otherwise stall the next segment dispatch)
     └─ repeat
 
 so a finished slot is re-used after at most `seg_steps` more forwards
@@ -82,6 +84,13 @@ class ContinuousBatchingEngine:
         queue_limit: submit() backpressure bound (default 8 * slots).
         embed_cache_size: LRU entries of prompt -> embeds (repeat prompts
             skip the text towers entirely).
+        async_decode: complete finished slots on a decode worker thread
+            instead of inline between segments. A finished slot only needs
+            its latent row (an on-device slice) captured before the state
+            is recycled; the batch-1 VAE decode + host readback — a full
+            host sync, ~190 ms over a tunneled chip — then overlaps the
+            next segments instead of stalling them. Default on; off gives
+            the old strictly-sequential loop (measurement/debug).
         dp: shard the SLOT axis over a ("data",)-axis mesh of the first
             `dp` devices (weights replicated once; slots must divide by
             dp). Segments stay ONE jitted program — GSPMD data
@@ -104,6 +113,7 @@ class ContinuousBatchingEngine:
         embed_cache_size: int = 256,
         dp: Optional[int] = None,
         mesh_shape: Optional[tuple] = None,
+        async_decode: bool = True,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
@@ -128,6 +138,10 @@ class ContinuousBatchingEngine:
         )
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self.async_decode = async_decode
+        # finished slots' (req, latent_row, nfe, sigmas) awaiting decode
+        self._decode_queue: "queue.Queue" = queue.Queue()
+        self._decode_thread: Optional[threading.Thread] = None
         # host-side slot table: index -> in-flight ServeRequest (or None)
         self._slot_req: list = [None] * slots
         self._slot_sigmas: list = [[] for _ in range(slots)]
@@ -147,16 +161,25 @@ class ContinuousBatchingEngine:
         self._lock = threading.Lock()  # guards counters read by stats()
 
         self._mesh = None
+        if dp is not None or mesh_shape is not None:
+            self._mesh = self._setup_placement(dp, mesh_shape)
+
+        self._build_device_functions()
+
+    def _setup_placement(self, dp, mesh_shape):
+        """Place model weights for multi-device serving; returns the mesh.
+        dp: replicate weights over a data mesh. mesh_shape: shard ONE model
+        instance over (data, fsdp, tensor). Family engines override to
+        place their agent's params instead of the pipeline's."""
         if dp is not None:
             from tpdm_tpu.serving import setup_dp_placement
 
-            self._mesh, _ = setup_dp_placement(pipe, dp)
-        elif mesh_shape is not None:
+            mesh, _ = setup_dp_placement(self.pipe, dp)
+        else:
             from tpdm_tpu.serving import setup_mesh_placement
 
-            self._mesh, _ = setup_mesh_placement(pipe, mesh_shape)
-
-        self._build_device_functions()
+            mesh, _ = setup_mesh_placement(self.pipe, mesh_shape)
+        return mesh
 
     # -- compiled pieces ---------------------------------------------------
     def _build_device_functions(self):
@@ -404,7 +427,10 @@ class ContinuousBatchingEngine:
         return np.asarray(lat_row)[0]
 
     def _finish(self, slot: int, nfe: int):
-        """Decode one finished slot (batch-1 jit) and complete its request."""
+        """Free one finished slot: capture its latent row (an on-device
+        slice — its buffer is independent of the recycled/donated state)
+        and hand completion to the decode worker (or decode inline when no
+        worker is running: warmup / async_decode=False)."""
         req = self._slot_req[slot]
         lat_row = self._state.latents[slot : slot + 1]
         if self._mesh is not None:
@@ -413,19 +439,40 @@ class ContinuousBatchingEngine:
             # the batch-1 decode runs replicated on the mesh (the VAE
             # params may themselves be sharded over it in mesh_shape mode)
             lat_row = jax.device_put(lat_row, self._rep_sharding)
-        image = self._decode_row(lat_row)
+        sigmas = [float(s) for s in self._slot_sigmas[slot][:nfe]]
+        self._slot_req[slot] = None
+        self._slot_sigmas[slot] = []
+        if self._decode_thread is not None:
+            self._decode_queue.put((req, lat_row, nfe, sigmas))
+        else:
+            self._complete(req, lat_row, nfe, sigmas)
+
+    def _complete(self, req: ServeRequest, lat_row, nfe: int, sigmas: list):
+        """Decode one finished latent (batch-1 jit) and resolve its request."""
+        try:
+            image = self._decode_row(lat_row)
+        except BaseException as e:
+            logger.exception("decode failed")
+            req._error = e
+            req._event.set()
+            return
         req._result = {
             "image": image,
             "inference_steps": nfe,
-            "sigmas": [float(s) for s in self._slot_sigmas[slot][:nfe]],
+            "sigmas": sigmas,
         }
         req._event.set()
         with self._lock:
             self.requests_done += 1
             self._nfe_done.append(nfe)
             self._latency_done.append(time.monotonic() - req.submitted_at)
-        self._slot_req[slot] = None
-        self._slot_sigmas[slot] = []
+
+    def _decode_worker(self):
+        while True:
+            item = self._decode_queue.get()
+            if item is None:
+                return
+            self._complete(*item)
 
     def _refill(self, block: bool) -> bool:
         """Fill free slots from the queue. Returns False on shutdown."""
@@ -504,6 +551,11 @@ class ContinuousBatchingEngine:
         if self._thread is not None:
             return
         self._stop.clear()
+        if self.async_decode:
+            self._decode_thread = threading.Thread(
+                target=self._decode_worker, daemon=True
+            )
+            self._decode_thread.start()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -517,6 +569,13 @@ class ContinuousBatchingEngine:
             pass
         self._thread.join(timeout=60)
         self._thread = None
+        if self._decode_thread is not None:
+            # the segment worker is joined, so no new decodes arrive; let
+            # the decode worker drain what's pending (those requests DID
+            # finish denoising — they complete, not fail), then retire it
+            self._decode_queue.put(None)
+            self._decode_thread.join(timeout=60)
+            self._decode_thread = None
         self._drain_failed("engine stopped before this request ran")
         # fail in-flight slot requests too: their segments will not resume
         had_inflight = False
@@ -606,6 +665,7 @@ class ContinuousBatchingEngine:
                     else 0.0
                 ),
                 "queue_depth": self._queue.qsize(),
+                "decode_pending": self._decode_queue.qsize(),
                 "embed_cache_entries": len(self._embed_cache),
             }
         if nfes:
@@ -617,26 +677,13 @@ class ContinuousBatchingEngine:
         return out
 
 
-class ContinuousFluxEngine(ContinuousBatchingEngine):
-    """Slot-recycling serving for the FLUX family.
+class _AgentContinuousEngine(ContinuousBatchingEngine):
+    """Shared plumbing for agent-backed family engines (SD1.5 / FLUX):
+    construction from (agent, encode, decode), agent-param placement for
+    dp / mesh_shape serving, per-seed latents and batch-1 decode."""
 
-    Same segment semantics as the SD3 engine (the sigma-ratio adaptive
-    loop is shared math), with packed-token denoise + embedded guidance
-    instead of CFG batch-doubling. Single-device v1 (no dp/mesh).
-    Determinism: schedules/step counts exactly match a solo
-    `make_flux_runner` run per (prompt, seed, cap); decoded images may
-    differ by 1 uint8 LSB (segment scan at batch=slots vs solo while_loop
-    are different XLA programs; last-ulp f32 drift can flip a pixel on a
-    quantization boundary).
-
-    Args:
-        agent: a ``FluxAgent``.
-        encode: ``(prompts) -> (txt (b, n, txt_dim), pooled (b, vec))``.
-        decode: optional ``final_latents (b,c,h,w) -> uint8 images``
-            (``tpdm_tpu.serving_families.make_vae_decoder``); None returns
-            raw latents.
-        tpm_params: TPM params (default: ``agent.init_tpm_params``).
-    """
+    #: attribute on the agent holding the frozen backbone params
+    _backbone_attr: str = ""
 
     def __init__(
         self,
@@ -647,9 +694,13 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
         slots: int = 4,
         seg_steps: int = 4,
         max_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
         predict: bool = True,
         queue_limit: Optional[int] = None,
         embed_cache_size: int = 256,
+        dp: Optional[int] = None,
+        mesh_shape: Optional[tuple] = None,
+        async_decode: bool = True,
     ):
         import jax
 
@@ -665,12 +716,122 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
             tokenize=None,
             slots=slots,
             seg_steps=seg_steps,
-            max_steps=max_steps or agent.sampler_cfg.max_inference_steps,
-            guidance_scale=None,  # FLUX guidance is embedded, never CFG
+            max_steps=max_steps or self._default_max_steps(),
+            guidance_scale=(
+                guidance_scale if guidance_scale is not None
+                else self._default_guidance()
+            ),
             predict=predict,
             queue_limit=queue_limit,
             embed_cache_size=embed_cache_size,
+            dp=dp,
+            mesh_shape=mesh_shape,
+            async_decode=async_decode,
         )
+
+    def _default_max_steps(self) -> int:
+        raise NotImplementedError
+
+    def _default_guidance(self) -> Optional[float]:
+        """CFG scale used when the caller passes none (family-specific)."""
+        return None
+
+    def _setup_placement(self, dp, mesh_shape):
+        """dp: replicate the agent's backbone over a data mesh.
+        mesh_shape: shard ONE backbone instance via ``agent.shard(mesh)``
+        (the training GSPMD specs); TPM replicates either way."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpdm_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if dp is not None:
+            if len(devices) < dp:
+                raise ValueError(f"dp={dp} but only {len(devices)} devices")
+            mesh = make_mesh(devices[:dp], data=dp, fsdp=1, tensor=1)
+        else:
+            d, f, t = mesh_shape
+            n = d * f * t
+            if len(devices) < n:
+                raise ValueError(
+                    f"mesh {mesh_shape} needs {n} devices, have {len(devices)}"
+                )
+            mesh = make_mesh(devices[:n], data=d, fsdp=f, tensor=t)
+        rep = NamedSharding(mesh, P())
+        place_rep = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, rep), tree
+        )
+        if dp is not None:
+            setattr(
+                self.agent, self._backbone_attr,
+                place_rep(getattr(self.agent, self._backbone_attr)),
+            )
+        else:
+            self.agent.shard(mesh)
+        self._tpm_params = place_rep(self._tpm_params)
+        return mesh
+
+    def _mesh_shardings(self):
+        """(rep, slot_sh, trace) shardings on the serving mesh, or Nones."""
+        if self._mesh is None:
+            return None, None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpdm_tpu.parallel.sharding import batch_spec
+
+        mesh = self._mesh
+        rep = NamedSharding(mesh, P())
+        slot_sh = lambda ndim: NamedSharding(mesh, batch_spec(ndim))
+        trace = NamedSharding(mesh, P(None, ("data", "fsdp")))
+        return rep, slot_sh, trace
+
+    def _init_latent(self, seed: int):
+        import jax
+
+        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
+        return self.agent.prepare_latents(key_lat, 1)[0]
+
+    def _decode_row(self, lat_row):
+        if self._decode_fn is not None:
+            return self._decode_fn(lat_row)[0]
+        return np.asarray(lat_row)[0]
+
+    def _cache_embeds(self, prompt: str, val):
+        self._embed_cache[prompt] = val
+        while len(self._embed_cache) > self._embed_cache_size:
+            self._embed_cache.popitem(last=False)
+        return val
+
+
+class ContinuousFluxEngine(_AgentContinuousEngine):
+    """Slot-recycling serving for the FLUX family.
+
+    Same segment semantics as the SD3 engine (the sigma-ratio adaptive
+    loop is shared math), with packed-token denoise + embedded guidance
+    instead of CFG batch-doubling. Supports the same multi-device modes as
+    the SD3 engine: ``dp`` (weights replicated, slots over the data axis)
+    and ``mesh_shape`` (backbone sharded via ``FluxAgent.shard`` — 12B
+    bf16 REQUIRES fsdp>=2 on 16GB chips).
+    Determinism: schedules/step counts exactly match a solo
+    `make_flux_runner` run per (prompt, seed, cap); decoded images may
+    differ by 1 uint8 LSB (segment scan at batch=slots vs solo while_loop
+    are different XLA programs; last-ulp f32 drift can flip a pixel on a
+    quantization boundary).
+
+    Args:
+        agent: a ``FluxAgent``.
+        encode: ``(prompts) -> (txt (b, n, txt_dim), pooled (b, vec))``.
+        decode: optional ``final_latents (b,c,h,w) -> uint8 images``
+            (``tpdm_tpu.serving_families.make_vae_decoder``); None returns
+            raw latents.
+        tpm_params: TPM params (default: ``agent.init_tpm_params``).
+    """
+
+    _backbone_attr = "flux_params"
+
+    def _default_max_steps(self) -> int:
+        return self.agent.sampler_cfg.max_inference_steps
 
     def _build_device_functions(self):
         import jax
@@ -699,9 +860,12 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
         txt_probe, pooled_probe = self._encode(["probe"])
         n_txt = txt_probe.shape[1]
         self._neg_pe = self._neg_pp = None
-        self._rep_sharding = None
-        self._state_shardings = None
-        self._trace_sharding = None
+        rep, slot_sh, trace = self._mesh_shardings()
+        self._rep_sharding, self._trace_sharding = rep, trace
+        self._state_shardings = None if rep is None else _SlotState(
+            latents=slot_sh(4), sigma=slot_sh(1), steps=slot_sh(1),
+            caps=slot_sh(1), pe=slot_sh(3), pp=slot_sh(2), key=rep,
+        )
 
         def segment(flux_params, tpm_params, st: _SlotState, _neg_pe, _neg_pp):
             txt_ids = jnp.zeros((S, n_txt, 3))
@@ -745,7 +909,13 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
             )
 
         donate = () if jax.default_backend() == "cpu" else (2,)
-        self._segment = jax.jit(segment, donate_argnums=donate)
+        if self._mesh is not None:
+            self._segment = jax.jit(
+                segment, donate_argnums=donate,
+                out_shardings=(self._state_shardings, self._trace_sharding),
+            )
+        else:
+            self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.flux_params, self._tpm_params)
 
         def assign(st, slot, lat, pe_row, pp_row, cap):
@@ -759,10 +929,10 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
                 key=st.key,
             )
 
-        self._assign_fn = jax.jit(assign)
+        self._assign_fn = jax.jit(assign, out_shardings=self._state_shardings)
 
         def fresh_state():
-            return _SlotState(
+            st = _SlotState(
                 latents=jnp.zeros(
                     (S, agent.latent_channels, agent.latent_size,
                      agent.latent_size), dtype,
@@ -776,6 +946,9 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
                              jnp.asarray(pooled_probe).dtype),
                 key=jax.random.PRNGKey(0),
             )
+            if self._mesh is not None:
+                st = jax.tree.map(jax.device_put, st, self._state_shardings)
+            return st
 
         self._fresh_state = fresh_state
         self._state = fresh_state()
@@ -786,22 +959,7 @@ class ContinuousFluxEngine(ContinuousBatchingEngine):
             self._embed_cache.move_to_end(prompt)
             return hit
         txt, pooled = self._encode([prompt])
-        val = (txt[0], pooled[0])
-        self._embed_cache[prompt] = val
-        while len(self._embed_cache) > self._embed_cache_size:
-            self._embed_cache.popitem(last=False)
-        return val
-
-    def _init_latent(self, seed: int):
-        import jax
-
-        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
-        return self.agent.prepare_latents(key_lat, 1)[0]
-
-    def _decode_row(self, lat_row):
-        if self._decode_fn is not None:
-            return self._decode_fn(lat_row)[0]
-        return np.asarray(lat_row)[0]
+        return self._cache_embeds(prompt, (txt[0], pooled[0]))
 
 
 class _SD15SlotState(NamedTuple):
@@ -820,7 +978,7 @@ class _SD15SlotState(NamedTuple):
     x0_prev: object  # (S, 4, h, w) f32
 
 
-class ContinuousSD15Engine(ContinuousBatchingEngine):
+class ContinuousSD15Engine(_AgentContinuousEngine):
     """Slot-recycling serving for the SD1.5 family (integer-t adaptive
     DPM-Solver++ loop, modeling_sd_v1_5.py:816-849 semantics per slot).
 
@@ -829,7 +987,9 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
     1st/2nd-order selection, terminal integrate-to-x0 at the per-request
     cap) so a slot's integer-t schedule equals a solo rollout's exactly;
     decoded images may differ by 1 uint8 LSB across the two differently
-    compiled programs. Single-device v1.
+    compiled programs. Supports the same multi-device modes as the SD3
+    engine: ``dp`` (UNet replicated, slots over the data axis) and
+    ``mesh_shape`` (UNet sharded via ``SD15Agent.shard``).
 
     Args:
         agent: an ``SD15Agent``.
@@ -840,39 +1000,13 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
         tpm_params: TPM params (default: ``agent.init_tpm_params``).
     """
 
-    def __init__(
-        self,
-        agent,
-        encode,
-        decode=None,
-        tpm_params=None,
-        slots: int = 4,
-        seg_steps: int = 4,
-        max_steps: Optional[int] = None,
-        predict: bool = True,
-        queue_limit: Optional[int] = None,
-        embed_cache_size: int = 256,
-    ):
-        import jax
+    _backbone_attr = "unet_params"
 
-        self.agent = agent
-        self._encode = encode
-        self._decode_fn = decode
-        self._tpm_params = (
-            tpm_params if tpm_params is not None
-            else agent.init_tpm_params(jax.random.PRNGKey(0))
-        )
-        super().__init__(
-            pipe=None,
-            tokenize=None,
-            slots=slots,
-            seg_steps=seg_steps,
-            max_steps=max_steps or agent.sampler_cfg.num_inference_steps,
-            guidance_scale=agent.guidance_scale,
-            predict=predict,
-            queue_limit=queue_limit,
-            embed_cache_size=embed_cache_size,
-        )
+    def _default_max_steps(self) -> int:
+        return self.agent.sampler_cfg.num_inference_steps
+
+    def _default_guidance(self) -> Optional[float]:
+        return self.agent.guidance_scale
 
     def _build_device_functions(self):
         import jax
@@ -894,7 +1028,7 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
         seg = self.seg_steps
         S = self.slots
         predict = self.predict
-        gs = agent.guidance_scale
+        gs = self.guidance_scale
         eps_clip = scfg.epsilon
         solver_type = scfg.solver_type
         ucfg = agent.unet.config
@@ -904,9 +1038,15 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
         pe_probe, npe_probe = self._encode(["probe"])
         self._neg_pe = jnp.asarray(npe_probe[:1])  # (1, n, d)
         self._neg_pp = None
-        self._rep_sharding = None
-        self._state_shardings = None
-        self._trace_sharding = None
+        rep, slot_sh, trace = self._mesh_shardings()
+        self._rep_sharding, self._trace_sharding = rep, trace
+        self._state_shardings = None if rep is None else _SD15SlotState(
+            latents=slot_sh(4), sigma=slot_sh(1), steps=slot_sh(1),
+            caps=slot_sh(1), pe=slot_sh(3), pp=slot_sh(2), key=rep,
+            t_prev=slot_sh(1), x0_prev=slot_sh(4),
+        )
+        if rep is not None:
+            self._neg_pe = jax.device_put(self._neg_pe, rep)
 
         def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, _npp):
             pe_full = (
@@ -971,7 +1111,13 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
             )
 
         donate = () if jax.default_backend() == "cpu" else (2,)
-        self._segment = jax.jit(segment, donate_argnums=donate)
+        if self._mesh is not None:
+            self._segment = jax.jit(
+                segment, donate_argnums=donate,
+                out_shardings=(self._state_shardings, self._trace_sharding),
+            )
+        else:
+            self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.unet_params, self._tpm_params)
 
         def assign(st, slot, lat, pe_row, pp_row, cap):
@@ -987,11 +1133,11 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
                 x0_prev=st.x0_prev.at[slot].set(0.0),
             )
 
-        self._assign_fn = jax.jit(assign)
+        self._assign_fn = jax.jit(assign, out_shardings=self._state_shardings)
 
         def fresh_state():
             hw = (ucfg.in_channels, ucfg.sample_size, ucfg.sample_size)
-            return _SD15SlotState(
+            st = _SD15SlotState(
                 latents=jnp.zeros((S,) + hw, dtype),
                 sigma=jnp.zeros((S,), jnp.float32),
                 steps=jnp.zeros((S,), jnp.int32),
@@ -1003,6 +1149,9 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
                 t_prev=jnp.full((S,), 999, jnp.int32),
                 x0_prev=jnp.zeros((S,) + hw, jnp.float32),
             )
+            if self._mesh is not None:
+                st = jax.tree.map(jax.device_put, st, self._state_shardings)
+            return st
 
         self._fresh_state = fresh_state
         self._state = fresh_state()
@@ -1013,19 +1162,4 @@ class ContinuousSD15Engine(ContinuousBatchingEngine):
             self._embed_cache.move_to_end(prompt)
             return hit
         pe, _ = self._encode([prompt])
-        val = (pe[0], np.zeros((1,), np.float32))
-        self._embed_cache[prompt] = val
-        while len(self._embed_cache) > self._embed_cache_size:
-            self._embed_cache.popitem(last=False)
-        return val
-
-    def _init_latent(self, seed: int):
-        import jax
-
-        key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
-        return self.agent.prepare_latents(key_lat, 1)[0]
-
-    def _decode_row(self, lat_row):
-        if self._decode_fn is not None:
-            return self._decode_fn(lat_row)[0]
-        return np.asarray(lat_row)[0]
+        return self._cache_embeds(prompt, (pe[0], np.zeros((1,), np.float32)))
