@@ -192,11 +192,9 @@ def main():
     # load (10+ min per jit observed); cached executables make bench runs
     # reproducible in minutes. Harmless no-op if the backend can't
     # serialize executables.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpdm_jax_cache_tpu")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from tpdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu", "gpu")
     # batch 1 (CFG batch 2) measured best img/s/chip; throughput is flat in

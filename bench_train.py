@@ -25,6 +25,9 @@ import optax
 
 
 def main():
+    from tpdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     b = int(args[0]) if args else 2
     int8 = "--int8" in sys.argv

@@ -75,6 +75,12 @@ def main():
 
         jax.distributed.initialize()
 
+    # persistent compile cache: a restarted (resumed/preempted) run repays
+    # nothing for unchanged jit graphs
+    from tpdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # rank-0 debugger attach, TPDM_DEBUG=1 gated (reference setup_debug,
     # src/train/train_utilis.py:22-33)
     from tpdm_tpu.utils.debug import setup_debug_from_env

@@ -326,6 +326,12 @@ def main():
                         "shape (requests coalesce per-resolution)")
     args = p.parse_args()
 
+    # persistent compile cache: a restarted server repays nothing for
+    # unchanged jit graphs (cold SD3-medium compiles cost minutes on TPU)
+    from tpdm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     world = build_family_world(args)
     if world is not None:
         pipe = None
@@ -415,6 +421,16 @@ def main():
         server.server_close()
 
 
+def _pipe_vae_scale_factor(pipe) -> int:
+    """px-per-latent of the pipeline's VAE (8 for SD VAEs; the toy test
+    VAE is 2); 8 when the pipeline decodes no images."""
+    if pipe is not None and getattr(pipe, "vae", None) is not None:
+        from tpdm_tpu.models.vae import vae_scale_factor
+
+        return vae_scale_factor(pipe.vae.config)
+    return 8
+
+
 def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
     """Threaded HTTP server over a BatchingEngine: concurrent requests
     coalesce into one fixed-shape device batch (tpdm_tpu/serving.py)."""
@@ -463,17 +479,36 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 runner=runner,
             )
     elif getattr(args, "continuous", False):
-        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
-
-        engine = ContinuousBatchingEngine(
-            pipe,
-            tokenize,
-            slots=args.max_batch,
-            seg_steps=getattr(args, "seg_steps", 4),
-            max_steps=args.max_steps,
-            dp=args.dp,
-            mesh_shape=mesh_shape,
+        from tpdm_tpu.serving_continuous import (
+            ContinuousBatchingEngine,
+            MultiResContinuousRouter,
         )
+
+        res_list = getattr(args, "resolutions", None)
+        if isinstance(res_list, str):
+            res_list = [int(x) for x in res_list.split(",") if x]
+        if res_list:
+            engine = MultiResContinuousRouter(
+                pipe,
+                tokenize,
+                resolutions=res_list,
+                slots=args.max_batch,
+                seg_steps=getattr(args, "seg_steps", 4),
+                max_steps=args.max_steps,
+                dp=args.dp,
+                mesh_shape=mesh_shape,
+                vae_scale_factor=_pipe_vae_scale_factor(pipe),
+            )
+        else:
+            engine = ContinuousBatchingEngine(
+                pipe,
+                tokenize,
+                slots=args.max_batch,
+                seg_steps=getattr(args, "seg_steps", 4),
+                max_steps=args.max_steps,
+                dp=args.dp,
+                mesh_shape=mesh_shape,
+            )
     else:
         res_list = getattr(args, "resolutions", None)
         if isinstance(res_list, str):
@@ -487,6 +522,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             dp=args.dp,
             mesh_shape=mesh_shape,
             resolutions=res_list,
+            vae_scale_factor=_pipe_vae_scale_factor(pipe),
         )
 
     # best-of-N reward ranking (/rank): optional — needs a converted

@@ -514,3 +514,43 @@ class TestSetupDebug:
         monkeypatch.setenv("TPDM_DEBUG", "1")
         # import of a None module raises ImportError -> returns False
         assert debug.setup_debug_from_env() is False
+
+
+class TestCompileCache:
+    def test_resolution_order_and_jax_config(self, monkeypatch, tmp_path):
+        import jax
+
+        from tpdm_tpu.utils.cache import enable_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.setenv("TPDM_COMPILE_CACHE", str(tmp_path / "env"))
+            # explicit arg beats env
+            got = enable_compile_cache(str(tmp_path / "arg"))
+            assert got == str(tmp_path / "arg")
+            assert jax.config.jax_compilation_cache_dir == got
+            # env beats default
+            assert enable_compile_cache() == str(tmp_path / "env")
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_default_when_nothing_set(self, monkeypatch):
+        import jax
+
+        from tpdm_tpu.utils.cache import (
+            DEFAULT_CACHE_DIR,
+            enable_compile_cache,
+            host_fingerprint,
+        )
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.delenv("TPDM_COMPILE_CACHE", raising=False)
+            monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+            # default is keyed by host ISA: a cache populated on a machine
+            # with different vector features must never be loaded here
+            got = enable_compile_cache()
+            assert got == f"{DEFAULT_CACHE_DIR}-{host_fingerprint()}"
+            assert len(host_fingerprint()) == 12
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)

@@ -376,6 +376,91 @@ class TestLifecycle:
             eng.stop()
 
 
+class TestMultiResRouter:
+    """Per-request resolution over continuous batching: one engine (slot
+    pool + compiled segment) per resolution, shared weights."""
+
+    def test_routes_and_matches_fixed_batch_per_resolution(self, toy):
+        from tpdm_tpu.serving_continuous import MultiResContinuousRouter
+
+        pipe, tokenize = toy
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=6, vae_scale_factor=2,
+                             resolutions=[24])
+        router = MultiResContinuousRouter(
+            pipe, tokenize, resolutions=[24], slots=2, seg_steps=2,
+            max_steps=6, vae_scale_factor=2,
+        )
+        assert router.resolutions == [16, 24]
+        router.start()
+        try:
+            reqs = [
+                (None, router.submit("a cat", seed=3)),
+                (24, router.submit("a cat", seed=3, resolution=24)),
+                (16, router.submit("blue bird", seed=7, resolution=16)),
+            ]
+            for res, r in reqs:
+                got = r.result(timeout=600)
+                px = res or 16
+                assert got["image"].shape == (px, px, 3)
+                exp = ref.generate_batch(
+                    [r.prompt], [r.seed], resolution=res
+                )[0]
+                assert got["inference_steps"] == exp["inference_steps"]
+                np.testing.assert_array_equal(got["image"], exp["image"])
+            s = router.stats()
+            assert s["requests_done"] == 3
+            assert s["resolutions"]["16"]["requests_done"] == 2
+            assert s["resolutions"]["24"]["requests_done"] == 1
+        finally:
+            router.stop()
+
+    def test_unknown_resolution_rejected(self, toy):
+        from tpdm_tpu.serving_continuous import MultiResContinuousRouter
+
+        pipe, tokenize = toy
+        router = MultiResContinuousRouter(
+            pipe, tokenize, resolutions=[24], slots=1, seg_steps=1,
+            max_steps=2, vae_scale_factor=2,
+        )
+        with pytest.raises(ValueError, match="served set"):
+            router.submit("x", resolution=32)
+
+    def test_http_server_with_resolutions_builds_router(self, toy):
+        import serve
+        from tpdm_tpu.serving_continuous import MultiResContinuousRouter
+
+        pipe, tokenize = toy
+        args = argparse.Namespace(
+            max_steps=3, max_batch=1, batch_window_ms=10.0, dp=None,
+            mesh=None, continuous=True, seg_steps=1, resolutions="24",
+            prompt="d", seed=1, port=0,
+        )
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        engine.start()
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            import http.client
+            import json as _json
+
+            assert isinstance(engine, MultiResContinuousRouter)
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/generate",
+                body=_json.dumps(
+                    {"prompt": "a cat", "seed": 7, "resolution": 24}
+                ),
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert 1 <= _json.loads(resp.read())["inference_steps"] <= 3
+        finally:
+            server.shutdown()
+            engine.stop()
+
+
 class TestServeIntegration:
     def test_http_server_with_continuous_flag(self, toy):
         import base64

@@ -25,6 +25,9 @@ from tpdm_tpu.models.layers import GroupNorm
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
+    """Autoencoder geometry/weights config (diffusers AutoencoderKL
+    layout; reference consumes it via the diffusers dependency)."""
+
     in_channels: int = 3
     out_channels: int = 3
     latent_channels: int = 16
@@ -59,6 +62,13 @@ class VAEConfig:
         )
         d.update(kw)
         return cls(**d)
+
+
+def vae_scale_factor(config: VAEConfig) -> int:
+    """Image pixels per latent cell: every down/up block after the first
+    changes resolution 2x (diffusers AutoencoderKL convention — SD VAEs'
+    4 blocks -> 8; the toy test config's 2 blocks -> 2)."""
+    return 2 ** (len(config.block_out_channels) - 1)
 
 
 class ResnetBlock(nn.Module):

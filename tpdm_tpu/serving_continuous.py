@@ -91,6 +91,12 @@ class ContinuousBatchingEngine:
             host sync, ~190 ms over a tunneled chip — then overlaps the
             next segments instead of stalling them. Default on; off gives
             the old strictly-sequential loop (measurement/debug).
+        resolution: output resolution in image px served by THIS engine
+            (None = the model default, sample_size * vae_scale_factor).
+            One engine serves ONE compiled latent shape; use
+            MultiResContinuousRouter for a multi-resolution service.
+        vae_scale_factor: px-per-latent upscale of the VAE (8 for SD VAEs;
+            the toy test VAE is 2). Maps resolution -> latent grid.
         dp: shard the SLOT axis over a ("data",)-axis mesh of the first
             `dp` devices (weights replicated once; slots must divide by
             dp). Segments stay ONE jitted program — GSPMD data
@@ -114,9 +120,18 @@ class ContinuousBatchingEngine:
         dp: Optional[int] = None,
         mesh_shape: Optional[tuple] = None,
         async_decode: bool = True,
+        resolution: Optional[int] = None,
+        vae_scale_factor: int = 8,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
+        if resolution is not None and resolution % vae_scale_factor != 0:
+            raise ValueError(
+                f"resolution {resolution} not a multiple of vae_scale_factor "
+                f"{vae_scale_factor}"
+            )
+        self.resolution = resolution
+        self.vae_scale_factor = vae_scale_factor
         if dp is not None and mesh_shape is not None:
             raise ValueError("pass dp OR mesh_shape, not both")
         bshards = dp if dp is not None else (
@@ -194,6 +209,14 @@ class ContinuousBatchingEngine:
         pipe = self.pipe
         mcfg = pipe.mmdit.config
         self._mcfg = mcfg
+        # non-default resolution: same model, different latent grid (the
+        # pos-embed crop/regen is in-graph); one engine serves ONE shape —
+        # MultiResContinuousRouter owns one engine per resolution
+        self._lat_size = (
+            self.resolution // self.vae_scale_factor
+            if self.resolution is not None else mcfg.sample_size
+        )
+        token_grid = self._lat_size // mcfg.patch_size
         scfg_predict = self.predict
         gs = self.guidance_scale
         min_sigma = pipe.min_sigma
@@ -272,7 +295,7 @@ class ContinuousBatchingEngine:
                 pe_full,
                 pp_full,
                 gs,
-                pipe.token_grid,
+                token_grid,
                 mcfg.patch_size,
             )
             tpm_fn = lambda h, t: pipe.tpm.apply(tpm_params, h, t)
@@ -348,7 +371,7 @@ class ContinuousBatchingEngine:
         def _fresh_state_impl():
             return _SlotState(
                 latents=jnp.zeros(
-                    (S, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                    (S, mcfg.in_channels, self._lat_size, self._lat_size),
                     mcfg.dtype,
                 ),
                 sigma=jnp.zeros((S,), jnp.float32),
@@ -393,7 +416,7 @@ class ContinuousBatchingEngine:
         key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
         return jax.random.normal(
             key_lat,
-            (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+            (mcfg.in_channels, self._lat_size, self._lat_size),
             mcfg.dtype,
         )
 
@@ -531,8 +554,9 @@ class ContinuousBatchingEngine:
             raise ValueError("steps must be >= 1")
         if resolution is not None:
             raise ValueError(
-                "per-request resolutions need the fixed-batch engine (slots "
-                "here share one compiled latent shape)"
+                "slots share one compiled latent shape — serve multiple "
+                "resolutions with MultiResContinuousRouter (or the "
+                "fixed-batch engine's resolutions=)"
             )
         req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
         try:
@@ -1163,3 +1187,95 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             return hit
         pe, _ = self._encode([prompt])
         return self._cache_embeds(prompt, (pe[0], np.zeros((1,), np.float32)))
+
+
+class MultiResContinuousRouter:
+    """Per-request output resolution for continuous batching.
+
+    A ContinuousBatchingEngine compiles ONE latent shape for its slot
+    pool, so a multi-resolution service runs one engine per served
+    resolution — all sharing the same model params (each resolution is
+    its own jitted segment program, like the fixed-batch engine's
+    per-resolution sub-batches, tpdm_tpu/serving.py resolutions=) — and
+    routes each request to its resolution's slot pool. Mirrors the
+    reference's per-request width/height knob (gradio_sd3_inference.py:38-44).
+
+    Args:
+        pipe: the shared TPDMPipeline (SD3 family).
+        tokenize: prompt -> (clip_ids, t5_ids).
+        resolutions: extra output resolutions (image px) to serve besides
+            the model default; each must divide by vae_scale_factor.
+        default_resolution: resolution for requests that don't ask for
+            one (default: the model's, sample_size * vae_scale_factor).
+        slots / seg_steps / **engine_kw: forwarded to every per-resolution
+            engine (slots is PER RESOLUTION).
+    """
+
+    def __init__(
+        self,
+        pipe,
+        tokenize,
+        resolutions,
+        slots: int = 4,
+        seg_steps: int = 4,
+        vae_scale_factor: int = 8,
+        default_resolution: Optional[int] = None,
+        **engine_kw,
+    ):
+        mcfg = pipe.mmdit.config
+        self.default_resolution = (
+            default_resolution
+            if default_resolution is not None
+            else mcfg.sample_size * vae_scale_factor
+        )
+        served = set(resolutions or []) | {self.default_resolution}
+        self._engines = {
+            r: ContinuousBatchingEngine(
+                pipe,
+                tokenize,
+                slots=slots,
+                seg_steps=seg_steps,
+                resolution=r,
+                vae_scale_factor=vae_scale_factor,
+                **engine_kw,
+            )
+            for r in sorted(served)
+        }
+        # submit() compatibility with the single-engine HTTP surface
+        self.max_steps = self._engines[self.default_resolution].max_steps
+
+    @property
+    def resolutions(self):
+        return sorted(self._engines)
+
+    def submit(
+        self, prompt: str, seed: int = 0, steps: Optional[int] = None,
+        resolution: Optional[int] = None,
+    ) -> ServeRequest:
+        r = resolution if resolution is not None else self.default_resolution
+        eng = self._engines.get(r)
+        if eng is None:
+            raise ValueError(
+                f"resolution {r} not in the served set {self.resolutions}"
+            )
+        return eng.submit(prompt, seed=seed, steps=steps)
+
+    def warmup(self):
+        for eng in self._engines.values():
+            eng.warmup()
+
+    def start(self):
+        for eng in self._engines.values():
+            eng.start()
+
+    def stop(self):
+        for eng in self._engines.values():
+            eng.stop()
+
+    def stats(self) -> dict:
+        per = {r: e.stats() for r, e in self._engines.items()}
+        return {
+            "resolutions": {str(r): s for r, s in per.items()},
+            "requests_done": sum(s["requests_done"] for s in per.values()),
+            "queue_depth": sum(s["queue_depth"] for s in per.values()),
+        }
