@@ -211,7 +211,7 @@ def build_family_world(args):
     from tpdm_tpu.serving_families import make_flux_runner
     from tpdm_tpu.train.flux_agent import FluxAgent
 
-    fcfg = FluxConfig.toy()
+    fcfg = FluxConfig.toy(quant_matmuls=getattr(args, "int8", False))
     model = Flux(fcfg)
     n_txt = 5
     tokens, img_ids = pack_latents(jnp.zeros((2, 4, 8, 8)))
@@ -220,6 +220,10 @@ def build_family_world(args):
         jnp.zeros((2, n_txt, 3)), jnp.ones((2,)),
         jnp.zeros((2, fcfg.vec_dim)), jnp.full((2,), 3.5),
     )
+    if fcfg.quant_matmuls:
+        from tpdm_tpu.ops.quant import prequantize_params
+
+        params = prequantize_params(params)
     agent = FluxAgent(
         model, params, config,
         tpm=TimePredictor(
@@ -316,7 +320,8 @@ def main():
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
     p.add_argument("--int8", action="store_true",
-                   help="stored-int8 MMDiT matmul weights (W8A8-dynamic): "
+                   help="stored-int8 backbone matmul weights (W8A8-dynamic; "
+                        "--family flux quantizes modulations weight-only): "
                         "halves backbone weight HBM for bigger batches/"
                         "caches; quality must be validated per checkpoint")
     p.add_argument("--resolutions", default=None,

@@ -254,3 +254,113 @@ class TestFluxConverter:
         assert sd["single_blocks.0.linear1.weight"].shape == (3 * d + mlp, d)
         assert sd["final_layer.adaLN_modulation.1.weight"].shape == (2 * d, d)
         assert sd["img_in.weight"].shape == (d, cfg.in_channels)
+
+
+class TestFluxQuant:
+    """Stored-int8 FLUX (FluxConfig.quant_matmuls): the capability that
+    fits a 12B FLUX-class model on one 16 GB v5e chip (block matmuls
+    W8A8-dynamic; modulation projections weight-only int8)."""
+
+    def _qworld(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(FluxConfig.toy(), quant_matmuls=True)
+        model = Flux(cfg)
+        b, n_txt = 2, 5
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        txt = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.txt_dim))
+        txt_ids = jnp.zeros((b, n_txt, 3))
+        t = jnp.array([1.0, 0.5])
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_dim))
+        g = jnp.full((b,), 3.5)
+        params = model.init(
+            jax.random.PRNGKey(3), tokens, img_ids, txt, txt_ids, t, pooled, g
+        )
+        return cfg, model, params, (tokens, img_ids, txt, txt_ids, t, pooled, g)
+
+    def test_int8_close_to_fp(self):
+        import dataclasses
+
+        cfg, qmodel, params, args = self._qworld()
+        fp_model = Flux(dataclasses.replace(cfg, quant_matmuls=False))
+        v_fp, *_ = fp_model.apply(params, *args)
+        v_q, *_ = qmodel.apply(params, *args)
+        err = float(jnp.abs(v_fp - v_q).mean()) / (
+            float(jnp.abs(v_fp).mean()) + 1e-9
+        )
+        assert err < 0.15, f"relative int8 deviation too large: {err}"
+        assert err > 0.0  # genuinely took the quantized path
+
+    def test_prequantized_matches_ingraph_and_covers_modulation(self):
+        from tpdm_tpu.ops.quant import prequantize_params
+
+        cfg, qmodel, params, args = self._qworld()
+        v_ingraph, *_ = qmodel.apply(params, *args)
+        qparams = prequantize_params(params)
+        p = qparams["params"]
+        # every heavy matmul stores int8 — including the modulation
+        # projections (27% of FLUX-dev params; see FluxConfig docstring)
+        for path in (
+            ("double_blocks_0", "img_attn_to_q"),
+            ("double_blocks_0", "img_mod", "lin"),
+            ("single_blocks_0", "linear1"),
+            ("single_blocks_0", "modulation", "lin"),
+            ("final_mod", "lin"),
+        ):
+            node = p
+            for k in path:
+                node = node[k]
+            assert node["kernel"].dtype == jnp.int8, path
+        v_pre, *_ = qmodel.apply(qparams, *args)
+        np.testing.assert_allclose(
+            np.asarray(v_pre), np.asarray(v_ingraph), rtol=2e-3, atol=2e-3
+        )
+
+    def test_fit_quant_params_from_converted_tree(self):
+        """A converted (scale-less float) FLUX tree fits into the quant
+        structure: the serve.py --family flux --int8 path."""
+        from tpdm_tpu.ops.quant import fit_quant_params, prequantize_params
+
+        cfg, qmodel, params, args = self._qworld()
+
+        def strip(node):
+            if isinstance(node, dict):
+                return {
+                    k: strip(v) for k, v in node.items() if k != "kernel_scale"
+                }
+            return node
+
+        converted = strip(params)
+        expected = jax.eval_shape(
+            qmodel.init, jax.random.PRNGKey(3), *args
+        )
+        fitted = prequantize_params(fit_quant_params(converted, expected))
+        v_fit, *_ = qmodel.apply(fitted, *args)
+        v_pre, *_ = qmodel.apply(prequantize_params(params), *args)
+        np.testing.assert_array_equal(np.asarray(v_fit), np.asarray(v_pre))
+
+    def test_w8_matmul_unit(self):
+        """Weight-only mode: int8 storage, fp activations, tight error."""
+        from tpdm_tpu.ops.quant import (
+            DenseMaybeQuant,
+            quantize_weight,
+            w8_matmul,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 33))
+        k = jax.random.normal(jax.random.PRNGKey(1), (33, 17)) * 0.2
+        b = jax.random.normal(jax.random.PRNGKey(2), (17,))
+        ref = x @ k + b
+        out = w8_matmul(x, quantize_weight(k, b))
+        rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+        assert rel < 0.01, rel  # no activation quant -> tighter than W8A8
+
+        mod = DenseMaybeQuant(17, quant=True, act_quant=False)
+        params = mod.init(jax.random.PRNGKey(3), x)
+        got = mod.apply(params, x)
+        want = (
+            x @ params["params"]["kernel"] + params["params"]["bias"]
+        )
+        rel = float(jnp.abs(got - want).mean() / jnp.abs(want).mean())
+        assert 0.0 < rel < 0.01, rel

@@ -148,3 +148,31 @@ class TestFluxServing:
         assert s["device_s_p50"] > 0
         assert s["tokenize_s_p50"] == 0.0
         assert s["padded_slots"] == 1
+
+
+class TestFluxInt8Serving:
+    def test_build_family_world_int8_serves(self):
+        """serve.py --family flux --int8: the backbone param tree is
+        stored-int8 (prequantized) and requests still serve end-to-end."""
+        import argparse
+
+        import jax.numpy as jnp
+
+        import serve
+
+        args = argparse.Namespace(
+            family="flux", toy=True, cpu=True, pretrained=None, tpm=None,
+            max_steps=3, int8=True,
+        )
+        world = serve.build_family_world(args)
+        p = world["agent"].flux_params["params"]
+        assert p["double_blocks_0"]["img_attn_to_q"]["kernel"].dtype == jnp.int8
+        assert p["single_blocks_0"]["modulation"]["lin"]["kernel"].dtype == jnp.int8
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=2, window_ms=5,
+            max_steps=3, runner=world["runner"],
+        )
+        out = eng.generate_batch(["a cat", "blue bird"], [3, 7])
+        for r in out:
+            assert r["image"].shape == (16, 16, 3)
+            assert 1 <= r["inference_steps"] <= 3

@@ -44,6 +44,12 @@ class FluxConfig:
     theta: int = 10000
     guidance_embed: bool = True  # "dev"; False for "schnell"
     dtype: jnp.dtype = jnp.bfloat16
+    # Stored-int8 matmuls (ops/quant.py): W8A8-dynamic for the block
+    # qkv/proj/MLP matmuls, weight-only int8 for the modulation
+    # projections (fp activations — their outputs gate every residual).
+    # This is what makes a 12B FLUX-class model FIT on one 16 GB v5e
+    # chip: ~23.8 GB bf16 -> ~12 GB stored-int8. Off by default.
+    quant_matmuls: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -112,17 +118,29 @@ class MLPEmbed(nn.Module):
 
 
 class Modulation(nn.Module):
-    """vec -> n_mod * hidden modulation parameters."""
+    """vec -> n_mod * hidden modulation parameters.
+
+    With `quant` on, the projection stores int8 weights but computes in
+    fp (w8_matmul): at (b, d) @ (d, n_mod*d) the matmul is pure weight
+    streaming, and the outputs scale/shift/gate every residual — the one
+    place activation quantization is not worth its risk. The modulation
+    projections are ~27% of FLUX-dev's parameters, so skipping them
+    entirely would leave the model too big for one 16 GB chip.
+    """
 
     hidden: int
     n_mod: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, vec):
-        out = nn.Dense(self.n_mod * self.hidden, dtype=self.dtype, name="lin")(
-            nn.silu(vec)
-        )
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
+        out = DenseMaybeQuant(
+            self.n_mod * self.hidden, quant=self.quant, act_quant=False,
+            dtype=self.dtype, name="lin",
+        )(nn.silu(vec))
         return jnp.split(out, self.n_mod, axis=-1)
 
 
@@ -131,6 +149,8 @@ class DoubleStreamBlock(nn.Module):
 
     @nn.compact
     def __call__(self, img, txt, vec, cos, sin):
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_heads
@@ -138,18 +158,21 @@ class DoubleStreamBlock(nn.Module):
         b, n_img, _ = img.shape
         n_txt = txt.shape[1]
         mlp_dim = int(d * cfg.mlp_ratio)
+        dense = lambda feats, name: DenseMaybeQuant(
+            feats, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+        )
 
         im_shift1, im_scale1, im_gate1, im_shift2, im_scale2, im_gate2 = Modulation(
-            d, 6, cfg.dtype, name="img_mod"
+            d, 6, cfg.dtype, cfg.quant_matmuls, name="img_mod"
         )(vec)
         tx_shift1, tx_scale1, tx_gate1, tx_shift2, tx_scale2, tx_gate2 = Modulation(
-            d, 6, cfg.dtype, name="txt_mod"
+            d, 6, cfg.dtype, cfg.quant_matmuls, name="txt_mod"
         )(vec)
 
         def qkv(x, prefix):
-            q = nn.Dense(d, dtype=cfg.dtype, name=f"{prefix}_to_q")(x)
-            k = nn.Dense(d, dtype=cfg.dtype, name=f"{prefix}_to_k")(x)
-            v = nn.Dense(d, dtype=cfg.dtype, name=f"{prefix}_to_v")(x)
+            q = dense(d, f"{prefix}_to_q")(x)
+            k = dense(d, f"{prefix}_to_k")(x)
+            v = dense(d, f"{prefix}_to_v")(x)
             heads = lambda t: t.reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
             q, k, v = heads(q), heads(k), heads(v)
             q = RMSNorm(hd, name=f"{prefix}_norm_q")(q)
@@ -171,22 +194,18 @@ class DoubleStreamBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, n_txt + n_img, d)
         txt_o, img_o = o[:, :n_txt], o[:, n_txt:]
 
-        img = img + im_gate1[:, None] * nn.Dense(
-            d, dtype=cfg.dtype, name="img_attn_proj"
-        )(img_o)
-        txt = txt + tx_gate1[:, None] * nn.Dense(
-            d, dtype=cfg.dtype, name="txt_attn_proj"
-        )(txt_o)
+        img = img + im_gate1[:, None] * dense(d, "img_attn_proj")(img_o)
+        txt = txt + tx_gate1[:, None] * dense(d, "txt_attn_proj")(txt_o)
 
         img_n = _layer_norm_fp32(img) * (1 + im_scale2[:, None]) + im_shift2[:, None]
-        y = nn.Dense(mlp_dim, dtype=cfg.dtype, name="img_mlp_0")(img_n)
+        y = dense(mlp_dim, "img_mlp_0")(img_n)
         y = nn.gelu(y, approximate=True)
-        img = img + im_gate2[:, None] * nn.Dense(d, dtype=cfg.dtype, name="img_mlp_2")(y)
+        img = img + im_gate2[:, None] * dense(d, "img_mlp_2")(y)
 
         txt_n = _layer_norm_fp32(txt) * (1 + tx_scale2[:, None]) + tx_shift2[:, None]
-        y = nn.Dense(mlp_dim, dtype=cfg.dtype, name="txt_mlp_0")(txt_n)
+        y = dense(mlp_dim, "txt_mlp_0")(txt_n)
         y = nn.gelu(y, approximate=True)
-        txt = txt + tx_gate2[:, None] * nn.Dense(d, dtype=cfg.dtype, name="txt_mlp_2")(y)
+        txt = txt + tx_gate2[:, None] * dense(d, "txt_mlp_2")(y)
         return img, txt
 
 
@@ -195,6 +214,8 @@ class SingleStreamBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, vec, cos, sin):
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
         cfg = self.config
         d = cfg.hidden_size
         h = cfg.num_heads
@@ -202,10 +223,15 @@ class SingleStreamBlock(nn.Module):
         b, n, _ = x.shape
         mlp_dim = int(d * cfg.mlp_ratio)
 
-        shift, scale, gate = Modulation(d, 3, cfg.dtype, name="modulation")(vec)
+        shift, scale, gate = Modulation(
+            d, 3, cfg.dtype, cfg.quant_matmuls, name="modulation"
+        )(vec)
         x_n = _layer_norm_fp32(x) * (1 + scale[:, None]) + shift[:, None]
 
-        fused = nn.Dense(3 * d + mlp_dim, dtype=cfg.dtype, name="linear1")(x_n)
+        fused = DenseMaybeQuant(
+            3 * d + mlp_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype,
+            name="linear1",
+        )(x_n)
         qkv_part, mlp_part = fused[..., : 3 * d], fused[..., 3 * d :]
         q, k, v = jnp.split(qkv_part, 3, axis=-1)
         heads = lambda t: t.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
@@ -218,9 +244,9 @@ class SingleStreamBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
 
         mlp_act = nn.gelu(mlp_part, approximate=True)
-        out = nn.Dense(d, dtype=cfg.dtype, name="linear2")(
-            jnp.concatenate([o, mlp_act], axis=-1)
-        )
+        out = DenseMaybeQuant(
+            d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="linear2"
+        )(jnp.concatenate([o, mlp_act], axis=-1))
         return x + gate[:, None] * out
 
 
@@ -276,7 +302,9 @@ class Flux(nn.Module):
         img = x[:, txt.shape[1] :]
 
         # final layer: AdaLN-continuous style modulation then projection
-        shift, scale = Modulation(d, 2, cfg.dtype, name="final_mod")(vec)
+        shift, scale = Modulation(
+            d, 2, cfg.dtype, cfg.quant_matmuls, name="final_mod"
+        )(vec)
         img_n = _layer_norm_fp32(img) * (1 + scale[:, None]) + shift[:, None]
         h2 = img_n
         velocity = nn.Dense(cfg.in_channels, dtype=cfg.dtype, name="final_proj")(img_n)

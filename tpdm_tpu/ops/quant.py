@@ -36,6 +36,23 @@ def quantize_weight(kernel: jax.Array, bias=None) -> QuantizedLinear:
     return QuantizedLinear(q, scale, bias)
 
 
+def w8_matmul(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
+    """y = x @ dequant(W) (+ b): int8 weight STORAGE, fp compute.
+
+    The dequant (int8 -> x.dtype, times per-channel scale) fuses into the
+    dot's operand read under XLA, so the matmul pays half the weight HBM
+    traffic of bf16 storage with full-precision activations — the right
+    mode for numerics-sensitive layers whose compute is negligible (e.g.
+    FLUX modulation projections: (b, d) @ (d, 6d) at b<=2 is pure weight
+    streaming).
+    """
+    w = qw.kernel_q.astype(x.dtype) * qw.scale[None, :].astype(x.dtype)
+    y = x @ w
+    if qw.bias is not None:
+        y = y + qw.bias.astype(x.dtype)
+    return y
+
+
 def int8_dynamic_matmul(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     """y = x @ W (+ b) with W int8 and x dynamically quantized per row.
 
@@ -71,6 +88,10 @@ class DenseMaybeQuant(nn.Module):
     quant: bool = False
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # False = weight-only int8 (w8_matmul): int8 storage, fp compute — for
+    # layers where activation quantization is numerically risky and the
+    # matmul is weight-streaming-bound anyway (FLUX modulations).
+    act_quant: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -105,6 +126,8 @@ class DenseMaybeQuant(nn.Module):
             qw = QuantizedLinear(kernel, scale.astype(jnp.float32), bias)
         else:
             qw = quantize_weight(kernel, bias)
+        if not self.act_quant:
+            return w8_matmul(x.astype(self.dtype), qw)
         return int8_dynamic_matmul(x.astype(self.dtype), qw)
 
 
