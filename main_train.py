@@ -48,6 +48,17 @@ def parse_args():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the session env pins the "
                         "TPU plugin regardless of JAX_PLATFORMS)")
+    p.add_argument("--watchdog_coordinator", default=None,
+                   help="host:port for the out-of-band heartbeat watchdog "
+                        "(a free port on process 0; same value on every "
+                        "process). Detects dead/wedged peers that would "
+                        "hang survivors in collectives forever")
+    p.add_argument("--watchdog_timeout", type=float, default=30.0,
+                   help="seconds of missed heartbeats before a peer is "
+                        "declared dead")
+    p.add_argument("--watchdog_hard_exit", type=float, default=300.0,
+                   help="seconds after a detected failure before a wedged "
+                        "process hard-exits for the launcher to restart")
     p.add_argument("--mesh_shape", default=None,
                    help="'data,fsdp,tensor' (e.g. 4,2,1) or 'auto': build a "
                         "device mesh and run the trainer GSPMD-sharded "
@@ -162,10 +173,40 @@ def main():
         callbacks=callbacks, mesh=mesh,
     )
 
+    # out-of-band failure detection: a dead/wedged peer otherwise hangs
+    # every survivor forever inside the next collective (no analogue in
+    # the reference — SURVEY §5 "failure detection: none")
+    watchdog = None
+    if args.watchdog_coordinator:
+        import jax
+
+        from tpdm_tpu.parallel.watchdog import (
+            HeartbeatWatchdog,
+            attach_to_trainer,
+        )
+
+        watchdog = HeartbeatWatchdog(
+            args.watchdog_coordinator,
+            process_id=jax.process_index(),
+            num_processes=jax.process_count(),
+            timeout=args.watchdog_timeout,
+        )
+        attach_to_trainer(
+            watchdog, trainer, hard_exit_after=args.watchdog_hard_exit
+        )
+        watchdog.start()
+
     resume = args.resume_from_checkpoint
     if isinstance(resume, str) and resume.lower() == "true":
         resume = True
-    tpm_params, _ = trainer.train(resume_from_checkpoint=resume)
+    try:
+        tpm_params, _ = trainer.train(resume_from_checkpoint=resume)
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
+            timer = getattr(watchdog, "_hard_exit_timer", None)
+            if timer is not None:  # clean exit won the race: no hard kill
+                timer.cancel()
     logger.info("training done: %d updates", trainer.global_step)
     for m in trainer.metrics_history[-3:]:
         logger.info("metrics: %s", m)

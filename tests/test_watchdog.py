@@ -1,0 +1,173 @@
+"""Out-of-band failure detection (parallel/watchdog.py).
+
+The reference has NO failure detection (SURVEY §5): a dead torchrun rank
+leaves the survivors hung in NCCL. The watchdog is the TPU answer:
+detect out-of-band, stop gracefully, hard-exit if wedged so the launcher
+restarts from checkpoint. These tests run the real UDP server/client
+machinery on localhost with sub-second timeouts — no JAX involved.
+"""
+
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+from tpdm_tpu.parallel.watchdog import HeartbeatWatchdog, attach_to_trainer
+
+
+def _free_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _wd(pid, port, n=2, **kw):
+    args = dict(interval=0.1, timeout=0.6, startup_grace=2.0)
+    args.update(kw)
+    return HeartbeatWatchdog(
+        f"127.0.0.1:{port}", process_id=pid, num_processes=n, **args
+    )
+
+
+def _wait_for(pred, timeout_s, what):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if pred():
+            return
+        time.sleep(0.05)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
+class TestHealthy:
+    def test_no_fire_while_all_alive(self):
+        port = _free_port()
+        wd0 = _wd(0, port).start()
+        wd1 = _wd(1, port).start()
+        try:
+            time.sleep(1.0)  # >> timeout: plenty of chances to misfire
+            assert not wd0.fired and not wd1.fired
+        finally:
+            wd0.stop()
+            wd1.stop()
+
+    def test_timeout_must_exceed_interval(self):
+        with pytest.raises(ValueError, match="exceed"):
+            HeartbeatWatchdog(
+                "127.0.0.1:1", 0, 1, interval=1.0, timeout=0.5
+            )
+
+
+class TestDetection:
+    def test_server_detects_dead_peer(self):
+        port = _free_port()
+        fired = []
+        wd0 = _wd(0, port, on_failure=fired.append).start()
+        wd1 = _wd(1, port).start()
+        try:
+            time.sleep(0.4)  # let peer 1 register
+            wd1.stop()  # "dies": stops pinging
+            _wait_for(lambda: wd0.fired, 3.0, "peer-death detection")
+            assert "[1]" in wd0.failure_reason
+            assert fired == [wd0.failure_reason]  # fires exactly once
+        finally:
+            wd0.stop()
+
+    def test_client_detects_dead_coordinator(self):
+        port = _free_port()  # nothing ever listens here
+        wd1 = _wd(1, port, startup_grace=0.5).start()
+        try:
+            _wait_for(lambda: wd1.fired, 3.0, "coordinator-death detection")
+            assert "coordinator" in wd1.failure_reason
+        finally:
+            wd1.stop()
+
+    def test_server_flags_noshow_after_startup_grace(self):
+        port = _free_port()
+        wd0 = _wd(0, port, startup_grace=0.5).start()
+        try:
+            _wait_for(lambda: wd0.fired, 3.0, "no-show detection")
+            assert "never sent" in wd0.failure_reason
+            assert "[1]" in wd0.failure_reason
+        finally:
+            wd0.stop()
+
+
+class TestTrainerWiring:
+    def test_graceful_stop_then_armed_hard_exit(self):
+        class FakeTrainer:
+            stopped = False
+
+            def request_stop(self):
+                self.stopped = True
+
+        port = _free_port()
+        trainer = FakeTrainer()
+        wd = _wd(0, port, n=1)
+        attach_to_trainer(wd, trainer, hard_exit_after=3600.0)
+        wd._fire("synthetic failure")
+        try:
+            assert trainer.stopped  # cooperative path requested
+            timer = wd._hard_exit_timer  # escalation armed...
+            assert timer is not None
+        finally:
+            timer.cancel()  # ...and cancellable on clean exit
+
+
+WORKER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from tpdm_tpu.parallel.watchdog import HeartbeatWatchdog
+
+pid, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+# os._exit: the handler runs on a watchdog thread, where sys.exit would
+# only end the thread — same reason attach_to_trainer's hard path uses it
+wd = HeartbeatWatchdog(
+    "127.0.0.1:" + str(port), process_id=pid, num_processes=2,
+    interval=0.1, timeout=0.8, startup_grace=5.0,
+    on_failure=lambda reason: (
+        open(out, "w").write(reason), os._exit(13)
+    ),
+)
+wd.start()
+print("started", flush=True)
+time.sleep(60)
+"""
+
+
+class TestTwoProcessIntegration:
+    def test_sigkilled_peer_is_detected_across_processes(self, tmp_path):
+        """Two real OS processes; rank 1 is SIGKILLed mid-run; rank 0's
+        watchdog writes the failure reason and exits 13 (the launcher-
+        restart contract of attach_to_trainer's hard path)."""
+        port = _free_port()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = WORKER.format(repo=repo)
+        out0 = tmp_path / "reason0.txt"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, str(i), str(port),
+                 str(tmp_path / f"reason{i}.txt")],
+                stdout=subprocess.PIPE, text=True,
+            )
+            for i in (0, 1)
+        ]
+        try:
+            for p in procs:
+                assert p.stdout.readline().strip() == "started"
+            time.sleep(0.5)  # both registered with the server
+            procs[1].send_signal(signal.SIGKILL)
+            assert procs[0].wait(timeout=10) == 13
+            reason = out0.read_text()
+            assert "[1]" in reason and "missed heartbeats" in reason
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                p.wait()
+                p.stdout.close()
