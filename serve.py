@@ -447,6 +447,15 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
     if mesh_shape:
         mesh_shape = tuple(int(x) for x in mesh_shape.split(","))
     if runner is not None:
+        if getattr(args, "resolutions", None):
+            # fail loudly instead of serving a silently ignored knob: the
+            # family agents bake their latent geometry into the compiled
+            # sampler (SD15Agent/FluxAgent latent_size)
+            raise SystemExit(
+                "--resolutions is SD3-only (fixed-batch sub-batches or "
+                "MultiResContinuousRouter); the sd15/flux family agents "
+                "serve one latent geometry per agent"
+            )
         if getattr(args, "continuous", False):
             if family_world is None:
                 raise SystemExit(

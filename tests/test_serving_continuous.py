@@ -520,3 +520,44 @@ class TestServeIntegration:
         finally:
             server.server_close()
             engine.stop()
+
+
+class TestCombinationGuards:
+    def test_family_plus_resolutions_rejected(self, toy):
+        """--resolutions is SD3-only: family agents compile one latent
+        geometry; the combination must fail loudly, not serve ignored."""
+        import serve
+
+        args = argparse.Namespace(
+            max_steps=3, max_batch=1, batch_window_ms=10.0, dp=None,
+            mesh=None, continuous=True, seg_steps=1, resolutions="24",
+        )
+        with pytest.raises(SystemExit, match="SD3-only"):
+            serve.make_http_server(
+                None, None, args, runner=lambda *a: None,
+                family_world={"family": "sd15"},
+            )
+
+    def test_int8_pipe_serves_continuous(self):
+        """serve.py --int8 --continuous: a prequantized SD3 backbone runs
+        through the continuous engine's compiled segment."""
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, int8=True
+        )
+        pipe, tokenize = serve.build_pipeline(args)
+        import jax.numpy as jnp
+
+        blk = pipe.mmdit_params["params"]["transformer_blocks_0"]
+        assert blk["attn"]["to_q"]["kernel"].dtype == jnp.int8
+        eng = ContinuousBatchingEngine(
+            pipe, tokenize, slots=1, seg_steps=2, max_steps=4
+        )
+        eng.start()
+        try:
+            r = eng.submit("a cat", seed=3).result(timeout=600)
+            assert r["image"].shape == (16, 16, 3)
+            assert 1 <= r["inference_steps"] <= 4
+        finally:
+            eng.stop()
