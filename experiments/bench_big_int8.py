@@ -8,7 +8,8 @@ The reference never runs FLUX (capability named at
 gradio_sd3_inference.py:23-28 but absent) and its fp16 FLUX would need a
 >24 GB GPU.
 
-Usage:  python experiments/bench_big_int8.py [flux] [sd35l] [--steps N]
+Usage:  python experiments/bench_big_int8.py [flux] [sd35l] [--steps N] [--w4]
+(--w4: group-int4 weight-only instead of int8 — the 4x capacity tier)
 Prints one JSON line per leg: forward ms, img/s at N steps, HBM stats.
 
 Timing per docs/PERF.md methodology: reps chained data-dependently inside
@@ -27,16 +28,22 @@ import numpy as np
 
 
 def int8_zero_params(shapes):
-    """Materialize a zeros param tree from eval_shape with int8 kernels
-    wherever a kernel_scale sibling marks a quantized Dense — without ever
+    """Materialize a zeros param tree from eval_shape with int8 (or int4:
+    2-D kernel_scale, see prequantize_params) kernels wherever a
+    kernel_scale sibling marks a quantized Dense — without ever
     materializing the bf16 tree (24 GB for FLUX-dev would OOM the chip)."""
     def walk(node):
         if isinstance(node, dict):
             if "kernel" in node and "kernel_scale" in node and (
                 getattr(node["kernel"], "ndim", 0) == 2
             ):
+                qdtype = (
+                    jnp.int4
+                    if getattr(node["kernel_scale"], "ndim", 1) == 2
+                    else jnp.int8
+                )
                 out = dict(node)
-                out["kernel"] = jnp.zeros(node["kernel"].shape, jnp.int8)
+                out["kernel"] = jnp.zeros(node["kernel"].shape, qdtype)
                 out["kernel_scale"] = jnp.ones(
                     node["kernel_scale"].shape, jnp.float32
                 )
@@ -60,9 +67,12 @@ def _sync(x):
 
 
 def _param_bytes(tree):
-    return sum(
-        int(np.prod(a.shape)) * a.dtype.itemsize for a in jax.tree.leaves(tree)
-    )
+    # logical bytes: int4 counts 0.5/elt (XLA packs s4 two per byte in
+    # HBM; the CPU ml_dtypes view byte-expands, so itemsize would lie)
+    def nb(a):
+        per = 0.5 if a.dtype == jnp.int4 else a.dtype.itemsize
+        return int(np.prod(a.shape)) * per
+    return int(sum(nb(a) for a in jax.tree.leaves(tree)))
 
 
 def _mem_stats():
@@ -76,10 +86,10 @@ def _mem_stats():
         return {}
 
 
-def leg_flux(steps: int, reps: int):
+def leg_flux(steps: int, reps: int, bits: int = 8):
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
 
-    cfg = FluxConfig.flux_dev(quant_matmuls=True)
+    cfg = FluxConfig.flux_dev(quant_matmuls=True, quant_bits=bits)
     model = Flux(cfg)
     b = 1  # guidance-distilled: no CFG doubling
     lat = jax.random.normal(
@@ -117,7 +127,7 @@ def leg_flux(steps: int, reps: int):
     _sync(out)
     fwd_s = (time.time() - t0) / reps
     return {
-        "leg": "flux_dev_int8_1chip",
+        "leg": f"flux_dev_int{bits}_1chip",
         "n_params": n_params,
         "param_gb": round(_param_bytes(params) / 2**30, 2),
         "tokens": int(tokens.shape[1] + n_txt),
@@ -128,10 +138,10 @@ def leg_flux(steps: int, reps: int):
     }
 
 
-def leg_sd35l(steps: int, reps: int):
+def leg_sd35l(steps: int, reps: int, bits: int = 8):
     from tpdm_tpu.models import MMDiT, MMDiTConfig
 
-    cfg = MMDiTConfig.sd35_large(quant_matmuls=True)
+    cfg = MMDiTConfig.sd35_large(quant_matmuls=True, quant_bits=bits)
     model = MMDiT(cfg)
     b = 1
     lat = jax.random.normal(
@@ -164,7 +174,7 @@ def leg_sd35l(steps: int, reps: int):
     _sync(out)
     fwd_s = (time.time() - t0) / reps
     return {
-        "leg": "sd35_large_int8_1chip",
+        "leg": f"sd35_large_int{bits}_1chip",
         "n_params": n_params,
         "param_gb": round(_param_bytes(params) / 2**30, 2),
         "forward_ms": round(fwd_s * 1e3, 1),
@@ -185,9 +195,10 @@ def main():
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
     reps = 3
+    bits = 4 if "--w4" in sys.argv else 8
     for leg in legs:
         fn = {"flux": leg_flux, "sd35l": leg_sd35l}[leg]
-        print(json.dumps(fn(steps, reps)), flush=True)
+        print(json.dumps(fn(steps, reps, bits)), flush=True)
 
 
 if __name__ == "__main__":

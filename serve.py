@@ -24,6 +24,17 @@ logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("serve")
 
 
+def _quant_on(args) -> bool:
+    """--int8 / --int4: stored-quantized backbone weights."""
+    if getattr(args, "int8", False) and getattr(args, "int4", False):
+        raise SystemExit("--int8 and --int4 are mutually exclusive")
+    return getattr(args, "int8", False) or getattr(args, "int4", False)
+
+
+def _quant_bits(args) -> int:
+    return 4 if getattr(args, "int4", False) else 8
+
+
 def build_pipeline(args):
     import jax
 
@@ -53,7 +64,7 @@ def build_pipeline(args):
         )
         mcfg = MMDiTConfig.toy(
             joint_attention_dim=96, pooled_projection_dim=64,
-            quant_matmuls=getattr(args, "int8", False),
+            quant_matmuls=_quant_on(args), quant_bits=_quant_bits(args),
         )
         mmdit = MMDiT(mcfg)
         mparams = mmdit.init(
@@ -86,7 +97,7 @@ def build_pipeline(args):
 
     pipe = load_pipeline_from_pretrained(
         args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True,
-        quant_int8=getattr(args, "int8", False),
+        quant_int8=_quant_on(args), quant_bits=_quant_bits(args),
     )
 
     # Native tokenizers (pure Python, no transformers at runtime); fall back
@@ -211,7 +222,9 @@ def build_family_world(args):
     from tpdm_tpu.serving_families import make_flux_runner
     from tpdm_tpu.train.flux_agent import FluxAgent
 
-    fcfg = FluxConfig.toy(quant_matmuls=getattr(args, "int8", False))
+    fcfg = FluxConfig.toy(
+        quant_matmuls=_quant_on(args), quant_bits=_quant_bits(args)
+    )
     model = Flux(fcfg)
     n_txt = 5
     tokens, img_ids = pack_latents(jnp.zeros((2, 4, 8, 8)))
@@ -319,6 +332,10 @@ def main():
                         "(required with --reward_checkpoint)")
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
+    p.add_argument("--int4", action="store_true",
+                   help="stored group-int4 backbone weights (weight-only, "
+                        "fp compute): 4x smaller than bf16 — the capacity "
+                        "mode that fits 12B-class backbones in a few GB")
     p.add_argument("--int8", action="store_true",
                    help="stored-int8 backbone matmul weights (W8A8-dynamic; "
                         "--family flux quantizes modulations weight-only): "

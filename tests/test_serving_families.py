@@ -176,3 +176,59 @@ class TestFluxInt8Serving:
         for r in out:
             assert r["image"].shape == (16, 16, 3)
             assert 1 <= r["inference_steps"] <= 3
+
+
+class TestInt4Serving:
+    """--int4: group-int4 weight-only backbones (the 4x capacity tier)."""
+
+    def test_sd3_toy_int4_serves(self):
+        import argparse
+
+        import jax.numpy as jnp
+
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, int4=True
+        )
+        pipe, tokenize = serve.build_pipeline(args)
+        blk = pipe.mmdit_params["params"]["transformer_blocks_0"]
+        assert blk["attn"]["to_q"]["kernel"].dtype == jnp.int4
+        assert blk["attn"]["to_q"]["kernel_scale"].ndim == 2
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        r = eng.generate_batch(["a cat"], [3])[0]
+        assert r["image"].shape == (16, 16, 3)
+        assert 1 <= r["inference_steps"] <= 4
+
+    def test_flux_family_int4_serves(self):
+        import argparse
+
+        import jax.numpy as jnp
+
+        import serve
+
+        args = argparse.Namespace(
+            family="flux", toy=True, cpu=True, pretrained=None, tpm=None,
+            max_steps=3, int4=True,
+        )
+        world = serve.build_family_world(args)
+        p = world["agent"].flux_params["params"]
+        assert p["single_blocks_0"]["linear1"]["kernel"].dtype == jnp.int4
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=1, window_ms=5,
+            max_steps=3, runner=world["runner"],
+        )
+        r = eng.generate_batch(["a cat"], [3])[0]
+        assert r["image"].shape == (16, 16, 3)
+
+    def test_int8_and_int4_mutually_exclusive(self):
+        import argparse
+
+        import pytest as _pytest
+
+        import serve
+
+        args = argparse.Namespace(int8=True, int4=True)
+        with _pytest.raises(SystemExit, match="mutually exclusive"):
+            serve._quant_on(args)

@@ -48,8 +48,10 @@ class FluxConfig:
     # qkv/proj/MLP matmuls, weight-only int8 for the modulation
     # projections (fp activations — their outputs gate every residual).
     # This is what makes a 12B FLUX-class model FIT on one 16 GB v5e
-    # chip: ~23.8 GB bf16 -> ~12 GB stored-int8. Off by default.
+    # chip: ~23.8 GB bf16 -> ~12 GB stored-int8 (quant_bits=4: ~6 GB
+    # weight-only group-int4, fp compute). Off by default.
     quant_matmuls: bool = False
+    quant_bits: int = 8
 
     @property
     def head_dim(self) -> int:
@@ -132,6 +134,7 @@ class Modulation(nn.Module):
     n_mod: int
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    bits: int = 8
 
     @nn.compact
     def __call__(self, vec):
@@ -139,7 +142,7 @@ class Modulation(nn.Module):
 
         out = DenseMaybeQuant(
             self.n_mod * self.hidden, quant=self.quant, act_quant=False,
-            dtype=self.dtype, name="lin",
+            bits=self.bits, dtype=self.dtype, name="lin",
         )(nn.silu(vec))
         return jnp.split(out, self.n_mod, axis=-1)
 
@@ -159,14 +162,15 @@ class DoubleStreamBlock(nn.Module):
         n_txt = txt.shape[1]
         mlp_dim = int(d * cfg.mlp_ratio)
         dense = lambda feats, name: DenseMaybeQuant(
-            feats, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+            feats, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name=name,
         )
 
         im_shift1, im_scale1, im_gate1, im_shift2, im_scale2, im_gate2 = Modulation(
-            d, 6, cfg.dtype, cfg.quant_matmuls, name="img_mod"
+            d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="img_mod"
         )(vec)
         tx_shift1, tx_scale1, tx_gate1, tx_shift2, tx_scale2, tx_gate2 = Modulation(
-            d, 6, cfg.dtype, cfg.quant_matmuls, name="txt_mod"
+            d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="txt_mod"
         )(vec)
 
         def qkv(x, prefix):
@@ -224,13 +228,13 @@ class SingleStreamBlock(nn.Module):
         mlp_dim = int(d * cfg.mlp_ratio)
 
         shift, scale, gate = Modulation(
-            d, 3, cfg.dtype, cfg.quant_matmuls, name="modulation"
+            d, 3, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="modulation"
         )(vec)
         x_n = _layer_norm_fp32(x) * (1 + scale[:, None]) + shift[:, None]
 
         fused = DenseMaybeQuant(
-            3 * d + mlp_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype,
-            name="linear1",
+            3 * d + mlp_dim, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name="linear1",
         )(x_n)
         qkv_part, mlp_part = fused[..., : 3 * d], fused[..., 3 * d :]
         q, k, v = jnp.split(qkv_part, 3, axis=-1)
@@ -245,7 +249,8 @@ class SingleStreamBlock(nn.Module):
 
         mlp_act = nn.gelu(mlp_part, approximate=True)
         out = DenseMaybeQuant(
-            d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="linear2"
+            d, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name="linear2",
         )(jnp.concatenate([o, mlp_act], axis=-1))
         return x + gate[:, None] * out
 
@@ -303,7 +308,7 @@ class Flux(nn.Module):
 
         # final layer: AdaLN-continuous style modulation then projection
         shift, scale = Modulation(
-            d, 2, cfg.dtype, cfg.quant_matmuls, name="final_mod"
+            d, 2, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="final_mod"
         )(vec)
         img_n = _layer_norm_fp32(img) * (1 + scale[:, None]) + shift[:, None]
         h2 = img_n

@@ -326,15 +326,18 @@ class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    quant_bits: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from tpdm_tpu.ops.quant import DenseMaybeQuant
 
         inner = self.dim * self.mult
-        x = DenseMaybeQuant(inner, quant=self.quant, dtype=self.dtype, name="proj_in")(x)
+        x = DenseMaybeQuant(inner, quant=self.quant, bits=self.quant_bits,
+                            dtype=self.dtype, name="proj_in")(x)
         x = nn.gelu(x, approximate=True)
-        return DenseMaybeQuant(self.dim, quant=self.quant, dtype=self.dtype, name="proj_out")(x)
+        return DenseMaybeQuant(self.dim, quant=self.quant, bits=self.quant_bits,
+                               dtype=self.dtype, name="proj_out")(x)
 
 
 class GroupNorm(nn.Module):

@@ -55,6 +55,7 @@ class MMDiTConfig:
     dtype: jnp.dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
     quant_matmuls: bool = False  # W8A8-dynamic int8 for qkv/out/FF matmuls
+    quant_bits: int = 8  # 4 = group-int4 weight-only (capacity mode)
 
     @property
     def inner_dim(self) -> int:
@@ -126,7 +127,8 @@ class JointAttention(nn.Module):
         from tpdm_tpu.ops.quant import DenseMaybeQuant
 
         dense = lambda name: DenseMaybeQuant(
-            h * d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+            h * d, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name=name,
         )
 
         def heads(t):  # (b, n, h*d) -> (b, h, n, d)
@@ -166,12 +168,14 @@ class JointAttention(nn.Module):
         o_img, o_ctx = o[:, :n_img], o[:, n_img:n_tok]
 
         o_img = DenseMaybeQuant(
-            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_out"
+            cfg.inner_dim, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name="to_out",
         )(o_img)
         if self.context_pre_only:
             return o_img, None
         o_ctx = DenseMaybeQuant(
-            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_add_out"
+            cfg.inner_dim, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name="to_add_out",
         )(o_ctx)
         return o_img, o_ctx
 
@@ -193,7 +197,8 @@ class SelfAttention(nn.Module):
         from tpdm_tpu.ops.quant import DenseMaybeQuant
 
         dense = lambda name: DenseMaybeQuant(
-            h * d, quant=cfg.quant_matmuls, dtype=cfg.dtype, name=name
+            h * d, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name=name,
         )
         q = heads(dense("to_q")(x))
         k = heads(dense("to_k")(x))
@@ -204,7 +209,8 @@ class SelfAttention(nn.Module):
         o = joint_attention(q, k, v, use_pallas=cfg.use_pallas)
         o = o.transpose(0, 2, 1, 3).reshape(b, -1, h * d)
         return DenseMaybeQuant(
-            cfg.inner_dim, quant=cfg.quant_matmuls, dtype=cfg.dtype, name="to_out"
+            cfg.inner_dim, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
+            dtype=cfg.dtype, name="to_out",
         )(o)
 
 
@@ -260,7 +266,8 @@ class JointBlock(nn.Module):
         norm_x = _layer_norm_fp32(x)
         norm_x = norm_x * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
         x = x + gate_mlp[:, None] * FeedForward(
-            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls, name="ff"
+            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls,
+            quant_bits=cfg.quant_bits, name="ff",
         )(norm_x)
 
         if self.context_pre_only:
@@ -269,7 +276,8 @@ class JointBlock(nn.Module):
         norm_ctx = _layer_norm_fp32(ctx)
         norm_ctx = norm_ctx * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
         ctx = ctx + c_gate_mlp[:, None] * FeedForward(
-            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls, name="ff_context"
+            dim, dtype=cfg.dtype, quant=cfg.quant_matmuls,
+            quant_bits=cfg.quant_bits, name="ff_context",
         )(norm_ctx)
         return x, ctx
 

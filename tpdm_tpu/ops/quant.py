@@ -36,6 +36,55 @@ def quantize_weight(kernel: jax.Array, bias=None) -> QuantizedLinear:
     return QuantizedLinear(q, scale, bias)
 
 
+W4_GROUP = 128
+
+
+def _w4_group(in_features: int, group: int = W4_GROUP) -> int:
+    """Group size for int4 quantization of an (in, out) kernel: W4_GROUP
+    when it divides the contraction dim, else the whole column (tiny/toy
+    layers)."""
+    if in_features >= group and in_features % group == 0:
+        return group
+    return in_features
+
+
+def quantize_weight_w4(
+    kernel: jax.Array, bias=None, group: int = W4_GROUP
+) -> QuantizedLinear:
+    """fp kernel (in, out) -> group-wise symmetric int4.
+
+    Per-(input-group, output-channel) scales — the standard weight-only
+    4-bit scheme (per-out-channel alone is too coarse at 4 bits): scale
+    shape (in/group, out), q in [-7, 7]. The 2-D scale is also how the
+    rest of the stack tells w4 from w8/W8A8 trees (scale ndim 2 vs 1)."""
+    in_f, out_f = kernel.shape
+    g = _w4_group(in_f, group)
+    k32 = kernel.astype(jnp.float32).reshape(in_f // g, g, out_f)
+    scale = jnp.clip(jnp.max(jnp.abs(k32), axis=1), 1e-8) / 7.0
+    q = jnp.clip(jnp.round(k32 / scale[:, None, :]), -7, 7)
+    return QuantizedLinear(
+        q.astype(jnp.int4).reshape(in_f, out_f), scale, bias
+    )
+
+
+def w4_matmul(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
+    """y = x @ dequant4(W) (+ b): int4 weight storage, fp compute.
+
+    Weight HBM traffic/capacity is 1/4 of bf16 (XLA packs s4 two per
+    byte on TPU); the group-wise dequant fuses into the dot's operand
+    read like w8_matmul's."""
+    in_f, out_f = qw.kernel_q.shape
+    g = in_f // qw.scale.shape[0]
+    w = (
+        qw.kernel_q.astype(x.dtype).reshape(in_f // g, g, out_f)
+        * qw.scale[:, None, :].astype(x.dtype)
+    ).reshape(in_f, out_f)
+    y = x @ w
+    if qw.bias is not None:
+        y = y + qw.bias.astype(x.dtype)
+    return y
+
+
 def w8_matmul(x: jax.Array, qw: QuantizedLinear) -> jax.Array:
     """y = x @ dequant(W) (+ b): int8 weight STORAGE, fp compute.
 
@@ -92,6 +141,10 @@ class DenseMaybeQuant(nn.Module):
     # layers where activation quantization is numerically risky and the
     # matmul is weight-streaming-bound anyway (FLUX modulations).
     act_quant: bool = True
+    # 8 = int8 (W8A8 or w8 per act_quant); 4 = group-wise int4, ALWAYS
+    # weight-only (no int4 MXU path on this toolchain) — the capacity
+    # mode: 4x smaller weights than bf16.
+    bits: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -106,9 +159,9 @@ class DenseMaybeQuant(nn.Module):
             else None
         )
         if not self.quant:
-            if kernel.dtype == jnp.int8:
+            if kernel.dtype in (jnp.int8, jnp.int4):
                 raise ValueError(
-                    "int8 (prequantized) kernel given to a non-quant Dense; "
+                    "prequantized kernel given to a non-quant Dense; "
                     "build the model with quant_matmuls=True or keep fp "
                     "params"
                 )
@@ -117,8 +170,20 @@ class DenseMaybeQuant(nn.Module):
                 y = y + bias.astype(self.dtype)
             return y
         # kernel_scale exists whenever quant is on; with a PRE-quantized
-        # tree (prequantize_params) the kernel arrives int8 and the scale
-        # carries the real per-channel factors — no in-graph requantization.
+        # tree (prequantize_params) the kernel arrives int8/int4 and the
+        # scale carries the real factors — no in-graph requantization.
+        if self.bits == 4:
+            g = _w4_group(x.shape[-1])
+            scale = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (x.shape[-1] // g, self.features),
+            )
+            if kernel.dtype == jnp.int4:
+                qw = QuantizedLinear(kernel, scale.astype(jnp.float32), bias)
+            else:
+                qw = quantize_weight_w4(kernel, bias, group=g)
+            return w4_matmul(x.astype(self.dtype), qw)
         scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,)
         )
@@ -132,14 +197,17 @@ class DenseMaybeQuant(nn.Module):
 
 
 def prequantize_params(params):
-    """Convert every quantizable Dense in a param tree to stored int8.
+    """Convert every quantizable Dense in a param tree to stored int.
 
     Walks the tree; wherever a module dict holds both "kernel" (2D float)
-    and "kernel_scale" (created by DenseMaybeQuant(quant=True)), the kernel
-    is replaced by its per-out-channel int8 quantization and the scale
-    filled in. Do this ONCE after loading/converting weights; the resulting
-    tree makes `quant_matmuls=True` models skip in-graph weight
-    requantization (the measured end-to-end blocker, docs/PERF.md).
+    and "kernel_scale" (created by DenseMaybeQuant(quant=True)), the
+    kernel is replaced by its quantization and the scale filled in. The
+    MODE is inferred from the scale the model created: 1-D scale =
+    per-out-channel int8 (bits=8); 2-D scale = group-wise int4 (bits=4,
+    group = in/scale.shape[0]). Do this ONCE after loading/converting
+    weights; the resulting tree makes `quant_matmuls=True` models skip
+    in-graph weight requantization (the measured end-to-end blocker,
+    docs/PERF.md).
     """
     def walk(node):
         if not isinstance(node, dict):
@@ -148,9 +216,14 @@ def prequantize_params(params):
             "kernel" in node
             and "kernel_scale" in node
             and getattr(node["kernel"], "ndim", 0) == 2
-            and node["kernel"].dtype != jnp.int8
+            and node["kernel"].dtype not in (jnp.int8, jnp.int4)
         ):
-            q = quantize_weight(jnp.asarray(node["kernel"]))
+            k = jnp.asarray(node["kernel"])
+            if getattr(node["kernel_scale"], "ndim", 1) == 2:
+                g = k.shape[0] // node["kernel_scale"].shape[0]
+                q = quantize_weight_w4(k, group=g)
+            else:
+                q = quantize_weight(k)
             out = dict(node)
             out["kernel"] = q.kernel_q
             out["kernel_scale"] = q.scale

@@ -319,6 +319,7 @@ def load_pipeline_from_pretrained(
     mmdit_config: Optional[MMDiTConfig] = None,
     device_put_backbones: bool = True,
     quant_int8: bool = False,
+    quant_bits: int = 8,
 ) -> TPDMPipeline:
     """Build a pipeline from a diffusers-layout SD3 directory.
 
@@ -346,7 +347,7 @@ def load_pipeline_from_pretrained(
         return sd
 
     mcfg = mmdit_config or MMDiTConfig.sd3_medium(
-        dtype=dtype, quant_matmuls=quant_int8
+        dtype=dtype, quant_matmuls=quant_int8, quant_bits=quant_bits
     )
     mmdit = MMDiT(mcfg)
     mmdit_params = C.convert_mmdit(
