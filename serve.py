@@ -98,6 +98,7 @@ def build_pipeline(args):
     pipe = load_pipeline_from_pretrained(
         args.pretrained, tpm_checkpoint=args.tpm, load_text_encoders=True,
         quant_int8=_quant_on(args), quant_bits=_quant_bits(args),
+        quant_text=getattr(args, "quant_text", False),
     )
 
     # Native tokenizers (pure Python, no transformers at runtime); fall back
@@ -332,6 +333,11 @@ def main():
                         "(required with --reward_checkpoint)")
     p.add_argument("--max_rank_n", type=int, default=8,
                    help="cap on candidates per /rank request")
+    p.add_argument("--quant_text", action="store_true",
+                   help="also store the T5-XXL tower int8/int4 "
+                        "(weight-only, fp activations): halves/quarters "
+                        "the 9.5 GB host->device stream per cold-prompt "
+                        "encode")
     p.add_argument("--int4", action="store_true",
                    help="stored group-int4 backbone weights (weight-only, "
                         "fp compute): 4x smaller than bf16 — the capacity "

@@ -160,3 +160,35 @@ class TestTPMConvertRoundtrip:
             np.asarray(tpm.apply(back, x, t)),
             rtol=1e-5,
         )
+
+
+class TestT5Quant:
+    """Weight-only stored-int T5 (T5Config.quant_matmuls): the 9.5 GB
+    tower that streams host->device per cold-prompt encode; int8 halves
+    it with fp activations."""
+
+    def test_w8_close_to_fp_and_prequantized_path(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from tpdm_tpu.models.t5 import T5Config, T5Encoder
+        from tpdm_tpu.ops.quant import fit_quant_params, prequantize_params
+
+        cfg = T5Config.toy()
+        qcfg = dataclasses.replace(cfg, quant_matmuls=True)
+        model, qmodel = T5Encoder(cfg), T5Encoder(qcfg)
+        ids = jnp.array([[5, 9, 17, 3, 0, 0]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        out_fp = model.apply(params, ids)[0]
+        expected = jax.eval_shape(qmodel.init, jax.random.PRNGKey(0), ids)
+        qparams = prequantize_params(fit_quant_params(params, expected))
+        blk = qparams["params"]["block_0"]
+        assert blk["attention"]["q"]["kernel"].dtype == jnp.int8
+        assert blk["wi_0"]["kernel"].dtype == jnp.int8
+        out_q = qmodel.apply(qparams, ids)[0]
+        err = float(jnp.abs(out_fp - out_q).mean()) / (
+            float(jnp.abs(out_fp).mean()) + 1e-9
+        )
+        assert 0.0 < err < 0.05, err  # weight-only int8: tight

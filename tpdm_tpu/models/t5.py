@@ -28,6 +28,13 @@ class T5Config:
     relative_attention_max_distance: int = 128
     layer_norm_epsilon: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    # Weight-only stored-int quantization of the block matmuls
+    # (ops/quant.py, fp activations — encoder fidelity feeds every
+    # downstream image). T5-XXL's 9.5 GB bf16 either squats on HBM or
+    # streams host->device per cold-prompt encode (pipeline.py memory
+    # policy); int8 halves that, int4 quarters it.
+    quant_matmuls: bool = False
+    quant_bits: int = 8
 
     @classmethod
     def t5_xxl(cls, **kw) -> "T5Config":
@@ -85,8 +92,11 @@ class T5Attention(nn.Module):
         b, n, _ = x.shape
         h, dk = cfg.num_heads, cfg.d_kv
         inner = h * dk
-        dense = lambda name: nn.Dense(
-            inner, use_bias=False, dtype=cfg.dtype, name=name
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
+        dense = lambda name: DenseMaybeQuant(
+            inner, quant=cfg.quant_matmuls, act_quant=False,
+            bits=cfg.quant_bits, use_bias=False, dtype=cfg.dtype, name=name,
         )
         heads = lambda t: t.reshape(b, n, h, dk).transpose(0, 2, 1, 3)
 
@@ -121,7 +131,11 @@ class T5Attention(nn.Module):
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return (
-            nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="o")(o),
+            DenseMaybeQuant(
+                cfg.d_model, quant=cfg.quant_matmuls, act_quant=False,
+                bits=cfg.quant_bits, use_bias=False, dtype=cfg.dtype,
+                name="o",
+            )(o),
             position_bias,
         )
 
@@ -139,11 +153,17 @@ class T5Block(nn.Module):
         )(y, mask, position_bias)
         x = x + att
 
+        from tpdm_tpu.ops.quant import DenseMaybeQuant
+
         y = T5LayerNorm(cfg.d_model, cfg.layer_norm_epsilon, cfg.dtype, name="ln_mlp")(x)
-        wi0 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.dtype, name="wi_0")(y)
-        wi1 = nn.Dense(cfg.d_ff, use_bias=False, dtype=cfg.dtype, name="wi_1")(y)
+        qdense = lambda feats, name: DenseMaybeQuant(
+            feats, quant=cfg.quant_matmuls, act_quant=False,
+            bits=cfg.quant_bits, use_bias=False, dtype=cfg.dtype, name=name,
+        )
+        wi0 = qdense(cfg.d_ff, "wi_0")(y)
+        wi1 = qdense(cfg.d_ff, "wi_1")(y)
         y = nn.gelu(wi0, approximate=True) * wi1  # gated-GELU (T5 v1.1)
-        y = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="wo")(y)
+        y = qdense(cfg.d_model, "wo")(y)
         return x + y, position_bias
 
 

@@ -320,6 +320,7 @@ def load_pipeline_from_pretrained(
     device_put_backbones: bool = True,
     quant_int8: bool = False,
     quant_bits: int = 8,
+    quant_text: bool = False,
 ) -> TPDMPipeline:
     """Build a pipeline from a diffusers-layout SD3 directory.
 
@@ -408,14 +409,30 @@ def load_pipeline_from_pretrained(
 
         lcfg = CLIPTextConfig.sd3_clip_l(dtype=dtype)
         gcfg = CLIPTextConfig.sd3_clip_g(dtype=dtype)
-        tcfg = T5Config.t5_xxl(dtype=dtype)
+        # quant_text: weight-only stored-int T5 (the 9.5 GB tower that
+        # otherwise streams host->device per cold-prompt encode); fp
+        # activations, so CLIP pooled/T5 embeds keep full dynamic range
+        tcfg = T5Config.t5_xxl(
+            dtype=dtype, quant_matmuls=quant_text, quant_bits=quant_bits
+        )
+        t5 = T5Encoder(tcfg)
+        t5_params = C.convert_t5(load_dir("text_encoder_3"), tcfg.num_layers)
+        if quant_text:
+            from tpdm_tpu.ops.quant import fit_quant_params, prequantize_params
+
+            expected = jax.eval_shape(
+                t5.init, jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+            )
+            t5_params = prequantize_params(
+                fit_quant_params(t5_params, expected)
+            )
         text = SD3TextEncoders(
             CLIPTextModel(lcfg),
             C.convert_clip_text(load_dir("text_encoder"), lcfg.num_hidden_layers),
             CLIPTextModel(gcfg),
             C.convert_clip_text(load_dir("text_encoder_2"), gcfg.num_hidden_layers),
-            T5Encoder(tcfg),
-            C.convert_t5(load_dir("text_encoder_3"), tcfg.num_layers),
+            t5,
+            t5_params,
         )
 
     return TPDMPipeline(mmdit, mmdit_params, tpm, tpm_params, vae, vae_params, text)
