@@ -197,8 +197,14 @@ def main():
         watchdog.start()
 
     resume = args.resume_from_checkpoint
-    if isinstance(resume, str) and resume.lower() == "true":
-        resume = True
+    if isinstance(resume, str):
+        # true|false|path, reference contract (launch_sd3_train.sh:37,
+        # main_diff_rloo_trainer.py:60-69): "false"/"" must mean "fresh
+        # run", not a checkpoint directory literally named "false"
+        if resume.lower() in ("false", "none", ""):
+            resume = None
+        elif resume.lower() == "true":
+            resume = True
     try:
         tpm_params, _ = trainer.train(resume_from_checkpoint=resume)
     finally:

@@ -75,3 +75,25 @@ class TestMainTrainCLI:
         r = _run(cmd)
         assert r.returncode != 0
         assert "prompt_embeds" in r.stderr and "make_prompt_encoder" in r.stderr
+
+
+class TestLaunchScript:
+    def test_paper_recipe_launch_script(self, tmp_path):
+        """scripts/launch_sd3_train.sh: the reference launch analogue
+        (launch_sd3_train.sh:16-40 recipe) runs end-to-end, including the
+        --resume_from_checkpoint false contract (regression: the string
+        "false" was treated as a checkpoint path)."""
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu",
+            OUTPUT_DIR=str(tmp_path), MESH="auto",
+        )
+        r = subprocess.run(
+            ["bash", "scripts/launch_sd3_train.sh", "--cpu",
+             "--total_episodes", "16", "--max_inference_steps", "3",
+             "--save_steps", "1000"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "training done:" in r.stderr
+        # paper recipe: kl_coef=0 -> no KL penalty in the reward
+        assert "'objective/non_score_reward': 0.0" in r.stderr
