@@ -545,3 +545,35 @@ class TestMultiResolutionServing:
         with pytest.raises(ValueError, match="multiple"):
             BatchingEngine(pipe, tokenize, vae_scale_factor=2,
                            resolutions=[23])
+
+
+class TestMeshShardedQuantServing:
+    """Stored-int8/int4 param trees survive GSPMD sharding: a quantized
+    backbone served over the (2,2,2) mesh matches the unsharded engine
+    (same off-by-one uint8 rounding allowance as the fp mesh test)."""
+
+    @pytest.mark.parametrize("flag", ["int8", "int4"])
+    def test_quant_mesh_matches_unsharded(self, flag):
+        import argparse
+
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, **{flag: True}
+        )
+        pipe1, tok1 = serve.build_pipeline(args)
+        plain = BatchingEngine(pipe1, tok1, max_batch=2, window_ms=1,
+                               max_steps=4)
+        ref = plain.generate_batch(["a cat", "dog"], [3, 7])
+
+        pipe2, tok2 = serve.build_pipeline(args)
+        eng = BatchingEngine(pipe2, tok2, max_batch=4, window_ms=1,
+                             max_steps=4, mesh_shape=(2, 2, 2))
+        out = eng.generate_batch(["a cat", "dog", "a cat", "dog"],
+                                 [3, 7, 3, 7])
+        for r, o in zip(ref, out[:2]):
+            assert r["inference_steps"] == o["inference_steps"]
+            diff = np.abs(
+                r["image"].astype(np.int32) - o["image"].astype(np.int32)
+            )
+            assert diff.max() <= 1, diff.max()

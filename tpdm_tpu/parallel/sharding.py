@@ -55,6 +55,13 @@ def _path_str(path) -> str:
 def mmdit_param_spec(path, leaf, row_spec: P = P("tensor", "data")) -> P:
     """PartitionSpec for one MMDiT parameter leaf."""
     name = _path_str(path)
+    if name.endswith("kernel_scale"):
+        # quantization scales: int8's are 1-D (out,), group-int4's are 2-D
+        # (in/group, out) — 1/64 of the int4 kernel's bytes. Replicate:
+        # they're consumed alongside every kernel shard, and giving the
+        # 2-D ones the kernel ladder's specs breaks on the (1, out) toy
+        # shapes and courts the partitioner-bug class above for ~no memory.
+        return P()
     if leaf.ndim == 2:
         if _MODULATION.search(name):
             return P("fsdp", None)
