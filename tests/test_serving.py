@@ -576,4 +576,10 @@ class TestMeshShardedQuantServing:
             diff = np.abs(
                 r["image"].astype(np.int32) - o["image"].astype(np.int32)
             )
-            assert diff.max() <= 1, diff.max()
+            # w4 computes in fp like the plain path (seam <= 1); W8A8's
+            # dynamic per-row activation scales amplify one-ULP cross-shard
+            # differences (a shifted row max requantizes the whole row), so
+            # int8 rounding seams reach 2 uint8 levels on rare pixels
+            bound = 2 if flag == "int8" else 1
+            assert diff.max() <= bound, diff.max()
+            assert (diff > 0).mean() < 0.05  # and they stay rare
