@@ -190,6 +190,10 @@ def main():
             process_id=jax.process_index(),
             num_processes=jax.process_count(),
             timeout=args.watchdog_timeout,
+            # interval follows the timeout so any --watchdog_timeout the
+            # CLI accepts is satisfiable (constructor requires
+            # timeout > interval; ~5 pings per window)
+            interval=min(2.0, args.watchdog_timeout / 5.0),
         )
         attach_to_trainer(
             watchdog, trainer, hard_exit_after=args.watchdog_hard_exit

@@ -55,12 +55,20 @@ def build_pipeline(args):
         key = jax.random.PRNGKey(0)
         lcfg = CLIPTextConfig.toy(hidden_size=32, projection_dim=24)
         gcfg = CLIPTextConfig.toy(hidden_size=48, projection_dim=40)
-        tcfg = T5Config.toy(d_model=96)
+        tcfg = T5Config.toy(
+            d_model=96, quant_matmuls=getattr(args, "quant_text", False),
+            quant_bits=_quant_bits(args),
+        )
         clip_l, clip_g, t5 = CLIPTextModel(lcfg), CLIPTextModel(gcfg), T5Encoder(tcfg)
         ids = jnp.zeros((1, 8), jnp.int32)
+        t5_params = t5.init(key, jnp.zeros((1, 12), jnp.int32))
+        if tcfg.quant_matmuls:
+            from tpdm_tpu.ops.quant import prequantize_params
+
+            t5_params = prequantize_params(t5_params)
         text = SD3TextEncoders(
             clip_l, clip_l.init(key, ids), clip_g, clip_g.init(key, ids),
-            t5, t5.init(key, jnp.zeros((1, 12), jnp.int32)), t5_width=96,
+            t5, t5_params, t5_width=96,
         )
         mcfg = MMDiTConfig.toy(
             joint_attention_dim=96, pooled_projection_dim=64,
@@ -170,6 +178,14 @@ def build_family_world(args):
     config = RLOOConfig(max_inference_steps=min(args.max_steps, 8))
 
     if fam == "sd15":
+        if _quant_on(args):
+            # fail loudly instead of serving a silently full-precision
+            # backbone: the SD1.5 UNet has no quant path (conv-dominated;
+            # its 0.86B bf16 fits any chip)
+            raise SystemExit(
+                "--int8/--int4 are not supported for --family sd15 "
+                "(quantization covers the MMDiT/FLUX transformer backbones)"
+            )
         from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
         from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
         from tpdm_tpu.serving_families import make_sd15_runner

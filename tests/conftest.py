@@ -29,16 +29,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compile cache: the suite is compile-dominated on CPU. The
-# dir is keyed by a host-ISA fingerprint — XLA:CPU AOT results from a
-# host with different vector features load but can miscompute
-# (tpdm_tpu/utils/cache.py host_fingerprint).
-from tpdm_tpu.utils.cache import host_fingerprint  # noqa: E402
+# Persistent compile cache: the suite is compile-dominated on CPU. One
+# shared implementation (tpdm_tpu/utils/cache.py) keys the dir by a
+# host-ISA fingerprint — XLA:CPU AOT results from a host with different
+# vector features load but can miscompute.
+from tpdm_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/tpdm_jax_cache-{host_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+enable_compile_cache("/tmp/tpdm_jax_cache", min_secs=0.5)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() >= 8, jax.devices()

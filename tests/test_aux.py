@@ -522,15 +522,21 @@ class TestCompileCache:
 
         from tpdm_tpu.utils.cache import enable_compile_cache
 
+        from tpdm_tpu.utils.cache import host_fingerprint
+
+        fp = host_fingerprint()
         before = jax.config.jax_compilation_cache_dir
         try:
             monkeypatch.setenv("TPDM_COMPILE_CACHE", str(tmp_path / "env"))
-            # explicit arg beats env
+            # explicit arg beats env; EVERY spelling gets the host
+            # fingerprint (foreign-host caches must never be loadable)
             got = enable_compile_cache(str(tmp_path / "arg"))
-            assert got == str(tmp_path / "arg")
+            assert got == f"{tmp_path / 'arg'}-{fp}"
             assert jax.config.jax_compilation_cache_dir == got
             # env beats default
-            assert enable_compile_cache() == str(tmp_path / "env")
+            assert enable_compile_cache() == f"{tmp_path / 'env'}-{fp}"
+            # already-fingerprinted paths are not double-suffixed
+            assert enable_compile_cache(got) == got
         finally:
             jax.config.update("jax_compilation_cache_dir", before)
 

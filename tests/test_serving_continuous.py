@@ -561,3 +561,57 @@ class TestCombinationGuards:
             assert 1 <= r["inference_steps"] <= 4
         finally:
             eng.stop()
+
+
+class TestSharedEmbedCache:
+    def test_router_shares_one_cache_across_resolutions(self, toy):
+        """A prompt served at N resolutions pays ONE cold text-encode:
+        the router hands every per-resolution engine the same
+        PromptEmbedCache (embeds depend only on the prompt)."""
+        from tpdm_tpu.serving_continuous import MultiResContinuousRouter
+
+        pipe, tokenize = toy
+        calls = []
+
+        def counting_tokenize(prompt, n=8):
+            calls.append(prompt)
+            return tokenize(prompt, n)
+
+        router = MultiResContinuousRouter(
+            pipe, counting_tokenize, resolutions=[24], slots=1, seg_steps=2,
+            max_steps=4, vae_scale_factor=2,
+        )
+        router.start()
+        try:
+            n_probe = len(calls)  # engine-build probe encodes
+            a = router.submit("a cat", seed=3).result(timeout=600)
+            b = router.submit("a cat", seed=3, resolution=24).result(timeout=600)
+            assert a["image"].shape == (16, 16, 3)
+            assert b["image"].shape == (24, 24, 3)
+            assert len(calls) - n_probe == 1, calls[n_probe:]
+        finally:
+            router.stop()
+
+    def test_prompt_embed_cache_lru_and_len(self):
+        from tpdm_tpu.serving_continuous import PromptEmbedCache
+
+        c = PromptEmbedCache(size=2)
+        c.put("a", 1)
+        c.put("b", 2)
+        assert c.get("a") == 1  # bumps a
+        c.put("c", 3)  # evicts b (LRU)
+        assert c.get("b") is None
+        assert c.get("a") == 1 and c.get("c") == 3
+        assert len(c) == 2
+
+
+class TestResolutionValidation:
+    def test_unpatchable_resolution_rejected_at_build(self, toy):
+        """A resolution whose latent grid doesn't patchify must fail at
+        construction, not as a shape error inside the worker thread."""
+        pipe, tokenize = toy  # toy: vae_scale_factor 2, patch_size 2
+        with pytest.raises(ValueError, match="patch_size"):
+            ContinuousBatchingEngine(
+                pipe, tokenize, slots=1, seg_steps=1, max_steps=2,
+                resolution=18, vae_scale_factor=2,
+            )

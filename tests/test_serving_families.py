@@ -232,3 +232,37 @@ class TestInt4Serving:
         args = argparse.Namespace(int8=True, int4=True)
         with _pytest.raises(SystemExit, match="mutually exclusive"):
             serve._quant_on(args)
+
+
+class TestSD15QuantRejected:
+    def test_family_sd15_int8_fails_loudly(self):
+        """--family sd15 --int8 must not silently serve full precision."""
+        import argparse
+
+        import pytest as _pytest
+
+        import serve
+
+        args = argparse.Namespace(
+            family="sd15", toy=True, cpu=True, pretrained=None, tpm=None,
+            max_steps=3, int8=True, int4=False,
+        )
+        with _pytest.raises(SystemExit, match="not supported"):
+            serve.build_family_world(args)
+
+
+class TestQuantTextToy:
+    def test_toy_pipeline_quant_text_stores_int8_t5(self):
+        """serve.py --toy --quant_text must not be a silent no-op."""
+        import argparse
+
+        import jax.numpy as jnp
+
+        import serve
+
+        pipe, _ = serve.build_pipeline(argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, quant_text=True
+        ))
+        tp = pipe.text_encoders.t5[1]
+        assert tp["params"]["block_0"]["attention"]["q"]["kernel"].dtype \
+            == jnp.int8

@@ -423,9 +423,15 @@ def load_pipeline_from_pretrained(
             expected = jax.eval_shape(
                 t5.init, jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
             )
-            t5_params = prequantize_params(
-                fit_quant_params(t5_params, expected)
-            )
+            # quantize ON THE HOST CPU and hand back numpy leaves: the
+            # memory policy above keeps text params host-resident and
+            # streaming per encode; letting jnp ops run on the default
+            # (TPU) device would pin the whole tower in HBM at load
+            with jax.default_device(jax.devices("cpu")[0]):
+                t5_params = jax.tree.map(
+                    np.asarray,
+                    prequantize_params(fit_quant_params(t5_params, expected)),
+                )
         text = SD3TextEncoders(
             CLIPTextModel(lcfg),
             C.convert_clip_text(load_dir("text_encoder"), lcfg.num_hidden_layers),

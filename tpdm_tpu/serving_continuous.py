@@ -59,6 +59,40 @@ from tpdm_tpu.serving import EngineOverloaded, ServeRequest
 logger = logging.getLogger(__name__)
 
 
+class PromptEmbedCache:
+    """Thread-safe LRU of prompt -> encoded embeds.
+
+    Shareable across engines: embeds depend only on the prompt, never on
+    the latent resolution — MultiResContinuousRouter hands ONE instance to
+    every per-resolution engine so a repeated prompt pays one cold
+    text-encode total (T5-XXL streaming is the dominant cold-prompt cost)
+    instead of one per served resolution. The lock matters because each
+    engine reads/writes from its own worker thread.
+    """
+
+    def __init__(self, size: int = 256):
+        self.size = size
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is not None:
+                self._d.move_to_end(key)
+            return hit
+
+    def put(self, key, val):
+        with self._lock:
+            self._d[key] = val
+            while len(self._d) > self.size:
+                self._d.popitem(last=False)
+        return val
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 class _SlotState(NamedTuple):
     """Device-resident per-slot state carried across segments."""
 
@@ -117,6 +151,7 @@ class ContinuousBatchingEngine:
         predict: bool = True,
         queue_limit: Optional[int] = None,
         embed_cache_size: int = 256,
+        embed_cache: Optional[PromptEmbedCache] = None,
         dp: Optional[int] = None,
         mesh_shape: Optional[tuple] = None,
         async_decode: bool = True,
@@ -130,6 +165,16 @@ class ContinuousBatchingEngine:
                 f"resolution {resolution} not a multiple of vae_scale_factor "
                 f"{vae_scale_factor}"
             )
+        if resolution is not None and pipe is not None:
+            # the latent grid must also patchify: catch it here, not as a
+            # shape error inside the worker thread's first segment trace
+            patch = getattr(pipe.mmdit.config, "patch_size", 1)
+            if (resolution // vae_scale_factor) % patch:
+                raise ValueError(
+                    f"resolution {resolution} needs a latent grid divisible "
+                    f"by patch_size {patch}: use a multiple of "
+                    f"{vae_scale_factor * patch}"
+                )
         self.resolution = resolution
         self.vae_scale_factor = vae_scale_factor
         if dp is not None and mesh_shape is not None:
@@ -171,8 +216,10 @@ class ContinuousBatchingEngine:
         self.slot_steps_active = 0  # steps that advanced a real request
         self._nfe_done: "collections.deque" = collections.deque(maxlen=512)
         self._latency_done: "collections.deque" = collections.deque(maxlen=512)
-        self._embed_cache: "collections.OrderedDict" = collections.OrderedDict()
-        self._embed_cache_size = embed_cache_size
+        self._embed_cache = (
+            embed_cache if embed_cache is not None
+            else PromptEmbedCache(embed_cache_size)
+        )
         self._lock = threading.Lock()  # guards counters read by stats()
 
         self._mesh = None
@@ -396,15 +443,12 @@ class ContinuousBatchingEngine:
         """LRU-cached batch-1 positive embeds for one prompt."""
         hit = self._embed_cache.get(prompt)
         if hit is not None:
-            self._embed_cache.move_to_end(prompt)
             return hit
         c, t = self.tokenize(prompt)
         pe = self.pipe.text_encoders.encode(c, t)
-        val = (pe.prompt_embeds[0], pe.pooled_prompt_embeds[0])
-        self._embed_cache[prompt] = val
-        while len(self._embed_cache) > self._embed_cache_size:
-            self._embed_cache.popitem(last=False)
-        return val
+        return self._embed_cache.put(
+            prompt, (pe.prompt_embeds[0], pe.pooled_prompt_embeds[0])
+        )
 
     def _init_latent(self, seed: int):
         """Same derivation as BatchingEngine/pipe.generate batch-1: the
@@ -822,10 +866,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
         return np.asarray(lat_row)[0]
 
     def _cache_embeds(self, prompt: str, val):
-        self._embed_cache[prompt] = val
-        while len(self._embed_cache) > self._embed_cache_size:
-            self._embed_cache.popitem(last=False)
-        return val
+        return self._embed_cache.put(prompt, val)
 
 
 class ContinuousFluxEngine(_AgentContinuousEngine):
@@ -978,9 +1019,8 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
         self._state = fresh_state()
 
     def _prompt_embeds(self, prompt: str):
-        hit = self._embed_cache.get(prompt)
+        hit = self._embed_cache.get(prompt)  # PromptEmbedCache: get() bumps
         if hit is not None:
-            self._embed_cache.move_to_end(prompt)
             return hit
         txt, pooled = self._encode([prompt])
         return self._cache_embeds(prompt, (txt[0], pooled[0]))
@@ -1181,9 +1221,8 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         self._state = fresh_state()
 
     def _prompt_embeds(self, prompt: str):
-        hit = self._embed_cache.get(prompt)
+        hit = self._embed_cache.get(prompt)  # PromptEmbedCache: get() bumps
         if hit is not None:
-            self._embed_cache.move_to_end(prompt)
             return hit
         pe, _ = self._encode([prompt])
         return self._cache_embeds(prompt, (pe[0], np.zeros((1,), np.float32)))
@@ -1229,6 +1268,12 @@ class MultiResContinuousRouter:
             else mcfg.sample_size * vae_scale_factor
         )
         served = set(resolutions or []) | {self.default_resolution}
+        # ONE prompt-embed cache across all resolutions: embeds depend only
+        # on the prompt, so a prompt served at N resolutions pays one cold
+        # text-encode, not N
+        shared_cache = PromptEmbedCache(
+            engine_kw.pop("embed_cache_size", 256)
+        )
         self._engines = {
             r: ContinuousBatchingEngine(
                 pipe,
@@ -1237,6 +1282,7 @@ class MultiResContinuousRouter:
                 seg_steps=seg_steps,
                 resolution=r,
                 vae_scale_factor=vae_scale_factor,
+                embed_cache=shared_cache,
                 **engine_kw,
             )
             for r in sorted(served)

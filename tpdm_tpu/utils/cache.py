@@ -46,24 +46,29 @@ def host_fingerprint() -> str:
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
-def enable_compile_cache(path: str = None) -> str:
+def enable_compile_cache(path: str = None, min_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at `path` and return it.
 
     Resolution order: explicit arg > $TPDM_COMPILE_CACHE >
     $JAX_COMPILATION_CACHE_DIR (already honored by JAX itself — returned
     as-is) > DEFAULT_CACHE_DIR + per-host ISA fingerprint (see
-    host_fingerprint). Explicit paths are trusted as-is.
+    host_fingerprint). Explicit paths are suffixed with the fingerprint
+    too unless they already contain it — a foreign-host cache must never
+    be loadable by any spelling. `min_secs`: skip caching compiles
+    cheaper than this (recompiling beats deserialize + hash-check).
     """
     import jax
 
     env_jax = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     resolved = path or os.environ.get("TPDM_COMPILE_CACHE") or env_jax \
         or f"{DEFAULT_CACHE_DIR}-{host_fingerprint()}"
+    if host_fingerprint() not in resolved:
+        resolved = f"{resolved}-{host_fingerprint()}"
     try:
         jax.config.update("jax_compilation_cache_dir", resolved)
-        # anything cheaper than 1s to compile is cheaper to recompile than
-        # to deserialize + hash-check
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_secs
+        )
     except Exception:  # pragma: no cover - backend without serialization
         logger.warning("persistent compile cache unavailable", exc_info=True)
     return resolved
