@@ -632,17 +632,26 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 resolution = req.get("resolution")
                 if resolution is not None:
                     resolution = int(resolution)
+                deadline_s = req.get("deadline_s")
+                if deadline_s is not None:
+                    deadline_s = float(deadline_s)
+                    if deadline_s <= 0:
+                        raise ValueError("deadline_s must be > 0")
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
-            from tpdm_tpu.serving import EngineOverloaded
+            from tpdm_tpu.serving import EngineOverloaded, RequestExpired
 
             try:
                 res = engine.submit(
-                    prompt, seed, steps=steps, resolution=resolution
+                    prompt, seed, steps=steps, resolution=resolution,
+                    deadline_s=deadline_s,
                 ).result(timeout=600)
             except ValueError as e:  # unknown resolution etc.
                 self.send_error(400, str(e)[:100])
+                return
+            except RequestExpired as e:  # queued past its deadline
+                self.send_error(503, str(e)[:100])
                 return
             except EngineOverloaded as e:
                 self.send_error(503, str(e)[:100])

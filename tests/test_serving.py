@@ -583,3 +583,27 @@ class TestMeshShardedQuantServing:
             bound = 2 if flag == "int8" else 1
             assert diff.max() <= bound, diff.max()
             assert (diff > 0).mean() < 0.05  # and they stay rare
+
+
+class TestDeadlines:
+    def test_expired_request_shed_fresh_request_served(self, toy):
+        import time
+
+        from tpdm_tpu.serving import RequestExpired
+
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=2, window_ms=1,
+                             max_steps=3)
+        # enqueue BEFORE start so the deadline lapses while queued
+        stale = eng.submit("a cat", seed=1, deadline_s=0.01)
+        time.sleep(0.05)
+        live = eng.submit("a dog", seed=2)
+        eng.start()
+        try:
+            out = live.result(timeout=600)
+            assert 1 <= out["inference_steps"] <= 3
+            with pytest.raises(RequestExpired, match="waited"):
+                stale.result(timeout=10)
+            assert eng.stats()["requests_expired"] == 1
+        finally:
+            eng.stop()

@@ -615,3 +615,24 @@ class TestResolutionValidation:
                 pipe, tokenize, slots=1, seg_steps=1, max_steps=2,
                 resolution=18, vae_scale_factor=2,
             )
+
+
+class TestDeadlinesContinuous:
+    def test_expired_request_never_takes_a_slot(self, toy):
+        from tpdm_tpu.serving import RequestExpired
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                       max_steps=4)
+        stale = eng.submit("a cat", seed=1, deadline_s=0.01)
+        time.sleep(0.05)
+        live = eng.submit("blue bird", seed=2)
+        eng.start()
+        try:
+            out = live.result(timeout=600)
+            assert 1 <= out["inference_steps"] <= 4
+            with pytest.raises(RequestExpired, match="waited"):
+                stale.result(timeout=10)
+            assert eng.stats()["requests_expired"] == 1
+        finally:
+            eng.stop()

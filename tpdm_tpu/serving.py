@@ -34,6 +34,10 @@ class EngineOverloaded(RuntimeError):
     """Raised by submit() when the request queue is at its limit."""
 
 
+class RequestExpired(RuntimeError):
+    """The request's deadline passed while it waited in the queue."""
+
+
 @dataclass
 class ServeRequest:
     prompt: str
@@ -45,6 +49,10 @@ class ServeRequest:
     # per-request output resolution in image pixels; None = engine default.
     # Requests coalesce per-resolution (one compiled shape each).
     resolution: Optional[int] = None
+    # load shedding: seconds this request may WAIT before starting; once
+    # exceeded it fails with RequestExpired instead of occupying a batch
+    # slot the client has already given up on. None = wait forever.
+    deadline_s: Optional[float] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -56,6 +64,18 @@ class ServeRequest:
         if self._error is not None:
             raise self._error
         return self._result
+
+    def expired(self) -> bool:
+        return (
+            self.deadline_s is not None
+            and time.monotonic() - self.submitted_at > self.deadline_s
+        )
+
+    def _expire(self) -> None:
+        self._error = RequestExpired(
+            f"request waited >{self.deadline_s:.1f}s in the queue"
+        )
+        self._event.set()
 
 
 def generate_ranked(
@@ -261,6 +281,7 @@ class BatchingEngine:
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.batches_run = 0  # observability + test hook
+        self.requests_expired = 0  # deadline load-shedding counter
         self.padded_slots = 0  # cumulative tail-padding waste (slots)
         # per-prompt text-embedding LRU: prompt -> (embed_row, pooled_row)
         # on device; the (constant) negative branch is cached separately
@@ -526,6 +547,7 @@ class BatchingEngine:
     def submit(
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
+        deadline_s: Optional[float] = None,
     ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
@@ -542,7 +564,8 @@ class BatchingEngine:
                     f"{sorted(self.resolutions)}"
                 )
         req = ServeRequest(
-            prompt=prompt, seed=seed, steps=steps, resolution=resolution
+            prompt=prompt, seed=seed, steps=steps, resolution=resolution,
+            deadline_s=deadline_s,
         )
         try:
             self._queue.put_nowait(req)
@@ -611,6 +634,14 @@ class BatchingEngine:
     def _worker(self):
         while not self._stop.is_set():
             batch = self._collect()
+            # load shedding: a request whose deadline passed while queued
+            # fails fast instead of occupying a padded batch slot its
+            # client has already abandoned
+            expired = [r for r in batch if r.expired()]
+            for r in expired:
+                r._expire()
+            self.requests_expired += len(expired)
+            batch = [r for r in batch if r not in expired]
             if not batch:
                 continue
             # group by resolution (first-seen order): each resolution is
@@ -674,6 +705,7 @@ class BatchingEngine:
             }
         return {
             "batches_run": self.batches_run,
+            "requests_expired": self.requests_expired,
             "recent": len(rows),
             **wait_stats,
             "batch_fill_mean": float(np.mean([r["batch"] for r in rows]))

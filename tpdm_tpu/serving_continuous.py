@@ -212,6 +212,7 @@ class ContinuousBatchingEngine:
         # observability
         self.segments_run = 0
         self.requests_done = 0
+        self.requests_expired = 0  # deadline load-shedding counter
         self.slot_steps_total = 0  # S * seg_steps * segments
         self.slot_steps_active = 0  # steps that advanced a real request
         self._nfe_done: "collections.deque" = collections.deque(maxlen=512)
@@ -545,14 +546,22 @@ class ContinuousBatchingEngine:
         """Fill free slots from the queue. Returns False on shutdown."""
         free = [i for i in range(self.slots) if self._slot_req[i] is None]
         for slot in free:
-            try:
-                req = self._queue.get(block=block) if block else (
-                    self._queue.get_nowait()
-                )
-            except queue.Empty:
+            while True:
+                try:
+                    req = self._queue.get(block=block) if block else (
+                        self._queue.get_nowait()
+                    )
+                except queue.Empty:
+                    return True
+                if req is None:
+                    return False
+                if req.expired():
+                    # load shedding: don't give an abandoned request a slot
+                    req._expire()
+                    with self._lock:
+                        self.requests_expired += 1
+                    continue
                 break
-            if req is None:
-                return False
             self._assign(slot, req)
             block = False  # only the first wait may block
         return True
@@ -588,10 +597,13 @@ class ContinuousBatchingEngine:
     def submit(
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
+        deadline_s: Optional[float] = None,
     ) -> ServeRequest:
         """Enqueue one request. `steps` caps THIS request's NFE (quality vs
         latency knob, clamped to the engine max) — slot recycling means a
-        short request frees its slot early instead of riding out the batch."""
+        short request frees its slot early instead of riding out the batch.
+        `deadline_s` sheds the request with RequestExpired if it is still
+        QUEUED (no slot) that many seconds after submit."""
         if self._stop.is_set():
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
@@ -602,7 +614,9 @@ class ContinuousBatchingEngine:
                 "resolutions with MultiResContinuousRouter (or the "
                 "fixed-batch engine's resolutions=)"
             )
-        req = ServeRequest(prompt=prompt, seed=seed, steps=steps)
+        req = ServeRequest(
+            prompt=prompt, seed=seed, steps=steps, deadline_s=deadline_s
+        )
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -720,6 +734,7 @@ class ContinuousBatchingEngine:
             out = {
                 "segments_run": self.segments_run,
                 "requests_done": self.requests_done,
+                "requests_expired": self.requests_expired,
                 "slots": self.slots,
                 "seg_steps": self.seg_steps,
                 "slot_steps_total": self.slot_steps_total,
@@ -1297,6 +1312,7 @@ class MultiResContinuousRouter:
     def submit(
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
+        deadline_s: Optional[float] = None,
     ) -> ServeRequest:
         r = resolution if resolution is not None else self.default_resolution
         eng = self._engines.get(r)
@@ -1304,7 +1320,8 @@ class MultiResContinuousRouter:
             raise ValueError(
                 f"resolution {r} not in the served set {self.resolutions}"
             )
-        return eng.submit(prompt, seed=seed, steps=steps)
+        return eng.submit(prompt, seed=seed, steps=steps,
+                          deadline_s=deadline_s)
 
     def warmup(self):
         for eng in self._engines.values():
