@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--watchdog_timeout", type=float, default=30.0,
                    help="seconds of missed heartbeats before a peer is "
                         "declared dead")
+    p.add_argument("--watchdog_stall_timeout", type=float, default=None,
+                   help="fire the watchdog when NO process's update counter "
+                        "advances for this many seconds (catches wedged-but-"
+                        "alive peers that heartbeat liveness cannot); size "
+                        "to several updates' wall time. Default off")
     p.add_argument("--watchdog_hard_exit", type=float, default=300.0,
                    help="seconds after a detected failure before a wedged "
                         "process hard-exits for the launcher to restart")
@@ -194,6 +199,7 @@ def main():
             # CLI accepts is satisfiable (constructor requires
             # timeout > interval; ~5 pings per window)
             interval=min(2.0, args.watchdog_timeout / 5.0),
+            stall_timeout=args.watchdog_stall_timeout,
         )
         attach_to_trainer(
             watchdog, trainer, hard_exit_after=args.watchdog_hard_exit

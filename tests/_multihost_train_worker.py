@@ -80,12 +80,77 @@ def main():
             if update == stop_at and jax.process_index() == stop_pid:
                 trainer.request_stop()
 
+    # optional crash injection: TPDM_CRASH_PID hard-dies (os._exit(1),
+    # simulating a killed host) right after TPDM_CRASH_AT — the OTHER
+    # process then wedges in its next update's collectives, which is
+    # exactly what the heartbeat watchdog must turn into exit 13
+    crash_at = int(os.environ.get("TPDM_CRASH_AT", "0"))
+    crash_pid = int(os.environ.get("TPDM_CRASH_PID", "0"))
+
+    class _CrashInjection:
+        def on_step_end(self, trainer, update, metrics, tpm_params):
+            if update == crash_at and jax.process_index() == crash_pid:
+                os._exit(1)
+
+    # wedge injection: the process stays ALIVE (heartbeats + jax
+    # coordination service happy) but stops participating — the hang mode
+    # only progress-stall detection can catch
+    wedge_at = int(os.environ.get("TPDM_WEDGE_AT", "0"))
+    wedge_pid = int(os.environ.get("TPDM_WEDGE_PID", "0"))
+
+    class _WedgeInjection:
+        def on_step_end(self, trainer, update, metrics, tpm_params):
+            if update == wedge_at and jax.process_index() == wedge_pid:
+                import time as _time
+
+                _time.sleep(3600)
+
+    callbacks = []
+    if stop_at:
+        callbacks.append(_OneSidedStop())
+    if crash_at:
+        callbacks.append(_CrashInjection())
+    if wedge_at:
+        callbacks.append(_WedgeInjection())
+
     trainer = RLOOTrainer(
         cfg, agent, reward_fn, dataset,
         collate_fn=make_prompt_encoder(agent), mesh=mesh,
-        callbacks=[_OneSidedStop()] if stop_at else (),
+        callbacks=callbacks,
     )
-    params, _ = trainer.train()
+
+    watchdog = None
+    wd_port = os.environ.get("TPDM_WATCHDOG_PORT")
+    if wd_port:
+        from tpdm_tpu.parallel.watchdog import (
+            HeartbeatWatchdog,
+            attach_to_trainer,
+        )
+
+        stall = os.environ.get("TPDM_STALL")
+        watchdog = HeartbeatWatchdog(
+            f"127.0.0.1:{wd_port}", process_id=pid, num_processes=2,
+            # generous liveness window: compile-heavy phases on a starved
+            # CPU box can delay ping threads by seconds
+            interval=float(os.environ.get("TPDM_WD_INTERVAL", "1.0")),
+            timeout=float(os.environ.get("TPDM_WD_TIMEOUT", "10.0")),
+            startup_grace=120.0,
+            stall_timeout=float(stall) if stall else None,
+        )
+        attach_to_trainer(
+            watchdog, trainer,
+            hard_exit_after=float(os.environ.get("TPDM_HARD_EXIT", "5")),
+        )
+        watchdog.start()
+
+    try:
+        params, _ = trainer.train()
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
+            timer = getattr(watchdog, "_hard_exit_timer", None)
+            if timer is not None:
+                timer.cancel()
 
     m = trainer.metrics_history[-1]
     assert all(

@@ -154,3 +154,95 @@ def test_two_process_one_sided_preemption_stop(tmp_path):
     assert sums[0]["digest"] == sums[1]["digest"]
     # process 0 wrote the preemption checkpoint for update 1
     assert sums[0]["checkpoints"] == ["checkpoint-1"]
+
+
+def test_two_process_peer_crash_watchdog_hard_exit(tmp_path):
+    """End-to-end dead-peer handling: process 1 hard-dies after update 1
+    (killed host); process 0 must TERMINATE promptly instead of hanging
+    the reservation — either via the watchdog's exit-13 contract or via
+    jax.distributed's own coordination-service abort, whichever wins the
+    race (both are acceptable for a DEAD peer; the wedged-alive case
+    below is the one only the watchdog catches)."""
+    import socket
+
+    def free_port(kind=socket.SOCK_STREAM):
+        with socket.socket(socket.AF_INET, kind) as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    port = free_port()
+    wd_port = free_port(socket.SOCK_DGRAM)
+    worker = os.path.join(
+        os.path.dirname(__file__), "_multihost_train_worker.py"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPDM_CRASH_AT"] = "1"
+    env["TPDM_CRASH_PID"] = "1"
+    env["TPDM_WATCHDOG_PORT"] = str(wd_port)
+    env["TPDM_HARD_EXIT"] = "5"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[1].returncode == 1, logs[1][-1500:]  # the injected crash
+    # the survivor must NOT hang (communicate() above would have timed
+    # out); the watchdog detected the dead peer even if jax's abort won
+    assert procs[0].returncode != 0, logs[0][-1500:]
+    assert procs[0].returncode == 13 or "watchdog" in logs[0] \
+        or "Terminating process" in logs[0], logs[0][-1500:]
+
+
+def test_two_process_wedged_peer_stall_detection(tmp_path):
+    """The hang mode ONLY the watchdog catches: process 1 stays alive
+    (OS heartbeats + jax coordination service satisfied) but stops
+    participating after update 1; process 0 blocks inside update 2's
+    collectives. The progress-stall detector must fire on process 0's
+    server, relay the failure to every client, and hard-exit BOTH
+    processes with code 13 so the launcher restarts from checkpoint."""
+    import socket
+
+    def free_port(kind=socket.SOCK_STREAM):
+        with socket.socket(socket.AF_INET, kind) as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    port = free_port()
+    wd_port = free_port(socket.SOCK_DGRAM)
+    worker = os.path.join(
+        os.path.dirname(__file__), "_multihost_train_worker.py"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPDM_WEDGE_AT"] = "1"
+    env["TPDM_WEDGE_PID"] = "1"
+    env["TPDM_WATCHDOG_PORT"] = str(wd_port)
+    env["TPDM_STALL"] = "25"
+    env["TPDM_HARD_EXIT"] = "2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[0].returncode == 13, logs[0][-1500:]
+    assert procs[1].returncode == 13, logs[1][-1500:]
+    assert "no progress anywhere" in logs[0], logs[0][-1500:]

@@ -119,6 +119,74 @@ class TestTrainerWiring:
             timer.cancel()  # ...and cancellable on clean exit
 
 
+class TestStallDetection:
+    """Progress-stall detection: the hang mode liveness can't see (every
+    process alive and pinging, nobody advancing)."""
+
+    def _pair(self, port, prog0, prog1, stall=0.5):
+        kw = dict(timeout=5.0, stall_timeout=stall)  # liveness can't fire
+        wd0 = _wd(0, port, progress_fn=prog0, **kw).start()
+        wd1 = _wd(1, port, progress_fn=prog1, **kw).start()
+        return wd0, wd1
+
+    def test_fires_after_armed_freeze_and_relays_to_peers(self):
+        port = _free_port()
+        step = [0]
+        wd0, wd1 = self._pair(port, lambda: step[0], lambda: step[0])
+        try:
+            time.sleep(0.3)  # both registered at progress 0
+            step[0] = 1  # one real increase arms the detector...
+            _wait_for(lambda: wd0.fired, 3.0, "stall detection")
+            assert "no progress anywhere" in wd0.failure_reason
+            assert "step 1" in wd0.failure_reason
+            # ...and the server relays the reason so the PEER fires too
+            # (in a real wedge the peer can only be saved by its own
+            # hard-exit timer)
+            _wait_for(lambda: wd1.fired, 3.0, "failure relay to peer")
+            assert "no progress anywhere" in wd1.failure_reason
+        finally:
+            wd0.stop()
+            wd1.stop()
+
+    def test_unarmed_startup_freeze_does_not_fire(self):
+        # progress never increases past the baseline: an unbounded first
+        # compile must not false-fire
+        port = _free_port()
+        wd0, wd1 = self._pair(port, lambda: 0, lambda: 0)
+        try:
+            time.sleep(1.5)  # 3x the stall window
+            assert not wd0.fired and not wd1.fired
+        finally:
+            wd0.stop()
+            wd1.stop()
+
+    def test_advancing_progress_never_fires(self):
+        port = _free_port()
+        t0 = time.monotonic()
+        prog = lambda: int((time.monotonic() - t0) / 0.2)
+        wd0, wd1 = self._pair(port, prog, prog)
+        try:
+            time.sleep(1.5)
+            assert not wd0.fired and not wd1.fired
+        finally:
+            wd0.stop()
+            wd1.stop()
+
+    def test_disabled_by_default(self):
+        port = _free_port()
+        step = [0]
+        wd0 = _wd(0, port, timeout=5.0, progress_fn=lambda: step[0]).start()
+        wd1 = _wd(1, port, timeout=5.0, progress_fn=lambda: step[0]).start()
+        try:
+            time.sleep(0.3)
+            step[0] = 1  # would arm, but stall_timeout=None
+            time.sleep(1.0)
+            assert not wd0.fired and not wd1.fired
+        finally:
+            wd0.stop()
+            wd1.stop()
+
+
 WORKER = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})

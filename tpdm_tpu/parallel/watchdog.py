@@ -58,6 +58,21 @@ class HeartbeatWatchdog:
             every peer before flagging no-shows.
         on_failure: called ONCE with a human-readable reason string from
             a watchdog thread. Default logs critical only.
+        progress_fn: optional () -> int returning this process's progress
+            counter (e.g. trainer.global_step). Pings carry it so the
+            server can detect a WEDGED job — the failure liveness can't
+            see: every process alive (heartbeats flowing, so
+            jax.distributed's coordination service is happy too) but no
+            one advancing because a peer hangs inside a collective.
+        stall_timeout: fire when the MAX progress across peers hasn't
+            advanced for this many seconds. Armed only after the first
+            observed progress INCREASE, so unbounded startup compiles
+            can't false-fire (the tradeoff: a wedge during the very first
+            update is caught by nothing but the operator). None disables
+            stall detection. SPMD training is lockstep — one wedged peer
+            stalls everyone within an update — so global-progress stall
+            is exactly "the job is hung". Size it to several updates'
+            wall time.
     """
 
     def __init__(
@@ -69,6 +84,8 @@ class HeartbeatWatchdog:
         timeout: float = 10.0,
         startup_grace: float = 60.0,
         on_failure: Optional[Callable[[str], None]] = None,
+        progress_fn: Optional[Callable[[], int]] = None,
+        stall_timeout: Optional[float] = None,
     ):
         if timeout <= interval:
             raise ValueError("timeout must exceed the ping interval")
@@ -80,6 +97,8 @@ class HeartbeatWatchdog:
         self.timeout = timeout
         self.startup_grace = startup_grace
         self._on_failure = on_failure
+        self.progress_fn = progress_fn
+        self.stall_timeout = stall_timeout
         self._stop = threading.Event()
         self._fired = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -136,21 +155,55 @@ class HeartbeatWatchdog:
 
     def _server_loop(self) -> None:
         last_seen: dict[int, float] = {}
+        reports: dict[int, int] = {}  # pings seen per peer
+        max_progress = None  # first report sets the baseline
+        armed = False  # stall detection arms on the first INCREASE
+        progress_changed_at = time.monotonic()
         t0 = time.monotonic()
         while not self._stop.is_set():
             try:
                 data, addr = self._server_sock.recvfrom(64)
                 try:
-                    pid = int(data)
+                    pid_s, _, prog_s = data.partition(b":")
+                    pid = int(pid_s)
+                    progress = int(prog_s) if prog_s else 0
                 except ValueError:
                     continue
                 last_seen[pid] = time.monotonic()
-                self._server_sock.sendto(_ACK, addr)
+                reports[pid] = reports.get(pid, 0) + 1
+                if max_progress is None:
+                    max_progress = progress
+                elif progress > max_progress:
+                    max_progress = progress
+                    progress_changed_at = last_seen[pid]
+                    armed = True
+                # after a failure, keep answering with the reason so every
+                # peer's client learns and runs ITS on_failure too (the
+                # wedged ones can only be saved by their own hard-exit)
+                self._server_sock.sendto(
+                    _ACK if not self._fired.is_set()
+                    else b"fail:" + self.failure_reason.encode()[:300],
+                    addr,
+                )
             except socket.timeout:
                 pass
             except OSError:
                 return  # socket closed by stop()
+            if self._fired.is_set():
+                continue  # already failed: only relay the reason
             now = time.monotonic()
+            if (
+                self.stall_timeout is not None
+                and armed
+                and len(reports) == self.num_processes
+                and now - progress_changed_at > self.stall_timeout
+            ):
+                self._fire(
+                    f"no progress anywhere for >{self.stall_timeout:.0f}s "
+                    f"(stuck at step {max_progress}; every process alive "
+                    "and pinging) — a peer is wedged inside a collective"
+                )
+                continue
             stale = [
                 p for p, ts in last_seen.items() if now - ts > self.timeout
             ]
@@ -162,7 +215,7 @@ class HeartbeatWatchdog:
                     "surviving processes will wedge in their next "
                     "collective"
                 )
-                return
+                continue  # keep relaying the reason to surviving clients
             if (
                 now - t0 > self.startup_grace
                 and len(last_seen) < self.num_processes
@@ -174,25 +227,34 @@ class HeartbeatWatchdog:
                     f"process(es) {missing} never sent a heartbeat within "
                     f"the {self.startup_grace:.0f}s startup grace"
                 )
-                return
+                continue
 
     # -- every-process client --------------------------------------------
 
     def _client_loop(self) -> None:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.settimeout(self.interval)
-        payload = str(self.process_id).encode()
         last_ok = time.monotonic()
         acked = False  # before first contact, allow the startup grace:
         # peers may come up long before process 0 binds its server
         try:
             while not self._stop.is_set():
+                progress = 0
+                if self.progress_fn is not None:
+                    try:
+                        progress = int(self.progress_fn())
+                    except Exception:  # never let a racy read kill pings
+                        pass
+                payload = f"{self.process_id}:{progress}".encode()
                 try:
                     sock.sendto(payload, self._addr)
-                    data, _ = sock.recvfrom(16)
+                    data, _ = sock.recvfrom(512)
                     if data == _ACK:
                         last_ok = time.monotonic()
                         acked = True
+                    elif data.startswith(b"fail:"):
+                        self._fire(data[5:].decode(errors="replace"))
+                        return
                 except (socket.timeout, OSError):
                     pass
                 allowed = (
@@ -227,6 +289,11 @@ def attach_to_trainer(
     detection-and-restart, the TPU answer to the reference's absent
     failure handling (SURVEY §5).
     """
+
+    if watchdog.progress_fn is None:
+        # pings carry the update counter so the server's stall detector
+        # sees real training progress
+        watchdog.progress_fn = lambda: getattr(trainer, "global_step", 0)
 
     def on_failure(reason: str) -> None:
         logger.critical(
