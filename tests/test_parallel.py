@@ -203,7 +203,7 @@ class TestDryrun:
 class TestMeshTrainer:
     """The REAL RLOOTrainer running mesh-native (round-2 VERDICT item 1)."""
 
-    def _run(self, mesh, per_device, world_note):
+    def _run(self, mesh, per_device, world_note, offload="none"):
         import dataclasses
 
         from tpdm_tpu.train.builders import (
@@ -223,6 +223,7 @@ class TestMeshTrainer:
             learning_rate=1e-4,
             total_episodes=8,
             save_steps=0,
+            offload_cache=offload,
         )
         agent = build_toy_agent(cfg)
         if mesh is not None:
@@ -254,6 +255,26 @@ class TestMeshTrainer:
         for r, s in zip(flat_r, flat_s):
             np.testing.assert_allclose(
                 np.asarray(r), np.asarray(s), rtol=1e-3, atol=1e-5
+            )
+
+    def test_host_offload_matches_resident_on_mesh(self):
+        """offload_cache='host' under GSPMD: the global cache round-trips
+        host RAM between rollout and PPO replay; per-shard batch 2 (the
+        regime where sharding bugs actually show) must reproduce the
+        resident-mesh numbers exactly."""
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        res_params, res_m = self._run(mesh, per_device=2, world_note=4)
+        off_params, off_m = self._run(
+            mesh, per_device=2, world_note=4, offload="host"
+        )
+        for k in ("objective/rlhf_reward", "loss/policy_avg"):
+            np.testing.assert_allclose(res_m[k], off_m[k], rtol=1e-6)
+        for r, s in zip(
+            jax.tree_util.tree_leaves(res_params),
+            jax.tree_util.tree_leaves(off_params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(s), rtol=1e-6, atol=1e-7
             )
 
     def test_dryrun_trainer_with_resume(self):

@@ -441,6 +441,66 @@ class TestOffloadPlumbing:
         )
 
 
+class TestHostOffload:
+    """Trainer-level post-hoc host offload (offload_cache="host"): the
+    replay cache leaves HBM right after the rollout, subset_outputs slices
+    it on host, and only micro-batch slices return to the device. The
+    toolchain-proof analogue of the reference's CPU-RAM cache
+    (modeling_sd3_pnt.py:553-554); the numbers must not change at all.
+    """
+
+    def test_training_matches_resident_path(self):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(11))
+        base = RLOOTrainer(config, agent, reward_fn, dataset)
+        pb, _ = base.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        off = RLOOTrainer(
+            dataclasses.replace(config, offload_cache="host"),
+            agent, reward_fn, dataset,
+        )
+        po, _ = off.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        for r, s in zip(jax.tree.leaves(pb), jax.tree.leaves(po)):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(s))
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, pb)
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_caches_become_numpy_and_device_copy_is_deleted(self):
+        config, agent, _, dataset = _toy_world()
+        from tpdm_tpu.train.rloo import _default_collate
+
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
+        data = rloo_repeat(_default_collate(dataset[:2]), config.rloo_k)
+        outputs = agent.sample(tpm_params, data, jax.random.PRNGKey(3))
+        h_dev = outputs.h_cache
+        import dataclasses
+
+        trainer = RLOOTrainer(
+            dataclasses.replace(config, offload_cache="host"),
+            agent, lambda p, o: (np.zeros(4, np.float32),) * 2, dataset,
+        )
+        off = trainer._offload_outputs_to_host(outputs)
+        assert isinstance(off.h_cache, np.ndarray)
+        assert isinstance(off.temb_cache, np.ndarray)
+        assert h_dev.is_deleted()  # HBM freed eagerly, not at next GC
+        assert isinstance(off.logprobs, jax.Array)  # stats stay device-side
+        # micro-batch slicing works on the host copy and round-trips
+        mo = subset_outputs(off, np.array([1, 2]))
+        assert isinstance(mo.h_cache, np.ndarray)
+        assert mo.h_cache.shape[1] == 2
+
+    def test_bad_mode_rejected(self):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        with pytest.raises(ValueError, match="offload_cache"):
+            RLOOTrainer(
+                dataclasses.replace(config, offload_cache="pinned"),
+                agent, reward_fn, dataset,
+            )
+
+
 class TestMetricsJsonl:
     def test_metrics_stream_written_with_checkpointing(self, tmp_path):
         import dataclasses

@@ -56,6 +56,19 @@ class RLOOConfig:
     min_sigma: float = 0.01  # RLOO wrapper default (modeling_sd3_pnt.py:734)
     guidance_scale: Optional[float] = 7.0
 
+    # --- activation-cache placement during PPO replay ---
+    # The rollout's replay cache (h_cache/temb_cache, ~25MB/sample/step bf16)
+    # dominates training HBM. The reference parks it in CPU RAM
+    # (modeling_sd3_pnt.py:553-554); TPU options:
+    #   "none": cache stays in HBM (fastest; limits rollout batch).
+    #   "xla":  pinned-host out_shardings on the rollout jit (zero-copy
+    #           streaming; current toolchains can crash XLA's offload pass on
+    #           loop+DUS graphs — degrades to "none" with a warning).
+    #   "host": post-hoc device->host copy after the rollout, micro-batch
+    #           slices shipped back per PPO step — works on every toolchain,
+    #           costs one extra round-trip of the cache per update.
+    offload_cache: str = "none"
+
     # --- bookkeeping ---
     logging_steps: int = 1
     save_steps: int = 0  # 0 = disabled

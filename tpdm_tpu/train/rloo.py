@@ -304,6 +304,9 @@ class TPDMAgent:
             predict=False,
             cache_activations=(replay_mode == "cached"),
             keep_history=(replay_mode == "recompute"),
+            # "xla" = pinned-host out_shardings on the rollout jit (see
+            # _get_sample_jit); "host" is handled post-hoc by the trainer
+            offload_cache=(getattr(config, "offload_cache", "none") == "xla"),
         )
         self.needs_inputs_for_replay = replay_mode == "recompute"
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
@@ -647,6 +650,18 @@ class RLOOTrainer:
             if config.world_size != dp:
                 config = dataclasses.replace(config, world_size=dp)
                 self.config = config
+        if config.offload_cache not in ("none", "xla", "host"):
+            raise ValueError(
+                f"offload_cache={config.offload_cache!r} (none|xla|host)"
+            )
+        if config.offload_cache == "host" and jax.process_count() > 1:
+            # each process would need the GLOBAL cache on host (an
+            # allgather of the biggest tensor in the system); the per-device
+            # "xla" mode is the multi-controller answer
+            raise ValueError(
+                "offload_cache='host' is single-controller only; use 'xla' "
+                "for multi-controller runs"
+            )
         self.sizes = config.derive_batch_sizes(len(dataset))
         self.metrics_history: list[dict] = []
 
@@ -727,6 +742,25 @@ class RLOOTrainer:
 
     def _put_outputs(self, outputs):
         return outputs if self.mesh is None else shard_rollout(outputs, self.mesh)
+
+    def _offload_outputs_to_host(self, outputs):
+        """Post-hoc host offload of the replay cache (offload_cache="host").
+
+        One device->host copy of the time-major caches right after the
+        rollout; `subset_outputs` then slices on host and only the
+        micro-batch slice returns to HBM per PPO step. The toolchain-proof
+        analogue of the reference parking the cache in CPU RAM
+        (modeling_sd3_pnt.py:553-554) — rollout HBM is freed before the
+        reward decode allocates."""
+        values = {}
+        for name, value in outputs._asdict().items():
+            if name in _TIME_MAJOR_FIELDS and isinstance(value, jax.Array):
+                host = np.asarray(value)
+                value.delete()  # free HBM now, not at the next GC
+                values[name] = host
+            else:
+                values[name] = value
+        return type(outputs)(**values)
 
     def _host_reward_view(self, outputs):
         """Reward functions run on host numpy (decode -> BLIP -> scores). In
@@ -914,6 +948,8 @@ class RLOOTrainer:
             # ---- experience collection (no grad) ----
             key, k_roll = jax.random.split(key)
             outputs = self.agent.sample(tpm_params, data, k_roll)
+            if cfg.offload_cache == "host":
+                outputs = self._offload_outputs_to_host(outputs)
             scores, last_image_scores = self.reward_fn(
                 data.get("prompt"), self._host_reward_view(outputs)
             )
