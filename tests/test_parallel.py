@@ -277,6 +277,70 @@ class TestMeshTrainer:
                 np.asarray(r), np.asarray(s), rtol=1e-6, atol=1e-7
             )
 
+    def test_elastic_resume_across_mesh_shapes(self, tmp_path):
+        """Checkpoints are mesh-agnostic host state: one checkpoint written
+        under a (2,2,2) mesh resumes under a different factorization
+        ((1,4,2)) AND on a single device, and every resumed run computes
+        the identical next update (same restored np_rng data order, same
+        folded rollout key). This is the rescale half of
+        detection-and-restart: a preempted 8-chip job can come back on
+        whatever slice is available."""
+        import dataclasses
+
+        from tpdm_tpu.train.builders import (
+            build_toy_agent,
+            build_toy_reward,
+            make_prompt_encoder,
+        )
+        from tpdm_tpu.train.config import RLOOConfig
+        from tpdm_tpu.train.rloo import RLOOTrainer
+
+        base_cfg = RLOOConfig(
+            per_device_train_batch_size=2,
+            rloo_k=2,
+            num_ppo_epochs=1,
+            max_inference_steps=2,
+            guidance_scale=7.0,
+            learning_rate=1e-4,
+            total_episodes=16,  # 2 updates of global batch 8
+            save_steps=2,
+            output_dir=str(tmp_path),
+        )
+        dataset = [{"prompt": f"prompt {i}"} for i in range(8)]
+
+        def make_trainer(cfg, mesh):
+            agent = build_toy_agent(cfg)
+            if mesh is not None:
+                agent.shard(mesh)
+            return RLOOTrainer(
+                cfg, agent, build_toy_reward(), dataset,
+                collate_fn=make_prompt_encoder(agent), mesh=mesh,
+            )
+
+        mesh_a = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        make_trainer(base_cfg, mesh_a).train()
+        ckpt = str(tmp_path / "checkpoint-2")
+        assert (tmp_path / "checkpoint-2").is_dir()
+
+        # one more update (3) from the same checkpoint, three topologies
+        more = dataclasses.replace(
+            base_cfg, total_episodes=24, save_steps=0,
+            output_dir=str(tmp_path / "resume"),
+        )
+        mesh_b = make_mesh(jax.devices()[:8], data=1, fsdp=4, tensor=2)
+        single = dataclasses.replace(more, per_device_train_batch_size=8)
+        finals = [
+            make_trainer(more, mesh_a).train(resume_from_checkpoint=ckpt),
+            make_trainer(more, mesh_b).train(resume_from_checkpoint=ckpt),
+            make_trainer(single, None).train(resume_from_checkpoint=ckpt),
+        ]
+        ref = jax.tree_util.tree_leaves(finals[0][0])
+        for params, _ in finals[1:]:
+            for r, s in zip(ref, jax.tree_util.tree_leaves(params)):
+                np.testing.assert_allclose(
+                    np.asarray(r), np.asarray(s), rtol=1e-3, atol=1e-5
+                )
+
     def test_dryrun_trainer_with_resume(self):
         from tpdm_tpu.parallel.dryrun import dryrun_trainer
 
