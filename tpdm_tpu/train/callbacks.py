@@ -322,6 +322,44 @@ class EvalVisualizationCallback:
         wandb.log(payload, step=rec["update"])
 
 
+class TensorBoardCallback:
+    """Stream every update's scalar metrics to a TensorBoard event file.
+
+    Parity with the reference's `report_to=tensorboard` sink (HF Trainer
+    plumbing; reference requirements.txt:13,22 pull tensorboard — here the
+    event-file protocol is implemented natively in utils/tb_writer.py, no
+    tensorboard install needed to WRITE; any stock TensorBoard reads it).
+    Process 0 only; complements the greppable metrics.jsonl stream.
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        self._writer = None  # lazy: only process 0 ever creates the file
+
+    def _get_writer(self):
+        if self._writer is None:
+            from tpdm_tpu.utils.tb_writer import EventWriter
+
+            self._writer = EventWriter(self.logdir)
+        return self._writer
+
+    def on_step_end(self, trainer, update: int, metrics: dict, tpm_params):
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        try:
+            w = self._get_writer()
+            w.add_scalars(update, metrics)
+            w.flush()
+        except OSError as e:  # observability must never kill training
+            logger.warning("tensorboard event write failed: %s", e)
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
 class TimeBudgetCallback:
     """Stop training gracefully before a wall-clock budget expires.
 

@@ -73,6 +73,10 @@ class RLOOConfig:
     logging_steps: int = 1
     save_steps: int = 0  # 0 = disabled
     eval_steps: int = 0  # 0 = disabled
+    # HF-flag-name parity (the reference inherits report_to from
+    # TrainingArguments; its tensorboard sink maps to the native event
+    # writer in utils/tb_writer.py): "none" | "tensorboard"
+    report_to: str = "none"
 
     # ------------------------------------------------------------------
     def derive_batch_sizes(self, train_dataset_len: int) -> dict:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import signal
 import threading
 import time
@@ -650,6 +651,18 @@ class RLOOTrainer:
             if config.world_size != dp:
                 config = dataclasses.replace(config, world_size=dp)
                 self.config = config
+        if config.report_to == "tensorboard":
+            from tpdm_tpu.train.callbacks import TensorBoardCallback
+
+            self.callbacks.append(
+                TensorBoardCallback(os.path.join(config.output_dir, "tb"))
+            )
+        elif config.report_to != "none":
+            raise ValueError(
+                f"report_to={config.report_to!r} (none|tensorboard; wandb "
+                "attaches through EvalVisualizationCallback when the wandb "
+                "package is importable)"
+            )
         if config.offload_cache not in ("none", "xla", "host"):
             raise ValueError(
                 f"offload_cache={config.offload_cache!r} (none|xla|host)"
