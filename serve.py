@@ -340,6 +340,11 @@ def main():
                    help="denoise steps per jitted segment between slot-"
                         "recycling syncs (--continuous only)")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--tb_dir", default=None,
+                   help="stream engine stats() to TensorBoard event files "
+                        "in this directory every --tb_interval seconds "
+                        "(native writer, utils/tb_writer.py)")
+    p.add_argument("--tb_interval", type=float, default=10.0)
     p.add_argument("--out", default="generated.png")
     p.add_argument("--reward_checkpoint", default=None,
                    help="converted ImageReward safetensors: enables reward "
@@ -398,6 +403,7 @@ def main():
             pipe, tokenize, args, runner=runner, family_world=world
         )
         engine.start()
+        streamer = _maybe_stats_streamer(engine, args)
         logger.info(
             "serving %s on http://127.0.0.1:%d/generate",
             args.family, server.server_address[1],
@@ -405,6 +411,8 @@ def main():
         try:
             server.serve_forever()
         finally:
+            if streamer is not None:
+                streamer.stop()
             engine.stop()
             server.server_close()
         return
@@ -440,6 +448,7 @@ def main():
 
     engine, server = make_http_server(pipe, tokenize, args)
     engine.start()
+    streamer = _maybe_stats_streamer(engine, args)
     logger.info(
         "serving on http://127.0.0.1:%d/generate (POST json; GET /stats) — "
         "batched (max_batch=%d, window=%.0fms%s)",
@@ -461,8 +470,19 @@ def main():
     try:
         server.serve_forever()
     finally:
+        if streamer is not None:
+            streamer.stop()
         engine.stop()
         server.server_close()
+
+
+def _maybe_stats_streamer(engine, args):
+    """--tb_dir: live engine stats in TensorBoard (utils/tb_writer.py)."""
+    if not args.tb_dir:
+        return None
+    from tpdm_tpu.utils.tb_writer import StatsStreamer
+
+    return StatsStreamer(engine.stats, args.tb_dir, args.tb_interval)
 
 
 def _pipe_vae_scale_factor(pipe) -> int:

@@ -243,6 +243,13 @@ def test_two_process_wedged_peer_stall_detection(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    # process 0 is blocked inside update 2's collectives: NOTHING but the
+    # watchdog's hard exit can free it — this is the load-bearing assert
     assert procs[0].returncode == 13, logs[0][-1500:]
-    assert procs[1].returncode == 13, logs[1][-1500:]
     assert "no progress anywhere" in logs[0], logs[0][-1500:]
+    # the wedged process terminates promptly too, by whichever path wins
+    # the race: the watchdog relay (13) or jax.distributed's fatal abort
+    # once process 0 (the coordination-service host) is gone
+    assert procs[1].returncode != 0, logs[1][-1500:]
+    assert procs[1].returncode == 13 or "Terminating process" in logs[1], \
+        logs[1][-1500:]

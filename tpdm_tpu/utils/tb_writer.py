@@ -172,6 +172,53 @@ class EventWriter:
         self.close()
 
 
+class StatsStreamer:
+    """Periodically snapshot a stats() dict into a TensorBoard event file.
+
+    Serving-side observability twin of the trainer's TensorBoardCallback:
+    point it at `BatchingEngine.stats` (or any () -> dict) and TensorBoard
+    renders queue waits / stage latencies / shed counters live. Nested
+    one-level dicts flatten to "outer/inner" tags; non-numeric leaves are
+    skipped. Steps are tick counts (wall_time carries real time).
+    """
+
+    def __init__(self, stats_fn, logdir: str, interval_s: float = 10.0):
+        self._stats_fn = stats_fn
+        self._writer = EventWriter(logdir, filename_suffix=".stats")
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._step = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="tb-stats", daemon=True
+        )
+        self._thread.start()
+
+    def _tick(self) -> None:
+        try:
+            stats = self._stats_fn()
+        except Exception:  # engine mid-shutdown etc.; never kill the loop
+            return
+        flat = {}
+        for k, v in stats.items():
+            if isinstance(v, dict):
+                flat.update({f"{k}/{ik}": iv for ik, iv in v.items()})
+            else:
+                flat[k] = v
+        self._step += 1
+        self._writer.add_scalars(self._step, flat)
+        self._writer.flush()
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            self._tick()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=self.interval_s + 1)
+        self._tick()  # final snapshot so short runs still record one
+        self._writer.close()
+
+
 # -- reader (round-trip verification / tooling; not used by training) --------
 
 
