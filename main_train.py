@@ -68,6 +68,13 @@ def parse_args():
                    help="'data,fsdp,tensor' (e.g. 4,2,1) or 'auto': build a "
                         "device mesh and run the trainer GSPMD-sharded "
                         "(implied by --multihost)")
+    p.add_argument("--profile_updates", type=int, default=0,
+                   help="capture a jax.profiler trace of this many updates "
+                        "into output_dir/profile (XProf/TensorBoard-"
+                        "readable). Recording starts after --profile_start "
+                        "completes, so first-update compiles stay out")
+    p.add_argument("--profile_start", type=int, default=1,
+                   help="update whose COMPLETION starts the trace window")
     for f in dataclasses.fields(RLOOConfig):
         flag = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
@@ -170,6 +177,17 @@ def main():
                 output_dir=os.path.join(config.output_dir, "eval"),
                 reward_fn=reward_fn,
                 eval_steps=config.eval_steps,
+            )
+        )
+
+    if args.profile_updates:
+        from tpdm_tpu.train.callbacks import ProfilerCallback
+
+        callbacks.append(
+            ProfilerCallback(
+                os.path.join(config.output_dir, "profile"),
+                start=args.profile_start,
+                count=args.profile_updates,
             )
         )
 

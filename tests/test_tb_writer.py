@@ -160,6 +160,46 @@ class TestTrainerIntegration:
             rtol=1e-6,
         )
 
+    def test_profiler_callback_traces_a_window(self, tmp_path):
+        import glob
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_rloo import _toy_world
+
+        from tpdm_tpu.train.callbacks import ProfilerCallback
+        from tpdm_tpu.train.rloo import RLOOTrainer
+
+        config, agent, reward_fn, dataset = _toy_world()
+        cb = ProfilerCallback(str(tmp_path / "profile"), start=1, count=1)
+        trainer = RLOOTrainer(
+            config, agent, reward_fn, dataset, callbacks=[cb]
+        )
+        trainer.train()
+        assert cb._done and not cb._active
+        traces = glob.glob(
+            str(tmp_path / "profile" / "plugins" / "profile" / "*" / "*")
+        )
+        assert traces, "no profiler artifacts written"
+
+    def test_profiler_open_window_closed_on_exit(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_rloo import _toy_world
+
+        from tpdm_tpu.train.callbacks import ProfilerCallback
+        from tpdm_tpu.train.rloo import RLOOTrainer
+
+        config, agent, reward_fn, dataset = _toy_world()
+        # window extends past the 3-update horizon: close() must stop it
+        cb = ProfilerCallback(str(tmp_path / "profile"), start=1, count=99)
+        trainer = RLOOTrainer(
+            config, agent, reward_fn, dataset, callbacks=[cb]
+        )
+        trainer.train()
+        assert not cb._active  # closed, not leaked into the next trace
+
     def test_bad_report_to_rejected(self):
         import dataclasses
         import sys

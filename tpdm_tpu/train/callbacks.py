@@ -360,6 +360,53 @@ class TensorBoardCallback:
             self._writer.close()
 
 
+class ProfilerCallback:
+    """Capture a jax.profiler trace of a window of training updates.
+
+    Starts recording after update `start` completes and stops after update
+    `start + count`, so the compile-heavy first update never pollutes the
+    trace (reference analogue: none — DeepSpeed wall_clock_breakdown is
+    off and fvcore unused, SURVEY §5; this is the TPU-native answer:
+    XProf/TensorBoard-readable traces of exactly the updates you ask
+    for). Wired by `main_train.py --profile_updates N`.
+    """
+
+    def __init__(self, log_dir: str, start: int = 1, count: int = 1):
+        self.log_dir = log_dir
+        self.start = start
+        self.count = count
+        self._active = False
+        self._done = False
+
+    def on_step_end(self, trainer, update: int, metrics: dict, tpm_params):
+        import jax
+
+        if self._done:
+            return
+        if not self._active and update >= self.start:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+            logger.info(
+                "profiler: tracing updates %d..%d into %s",
+                update + 1, update + self.count, self.log_dir,
+            )
+        elif self._active and update >= self.start + self.count:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            logger.info("profiler: trace written to %s", self.log_dir)
+
+    def close(self):
+        """Stop a still-open trace (early stop / horizon shorter than the
+        window); called by RLOOTrainer.train() on exit."""
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+
 class TimeBudgetCallback:
     """Stop training gracefully before a wall-clock budget expires.
 

@@ -945,6 +945,13 @@ class RLOOTrainer:
         finally:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
+            for cb in self.callbacks:
+                close = getattr(cb, "close", None)
+                if close is not None:
+                    try:
+                        close()
+                    except Exception:  # cleanup must not mask train errors
+                        logger.exception("callback close() raised")
         return tpm_params, opt_state
 
     def _train_loop(
