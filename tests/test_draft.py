@@ -1,0 +1,223 @@
+"""LoRA adapters (models/lora.py) + reward-gradient fine-tuning
+(train/draft.py).
+
+Beyond-reference capability the reference's own differentiable reward
+path anticipates (`score_gard`, ImageReward.py:87-103, vendored from the
+ImageReward paper's ReFL trainer but never wired up): DRaFT-K truncated
+backprop through the sampler into LoRA factors over the frozen backbone.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+from test_rloo import _toy_world  # noqa: E402
+
+from tpdm_tpu.models.lora import (  # noqa: E402
+    apply_lora,
+    init_lora,
+    lora_param_count,
+)
+from tpdm_tpu.train.draft import (  # noqa: E402
+    DraftConfig,
+    DraftTrainer,
+    build_image_reward_grad_apply,
+    load_lora,
+    save_lora,
+)
+
+
+class TestLoRA:
+    def _params(self):
+        _, agent, _, _ = _toy_world()
+        return agent, agent.mmdit_params
+
+    def test_identity_at_init_and_targets_2d_kernels(self):
+        agent, params = self._params()
+        lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))
+        assert len(lora) > 0 and lora_param_count(lora) > 0
+        for name, fac in lora.items():
+            assert name.endswith("kernel")
+            assert fac["a"].ndim == 2 and fac["a"].shape[1] == 2
+            assert not fac["b"].any()  # zero-init: exact identity
+        merged = apply_lora(params, lora)
+        for base, m in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(merged),
+        ):
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(m))
+
+    def test_gradients_flow_into_factors(self):
+        agent, params = self._params()
+        lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))
+        cfg = agent.mmdit.config
+        args = (
+            jnp.ones((1, cfg.in_channels, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((1,)),
+            jnp.ones((1, 5, cfg.joint_attention_dim)),
+            jnp.ones((1, cfg.pooled_projection_dim)),
+        )
+
+        def loss(l):
+            return jnp.sum(agent.mmdit.apply(apply_lora(params, l), *args)[0] ** 2)
+
+        g = jax.grad(loss)(lora)
+        gb = max(float(jnp.abs(v["b"]).max()) for v in g.values())
+        assert gb > 0  # d/db = a^T dW != 0 at b=0
+        assert np.isfinite(gb)
+
+    def test_scale_and_nonzero_b_change_outputs(self):
+        agent, params = self._params()
+        lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))
+        lora = jax.tree.map(lambda x: x + 0.01, lora)
+        m1 = apply_lora(params, lora, scale=1.0)
+        m0 = apply_lora(params, lora, scale=0.0)
+        diffs = [
+            float(jnp.abs(a - b).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m0)
+            )
+        ]
+        assert max(diffs) > 0
+        for base, z in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(m0)
+        ):
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(z))
+
+    def test_bad_rank_and_no_match_rejected(self):
+        agent, params = self._params()
+        with pytest.raises(ValueError, match="rank"):
+            init_lora(params, rank=0, key=jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="matched"):
+            init_lora(
+                params, rank=2, key=jax.random.PRNGKey(0),
+                match=lambda p, l: False,
+            )
+
+    def test_save_load_roundtrip(self, tmp_path):
+        agent, params = self._params()
+        lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))
+        lora = jax.tree.map(lambda x: x + 0.5, lora)
+        path = str(tmp_path / "lora.safetensors")
+        save_lora(path, lora)
+        back = load_lora(path)
+        assert set(back) == set(lora)
+        for name in lora:
+            np.testing.assert_array_equal(
+                np.asarray(lora[name]["a"]), np.asarray(back[name]["a"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(lora[name]["b"]), np.asarray(back[name]["b"])
+            )
+
+
+def _draft_world(**cfg_kw):
+    _, agent, _, dataset = _toy_world()
+    kw = dict(
+        total_updates=5,
+        batch_size=2,
+        learning_rate=5e-3,
+        lora_rank=2,
+        num_steps=3,
+        k_backprop=1,
+        guidance_scale=7.0,
+        logging_steps=1,
+    )
+    kw.update(cfg_kw)
+    cfg = DraftConfig(**kw)
+    # toy reward: mean latent value (differentiable; trainable upward)
+    reward_apply = lambda imgs, batch: jnp.mean(imgs, axis=(1, 2, 3))
+    trainer = DraftTrainer(cfg, agent, reward_apply, dataset)
+    return cfg, agent, trainer
+
+
+class TestDraftTrainer:
+    def test_reward_ascends_and_base_stays_frozen(self):
+        cfg, agent, trainer = _draft_world()
+        base_before = jax.tree.map(jnp.copy, agent.mmdit_params)
+
+        # deterministic eval: same latents + prompts before vs after
+        row = trainer.collate_fn([trainer.dataset[0], trainer.dataset[1]])
+        pe = jnp.concatenate(
+            [row["negative_prompt_embeds"], row["prompt_embeds"]]
+        )
+        pp = jnp.concatenate(
+            [row["negative_pooled_prompt_embeds"], row["pooled_prompt_embeds"]]
+        )
+        lat0 = agent.prepare_latents(jax.random.PRNGKey(99), 2)
+        final_fn = jax.jit(trainer._final_latents)
+
+        lora0 = init_lora(
+            agent.mmdit_params, cfg.lora_rank, jax.random.PRNGKey(0)
+        )
+        r_before = float(jnp.mean(final_fn(lora0, lat0, pe, pp)))
+
+        lora, _ = trainer.train()
+        r_after = float(jnp.mean(final_fn(lora, lat0, pe, pp)))
+        assert r_after > r_before, (r_before, r_after)
+
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        assert m["draft/num_skipped"] == 0.0
+        # the base tree is untouched: only the LoRA factors learned
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_before),
+            jax.tree_util.tree_leaves(agent.mmdit_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert any(
+            float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+        )
+
+    def test_full_chain_backprop_k_equals_t(self):
+        cfg, agent, trainer = _draft_world(
+            k_backprop=3, num_steps=3, total_updates=2
+        )
+        lora, _ = trainer.train()
+        assert np.isfinite(
+            list(trainer.metrics_history[-1].values())
+        ).all()
+
+    def test_bad_k_rejected(self):
+        with pytest.raises(ValueError, match="k_backprop"):
+            _draft_world(k_backprop=0)
+        with pytest.raises(ValueError, match="k_backprop"):
+            _draft_world(k_backprop=9, num_steps=3)
+
+    def test_save_steps_writes_lora_safetensors(self, tmp_path):
+        cfg, agent, trainer = _draft_world(
+            total_updates=2, save_steps=2, output_dir=str(tmp_path)
+        )
+        lora, _ = trainer.train()
+        back = load_lora(str(tmp_path / "lora-2.safetensors"))
+        for name in lora:
+            np.testing.assert_array_equal(
+                np.asarray(lora[name]["b"]), np.asarray(back[name]["b"])
+            )
+
+
+class TestImageRewardGradApply:
+    def test_differentiable_scores(self):
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.image_reward import ImageRewardModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+
+        model = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(), bert_config=BertMedConfig.toy()
+        )
+        reward_apply = build_image_reward_grad_apply(model)
+        images = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (2, 3, 20, 24)),
+            jnp.float32,
+        )
+        batch = {"reward_ids": jnp.array([[1, 4, 6], [2, 5, 0]], jnp.int32)}
+        r = reward_apply(images, batch)
+        assert r.shape == (2,) and np.isfinite(np.asarray(r)).all()
+
+        g = jax.grad(lambda im: jnp.sum(reward_apply(im, batch)))(images)
+        ga = np.asarray(g)
+        assert np.isfinite(ga).all() and np.abs(ga).max() > 0

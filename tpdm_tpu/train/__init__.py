@@ -1,6 +1,7 @@
-"""RLOO training: config, agent protocol, trainer, checkpointing."""
+"""Training: RLOO (TPM schedule policy) + DRaFT (LoRA reward-gradient)."""
 
 from tpdm_tpu.train.config import RLOOConfig
+from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
 from tpdm_tpu.train.rloo import (
     RLOOTrainer,
     TPDMAgent,
@@ -11,6 +12,8 @@ from tpdm_tpu.train.rloo import (
 )
 
 __all__ = [
+    "DraftConfig",
+    "DraftTrainer",
     "RLOOConfig",
     "RLOOTrainer",
     "TPDMAgent",

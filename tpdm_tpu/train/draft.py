@@ -1,0 +1,313 @@
+"""Reward-gradient fine-tuning of the backbone via LoRA (ReFL/DRaFT-style).
+
+The reference ships a differentiable reward path — ImageReward's
+`score_gard` (src/reward_models/ImageReward/ImageReward.py:87-103, kept
+from the ImageReward paper's ReFL trainer) — but never consumes it: its
+only training mode is RLOO on the TPM, with every backbone weight frozen
+(modeling_sd3_pnt.py:760-763). This trainer closes that loop the way
+ReFL / DRaFT-K do: run the deterministic fixed-schedule sampler, keep
+only the LAST K denoising steps + VAE decode + reward differentiable
+(`stop_gradient` at the truncation boundary — full-chain backprop costs
+T× the memory for little gain), and ascend d(reward)/d(LoRA) directly.
+
+Division of labor with RLOOTrainer: RLOO learns WHEN to stop (the TPM
+schedule policy, non-differentiable NFE reward); DraftTrainer learns to
+make the frozen backbone produce higher-reward images under LoRA
+adapters (models/lora.py), leaving every base weight untouched. The two
+compose — a LoRA-merged backbone drops into TPDMAgent unchanged.
+
+Everything here is single-controller; batch/data sharding under a mesh
+works through the same GSPMD machinery as the RLOO trainer (the LoRA
+factors are tiny and replicate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpdm_tpu.models.lora import apply_lora, init_lora, lora_param_count
+from tpdm_tpu.ops.flow_euler import flow_euler_step
+from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DraftConfig:
+    seed: int = 42
+    output_dir: str = "output"
+    total_updates: int = 10
+    batch_size: int = 2
+    learning_rate: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.99
+    adam_epsilon: float = 1e-5
+    max_grad_norm: float = 1.0
+    # LoRA adapter (models/lora.py): rank-r factors on every 2-D dense
+    # kernel of the backbone; base weights never change
+    lora_rank: int = 4
+    lora_scale: float = 1.0
+    # fixed uniform sigma ladder 1 -> 0 over num_steps Euler steps (the
+    # reference's fixed-28 inference geometry, config.py:25)
+    num_steps: int = 28
+    # DRaFT-K: how many FINAL denoise steps stay differentiable
+    k_backprop: int = 1
+    guidance_scale: Optional[float] = 7.0
+    logging_steps: int = 1
+    save_steps: int = 0
+
+
+class DraftTrainer:
+    """Maximize a differentiable reward over LoRA factors.
+
+    Args:
+        config: DraftConfig.
+        agent: TPDMAgent (or compatible: .mmdit/.mmdit_params/.token_grid/
+            .patch_size/.prepare_latents). The backbone params stay frozen;
+            LoRA factors are the only trainable state.
+        reward_apply: (images, batch) -> (b,) DIFFERENTIABLE scores, where
+            `images` is whatever `decode_fn` returns. For ImageReward use
+            build_image_reward_grad_apply (score_grad under the hood).
+        decode_fn: latents (b, c, h, w) -> images, differentiable (e.g.
+            models/vae.make_fast_decode's fn with params bound). None =
+            rewards read raw latents (toy runs).
+        dataset / collate_fn: prompt rows -> CFG-ready embed batch, same
+            contract as RLOOTrainer.
+    """
+
+    def __init__(
+        self,
+        config: DraftConfig,
+        agent,
+        reward_apply: Callable,
+        dataset,
+        collate_fn: Optional[Callable] = None,
+        decode_fn: Optional[Callable] = None,
+        callbacks: Iterable = (),
+    ):
+        if not 1 <= config.k_backprop <= config.num_steps:
+            raise ValueError(
+                f"k_backprop must be in [1, num_steps], got "
+                f"{config.k_backprop} vs {config.num_steps}"
+            )
+        self.config = config
+        self.agent = agent
+        self.reward_apply = reward_apply
+        self.dataset = dataset
+        from tpdm_tpu.train.rloo import _default_collate
+
+        self.collate_fn = collate_fn or _default_collate
+        self.decode_fn = decode_fn or (lambda z: z)
+        self.callbacks = list(callbacks)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(
+                config.learning_rate,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+            ),
+        )
+        # uniform flow ladder sigma_i = 1 - i/T, sigma_T = 0 (the fixed-
+        # schedule geometry the adaptive sampler collapses to when the TPM
+        # ratio is constant)
+        T = config.num_steps
+        self.sigmas = jnp.linspace(1.0, 0.0, T + 1, dtype=jnp.float32)
+        self._update_jit = jax.jit(self._update)
+        self.metrics_history: list[dict] = []
+        self.global_step = 0
+
+    # -- differentiable sampling chain ------------------------------------
+    def _final_latents(self, lora, latents, pe, pp):
+        cfg = self.config
+        merged = apply_lora(
+            self.agent.mmdit_params, lora, scale=cfg.lora_scale
+        )
+        denoise = make_cfg_denoise_fn(
+            lambda *a: self.agent.mmdit.apply(merged, *a),
+            pe, pp, cfg.guidance_scale,
+            self.agent.token_grid, self.agent.patch_size,
+        )
+        b = latents.shape[0]
+
+        def step(lat, i):
+            vel = denoise(lat, jnp.full((b,), self.sigmas[i]))[0]
+            return flow_euler_step(
+                vel,
+                jnp.full((b,), self.sigmas[i + 1]),
+                jnp.full((b,), self.sigmas[i]),
+                lat,
+            )
+
+        T, K = cfg.num_steps, cfg.k_backprop
+        if T > K:
+            lat = jax.lax.fori_loop(
+                0, T - K, lambda i, l: step(l, i), latents
+            )
+            # DRaFT-K truncation: the prefix contributes no gradient —
+            # this cut is what makes the memory cost K steps, not T
+            latents = jax.lax.stop_gradient(lat)
+        for i in range(T - K, T):  # K is small: unroll
+            latents = step(latents, i)
+        return latents
+
+    def _update(self, lora, opt_state, latents, pe, pp, batch_arrays):
+        def loss_fn(l):
+            final = self._final_latents(l, latents, pe, pp)
+            images = self.decode_fn(final)
+            r = self.reward_apply(images, batch_arrays)
+            return -jnp.mean(r), jnp.mean(r)
+
+        (loss, reward), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        safe = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = self.tx.update(safe, opt_state, lora)
+        new_lora = optax.apply_updates(lora, updates)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(finite, x, y), a, b
+        )
+        return sel(new_lora, lora), sel(new_opt, opt_state), {
+            "loss": loss,
+            "reward": reward,
+            "grad_norm": grad_norm,
+            "skipped": (~finite).astype(jnp.float32),
+        }
+
+    # -- loop --------------------------------------------------------------
+    def train(self, lora=None):
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        np_rng = np.random.default_rng(cfg.seed)
+        if lora is None:
+            key, sub = jax.random.split(key)
+            lora = init_lora(
+                self.agent.mmdit_params, cfg.lora_rank, sub
+            )
+        logger.info(
+            "draft: %d LoRA params over %d kernels, K=%d/%d steps "
+            "differentiable",
+            lora_param_count(lora), len(lora), cfg.k_backprop, cfg.num_steps,
+        )
+        opt_state = self.tx.init(lora)
+        t0 = time.time()
+        for update in range(1, cfg.total_updates + 1):
+            rows = [
+                self.dataset[int(i)]
+                for i in np_rng.choice(
+                    len(self.dataset), cfg.batch_size, replace=False
+                )
+            ]
+            batch = self.collate_fn(rows)
+            pe, pp = batch["prompt_embeds"], batch["pooled_prompt_embeds"]
+            if cfg.guidance_scale is not None:
+                pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+                pp = jnp.concatenate(
+                    [batch["negative_pooled_prompt_embeds"], pp]
+                )
+            key, k_lat = jax.random.split(key)
+            latents = self.agent.prepare_latents(k_lat, cfg.batch_size)
+            arrays = {
+                k: v
+                for k, v in batch.items()
+                if isinstance(v, (jax.Array, np.ndarray))
+            }
+            lora, opt_state, stats = self._update_jit(
+                lora, opt_state, latents, pe, pp, arrays
+            )
+            metrics = {
+                "draft/reward": float(stats["reward"]),
+                "draft/loss": float(stats["loss"]),
+                "draft/grad_norm": float(stats["grad_norm"]),
+                "draft/num_skipped": float(stats["skipped"]),
+                "lr": cfg.learning_rate,
+                "eps": int(
+                    update * cfg.batch_size / max(time.time() - t0, 1e-9)
+                ),
+            }
+            self.global_step = update
+            if cfg.logging_steps and update % cfg.logging_steps == 0:
+                logger.info("draft update %d: %s", update, metrics)
+                self.metrics_history.append(metrics)
+            for cb in self.callbacks:
+                cb.on_step_end(self, update, metrics, lora)
+            if cfg.save_steps and update % cfg.save_steps == 0:
+                self.save_lora(update, lora)
+        if cfg.save_steps and cfg.total_updates % cfg.save_steps != 0:
+            self.save_lora(cfg.total_updates, lora)
+        return lora, opt_state
+
+    def save_lora(self, update: int, lora) -> str:
+        import os
+
+        path = os.path.join(
+            self.config.output_dir, f"lora-{update}.safetensors"
+        )
+        os.makedirs(self.config.output_dir, exist_ok=True)
+        save_lora(path, lora)
+        logger.info("saved %s", path)
+        return path
+
+
+# -- LoRA (de)serialization: flat "path|a"/"path|b" safetensors --------------
+
+
+def save_lora(path: str, lora: dict) -> None:
+    from safetensors.numpy import save_file
+
+    flat = {}
+    for name, fac in lora.items():
+        flat[f"{name}|a"] = np.ascontiguousarray(np.asarray(fac["a"]))
+        flat[f"{name}|b"] = np.ascontiguousarray(np.asarray(fac["b"]))
+    save_file(flat, path)
+
+
+def load_lora(path: str) -> dict:
+    from tpdm_tpu.utils.convert import load_safetensors
+
+    lora: dict = {}
+    for key, value in load_safetensors(path).items():
+        name, _, which = key.rpartition("|")
+        lora.setdefault(name, {})[which] = jnp.asarray(value)
+    return lora
+
+
+def build_image_reward_grad_apply(model, image_size: Optional[int] = None):
+    """reward_apply for DraftTrainer over an ImageRewardModel.
+
+    Differentiable in-graph preprocessing: decoded fp32 images in [-1, 1]
+    (NCHW, models/vae.make_fast_decode) -> [0, 1] -> jax bicubic resize to
+    the reward resolution -> CLIP normalization -> score_grad. The resize
+    deviates from the PIL-exact evaluation path (utils/image.py
+    bicubic_resize_center_crop) — gradients need an in-graph resize; the
+    non-differentiable scalar `score` keeps PIL parity.
+
+    The batch must carry "reward_ids" (b, n) int tokens (native WordPiece
+    tokenizer, utils/bert_tokenizer.py).
+    """
+    size = image_size or model.image_size
+    mean = jnp.array([0.48145466, 0.4578275, 0.40821073], jnp.float32)
+    std = jnp.array([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+
+    def reward_apply(images, batch):
+        ids = batch["reward_ids"]
+        x = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC for resize
+        x = jax.image.resize(
+            x, (x.shape[0], size, size, 3), method="cubic"
+        )
+        x = (x - mean) / std
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        return model.score_grad(model.params, x, jnp.asarray(ids))
+
+    return reward_apply
