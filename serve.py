@@ -99,7 +99,7 @@ def build_pipeline(args):
             ids = ids[:n] + [0] * (n - len(ids))
             return np.array([ids], np.int32), np.ones((1, 12), np.int32)
 
-        return pipe, tokenize
+        return _apply_cli_lora(pipe, args), tokenize
 
     from tpdm_tpu.pipeline.pipeline import load_pipeline_from_pretrained
 
@@ -143,7 +143,37 @@ def build_pipeline(args):
         )["input_ids"]
         return c, t
 
-    return pipe, tokenize
+    return _apply_cli_lora(pipe, args), tokenize
+
+
+def _apply_cli_lora(pipe, args):
+    """--lora: merge DRaFT-trained factors (train/draft.py) into the
+    backbone weights before any jit — the serving engines see one plain
+    merged tree, so every engine mode (continuous, --dp, --mesh, quant)
+    works unchanged."""
+    path = getattr(args, "lora", None)
+    if not path:
+        return pipe
+    if _quant_on(args):
+        # stored-int kernels replace the dense "kernel" leaves, so the
+        # factors have nothing to merge into — quantize AFTER merging
+        # (fit_quant_params on a merged checkpoint) instead
+        raise SystemExit(
+            "--lora cannot merge into a quantized (--int8/--int4) "
+            "backbone; merge first, then quantize the merged weights"
+        )
+    from tpdm_tpu.models.lora import apply_lora
+    from tpdm_tpu.train.draft import load_lora
+
+    lora = load_lora(path)
+    pipe.mmdit_params = apply_lora(
+        pipe.mmdit_params, lora, scale=getattr(args, "lora_scale", 1.0)
+    )
+    logger.info(
+        "merged LoRA %s (%d kernels, scale %.2f)",
+        path, len(lora), getattr(args, "lora_scale", 1.0),
+    )
+    return pipe
 
 
 def build_family_world(args):
@@ -340,6 +370,11 @@ def main():
                    help="denoise steps per jitted segment between slot-"
                         "recycling syncs (--continuous only)")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--lora", default=None,
+                   help="LoRA safetensors from train/draft.py: merged into "
+                        "the backbone weights at load (base checkpoint "
+                        "untouched on disk)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--tb_dir", default=None,
                    help="stream engine stats() to TensorBoard event files "
                         "in this directory every --tb_interval seconds "

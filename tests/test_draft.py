@@ -200,6 +200,69 @@ class TestDraftTrainer:
             )
 
 
+class TestDraftMesh:
+    def test_one_update_with_sharded_backbone(self):
+        """Draft step under GSPMD: backbone sharded over (fsdp, tensor),
+        replicated LoRA factors merge into the sharded kernels in-graph."""
+        from tpdm_tpu.parallel.mesh import make_mesh
+
+        cfg, agent, trainer = _draft_world(total_updates=2)
+        mesh = make_mesh(jax.devices()[:4], data=1, fsdp=2, tensor=2)
+        agent.shard(mesh)
+        with mesh:
+            lora, _ = trainer.train()
+        m = trainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        assert m["draft/num_skipped"] == 0.0
+        assert any(
+            float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+        )
+
+
+class TestServeLora:
+    def _toy_args(self, **kw):
+        import argparse
+
+        d = dict(toy=True, cpu=True, pretrained=None, tpm=None)
+        d.update(kw)
+        return argparse.Namespace(**d)
+
+    def test_cli_lora_merges_and_serves(self, tmp_path):
+        import serve
+
+        base_pipe, tokenize = serve.build_pipeline(self._toy_args())
+        lora = init_lora(
+            base_pipe.mmdit_params, rank=2, key=jax.random.PRNGKey(3)
+        )
+        lora = jax.tree.map(lambda x: x + 0.05, lora)
+        path = str(tmp_path / "lora.safetensors")
+        save_lora(path, lora)
+
+        pipe, _ = serve.build_pipeline(self._toy_args(lora=path))
+        diffs = [
+            float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(base_pipe.mmdit_params),
+                jax.tree_util.tree_leaves(pipe.mmdit_params),
+            )
+        ]
+        assert max(diffs) > 0  # the factors actually merged
+        from tpdm_tpu.serving import BatchingEngine
+
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=2)
+        out = eng.generate_batch(["a cat"], [1])[0]
+        assert out["image"].shape[-1] == 3  # merged model serves
+
+    def test_lora_rejected_on_quantized_backbone(self):
+        import serve
+
+        with pytest.raises(SystemExit, match="quantize"):
+            serve.build_pipeline(
+                self._toy_args(lora="whatever.safetensors", int8=True)
+            )
+
+
 class TestImageRewardGradApply:
     def test_differentiable_scores(self):
         from tpdm_tpu.rewards.bert import BertMedConfig
