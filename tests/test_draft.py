@@ -263,6 +263,29 @@ class TestServeLora:
             )
 
 
+class TestComposeWithRLOO:
+    def test_draft_then_rloo_on_merged_backbone(self):
+        """The two training modes compose: DRaFT-trained LoRA merges into
+        the backbone, and the RLOO schedule-policy trainer runs on the
+        merged model unchanged (the frozen-tree agent design makes the
+        merge a drop-in)."""
+        from tpdm_tpu.train.rloo import RLOOTrainer
+
+        cfg, agent, trainer = _draft_world(total_updates=2)
+        lora, _ = trainer.train()
+        merged = apply_lora(agent.mmdit_params, lora)
+
+        rcfg, ragent, reward_fn, dataset = _toy_world()
+        ragent.mmdit_params = merged
+        rtrainer = RLOOTrainer(rcfg, ragent, reward_fn, dataset)
+        p0 = ragent.init_tpm_params(jax.random.PRNGKey(5))
+        p1, _ = rtrainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = rtrainer.metrics_history[-1]
+        assert np.isfinite(list(m.values())).all()
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
 class TestImageRewardGradApply:
     def test_differentiable_scores(self):
         from tpdm_tpu.rewards.bert import BertMedConfig
