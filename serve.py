@@ -186,6 +186,13 @@ def build_family_world(args):
     fam = getattr(args, "family", "sd3")
     if fam == "sd3":
         return None
+    if getattr(args, "lora", None):
+        # never serve base weights while the operator believes a DRaFT
+        # adapter is live (same fail-loud convention as the quant guards)
+        raise SystemExit(
+            f"--lora is not wired for --family {fam} yet; merge with "
+            "tpdm_tpu.models.lora.apply_lora when building the agent"
+        )
     if not args.toy:
         raise SystemExit(
             f"--family {fam} currently serves --toy configs from the CLI; "

@@ -46,10 +46,14 @@ def test_shard_eval_batch_empty_rank():
     assert b["prompt"] == ["p0"]  # pure padding, trimmed after gather
 
 
-def test_two_process_eval_callback(tmp_path):
-    with socket.socket() as s:
+def _free_port(kind=socket.SOCK_STREAM) -> int:
+    with socket.socket(socket.AF_INET, kind) as s:
         s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
+
+
+def test_two_process_eval_callback(tmp_path):
+    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_eval_worker.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -82,11 +86,7 @@ def test_two_process_mesh_trainer(tmp_path):
     (data=2, fsdp=2) mesh spanning both, RLOOTrainer.train() for 2 updates
     with allgather'ed host rewards and a rank-0 checkpoint. Both processes
     must finish with identical replicated params (one SPMD program)."""
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_train_worker.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -120,11 +120,7 @@ def test_two_process_one_sided_preemption_stop(tmp_path):
     trainer's cross-process agreement must stop BOTH processes at that same
     update with a checkpoint — not desync into hung collectives (the
     failure mode of per-process SIGTERM delivery on a preempted pod)."""
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_multihost_train_worker.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -163,15 +159,8 @@ def test_two_process_peer_crash_watchdog_hard_exit(tmp_path):
     jax.distributed's own coordination-service abort, whichever wins the
     race (both are acceptable for a DEAD peer; the wedged-alive case
     below is the one only the watchdog catches)."""
-    import socket
-
-    def free_port(kind=socket.SOCK_STREAM):
-        with socket.socket(socket.AF_INET, kind) as s:
-            s.bind(("localhost", 0))
-            return s.getsockname()[1]
-
-    port = free_port()
-    wd_port = free_port(socket.SOCK_DGRAM)
+    port = _free_port()
+    wd_port = _free_port(socket.SOCK_DGRAM)
     worker = os.path.join(
         os.path.dirname(__file__), "_multihost_train_worker.py"
     )
@@ -210,15 +199,8 @@ def test_two_process_wedged_peer_stall_detection(tmp_path):
     collectives. The progress-stall detector must fire on process 0's
     server, relay the failure to every client, and hard-exit BOTH
     processes with code 13 so the launcher restarts from checkpoint."""
-    import socket
-
-    def free_port(kind=socket.SOCK_STREAM):
-        with socket.socket(socket.AF_INET, kind) as s:
-            s.bind(("localhost", 0))
-            return s.getsockname()[1]
-
-    port = free_port()
-    wd_port = free_port(socket.SOCK_DGRAM)
+    port = _free_port()
+    wd_port = _free_port(socket.SOCK_DGRAM)
     worker = os.path.join(
         os.path.dirname(__file__), "_multihost_train_worker.py"
     )

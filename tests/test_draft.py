@@ -98,6 +98,23 @@ class TestLoRA:
                 match=lambda p, l: False,
             )
 
+    def test_load_rejects_non_lora_safetensors(self, tmp_path):
+        # pointing --lora at a TPM/model checkpoint must fail loudly, not
+        # silently merge nothing
+        from safetensors.numpy import save_file
+
+        path = str(tmp_path / "not_lora.safetensors")
+        save_file({"agent_model.time_predictor.fc2.weight":
+                   np.zeros((2, 2), np.float32)}, path)
+        with pytest.raises(ValueError, match="not a train/draft.py LoRA"):
+            load_lora(path)
+
+        path2 = str(tmp_path / "mismatched.safetensors")
+        save_file({"k|a": np.zeros((4, 2), np.float32),
+                   "k|b": np.zeros((3, 4), np.float32)}, path2)
+        with pytest.raises(ValueError, match="mismatched"):
+            load_lora(path2)
+
     def test_save_load_roundtrip(self, tmp_path):
         agent, params = self._params()
         lora = init_lora(params, rank=2, key=jax.random.PRNGKey(1))

@@ -68,6 +68,28 @@ class TestRoundTrip:
         np.testing.assert_allclose(rows[0][1]["lr"], 1e-6, rtol=1e-6)
         assert set(rows[1][1]) == {"loss"}  # bool/str filtered out
 
+    def test_numpy_scalars_accepted(self, tmp_path):
+        with EventWriter(str(tmp_path)) as w:
+            w.add_scalars(
+                1, {"a": np.float32(0.5), "b": np.int64(3), "c": np.bool_(True)}
+            )
+            path = w.path
+        rows = read_scalar_events(path)
+        assert rows[0][1] == {"a": 0.5, "b": 3.0}  # numpy bools still out
+
+    def test_truncated_tail_tolerated(self, tmp_path):
+        # a writer killed mid-append (watchdog os._exit) leaves a partial
+        # record; the reader must stop at the last complete one, like
+        # stock TensorBoard, instead of raising struct.error
+        with EventWriter(str(tmp_path)) as w:
+            w.add_scalars(1, {"x": 1.0})
+            w.add_scalars(2, {"x": 2.0})
+            path = w.path
+        data = open(path, "rb").read()
+        open(path, "wb").write(data[:-7])
+        rows = read_scalar_events(path)
+        assert [s for s, _ in rows] == [1]
+
     def test_corruption_detected(self, tmp_path):
         with EventWriter(str(tmp_path)) as w:
             w.add_scalars(1, {"x": 1.0})
@@ -93,6 +115,8 @@ class TestStatsStreamer:
             return {
                 "batches_run": calls[0],
                 "denoise_s": {"p50": 0.1, "p95": 0.2},  # nested -> outer/inner
+                # two-level nesting: the multi-resolution router's shape
+                "resolutions": {"16": {"slot_utilization": 0.75}},
                 "note": "text-skipped",
             }
 
@@ -106,6 +130,7 @@ class TestStatsStreamer:
         step, scalars = rows[-1]
         assert step == len(rows)  # monotonic tick counter
         assert scalars["denoise_s/p50"] == pytest.approx(0.1)
+        assert scalars["resolutions/16/slot_utilization"] == pytest.approx(0.75)
         assert "note" not in scalars
         assert scalars["batches_run"] == calls[0]
 

@@ -172,6 +172,36 @@ class TestStallDetection:
             wd0.stop()
             wd1.stop()
 
+    def test_resume_jump_does_not_arm(self):
+        """attach_to_trainer must wire progress to updates_this_run, NOT
+        global_step: a checkpoint restore jumps global_step by N in one
+        tick, which would arm the detector BEFORE the cold first-update
+        compile and hard-exit a healthy resume into a restart loop."""
+        class ResumedTrainer:
+            global_step = 120  # restored from checkpoint-120
+            updates_this_run = 0  # nothing computed this process lifetime
+
+            def request_stop(self):
+                pass
+
+        port = _free_port()
+        wd0 = _wd(0, port, timeout=5.0, stall_timeout=0.5)
+        attach_to_trainer(wd0, ResumedTrainer(), hard_exit_after=3600.0)
+        assert wd0.progress_fn() == 0  # the restore jump is invisible
+        wd1 = _wd(1, port, timeout=5.0, stall_timeout=0.5,
+                  progress_fn=lambda: 0)
+        wd0.start()
+        wd1.start()
+        try:
+            time.sleep(1.5)  # 3x the stall window during the "compile"
+            assert not wd0.fired and not wd1.fired
+        finally:
+            wd0.stop()
+            wd1.stop()
+            timer = getattr(wd0, "_hard_exit_timer", None)
+            if timer is not None:  # pragma: no cover - only if misfired
+                timer.cancel()
+
     def test_disabled_by_default(self):
         port = _free_port()
         step = [0]

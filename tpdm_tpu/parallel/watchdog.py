@@ -292,8 +292,16 @@ def attach_to_trainer(
 
     if watchdog.progress_fn is None:
         # pings carry the update counter so the server's stall detector
-        # sees real training progress
-        watchdog.progress_fn = lambda: getattr(trainer, "global_step", 0)
+        # sees real training progress. Prefer updates_this_run: a
+        # checkpoint restore jumps global_step by N in one tick, which
+        # would arm the stall detector BEFORE the cold first-update
+        # compile and false-fire into a restart loop; updates_this_run
+        # starts at 0 every process lifetime and only counts real updates
+        def _progress() -> int:
+            p = getattr(trainer, "updates_this_run", None)
+            return int(p if p is not None else getattr(trainer, "global_step", 0))
+
+        watchdog.progress_fn = _progress
 
     def on_failure(reason: str) -> None:
         logger.critical(

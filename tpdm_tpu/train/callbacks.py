@@ -405,6 +405,14 @@ class ProfilerCallback:
             jax.profiler.stop_trace()
             self._active = False
             self._done = True
+        elif not self._done:
+            # the window never opened: start lies beyond the run's last
+            # update — say so instead of silently writing nothing
+            logger.warning(
+                "profiler: window never opened (start=%d is past the "
+                "run's last update); no trace written to %s",
+                self.start, self.log_dir,
+            )
 
 
 class TimeBudgetCallback:

@@ -124,6 +124,7 @@ class DraftTrainer:
         self._update_jit = jax.jit(self._update)
         self.metrics_history: list[dict] = []
         self.global_step = 0
+        self.updates_this_run = 0  # stall-detection signal (see watchdog)
 
     # -- differentiable sampling chain ------------------------------------
     def _final_latents(self, lora, latents, pe, pp):
@@ -236,6 +237,7 @@ class DraftTrainer:
                 ),
             }
             self.global_step = update
+            self.updates_this_run = update
             if cfg.logging_steps and update % cfg.logging_steps == 0:
                 logger.info("draft update %d: %s", update, metrics)
                 self.metrics_history.append(metrics)
@@ -273,12 +275,27 @@ def save_lora(path: str, lora: dict) -> None:
 
 
 def load_lora(path: str) -> dict:
+    """Inverse of save_lora, failing LOUDLY on non-LoRA safetensors: a TPM
+    or model checkpoint pointed at --lora must not silently merge nothing
+    (or KeyError deep inside a tree_map)."""
     from tpdm_tpu.utils.convert import load_safetensors
 
     lora: dict = {}
     for key, value in load_safetensors(path).items():
-        name, _, which = key.rpartition("|")
+        name, sep, which = key.rpartition("|")
+        if not sep or which not in ("a", "b") or value.ndim != 2:
+            raise ValueError(
+                f"{path} is not a train/draft.py LoRA file: key {key!r} "
+                "is not '<kernel-path>|a' / '|b' with a 2-D factor"
+            )
         lora.setdefault(name, {})[which] = jnp.asarray(value)
+    for name, fac in lora.items():
+        if set(fac) != {"a", "b"} or fac["a"].shape[1] != fac["b"].shape[0]:
+            raise ValueError(
+                f"{path}: incomplete/mismatched factors for {name!r} "
+                f"(have {sorted(fac)}, shapes "
+                f"{[tuple(v.shape) for v in fac.values()]})"
+            )
     return lora
 
 

@@ -708,6 +708,11 @@ class RLOOTrainer:
         )
         self._train_step = jax.jit(self._train_step_impl)
         self.global_step = 0
+        # updates completed by THIS process lifetime (never restored from
+        # a checkpoint): the progress signal for stall detection — a
+        # resume jumps global_step by N before the cold first-update
+        # compile, which must NOT arm the watchdog's stall detector
+        self.updates_this_run = 0
         self.episode = 0
         self._stop_requested = False
         self.stopped_early = False
@@ -1043,6 +1048,7 @@ class RLOOTrainer:
                 "episode": self.episode,
             }
             self.global_step += 1
+            self.updates_this_run += 1
             if cfg.logging_steps and update % cfg.logging_steps == 0:
                 logger.info("update %d: %s", update, metrics)
                 self.metrics_history.append(metrics)

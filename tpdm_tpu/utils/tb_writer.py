@@ -22,6 +22,7 @@ go through EvalVisualizationCallback's wandb/disk path instead.
 
 from __future__ import annotations
 
+import numbers
 import os
 import socket
 import struct
@@ -133,11 +134,12 @@ class EventWriter:
         scalars: Mapping[str, float],
         wall_time: Optional[float] = None,
     ) -> None:
-        numeric = {
-            k: float(v)
-            for k, v in scalars.items()
-            if isinstance(v, (int, float)) and not isinstance(v, bool)
-        }
+        numeric = {}
+        for k, v in scalars.items():
+            # numbers.Number admits numpy scalars (np.float32 etc.), which
+            # isinstance(v, (int, float)) would silently drop; bools stay out
+            if isinstance(v, numbers.Number) and not isinstance(v, bool):
+                numeric[k] = float(v)
         if not numeric:
             return
         self._write_record(
@@ -153,11 +155,13 @@ class EventWriter:
             + struct.pack("<I", _masked_crc(payload))
         )
         with self._lock:
-            self._f.write(rec)
+            if not self._f.closed:  # a late tick must not raise post-close
+                self._f.write(rec)
 
     def flush(self) -> None:
         with self._lock:
-            self._f.flush()
+            if not self._f.closed:
+                self._f.flush()
 
     def close(self) -> None:
         with self._lock:
@@ -198,12 +202,18 @@ class StatsStreamer:
             stats = self._stats_fn()
         except Exception:  # engine mid-shutdown etc.; never kill the loop
             return
-        flat = {}
-        for k, v in stats.items():
-            if isinstance(v, dict):
-                flat.update({f"{k}/{ik}": iv for ik, iv in v.items()})
+        flat: dict = {}
+
+        def put(prefix, value):
+            # recurse to ANY depth: the multi-resolution / family routers
+            # nest per-engine stats two levels deep ("resolutions/16/...")
+            if isinstance(value, dict):
+                for ik, iv in value.items():
+                    put(f"{prefix}/{ik}" if prefix else str(ik), iv)
             else:
-                flat[k] = v
+                flat[prefix] = value
+
+        put("", stats)
         self._step += 1
         self._writer.add_scalars(self._step, flat)
         self._writer.flush()
@@ -215,7 +225,11 @@ class StatsStreamer:
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=self.interval_s + 1)
-        self._tick()  # final snapshot so short runs still record one
+        if not self._thread.is_alive():
+            # final snapshot so short runs still record one; skipped when
+            # the loop thread is wedged inside stats_fn — closing under it
+            # would turn its eventual write into write-after-close
+            self._tick()
         self._writer.close()
 
 
@@ -224,14 +238,21 @@ class StatsStreamer:
 
 def read_scalar_events(path: str) -> list[tuple[int, dict]]:
     """Parse an event file back into [(step, {tag: value})]. Verifies the
-    masked CRCs; raises ValueError on corruption. Used by tests and by
+    masked CRCs; raises ValueError on corruption. A TRUNCATED final record
+    (writer killed mid-append — e.g. the watchdog's os._exit — or a file
+    still being written) is tolerated by stopping at the last complete
+    record, matching stock TensorBoard. Used by tests and by
     `python -m tpdm_tpu.utils.tb_writer <file>` for inspection."""
     out = []
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
     while pos < len(data):
+        if pos + 12 > len(data):
+            break  # truncated tail: header incomplete
         (length,) = struct.unpack_from("<Q", data, pos)
+        if pos + 16 + length > len(data):
+            break  # truncated tail: payload/crc incomplete
         header = data[pos : pos + 8]
         (hcrc,) = struct.unpack_from("<I", data, pos + 8)
         if _masked_crc(header) != hcrc:
