@@ -75,6 +75,16 @@ def parse_args():
                         "completes, so first-update compiles stay out")
     p.add_argument("--profile_start", type=int, default=1,
                    help="update whose COMPLETION starts the trace window")
+    p.add_argument("--trainer", choices=["rloo", "draft"], default="rloo",
+                   help="rloo = the reference algorithm (TPM schedule "
+                        "policy); draft = reward-gradient LoRA fine-tuning "
+                        "of the backbone (train/draft.py; the reward YAML "
+                        "must build a DIFFERENTIABLE reward_apply)")
+    p.add_argument("--lora_rank", type=int, default=4)
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--k_backprop", type=int, default=1,
+                   help="DRaFT-K: how many final denoise steps backprop")
+    p.add_argument("--draft_updates", type=int, default=10)
     for f in dataclasses.fields(RLOOConfig):
         flag = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
@@ -85,6 +95,73 @@ def parse_args():
         else:
             p.add_argument(flag, type=type(f.default), default=f.default)
     return p.parse_args()
+
+
+def _run_draft(args, config, agent, reward_apply, dataset, collate_fn, mesh):
+    """--trainer draft: reward-gradient LoRA fine-tuning (train/draft.py).
+
+    Shares the RLOO CLI surface where the concepts overlap (seed, lr,
+    adam, grad clip, batch size, max_inference_steps -> ladder length,
+    guidance, output_dir, logging/save cadence); the reward YAML builds a
+    DIFFERENTIABLE reward_apply(images, batch) instead of the RLOO
+    host-side reward_fn (e.g. configs/models/toy_draft_reward.yaml, or
+    train/draft.py build_image_reward_grad_apply for ImageReward).
+    """
+    import contextlib
+
+    from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
+
+    dcfg = DraftConfig(
+        seed=config.seed,
+        output_dir=config.output_dir,
+        total_updates=args.draft_updates,
+        batch_size=config.per_device_train_batch_size,
+        learning_rate=config.learning_rate,
+        adam_beta1=config.adam_beta1,
+        adam_beta2=config.adam_beta2,
+        adam_epsilon=config.adam_epsilon,
+        max_grad_norm=config.max_grad_norm,
+        lora_rank=args.lora_rank,
+        lora_scale=args.lora_scale,
+        num_steps=config.max_inference_steps,
+        k_backprop=args.k_backprop,
+        guidance_scale=config.guidance_scale,
+        logging_steps=config.logging_steps,
+        save_steps=config.save_steps,
+    )
+    callbacks = []
+    if config.report_to == "tensorboard":
+        from tpdm_tpu.train.callbacks import TensorBoardCallback
+
+        callbacks.append(
+            TensorBoardCallback(os.path.join(config.output_dir, "tb"))
+        )
+    if args.profile_updates:
+        from tpdm_tpu.train.callbacks import ProfilerCallback
+
+        callbacks.append(
+            ProfilerCallback(
+                os.path.join(config.output_dir, "profile"),
+                start=args.profile_start,
+                count=args.profile_updates,
+            )
+        )
+    trainer = DraftTrainer(
+        dcfg, agent, reward_apply, dataset,
+        collate_fn=collate_fn, callbacks=callbacks,
+    )
+    with mesh if mesh is not None else contextlib.nullcontext():
+        trainer.train()
+    for cb in callbacks:
+        close = getattr(cb, "close", None)
+        if close is not None:
+            close()
+    logger.info(
+        "draft training done: %d updates, final reward %.4f",
+        dcfg.total_updates,
+        trainer.metrics_history[-1]["draft/reward"]
+        if trainer.metrics_history else float("nan"),
+    )
 
 
 def main():
@@ -165,6 +242,10 @@ def main():
                 "agent %s has no .shard(mesh); backbone stays unsharded",
                 type(agent).__name__,
             )
+
+    if args.trainer == "draft":
+        _run_draft(args, config, agent, reward_fn, dataset, collate_fn, mesh)
+        return
 
     callbacks = []
     if config.eval_steps:

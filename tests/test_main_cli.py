@@ -59,6 +59,38 @@ class TestMainTrainCLI:
         assert r2.returncode == 0, r2.stderr[-2000:]
         assert "resumed from" in (r2.stderr + r2.stdout)
 
+    def test_trainer_draft_mode(self, tmp_path):
+        """--trainer draft: reward-gradient LoRA fine-tuning through the
+        same CLI stack (YAML components, shared optimization flags); must
+        write the LoRA safetensors and TensorBoard events and report an
+        un-skipped final reward."""
+        out = str(tmp_path)
+        cmd = [
+            sys.executable, "main_train.py", "--cpu", "--trainer", "draft",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--reward_model_config", "configs/models/toy_draft_reward.yaml",
+            "--train_dataset", "configs/datasets/jsonl_prompts.yaml",
+            "--draft_updates", "2", "--per_device_train_batch_size", "2",
+            "--max_inference_steps", "3", "--learning_rate", "5e-3",
+            "--lora_rank", "2", "--save_steps", "2",
+            "--report_to", "tensorboard", "--output_dir", out,
+        ]
+        r = _run(cmd)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "draft training done" in (r.stderr + r.stdout)
+        from tpdm_tpu.train.draft import load_lora
+
+        lora = load_lora(str(tmp_path / "lora-2.safetensors"))
+        assert lora  # trained factors round-trip
+        import glob
+
+        from tpdm_tpu.utils.tb_writer import read_scalar_events
+
+        files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+        rows = read_scalar_events(files[0])
+        assert [s for s, _ in rows] == [1, 2]
+        assert "draft/reward" in rows[-1][1]
+
     def test_prompts_only_collator_fails_with_guidance(self, tmp_path):
         """An embeds-less collator with an embeds-consuming agent must fail
         fast with an actionable message, not a bare KeyError."""

@@ -87,6 +87,19 @@ def build_toy_reward() -> Callable:
     return reward_fn
 
 
+def build_toy_draft_reward() -> Callable:
+    """Differentiable latent-mean reward for `--trainer draft` smoke runs
+    (DraftTrainer's reward_apply contract: (images, batch) -> (b,) scores
+    with gradients; see train/draft.py build_image_reward_grad_apply for
+    the real ImageReward version)."""
+    import jax.numpy as jnp
+
+    def reward_apply(images, batch):
+        return jnp.mean(images, axis=(1, 2, 3))
+
+    return reward_apply
+
+
 def build_image_reward_fn(
     vae_pretrained: Optional[str] = None,
     reward_checkpoint: Optional[str] = None,
