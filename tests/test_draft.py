@@ -280,6 +280,62 @@ class TestServeLora:
             )
 
 
+class TestFullDifferentiableChain:
+    def test_vae_decode_plus_image_reward_gradients(self):
+        """The real-configuration DRaFT chain at toy scale: LoRA'd MMDiT
+        sampler -> bf16 fast VAE decode (the bench/reward shared path) ->
+        in-graph resize/normalize -> ImageReward score_grad. Two updates
+        must run un-skipped (finite loss/grads through the whole stack)
+        and move the factors."""
+        import dataclasses
+
+        from tpdm_tpu.models.vae import VAE, VAEConfig, make_fast_decode
+        from tpdm_tpu.rewards.bert import BertMedConfig
+        from tpdm_tpu.rewards.image_reward import ImageRewardModel
+        from tpdm_tpu.rewards.vit import ViTConfig
+        from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
+
+        _, agent, _, dataset = _toy_world()
+        mcfg = agent.mmdit.config
+        vae = VAE(VAEConfig.toy(latent_channels=mcfg.in_channels))
+        vparams = vae.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, mcfg.in_channels, 8, 8)),
+            jnp.zeros((1, 3, 16, 16)),
+        )
+        decode, bparams = make_fast_decode(vae, vparams, jit=False)
+        reward_model = ImageRewardModel.create(
+            vit_config=ViTConfig.toy(), bert_config=BertMedConfig.toy()
+        )
+        reward_apply = build_image_reward_grad_apply(reward_model)
+
+        from tpdm_tpu.train.rloo import _default_collate
+
+        def collate(rows):
+            b = _default_collate(rows)
+            b["reward_ids"] = np.tile(
+                np.array([1, 4, 6], np.int32), (len(rows), 1)
+            )
+            return b
+
+        cfg = DraftConfig(
+            total_updates=2, batch_size=2, learning_rate=1e-3,
+            lora_rank=2, num_steps=2, k_backprop=1, guidance_scale=7.0,
+        )
+        trainer = DraftTrainer(
+            cfg, agent, reward_apply, dataset,
+            collate_fn=collate, decode_fn=lambda z: decode(bparams, z),
+        )
+        lora, _ = trainer.train()
+        for m in trainer.metrics_history:
+            assert np.isfinite(list(m.values())).all()
+            assert m["draft/num_skipped"] == 0.0
+            assert m["draft/grad_norm"] > 0
+        assert any(
+            float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+        )
+
+
 class TestComposeWithRLOO:
     def test_draft_then_rloo_on_merged_backbone(self):
         """The two training modes compose: DRaFT-trained LoRA merges into
