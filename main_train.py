@@ -125,7 +125,6 @@ def _run_draft(args, config, agent, reward_apply, dataset, collate_fn, mesh):
         lora_scale=args.lora_scale,
         num_steps=config.max_inference_steps,
         k_backprop=args.k_backprop,
-        guidance_scale=config.guidance_scale,
         logging_steps=config.logging_steps,
         save_steps=config.save_steps,
     )

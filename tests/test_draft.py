@@ -141,7 +141,6 @@ def _draft_world(**cfg_kw):
         lora_rank=2,
         num_steps=3,
         k_backprop=1,
-        guidance_scale=7.0,
         logging_steps=1,
     )
     kw.update(cfg_kw)
@@ -159,22 +158,21 @@ class TestDraftTrainer:
 
         # deterministic eval: same latents + prompts before vs after
         row = trainer.collate_fn([trainer.dataset[0], trainer.dataset[1]])
-        pe = jnp.concatenate(
-            [row["negative_prompt_embeds"], row["prompt_embeds"]]
-        )
-        pp = jnp.concatenate(
-            [row["negative_pooled_prompt_embeds"], row["pooled_prompt_embeds"]]
-        )
+        arrays = {
+            k: v
+            for k, v in row.items()
+            if isinstance(v, (jax.Array, np.ndarray))
+        }
         lat0 = agent.prepare_latents(jax.random.PRNGKey(99), 2)
         final_fn = jax.jit(trainer._final_latents)
 
         lora0 = init_lora(
             agent.mmdit_params, cfg.lora_rank, jax.random.PRNGKey(0)
         )
-        r_before = float(jnp.mean(final_fn(lora0, lat0, pe, pp)))
+        r_before = float(jnp.mean(final_fn(lora0, lat0, arrays)))
 
         lora, _ = trainer.train()
-        r_after = float(jnp.mean(final_fn(lora, lat0, pe, pp)))
+        r_after = float(jnp.mean(final_fn(lora, lat0, arrays)))
         assert r_after > r_before, (r_before, r_after)
 
         m = trainer.metrics_history[-1]
@@ -214,6 +212,92 @@ class TestDraftTrainer:
         for name in lora:
             np.testing.assert_array_equal(
                 np.asarray(lora[name]["b"]), np.asarray(back[name]["b"])
+            )
+
+
+class TestDraftFlux:
+    def test_flux_agent_reward_ascends(self):
+        """The draft hooks are family-agnostic: the FLUX agent (packed
+        tokens, embedded guidance, no CFG doubling) trains under the SAME
+        DraftTrainer."""
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.flux_agent import FluxAgent
+
+        fcfg = FluxConfig.toy()
+        model = Flux(fcfg)
+        n_txt = 5
+        lat = jnp.zeros((2, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        params = model.init(
+            jax.random.PRNGKey(0), tokens, img_ids,
+            jnp.zeros((2, n_txt, fcfg.txt_dim)), jnp.zeros((2, n_txt, 3)),
+            jnp.ones((2,)), jnp.zeros((2, fcfg.vec_dim)),
+            jnp.full((2,), 3.5),
+        )
+        agent = FluxAgent(
+            model, params, RLOOConfig(max_inference_steps=3),
+            tpm=TimePredictor(
+                conv_out_channels=4, in_channels=2 * fcfg.hidden_size,
+                temb_dim=fcfg.hidden_size,
+            ),
+            latent_size=8, latent_channels=4,
+        )
+        rng = np.random.default_rng(0)
+        dataset = [
+            {
+                "prompt": f"p{i}",
+                "prompt_embeds": rng.normal(
+                    size=(n_txt, fcfg.txt_dim)
+                ).astype(np.float32),
+                "pooled_prompt_embeds": rng.normal(
+                    size=(fcfg.vec_dim,)
+                ).astype(np.float32),
+            }
+            for i in range(4)
+        ]
+        cfg = DraftConfig(
+            total_updates=4, batch_size=2, learning_rate=5e-3,
+            lora_rank=2, num_steps=3, k_backprop=1,
+        )
+        trainer = DraftTrainer(
+            cfg, agent,
+            lambda imgs, batch: jnp.mean(imgs, axis=(1, 2, 3)),
+            dataset,
+        )
+        # deterministic eval (fixed latents + prompts): per-update rewards
+        # are noisy at toy scale because every update draws fresh batches
+        arrays = {
+            k: v
+            for k, v in trainer.collate_fn(dataset[:2]).items()
+            if isinstance(v, (jax.Array, np.ndarray))
+        }
+        lat0 = agent.prepare_latents(jax.random.PRNGKey(99), 2)
+        final_fn = jax.jit(trainer._final_latents)
+        lora0 = init_lora(
+            agent.backbone_params, cfg.lora_rank, jax.random.PRNGKey(0)
+        )
+        r_before = float(jnp.mean(final_fn(lora0, lat0, arrays)))
+        lora, _ = trainer.train()
+        r_after = float(jnp.mean(final_fn(lora, lat0, arrays)))
+        assert r_after > r_before, (r_before, r_after)
+        assert all(
+            m["draft/num_skipped"] == 0.0 for m in trainer.metrics_history
+        )
+
+    def test_sd15_agent_rejected(self):
+        """SD1.5 (eps-prediction DPM-Solver) has no flow ladder: the
+        trainer must refuse it with an actionable message."""
+        class NotAFlowAgent:
+            pass
+
+        with pytest.raises(TypeError, match="draft hooks"):
+            DraftTrainer(
+                DraftConfig(num_steps=2),
+                NotAFlowAgent(),
+                lambda imgs, batch: imgs,
+                [{}],
             )
 
 
@@ -320,7 +404,7 @@ class TestFullDifferentiableChain:
 
         cfg = DraftConfig(
             total_updates=2, batch_size=2, learning_rate=1e-3,
-            lora_rank=2, num_steps=2, k_backprop=1, guidance_scale=7.0,
+            lora_rank=2, num_steps=2, k_backprop=1,
         )
         trainer = DraftTrainer(
             cfg, agent, reward_apply, dataset,

@@ -35,7 +35,6 @@ import optax
 
 from tpdm_tpu.models.lora import apply_lora, init_lora, lora_param_count
 from tpdm_tpu.ops.flow_euler import flow_euler_step
-from tpdm_tpu.pipeline.denoise import make_cfg_denoise_fn
 
 logger = logging.getLogger(__name__)
 
@@ -60,7 +59,8 @@ class DraftConfig:
     num_steps: int = 28
     # DRaFT-K: how many FINAL denoise steps stay differentiable
     k_backprop: int = 1
-    guidance_scale: Optional[float] = 7.0
+    # guidance lives on the AGENT (TPDMAgent config.guidance_scale /
+    # FluxAgent embedded guidance); the trainer never second-guesses it
     logging_steps: int = 1
     save_steps: int = 0
 
@@ -70,9 +70,14 @@ class DraftTrainer:
 
     Args:
         config: DraftConfig.
-        agent: TPDMAgent (or compatible: .mmdit/.mmdit_params/.token_grid/
-            .patch_size/.prepare_latents). The backbone params stay frozen;
-            LoRA factors are the only trainable state.
+        agent: any flow-matching agent exposing the draft hooks —
+            `.backbone_params` (the frozen tree LoRA targets) and
+            `.denoise_builder(merged_params, batch)` returning a
+            denoise_fn whose first output is the velocity — plus
+            `.prepare_latents`. TPDMAgent (SD3/SD3.5) and FluxAgent
+            qualify; SD15Agent does not (eps-prediction DPM-Solver, not a
+            flow ladder). The backbone params stay frozen; LoRA factors
+            are the only trainable state.
         reward_apply: (images, batch) -> (b,) DIFFERENTIABLE scores, where
             `images` is whatever `decode_fn` returns. For ImageReward use
             build_image_reward_grad_apply (score_grad under the hood).
@@ -97,6 +102,15 @@ class DraftTrainer:
             raise ValueError(
                 f"k_backprop must be in [1, num_steps], got "
                 f"{config.k_backprop} vs {config.num_steps}"
+            )
+        if not (
+            hasattr(agent, "backbone_params")
+            and hasattr(agent, "denoise_builder")
+        ):
+            raise TypeError(
+                f"{type(agent).__name__} does not expose the draft hooks "
+                "(backbone_params / denoise_builder) — reward-gradient "
+                "fine-tuning covers flow-matching agents (SD3, FLUX)"
             )
         self.config = config
         self.agent = agent
@@ -127,16 +141,12 @@ class DraftTrainer:
         self.updates_this_run = 0  # stall-detection signal (see watchdog)
 
     # -- differentiable sampling chain ------------------------------------
-    def _final_latents(self, lora, latents, pe, pp):
+    def _final_latents(self, lora, latents, batch_arrays):
         cfg = self.config
         merged = apply_lora(
-            self.agent.mmdit_params, lora, scale=cfg.lora_scale
+            self.agent.backbone_params, lora, scale=cfg.lora_scale
         )
-        denoise = make_cfg_denoise_fn(
-            lambda *a: self.agent.mmdit.apply(merged, *a),
-            pe, pp, cfg.guidance_scale,
-            self.agent.token_grid, self.agent.patch_size,
-        )
+        denoise = self.agent.denoise_builder(merged, batch_arrays)
         b = latents.shape[0]
 
         def step(lat, i):
@@ -160,9 +170,9 @@ class DraftTrainer:
             latents = step(latents, i)
         return latents
 
-    def _update(self, lora, opt_state, latents, pe, pp, batch_arrays):
+    def _update(self, lora, opt_state, latents, batch_arrays):
         def loss_fn(l):
-            final = self._final_latents(l, latents, pe, pp)
+            final = self._final_latents(l, latents, batch_arrays)
             images = self.decode_fn(final)
             r = self.reward_apply(images, batch_arrays)
             return -jnp.mean(r), jnp.mean(r)
@@ -193,7 +203,7 @@ class DraftTrainer:
         if lora is None:
             key, sub = jax.random.split(key)
             lora = init_lora(
-                self.agent.mmdit_params, cfg.lora_rank, sub
+                self.agent.backbone_params, cfg.lora_rank, sub
             )
         logger.info(
             "draft: %d LoRA params over %d kernels, K=%d/%d steps "
@@ -210,12 +220,6 @@ class DraftTrainer:
                 )
             ]
             batch = self.collate_fn(rows)
-            pe, pp = batch["prompt_embeds"], batch["pooled_prompt_embeds"]
-            if cfg.guidance_scale is not None:
-                pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
-                pp = jnp.concatenate(
-                    [batch["negative_pooled_prompt_embeds"], pp]
-                )
             key, k_lat = jax.random.split(key)
             latents = self.agent.prepare_latents(k_lat, cfg.batch_size)
             arrays = {
@@ -224,7 +228,7 @@ class DraftTrainer:
                 if isinstance(v, (jax.Array, np.ndarray))
             }
             lora, opt_state, stats = self._update_jit(
-                lora, opt_state, latents, pe, pp, arrays
+                lora, opt_state, latents, arrays
             )
             metrics = {
                 "draft/reward": float(stats["reward"]),

@@ -105,6 +105,26 @@ class FluxAgent:
         self.flux_params = shard_params(self.flux_params, mesh)
         return self
 
+    # -- reward-gradient fine-tuning hooks (train/draft.py) ---------------
+    @property
+    def backbone_params(self):
+        """The frozen tree LoRA factors target (train/draft.py)."""
+        return self.flux_params
+
+    def denoise_builder(self, params, batch):
+        """Family-agnostic DraftTrainer hook (see TPDMAgent): FLUX has no
+        CFG batch-doubling — guidance is an embedded conditioning input."""
+        txt = batch["prompt_embeds"]
+        b, n_txt = txt.shape[:2]
+        return make_flux_denoise_fn(
+            lambda *a: self.flux.apply(params, *a),
+            txt,
+            jnp.zeros((b, n_txt, 3)),
+            batch["pooled_prompt_embeds"],
+            self.guidance,
+            (self.latent_size, self.latent_size),
+        )
+
     def init_tpm_params(self, key):
         fcfg = self.flux.config
         g = self.grid

@@ -367,6 +367,27 @@ class TPDMAgent:
         self.mmdit_params = shard_params(self.mmdit_params, mesh)
         return self
 
+    # -- reward-gradient fine-tuning hooks (train/draft.py) ---------------
+    @property
+    def backbone_params(self):
+        """The frozen tree LoRA factors target (train/draft.py)."""
+        return self.mmdit_params
+
+    def denoise_builder(self, params, batch):
+        """(merged backbone params, collated batch arrays) -> denoise_fn
+        whose first output is the velocity. The family-agnostic hook
+        DraftTrainer drives, so one trainer covers every flow-matching
+        backbone (SD3 here, FLUX in flux_agent.py)."""
+        pe, pp = batch["prompt_embeds"], batch["pooled_prompt_embeds"]
+        if self.config.guidance_scale is not None:
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+            pp = jnp.concatenate([batch["negative_pooled_prompt_embeds"], pp])
+        return make_cfg_denoise_fn(
+            lambda *a: self.mmdit.apply(params, *a),
+            pe, pp, self.config.guidance_scale,
+            self.token_grid, self.patch_size,
+        )
+
     def init_tpm_params(self, key: jax.Array):
         mcfg = self.mmdit.config
         g = self.token_grid
