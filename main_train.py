@@ -147,7 +147,7 @@ def _run_draft(args, config, agent, reward_apply, dataset, collate_fn, mesh):
         )
     trainer = DraftTrainer(
         dcfg, agent, reward_apply, dataset,
-        collate_fn=collate_fn, callbacks=callbacks,
+        collate_fn=collate_fn, callbacks=callbacks, mesh=mesh,
     )
     with mesh if mesh is not None else contextlib.nullcontext():
         trainer.train()

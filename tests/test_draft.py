@@ -310,6 +310,7 @@ class TestDraftMesh:
         cfg, agent, trainer = _draft_world(total_updates=2)
         mesh = make_mesh(jax.devices()[:4], data=1, fsdp=2, tensor=2)
         agent.shard(mesh)
+        trainer.mesh = mesh
         with mesh:
             lora, _ = trainer.train()
         m = trainer.metrics_history[-1]
@@ -318,6 +319,62 @@ class TestDraftMesh:
         assert any(
             float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
         )
+
+    def test_sharded_matches_single_device_at_per_shard_batch_2(self):
+        """Full GSPMD draft training (batch sharded over (data, fsdp),
+        backbone over (fsdp, tensor), factors replicated) must reproduce
+        the single-device run. Per-shard batch 2 on a (2,2,2) mesh — the
+        regime where SPMD partitioner bugs actually show (CLAUDE.md
+        landmine: never test sharded numerics at per-shard batch 1)."""
+        from tpdm_tpu.parallel.mesh import make_mesh
+
+        def build(mesh):
+            _, agent, _, _ = _toy_world()
+            # 8 rows so the global batch of 8 draws without replacement
+            rng = np.random.default_rng(0)
+            mcfg = agent.mmdit.config
+            dataset = [
+                {
+                    "prompt": f"p{i}",
+                    "prompt_embeds": rng.normal(
+                        size=(5, mcfg.joint_attention_dim)
+                    ).astype(np.float32),
+                    "pooled_prompt_embeds": rng.normal(
+                        size=(mcfg.pooled_projection_dim,)
+                    ).astype(np.float32),
+                    "negative_prompt_embeds": np.zeros(
+                        (5, mcfg.joint_attention_dim), np.float32
+                    ),
+                    "negative_pooled_prompt_embeds": np.zeros(
+                        (mcfg.pooled_projection_dim,), np.float32
+                    ),
+                }
+                for i in range(8)
+            ]
+            cfg = DraftConfig(
+                total_updates=2, batch_size=8, learning_rate=5e-3,
+                lora_rank=2, num_steps=2, k_backprop=1,
+            )
+            if mesh is not None:
+                agent.shard(mesh)
+            trainer = DraftTrainer(
+                cfg, agent,
+                lambda imgs, batch: jnp.mean(imgs, axis=(1, 2, 3)),
+                dataset, mesh=mesh,
+            )
+            return trainer.train()[0]
+
+        ref = build(None)
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        with mesh:
+            sharded = build(mesh)
+        for r, s in zip(
+            jax.tree_util.tree_leaves(ref),
+            jax.tree_util.tree_leaves(sharded),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(s), rtol=1e-4, atol=1e-6
+            )
 
 
 class TestServeLora:

@@ -86,6 +86,11 @@ class DraftTrainer:
             rewards read raw latents (toy runs).
         dataset / collate_fn: prompt rows -> CFG-ready embed batch, same
             contract as RLOOTrainer.
+        mesh: optional jax.sharding.Mesh ("data", "fsdp", "tensor"): the
+            batch/latents shard over (data, fsdp), the LoRA factors and
+            optimizer state replicate, and the backbone should already be
+            mesh-sharded (agent.shard(mesh)) — the same GSPMD scale-out
+            contract as RLOOTrainer.
     """
 
     def __init__(
@@ -97,6 +102,7 @@ class DraftTrainer:
         collate_fn: Optional[Callable] = None,
         decode_fn: Optional[Callable] = None,
         callbacks: Iterable = (),
+        mesh=None,
     ):
         if not 1 <= config.k_backprop <= config.num_steps:
             raise ValueError(
@@ -116,6 +122,7 @@ class DraftTrainer:
         self.agent = agent
         self.reward_apply = reward_apply
         self.dataset = dataset
+        self.mesh = mesh
         from tpdm_tpu.train.rloo import _default_collate
 
         self.collate_fn = collate_fn or _default_collate
@@ -211,6 +218,12 @@ class DraftTrainer:
             lora_param_count(lora), len(lora), cfg.k_backprop, cfg.num_steps,
         )
         opt_state = self.tx.init(lora)
+        if self.mesh is not None:
+            # factors/opt replicate (tiny), batch shards per update below
+            from tpdm_tpu.parallel.sharding import replicate
+
+            lora = replicate(lora, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
         t0 = time.time()
         for update in range(1, cfg.total_updates + 1):
             rows = [
@@ -227,6 +240,14 @@ class DraftTrainer:
                 for k, v in batch.items()
                 if isinstance(v, (jax.Array, np.ndarray))
             }
+            if self.mesh is not None:
+                from tpdm_tpu.parallel.sharding import batch_spec
+                from tpdm_tpu.train.rloo import _named_put, shard_inputs
+
+                arrays = shard_inputs(arrays, self.mesh)
+                latents = _named_put(
+                    latents, self.mesh, batch_spec(latents.ndim)
+                )
             lora, opt_state, stats = self._update_jit(
                 lora, opt_state, latents, arrays
             )
