@@ -262,6 +262,50 @@ def _run_family_trainer(agent, cfg, dataset, mesh) -> dict:
     return m
 
 
+def dryrun_draft_trainer(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
+    """Two mesh-native reward-gradient (DRaFT LoRA) updates through the
+    real ``DraftTrainer``: batch/latents sharded over (data, fsdp), the
+    frozen backbone over (fsdp, tensor), replicated LoRA factors merging
+    into the sharded kernels in-graph (train/draft.py; beyond-reference —
+    the training mode the reference's differentiable score_gard path
+    anticipates but never runs)."""
+    from tpdm_tpu.train.builders import build_toy_agent, make_prompt_encoder
+    from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
+
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    d, f, t = mesh_shape
+    mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+
+    agent = build_toy_agent(RLOOConfig(guidance_scale=7.0)).shard(mesh)
+    batch = max(2 * d * f, 4)  # per-shard batch >= 2 (see CLAUDE.md)
+    dataset = [{"prompt": f"prompt {i}"} for i in range(batch)]
+    cfg = DraftConfig(
+        total_updates=2, batch_size=batch, learning_rate=5e-3,
+        lora_rank=2, num_steps=2, k_backprop=1,
+    )
+    trainer = DraftTrainer(
+        cfg, agent,
+        lambda imgs, _batch: jnp.mean(imgs, axis=(1, 2, 3)),
+        dataset, collate_fn=make_prompt_encoder(agent), mesh=mesh,
+    )
+    with mesh:
+        lora, _ = trainer.train()
+    metrics = dict(trainer.metrics_history[-1])
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+    assert metrics["draft/num_skipped"] == 0.0
+    assert any(
+        float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+    ), "LoRA factors did not move"
+    metrics["mesh"] = mesh_shape
+    return metrics
+
+
 def dryrun_agent_families(
     n_devices: int, mesh_shape: tuple[int, int, int] | None = None
 ) -> dict:
