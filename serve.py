@@ -186,12 +186,13 @@ def build_family_world(args):
     fam = getattr(args, "family", "sd3")
     if fam == "sd3":
         return None
-    if getattr(args, "lora", None):
+    if getattr(args, "lora", None) and fam != "flux":
         # never serve base weights while the operator believes a DRaFT
-        # adapter is live (same fail-loud convention as the quant guards)
+        # adapter is live (same fail-loud convention as the quant guards);
+        # flux merges below — sd15 has no flow ladder, so no draft path
         raise SystemExit(
-            f"--lora is not wired for --family {fam} yet; merge with "
-            "tpdm_tpu.models.lora.apply_lora when building the agent"
+            f"--lora is not wired for --family {fam}; reward-gradient "
+            "fine-tuning covers flow-matching families (sd3, flux)"
         )
     if not args.toy:
         raise SystemExit(
@@ -301,6 +302,24 @@ def build_family_world(args):
         latent_size=8,
         latent_channels=4,
     )
+    if getattr(args, "lora", None):
+        if fcfg.quant_matmuls:
+            raise SystemExit(
+                "--lora cannot merge into a quantized (--int8/--int4) "
+                "backbone; merge first, then quantize the merged weights"
+            )
+        from tpdm_tpu.models.lora import apply_lora
+        from tpdm_tpu.train.draft import load_lora
+
+        lora = load_lora(args.lora)
+        agent.flux_params = apply_lora(
+            agent.flux_params, lora, scale=getattr(args, "lora_scale", 1.0)
+        )
+        logger.info(
+            "merged LoRA %s into the FLUX backbone (%d kernels)",
+            args.lora, len(lora),
+        )
+
     vae = VAE(VAEConfig.toy(latent_channels=4))
     vae_params = vae.init(key, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1, 3, 16, 16)))
 

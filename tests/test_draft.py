@@ -420,6 +420,44 @@ class TestServeLora:
                 self._toy_args(lora="whatever.safetensors", int8=True)
             )
 
+    def test_flux_family_merges_sd15_rejected(self, tmp_path):
+        import argparse
+
+        import serve
+
+        def fam_args(family, **kw):
+            d = dict(
+                family=family, toy=True, cpu=True, pretrained=None,
+                tpm=None, max_steps=3,
+            )
+            d.update(kw)
+            return argparse.Namespace(**d)
+
+        base = serve.build_family_world(fam_args("flux"))
+        lora = init_lora(
+            base["agent"].flux_params, rank=2, key=jax.random.PRNGKey(7)
+        )
+        lora = jax.tree.map(lambda x: x + 0.05, lora)
+        path = str(tmp_path / "flux_lora.safetensors")
+        save_lora(path, lora)
+
+        merged = serve.build_family_world(fam_args("flux", lora=path))
+        diffs = [
+            float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(base["agent"].flux_params),
+                jax.tree_util.tree_leaves(merged["agent"].flux_params),
+            )
+        ]
+        assert max(diffs) > 0  # factors actually merged
+        out = merged["runner"](["a cat"], [3], [3])[0]
+        assert out["image"].shape[-1] == 3  # merged FLUX serves
+
+        with pytest.raises(SystemExit, match="sd3, flux"):
+            serve.build_family_world(fam_args("sd15", lora=path))
+        with pytest.raises(SystemExit, match="quantize"):
+            serve.build_family_world(fam_args("flux", lora=path, int8=True))
+
 
 class TestFullDifferentiableChain:
     def test_vae_decode_plus_image_reward_gradients(self):
