@@ -5,11 +5,15 @@ training loop's two phases at SD3-medium scale on one chip:
   - rollout episodes/sec (28-step adaptive loop, cache ON, batch b)
   - PPO micro-steps/sec (TPM-only replay + update)
 
-Usage: python bench_train.py [batch] [--int8] [--recompute]
+Usage: python bench_train.py [batch] [--int8] [--recompute] [--draft]
   --int8      stored-int8 backbone (prequantize_params): halves weight HBM
               (2.0 vs 4.1 GB at SD3-medium) to buy batch/cache headroom
   --recompute replay_mode="recompute" (latent-history replay, 50x smaller
               cache)
+  --draft     additionally time one reward-gradient (DRaFT-K) LoRA update
+              (train/draft.py): 28-step ladder, K=1 differentiable, toy
+              latent-mean reward (isolates the sampler+backprop cost from
+              the reward tower)
 """
 
 import json
@@ -119,6 +123,28 @@ def main():
     sync(loss)
     ppo_s = (time.time() - t0) / 5
 
+    draft_s = None
+    if "--draft" in sys.argv:
+        from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
+
+        # per-sample rows from the batched embeds; default collate restacks
+        rows = [
+            {k: v[i % b] for k, v in batch.items()} for i in range(max(b, 2))
+        ]
+        dcfg = DraftConfig(
+            total_updates=1, batch_size=b, learning_rate=1e-4,
+            lora_rank=4, num_steps=config.max_inference_steps, k_backprop=1,
+        )
+        dtrainer = DraftTrainer(
+            dcfg, agent,
+            lambda imgs, _batch: jnp.mean(imgs, axis=(1, 2, 3)), rows,
+        )
+        dtrainer.train()  # compile
+        t0 = time.time()
+        lora, _ = dtrainer.train()
+        sync(jax.tree.leaves(lora)[0])
+        draft_s = time.time() - t0
+
     result = {
         "rollout_s": round(rollout_s, 3),
         "rollout_episodes_per_s": round(b / rollout_s, 4),
@@ -130,6 +156,9 @@ def main():
         "int8": int8,
         "replay_mode": replay_mode,
     }
+    if draft_s is not None:
+        result["draft_update_s"] = round(draft_s, 3)
+        result["draft_updates_per_s"] = round(1 / draft_s, 4)
     try:
         stats = jax.local_devices()[0].memory_stats()
         result["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
