@@ -191,6 +191,8 @@ def main():
     }
     if cfg_kwargs["total_episodes"] is not None:
         cfg_kwargs["total_episodes"] = int(cfg_kwargs["total_episodes"])
+    if cfg_kwargs["save_total_limit"] is not None:
+        cfg_kwargs["save_total_limit"] = int(cfg_kwargs["save_total_limit"])
     config = RLOOConfig(**cfg_kwargs)
 
     from tpdm_tpu.utils.instantiate import instantiate_file

@@ -214,6 +214,15 @@ class TestDraftTrainer:
                 np.asarray(lora[name]["b"]), np.asarray(back[name]["b"])
             )
 
+    def test_save_total_limit_prunes_oldest(self, tmp_path):
+        cfg, agent, trainer = _draft_world(
+            total_updates=3, save_steps=1, save_total_limit=2,
+            output_dir=str(tmp_path),
+        )
+        trainer.train()
+        names = sorted(p.name for p in tmp_path.glob("lora-*.safetensors"))
+        assert names == ["lora-2.safetensors", "lora-3.safetensors"]
+
 
 class TestDraftFlux:
     def test_flux_agent_reward_ascends(self):

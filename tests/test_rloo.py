@@ -528,3 +528,152 @@ class TestMetricsJsonl:
         assert not os.path.exists(
             os.path.join(config.output_dir, "metrics.jsonl")
         )
+
+
+class TestGRPOAdvantages:
+    def test_group_normalization_oracle(self):
+        """(r - group_mean)/(group_std + eps) over tile-grouped repeats."""
+        from tpdm_tpu.train.rloo import grpo_advantages
+
+        k, n = 3, 4
+        rng = np.random.default_rng(0)
+        r = rng.normal(size=(k * n,)).astype(np.float32)
+        ours = np.asarray(grpo_advantages(jnp.array(r), k))
+        groups = r.reshape(k, n)  # column j = repeats of prompt j (tile)
+        ref = (groups - groups.mean(0)) / (groups.std(0) + 1e-4)
+        np.testing.assert_allclose(ours, ref.reshape(-1), rtol=1e-5)
+
+    def test_dispatch(self):
+        from tpdm_tpu.train.rloo import compute_advantages
+
+        r = jnp.arange(6, dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(compute_advantages(r, 2, "rloo")),
+            np.asarray(rloo_advantages(r, 2)),
+        )
+        with pytest.raises(ValueError, match="advantage_estimator"):
+            compute_advantages(r, 2, "ppo")
+
+    def test_trainer_trains_with_grpo(self):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(config, advantage_estimator="grpo")
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        p1, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+        m = trainer.metrics_history[-1]
+        assert all(np.isfinite(v) for v in m.values())
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, p1)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestCheckpointRotation:
+    def test_rotate_keeps_newest_by_step(self, tmp_path):
+        from tpdm_tpu.train.checkpoint import rotate_checkpoints
+
+        for step in (1, 3, 10, 2):
+            (tmp_path / f"checkpoint-{step}").mkdir()
+        (tmp_path / "not-a-checkpoint").mkdir()
+        pruned = rotate_checkpoints(str(tmp_path), 2)
+        assert sorted(p.rsplit("-", 1)[1] for p in pruned) == ["1", "2"]
+        kept = sorted(p.name for p in tmp_path.iterdir())
+        assert kept == ["checkpoint-10", "checkpoint-3", "not-a-checkpoint"]
+        # None / 0 are no-ops
+        assert rotate_checkpoints(str(tmp_path), None) == []
+        assert rotate_checkpoints(str(tmp_path), 0) == []
+
+    def test_trainer_save_total_limit(self, tmp_path):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(
+            config, save_steps=1, save_total_limit=2, output_dir=str(tmp_path)
+        )
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        trainer.train()  # 3 updates -> saves at 1, 2, 3; keeps 2 and 3
+        from tpdm_tpu.train.checkpoint import latest_checkpoint
+
+        names = sorted(
+            p.name for p in tmp_path.iterdir() if p.name.startswith("checkpoint")
+        )
+        assert names == ["checkpoint-2", "checkpoint-3"]
+        assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-3")
+
+
+class TestEMA:
+    def test_ema_step_math(self):
+        config, agent, reward_fn, dataset = _toy_world()
+        import dataclasses
+
+        config = dataclasses.replace(config, ema_decay=0.75)
+        trainer = RLOOTrainer(config, agent, reward_fn, dataset)
+        ema = {"w": jnp.array([1.0, 2.0])}
+        p = {"w": jnp.array([3.0, 0.0])}
+        out = trainer._ema_fn(ema, p)
+        np.testing.assert_allclose(
+            np.asarray(out["w"]), [0.75 * 1 + 0.25 * 3, 0.75 * 2], rtol=1e-6
+        )
+
+    def test_bad_decay_rejected(self):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(config, ema_decay=1.0)
+        with pytest.raises(ValueError, match="ema_decay"):
+            RLOOTrainer(config, agent, reward_fn, dataset)
+
+    def test_ema_tracks_callbacks_and_checkpoint_roundtrip(self, tmp_path):
+        import dataclasses
+
+        config, agent, reward_fn, dataset = _toy_world()
+        config = dataclasses.replace(
+            config, ema_decay=0.5, save_steps=3, output_dir=str(tmp_path)
+        )
+        seen = []
+
+        class Recorder:
+            def on_step_end(self, trainer, update, metrics, params):
+                seen.append(jax.tree.map(np.asarray, params))
+
+        trainer = RLOOTrainer(
+            config, agent, reward_fn, dataset, callbacks=[Recorder()]
+        )
+        p0 = agent.init_tpm_params(jax.random.PRNGKey(7))
+        p_live, _ = trainer.train(tpm_params=jax.tree.map(jnp.copy, p0))
+
+        # callbacks got the EMA weights, not the live policy
+        ema_now = jax.tree.map(np.asarray, trainer.ema_params)
+        for a, b in zip(jax.tree.leaves(seen[-1]), jax.tree.leaves(ema_now)):
+            np.testing.assert_array_equal(a, b)
+        # EMA lags the live policy (decay 0.5 over 3 updates) but moved off p0
+        d_live = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            trainer.ema_params, p_live)))
+        d_init = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            trainer.ema_params, p0)))
+        assert d_live > 0 and d_init > 0
+
+        # checkpoint carries the EMA and resume restores it bit-exactly
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        state = ckpt.restore_checkpoint(
+            str(tmp_path / "checkpoint-3"),
+            agent.init_tpm_params(jax.random.PRNGKey(0)),
+            trainer.tx.init(p0),
+        )
+        assert "ema_params" in state
+        for a, b in zip(
+            jax.tree.leaves(state["ema_params"]), jax.tree.leaves(ema_now)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+        # resuming re-seeds the EMA from the checkpoint, not the live policy
+        trainer2 = RLOOTrainer(config, agent, reward_fn, dataset)
+        trainer2.train(resume_state=dict(state))  # start_update=4 > total: no-op loop
+        for a, b in zip(
+            jax.tree.leaves(jax.tree.map(np.asarray, trainer2.ema_params)),
+            jax.tree.leaves(ema_now),
+        ):
+            np.testing.assert_array_equal(a, b)

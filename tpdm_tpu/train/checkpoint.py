@@ -26,6 +26,7 @@ from flax import serialization
 STATE_FILE = "trainer_state.msgpack"
 META_FILE = "trainer_meta.json"
 TPM_FILE = "tpm.safetensors"
+EMA_FILE = "ema.msgpack"  # optional: EMA of tpm_params (RLOOConfig.ema_decay)
 
 
 def save_checkpoint(
@@ -36,6 +37,7 @@ def save_checkpoint(
     episode: int = 0,
     np_rng_state: Optional[dict] = None,
     export_tpm_safetensors: bool = True,
+    ema_params: Any = None,
 ) -> str:
     path = os.path.join(output_dir, f"checkpoint-{step}")
     os.makedirs(path, exist_ok=True)
@@ -43,6 +45,10 @@ def save_checkpoint(
     state = {"tpm_params": tpm_params, "opt_state": opt_state}
     with open(os.path.join(path, STATE_FILE), "wb") as f:
         f.write(serialization.to_bytes(state))
+    if ema_params is not None:
+        # separate file keeps STATE_FILE's template stable for old resumes
+        with open(os.path.join(path, EMA_FILE), "wb") as f:
+            f.write(serialization.to_bytes(ema_params))
     meta = {"update": step, "episode": episode}
     if np_rng_state is not None:
         meta["np_rng_state"] = _encode_rng(np_rng_state)
@@ -91,7 +97,34 @@ def restore_checkpoint(path: str, tpm_params_template: Any, opt_state_template: 
     }
     if "np_rng_state" in meta:
         out["np_rng_state"] = _decode_rng(meta["np_rng_state"])
+    ema_path = os.path.join(path, EMA_FILE)
+    if os.path.exists(ema_path):
+        with open(ema_path, "rb") as f:
+            out["ema_params"] = serialization.from_bytes(
+                tpm_params_template, f.read()
+            )
     return out
+
+
+def rotate_checkpoints(output_dir: str, save_total_limit: Optional[int]) -> list:
+    """Prune oldest `checkpoint-N` dirs beyond save_total_limit (newest by
+    step number kept). HF-Trainer `_rotate_checkpoints` analogue — the
+    reference inherits the flag via TrainingArguments. Returns pruned paths."""
+    import shutil
+
+    if not save_total_limit or save_total_limit < 1:
+        return []
+    found = []
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and os.path.isdir(os.path.join(output_dir, name)):
+            found.append((int(m.group(1)), os.path.join(output_dir, name)))
+    found.sort()
+    pruned = []
+    for _, path in found[: max(0, len(found) - save_total_limit)]:
+        shutil.rmtree(path, ignore_errors=True)
+        pruned.append(path)
+    return pruned
 
 
 def load_tpm_safetensors(path: str) -> dict:

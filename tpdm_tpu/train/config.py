@@ -46,6 +46,19 @@ class RLOOConfig:
     kl_coef: float = 0.05
     gamma: float = 0.90
     mean_kl: bool = False
+    # Advantage estimator over the rloo_k repeats of each prompt:
+    #   "rloo": leave-one-out baseline (the reference, rloo_trainer.py:453-461)
+    #   "grpo": group-normalized (r - mean) / (std + eps) — DeepSeekMath-style
+    #           group-relative policy optimization; beyond-reference option
+    #           useful when rloo_k is small and reward scales drift.
+    advantage_estimator: str = "rloo"
+    # EMA of the trainable TPM policy (0 = disabled). When enabled the
+    # trainer keeps an exponential moving average of tpm_params updated once
+    # per update; eval callbacks receive the EMA weights and checkpoints
+    # carry them (ema.msgpack) — the standard eval-stability tool for small
+    # RL-trained policies (beyond-reference; the reference evals the live
+    # policy directly, callbacks.py:54-59).
+    ema_decay: float = 0.0
 
     # --- policy (CustomRLOOConfig custom fields) ---
     init_alpha: float = 1.5
@@ -72,6 +85,11 @@ class RLOOConfig:
     # --- bookkeeping ---
     logging_steps: int = 1
     save_steps: int = 0  # 0 = disabled
+    # Keep at most this many checkpoint-N dirs (oldest pruned after each
+    # save); None = keep all. HF-flag-name parity: the reference inherits
+    # save_total_limit from TrainingArguments and rotates via
+    # Trainer._rotate_checkpoints.
+    save_total_limit: Optional[int] = None
     eval_steps: int = 0  # 0 = disabled
     # HF-flag-name parity (the reference inherits report_to from
     # TrainingArguments; its tensorboard sink maps to the native event

@@ -63,6 +63,9 @@ class DraftConfig:
     # FluxAgent embedded guidance); the trainer never second-guesses it
     logging_steps: int = 1
     save_steps: int = 0
+    # keep at most this many lora-N.safetensors (oldest pruned after each
+    # save); None = keep all — same semantics as RLOOConfig.save_total_limit
+    save_total_limit: "int | None" = None
 
 
 class DraftTrainer:
@@ -283,6 +286,19 @@ class DraftTrainer:
         os.makedirs(self.config.output_dir, exist_ok=True)
         save_lora(path, lora)
         logger.info("saved %s", path)
+        limit = self.config.save_total_limit
+        if limit and limit >= 1:
+            import re
+
+            found = []
+            for name in os.listdir(self.config.output_dir):
+                m = re.fullmatch(r"lora-(\d+)\.safetensors", name)
+                if m:
+                    found.append((int(m.group(1)), name))
+            found.sort()
+            for _, name in found[: max(0, len(found) - limit)]:
+                os.remove(os.path.join(self.config.output_dir, name))
+                logger.info("save_total_limit=%d: pruned %s", limit, name)
         return path
 
 

@@ -108,6 +108,30 @@ def rloo_advantages(rlhf_reward: jax.Array, rloo_k: int) -> jax.Array:
     return (r - baseline).reshape(-1)
 
 
+def grpo_advantages(
+    rlhf_reward: jax.Array, rloo_k: int, eps: float = 1e-4
+) -> jax.Array:
+    """Group-normalized advantages (GRPO, DeepSeekMath arXiv:2402.03300):
+    (r - group_mean) / (group_std + eps) over the rloo_k repeats of each
+    prompt. Same tile grouping as rloo_advantages — reshape(k, -1) puts one
+    prompt's repeats in a column. Beyond-reference estimator selected by
+    RLOOConfig.advantage_estimator="grpo"."""
+    r = rlhf_reward.reshape(rloo_k, -1)
+    mean = r.mean(axis=0)
+    std = r.std(axis=0)
+    return ((r - mean) / (std + eps)).reshape(-1)
+
+
+def compute_advantages(
+    rlhf_reward: jax.Array, rloo_k: int, estimator: str = "rloo"
+) -> jax.Array:
+    if estimator == "rloo":
+        return rloo_advantages(rlhf_reward, rloo_k)
+    if estimator == "grpo":
+        return grpo_advantages(rlhf_reward, rloo_k)
+    raise ValueError(f"unknown advantage_estimator: {estimator}")
+
+
 def ppo_loss(
     new_logprobs: jax.Array,  # (b, T)
     old_logprobs: jax.Array,  # (b, T)
@@ -728,6 +752,22 @@ class RLOOTrainer:
             1, config.num_ppo_epochs * config.num_mini_batches
         )
         self._train_step = jax.jit(self._train_step_impl)
+        # EMA of the trainable policy (config.ema_decay): one fused jitted
+        # tree-map per trainer update; eval callbacks and checkpoints carry
+        # the averaged weights.
+        self.ema_params = None
+        self._ema_fn = None
+        if config.ema_decay:
+            if not (0.0 < config.ema_decay < 1.0):
+                raise ValueError(
+                    f"ema_decay={config.ema_decay} must be in (0, 1)"
+                )
+            d = config.ema_decay
+            self._ema_fn = jax.jit(
+                lambda ema, p: jax.tree.map(
+                    lambda e, x: d * e + (1.0 - d) * x, ema, p
+                )
+            )
         self.global_step = 0
         # updates completed by THIS process lifetime (never restored from
         # a checkpoint): the progress signal for stall detection — a
@@ -941,6 +981,13 @@ class RLOOTrainer:
         # every device (the TPM is ~7M params; sharding it buys nothing)
         tpm_params = self._replicate(tpm_params)
         opt_state = self._replicate(opt_state)
+        if self._ema_fn is not None:
+            ema = None
+            if resume_state is not None:
+                ema = resume_state.get("ema_params")
+            if ema is None:
+                ema = tpm_params  # fresh EMA starts at the live policy
+            self.ema_params = self._replicate(ema)
 
         loader = self._loader(np_rng)
         start_time = time.time()
@@ -1006,7 +1053,9 @@ class RLOOTrainer:
             kl_reduced = kl.mean(axis=1) if cfg.mean_kl else kl.sum(axis=1)
             non_score_reward = -cfg.kl_coef * kl_reduced
             rlhf_reward = scores + non_score_reward
-            advantages = rloo_advantages(rlhf_reward, cfg.rloo_k)
+            advantages = compute_advantages(
+                rlhf_reward, cfg.rloo_k, cfg.advantage_estimator
+            )
 
             # ---- PPO epochs over the same rollout ----
             # One program iterates the GLOBAL batch; each micro-step is
@@ -1068,6 +1117,8 @@ class RLOOTrainer:
                 "lr": float(self._schedule(self.global_step)),
                 "episode": self.episode,
             }
+            if self._ema_fn is not None:
+                self.ema_params = self._ema_fn(self.ema_params, tpm_params)
             self.global_step += 1
             self.updates_this_run += 1
             if cfg.logging_steps and update % cfg.logging_steps == 0:
@@ -1075,8 +1126,13 @@ class RLOOTrainer:
                 self.metrics_history.append(metrics)
                 self._append_metrics_jsonl(update, metrics)
 
+            # eval on the EMA policy when enabled (eval-stability; the live
+            # policy keeps training)
+            eval_params = (
+                self.ema_params if self.ema_params is not None else tpm_params
+            )
             for cb in self.callbacks:
-                cb.on_step_end(self, update, metrics, tpm_params)
+                cb.on_step_end(self, update, metrics, eval_params)
 
             saved_this_update = bool(cfg.save_steps) and update % cfg.save_steps == 0
             if saved_this_update:
@@ -1130,8 +1186,17 @@ class RLOOTrainer:
                 opt_state,
                 episode=self.episode,
                 np_rng_state=np_rng.bit_generator.state,
+                ema_params=self.ema_params,
             )
             logger.info("saved checkpoint %s", path)
+            pruned = ckpt.rotate_checkpoints(
+                self.config.output_dir, self.config.save_total_limit
+            )
+            if pruned:
+                logger.info(
+                    "save_total_limit=%s: pruned %s",
+                    self.config.save_total_limit, pruned,
+                )
 
 
 def _default_collate(rows: list[dict]) -> dict:
