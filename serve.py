@@ -146,12 +146,45 @@ def build_pipeline(args):
     return _apply_cli_lora(pipe, args), tokenize
 
 
+def _split_lora_args(args):
+    """--lora entries -> (merge_path | None, [(name, path), ...]).
+
+    A bare PATH merges at load (legacy single-adapter mode); NAME=PATH
+    entries register multi-tenant adapters on the engine. Mixing the two,
+    or passing more than one bare path, is operator error — fail loudly."""
+    entries = getattr(args, "lora", None) or []
+    if isinstance(entries, str):  # tests pass a plain string Namespace
+        entries = [entries]
+    merge, named = [], []
+    for e in entries:
+        name, sep, path = e.partition("=")
+        if sep and name and "/" not in name:
+            named.append((name, path))
+        else:
+            merge.append(e)
+    if merge and named:
+        raise SystemExit(
+            "--lora: mix of bare-path (merge at load) and NAME=PATH "
+            "(registered adapter) entries; pick one mode"
+        )
+    if len(merge) > 1:
+        raise SystemExit(
+            "--lora: multiple bare paths; to serve several adapters use "
+            "NAME=PATH entries"
+        )
+    dup = {n for n, _ in named if sum(1 for m, _ in named if m == n) > 1}
+    if dup:
+        raise SystemExit(f"--lora: duplicate adapter names {sorted(dup)}")
+    return (merge[0] if merge else None), named
+
+
 def _apply_cli_lora(pipe, args):
-    """--lora: merge DRaFT-trained factors (train/draft.py) into the
+    """--lora PATH: merge DRaFT-trained factors (train/draft.py) into the
     backbone weights before any jit — the serving engines see one plain
     merged tree, so every engine mode (continuous, --dp, --mesh, quant)
-    works unchanged."""
-    path = getattr(args, "lora", None)
+    works unchanged. NAME=PATH entries are handled later, by
+    engine.register_adapter (make_http_server)."""
+    path, _named = _split_lora_args(args)
     if not path:
         return pipe
     if _quant_on(args):
@@ -303,6 +336,12 @@ def build_family_world(args):
         latent_channels=4,
     )
     if getattr(args, "lora", None):
+        lora_path, named = _split_lora_args(args)
+        if named:
+            raise SystemExit(
+                "--lora NAME=PATH adapters are SD3-engine-only; --family "
+                "flux supports a single merged adapter (bare path)"
+            )
         if fcfg.quant_matmuls:
             raise SystemExit(
                 "--lora cannot merge into a quantized (--int8/--int4) "
@@ -311,13 +350,13 @@ def build_family_world(args):
         from tpdm_tpu.models.lora import apply_lora
         from tpdm_tpu.train.draft import load_lora
 
-        lora = load_lora(args.lora)
+        lora = load_lora(lora_path)
         agent.flux_params = apply_lora(
             agent.flux_params, lora, scale=getattr(args, "lora_scale", 1.0)
         )
         logger.info(
             "merged LoRA %s into the FLUX backbone (%d kernels)",
-            args.lora, len(lora),
+            lora_path, len(lora),
         )
 
     vae = VAE(VAEConfig.toy(latent_channels=4))
@@ -396,11 +435,18 @@ def main():
                    help="denoise steps per jitted segment between slot-"
                         "recycling syncs (--continuous only)")
     p.add_argument("--port", type=int, default=7860)
-    p.add_argument("--lora", default=None,
-                   help="LoRA safetensors from train/draft.py: merged into "
-                        "the backbone weights at load (base checkpoint "
-                        "untouched on disk)")
+    p.add_argument("--lora", action="append", default=None,
+                   help="LoRA safetensors from train/draft.py. A bare PATH "
+                        "is merged into the backbone weights at load (base "
+                        "checkpoint untouched on disk). NAME=PATH (repeat "
+                        "the flag) registers named adapters for multi-"
+                        "tenant serving instead: requests select one via "
+                        '{"lora": "NAME"} (fixed-batch SD3 engine only; '
+                        "base model serves requests without the field)")
     p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--lora_cache", type=int, default=1,
+                   help="merged-backbone LRU entries for NAME=PATH adapters "
+                        "(each is a full backbone copy in device memory)")
     p.add_argument("--tb_dir", default=None,
                    help="stream engine stats() to TensorBoard event files "
                         "in this directory every --tb_interval seconds "
@@ -659,6 +705,25 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             vae_scale_factor=_pipe_vae_scale_factor(pipe),
         )
 
+    # multi-tenant adapters (--lora NAME=PATH): fixed-batch SD3 engine only
+    _merge_path, _named_adapters = _split_lora_args(args)
+    if _named_adapters:
+        if not isinstance(engine, BatchingEngine) or runner is not None:
+            raise SystemExit(
+                "--lora NAME=PATH needs the fixed-batch SD3 engine (no "
+                "--continuous, no --family runner): per-slot adapters "
+                "cannot share one running continuous batch"
+            )
+        from tpdm_tpu.train.draft import load_lora
+
+        for name, path in _named_adapters:
+            engine.register_adapter(
+                name, load_lora(path),
+                scale=getattr(args, "lora_scale", 1.0),
+                merged_cache=getattr(args, "lora_cache", 1) or 1,
+            )
+            logger.info("registered adapter %r from %s", name, path)
+
     # best-of-N reward ranking (/rank): optional — needs a converted
     # ImageReward checkpoint + BERT vocab (native WordPiece tokenizer)
     ranker = None
@@ -718,15 +783,21 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     deadline_s = float(deadline_s)
                     if deadline_s <= 0:
                         raise ValueError("deadline_s must be > 0")
+                lora = req.get("lora")
+                if lora is not None and not isinstance(lora, str):
+                    raise ValueError("lora must be an adapter name string")
+                if lora is not None and not hasattr(engine, "register_adapter"):
+                    raise ValueError("this engine does not serve adapters")
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
             from tpdm_tpu.serving import EngineOverloaded, RequestExpired
 
             try:
+                kw = {} if lora is None else {"lora": lora}
                 res = engine.submit(
                     prompt, seed, steps=steps, resolution=resolution,
-                    deadline_s=deadline_s,
+                    deadline_s=deadline_s, **kw,
                 ).result(timeout=600)
             except ValueError as e:  # unknown resolution etc.
                 self.send_error(400, str(e)[:100])
@@ -776,6 +847,11 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     steps = int(steps)
                     if not 1 <= steps <= args.max_steps:
                         raise ValueError(f"steps must be in [1, {args.max_steps}]")
+                lora = req.get("lora")
+                if lora is not None and not isinstance(lora, str):
+                    raise ValueError("lora must be an adapter name string")
+                if lora is not None and not hasattr(engine, "register_adapter"):
+                    raise ValueError("this engine does not serve adapters")
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
@@ -783,8 +859,12 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
 
             try:
                 out = generate_ranked(
-                    engine, prompt, seed=seed, n=n, steps=steps, ranker=ranker
+                    engine, prompt, seed=seed, n=n, steps=steps, ranker=ranker,
+                    lora=lora,
                 )
+            except ValueError as e:  # unknown adapter etc.
+                self.send_error(400, str(e)[:100])
+                return
             except EngineOverloaded as e:
                 self.send_error(503, str(e)[:100])
                 return

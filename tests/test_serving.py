@@ -607,3 +607,289 @@ class TestDeadlines:
             assert eng.stats()["requests_expired"] == 1
         finally:
             eng.stop()
+
+
+def _noisy_lora(params, key, rank=2, scale_b=0.05):
+    """LoRA factors with RANDOM b (init_lora's b=0 is an exact identity —
+    useless for telling adapters apart in tests)."""
+    import jax
+
+    from tpdm_tpu.models.lora import init_lora
+
+    lora = init_lora(params, rank=rank, key=key)
+    out = {}
+    for i, (name, fac) in enumerate(sorted(lora.items())):
+        kb = jax.random.fold_in(key, i + 1)
+        out[name] = {
+            "a": fac["a"],
+            "b": jax.random.normal(kb, fac["b"].shape, fac["b"].dtype)
+            * scale_b,
+        }
+    return out
+
+
+class TestLoraAdapters:
+    """Multi-tenant serving: per-request LoRA adapters over one backbone."""
+
+    def test_routing_parity_and_base_restoration(self, toy):
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+
+        pipe, tokenize = toy
+        base_params = pipe.mmdit_params
+        try:
+            eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=4)
+            lora_a = _noisy_lora(base_params, jax.random.PRNGKey(1))
+            lora_b = _noisy_lora(base_params, jax.random.PRNGKey(2))
+            eng.register_adapter("a", lora_a, scale=1.0, merged_cache=2)
+            eng.register_adapter("b", lora_b, scale=1.0)
+
+            base_img = eng.generate_batch(["a cat"], [7])[0]["image"]
+            img_a = eng.generate_batch(["a cat"], [7], lora="a")[0]["image"]
+            img_b = eng.generate_batch(["a cat"], [7], lora="b")[0]["image"]
+            assert not np.array_equal(img_a, base_img)
+            assert not np.array_equal(img_b, base_img)
+            assert not np.array_equal(img_a, img_b)
+
+            # parity: the adapter path == generating on a manually merged
+            # tree (same executable, same operands -> bitwise equal)
+            pipe.mmdit_params = apply_lora(base_params, lora_a, scale=1.0)
+            direct = eng.generate_batch(["a cat"], [7])[0]["image"]
+            # that batch ran with lora=None on an adapter-enabled engine, so
+            # the engine restored the BASE tree operand; re-merge manually
+            pipe.mmdit_params = base_params
+            np.testing.assert_array_equal(
+                np.asarray(eng.generate_batch(["a cat"], [7], lora="a")[0]["image"]),
+                np.asarray(img_a),
+            )
+            # direct ran on the engine-restored base params (lora=None wins
+            # over the manual assignment) -> equals the base image
+            np.testing.assert_array_equal(direct, base_img)
+
+            # base requests after adapter traffic reproduce the base image
+            again = eng.generate_batch(["a cat"], [7])[0]["image"]
+            np.testing.assert_array_equal(again, base_img)
+        finally:
+            pipe.mmdit_params = base_params
+
+    def test_manual_merge_matches_adapter_path(self, toy):
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+
+        pipe, tokenize = toy
+        base_params = pipe.mmdit_params
+        try:
+            lora_a = _noisy_lora(base_params, jax.random.PRNGKey(3))
+            # adapter-free engine on a manually merged tree
+            pipe.mmdit_params = apply_lora(base_params, lora_a, scale=0.7)
+            plain = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                   max_steps=4)
+            direct = plain.generate_batch(["a dog"], [5])[0]["image"]
+            pipe.mmdit_params = base_params
+
+            eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=4)
+            eng.register_adapter("a", lora_a, scale=0.7)
+            via_adapter = eng.generate_batch(["a dog"], [5], lora="a")[0]["image"]
+            np.testing.assert_array_equal(np.asarray(direct),
+                                          np.asarray(via_adapter))
+        finally:
+            pipe.mmdit_params = base_params
+
+    def test_mixed_window_groups_by_adapter(self, toy):
+        import jax
+
+        pipe, tokenize = toy
+        base_params = pipe.mmdit_params
+        try:
+            eng = BatchingEngine(pipe, tokenize, max_batch=4, window_ms=200,
+                                 max_steps=4)
+            eng.register_adapter(
+                "style", _noisy_lora(base_params, jax.random.PRNGKey(4))
+            )
+            solo_base = eng.generate_batch(["a cat"], [7])[0]["image"]
+            solo_style = eng.generate_batch(["a cat"], [7], lora="style")[0]["image"]
+            runs_before = eng.batches_run
+
+            eng.start()
+            try:
+                reqs = [
+                    eng.submit("a cat", seed=7),
+                    eng.submit("a cat", seed=7, lora="style"),
+                    eng.submit("a cat", seed=7, lora="style"),
+                ]
+                results = [r.result(timeout=120) for r in reqs]
+            finally:
+                eng.stop()
+            np.testing.assert_array_equal(results[0]["image"], solo_base)
+            np.testing.assert_array_equal(results[1]["image"], solo_style)
+            np.testing.assert_array_equal(results[2]["image"], solo_style)
+            # one window -> two sub-batches (base, style)
+            assert eng.batches_run == runs_before + 2
+            s = eng.stats()
+            assert s["adapter_batches"]["<base>"] >= 2
+            assert s["adapter_batches"]["style"] >= 2
+        finally:
+            pipe.mmdit_params = base_params
+
+    def test_lru_eviction_stays_correct(self, toy):
+        import jax
+
+        pipe, tokenize = toy
+        base_params = pipe.mmdit_params
+        try:
+            eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=4)
+            eng.register_adapter("a", _noisy_lora(base_params, jax.random.PRNGKey(5)))
+            eng.register_adapter("b", _noisy_lora(base_params, jax.random.PRNGKey(6)))
+            first_a = eng.generate_batch(["x"], [1], lora="a")[0]["image"]
+            first_b = eng.generate_batch(["x"], [1], lora="b")[0]["image"]  # evicts a
+            again_a = eng.generate_batch(["x"], [1], lora="a")[0]["image"]  # re-merge
+            np.testing.assert_array_equal(first_a, again_a)
+            assert eng.adapter_merges == 3  # cache size 1: a, b, a again
+        finally:
+            pipe.mmdit_params = base_params
+
+    def test_unknown_adapter_rejected(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        with pytest.raises(ValueError, match="unknown adapter"):
+            eng.submit("a cat", lora="nope")
+        with pytest.raises(ValueError, match="unknown adapter"):
+            eng.generate_batch(["a cat"], [0], lora="nope")
+
+    def test_runner_engine_rejects_adapters(self):
+        runner = lambda p, s, c: [
+            {"image": np.zeros((4, 4, 3), np.uint8), "inference_steps": 1,
+             "sigmas": [1.0]}
+        ] * len(p)
+        eng = BatchingEngine(None, tokenize=None, max_batch=1, runner=runner)
+        with pytest.raises(ValueError, match="runner"):
+            eng.register_adapter("a", {"k": {"a": np.zeros((2, 1)),
+                                             "b": np.zeros((1, 2))}})
+
+    def test_quantized_backbone_rejects_adapters(self, toy):
+        import types
+
+        import jax.numpy as jnp
+
+        pipe, tokenize = toy
+        fake = types.SimpleNamespace(
+            mmdit=pipe.mmdit,
+            mmdit_params={"w": jnp.zeros((2, 2), jnp.int8)},
+            vae=None, vae_params=None, text_encoders=None,
+        )
+        eng = BatchingEngine(fake, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        with pytest.raises(ValueError, match="quantized"):
+            eng.register_adapter("a", {"k": {"a": np.zeros((2, 1)),
+                                             "b": np.zeros((1, 2))}})
+
+
+class TestLoraCliAndHttp:
+    def test_split_lora_args(self):
+        import serve
+
+        ns = lambda v: argparse.Namespace(lora=v)
+        assert serve._split_lora_args(ns(None)) == (None, [])
+        assert serve._split_lora_args(ns(["/p/x.safetensors"])) == (
+            "/p/x.safetensors", [])
+        assert serve._split_lora_args(ns("/p/x.safetensors")) == (
+            "/p/x.safetensors", [])  # legacy plain-string Namespace
+        assert serve._split_lora_args(ns(["a=/p/a.st", "b=/p/b.st"])) == (
+            None, [("a", "/p/a.st"), ("b", "/p/b.st")])
+        with pytest.raises(SystemExit, match="mix"):
+            serve._split_lora_args(ns(["/p/x.st", "a=/p/a.st"]))
+        with pytest.raises(SystemExit, match="multiple bare"):
+            serve._split_lora_args(ns(["/p/x.st", "/p/y.st"]))
+        with pytest.raises(SystemExit, match="duplicate"):
+            serve._split_lora_args(ns(["a=/p/a.st", "a=/p/b.st"]))
+
+    def test_named_adapters_over_http(self, toy, tmp_path):
+        import base64
+        import http.client
+        import json
+
+        import jax
+
+        import serve
+        from tpdm_tpu.train.draft import save_lora
+
+        pipe, tokenize = toy
+        base_params = pipe.mmdit_params
+        lora_a = _noisy_lora(base_params, jax.random.PRNGKey(11))
+        lora_b = _noisy_lora(base_params, jax.random.PRNGKey(12))
+        save_lora(str(tmp_path / "a.safetensors"), lora_a)
+        save_lora(str(tmp_path / "b.safetensors"), lora_b)
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
+            prompt="default", seed=1, port=0,
+            lora=[f"a={tmp_path}/a.safetensors", f"b={tmp_path}/b.safetensors"],
+            lora_scale=1.0, lora_cache=2,
+        )
+        try:
+            engine, server = serve.make_http_server(pipe, tokenize, args)
+            engine.start()
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            try:
+                port = server.server_address[1]
+
+                def gen(body):
+                    conn = http.client.HTTPConnection(
+                        "127.0.0.1", port, timeout=600
+                    )
+                    conn.request("POST", "/generate", body=json.dumps(body))
+                    resp = conn.getresponse()
+                    data = resp.read()
+                    return resp.status, data
+
+                s0, base_png = gen({"prompt": "a cat", "seed": 7})
+                sa, a_png = gen({"prompt": "a cat", "seed": 7, "lora": "a"})
+                sb, b_png = gen({"prompt": "a cat", "seed": 7, "lora": "b"})
+                assert (s0, sa, sb) == (200, 200, 200)
+                imgs = [
+                    json.loads(x)["image_png_base64"]
+                    for x in (base_png, a_png, b_png)
+                ]
+                assert len({imgs[0], imgs[1], imgs[2]}) == 3  # all distinct
+
+                status, _ = gen({"prompt": "a cat", "lora": "nope"})
+                assert status == 400
+                status, _ = gen({"prompt": "a cat", "lora": 42})
+                assert status == 400
+
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                conn.request("GET", "/stats")
+                stats = json.loads(conn.getresponse().read())
+                assert stats["adapter_batches"]["a"] == 1
+                assert stats["adapter_batches"]["b"] == 1
+                assert stats["adapter_batches"]["<base>"] == 1
+            finally:
+                server.shutdown()
+                engine.stop()
+        finally:
+            pipe.mmdit_params = base_params
+
+    def test_named_adapters_rejected_on_continuous(self, toy, tmp_path):
+        import jax
+
+        import serve
+        from tpdm_tpu.train.draft import save_lora
+
+        pipe, tokenize = toy
+        save_lora(
+            str(tmp_path / "a.safetensors"),
+            _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(13)),
+        )
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
+            prompt="default", seed=1, port=0, continuous=True, seg_steps=2,
+            lora=[f"a={tmp_path}/a.safetensors"], lora_scale=1.0, lora_cache=1,
+        )
+        with pytest.raises(SystemExit, match="fixed-batch"):
+            serve.make_http_server(pipe, tokenize, args)

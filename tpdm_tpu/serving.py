@@ -53,6 +53,10 @@ class ServeRequest:
     # exceeded it fails with RequestExpired instead of occupying a batch
     # slot the client has already given up on. None = wait forever.
     deadline_s: Optional[float] = None
+    # multi-tenant serving: name of a registered LoRA adapter
+    # (BatchingEngine.register_adapter) this request should run under;
+    # None = the base model. Requests coalesce per-adapter.
+    lora: Optional[str] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -86,6 +90,7 @@ def generate_ranked(
     steps: Optional[int] = None,
     ranker: Optional[Callable] = None,
     timeout: float = 600.0,
+    lora: Optional[str] = None,
 ) -> dict:
     """Best-of-N generation: submit `n` seeds (seed..seed+n-1) for one
     prompt, optionally rank the candidates with an ImageReward ranker.
@@ -102,7 +107,11 @@ def generate_ranked(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    reqs = [engine.submit(prompt, seed=seed + i, steps=steps) for i in range(n)]
+    kw = {} if lora is None else {"lora": lora}
+    reqs = [
+        engine.submit(prompt, seed=seed + i, steps=steps, **kw)
+        for i in range(n)
+    ]
     results = [r.result(timeout=timeout) for r in reqs]
     out = {"candidates": results, "seeds": [seed + i for i in range(n)]}
     if ranker is not None:
@@ -310,6 +319,17 @@ class BatchingEngine:
         # deque(maxlen): worker appends while HTTP handler threads read
         # stats() — deque append/iteration is documented thread-safe
         self._stage_times: "collections.deque" = collections.deque(maxlen=256)
+        # -- multi-tenant LoRA adapters (register_adapter) --
+        # name -> (lora_factors, scale); merged backbone trees are
+        # materialized lazily into an LRU of `merged_adapter_cache` entries
+        # (each is a full backbone copy in HBM — size the cache to memory).
+        self._adapters: dict = {}
+        self._merged: "collections.OrderedDict" = collections.OrderedDict()
+        self._merged_cache_size = 1
+        self._base_mmdit_params = None
+        self._merge_jit = None
+        self.adapter_batches: dict = {}
+        self.adapter_merges = 0  # LRU misses (full-tree merges paid)
         self._mesh = None
         self._data_sharding = None
         if dp is not None:
@@ -323,6 +343,83 @@ class BatchingEngine:
 
     def _setup_mesh(self, shape):
         self._mesh, self._data_sharding = setup_mesh_placement(self.pipe, shape)
+
+    # -- multi-tenant LoRA adapters ----------------------------------------
+    def register_adapter(
+        self, name: str, lora: dict, scale: float = 1.0,
+        merged_cache: Optional[int] = None,
+    ) -> None:
+        """Serve a named LoRA adapter (train/draft.py factors) next to the
+        base model: requests carrying ``lora=name`` run on
+        ``apply_lora(base, lora, scale)`` — multi-tenant serving over ONE
+        loaded backbone. Merged trees are materialized lazily into an LRU
+        (``merged_cache`` entries, default 1; each entry is a full backbone
+        copy in device memory). Adapter switches never recompile — params
+        are jit ARGUMENTS of the pipeline (pipeline.py _jit_cache), so a
+        swap is just different operands to the same executable.
+
+        Not supported on runner families (the runner owns its params) or
+        quantized (--int8/--int4) backbones (merging needs float kernels).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self._runner is not None:
+            raise ValueError(
+                "adapters need the SD3 pipeline path; runner families own "
+                "their own params"
+            )
+        if not name:
+            raise ValueError("adapter name must be non-empty")
+        if any(
+            getattr(leaf, "dtype", None) in (jnp.int8, jnp.int4)
+            for leaf in jax.tree.leaves(self.pipe.mmdit_params)
+        ):
+            raise ValueError(
+                "cannot merge LoRA into a quantized backbone; serve float "
+                "weights to use adapters"
+            )
+        if self._base_mmdit_params is None:
+            self._base_mmdit_params = self.pipe.mmdit_params
+        if self._mesh is not None:
+            # factors must live on the serving mesh (replicated) so the
+            # jitted merge sees consistent device assignments
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._mesh, P())
+            lora = jax.tree.map(lambda x: jax.device_put(x, rep), lora)
+        self._adapters[name] = (lora, float(scale))
+        self._merged.pop(name, None)  # re-registration invalidates the cache
+        if merged_cache is not None:
+            if merged_cache < 1:
+                raise ValueError("merged_cache must be >= 1")
+            self._merged_cache_size = merged_cache
+
+    def _params_for(self, lora_name: Optional[str]):
+        if lora_name is None:
+            return (
+                self._base_mmdit_params
+                if self._base_mmdit_params is not None
+                else self.pipe.mmdit_params
+            )
+        if lora_name not in self._adapters:
+            raise ValueError(f"unknown adapter {lora_name!r}")
+        if lora_name in self._merged:
+            self._merged.move_to_end(lora_name)
+            return self._merged[lora_name]
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+
+        if self._merge_jit is None:
+            self._merge_jit = jax.jit(apply_lora, static_argnames=("scale",))
+        lora, scale = self._adapters[lora_name]
+        merged = self._merge_jit(self._base_mmdit_params, lora, scale=scale)
+        self.adapter_merges += 1
+        self._merged[lora_name] = merged
+        while len(self._merged) > self._merged_cache_size:
+            self._merged.popitem(last=False)  # evict LRU; frees its HBM
+        return merged
 
     def _place_batch(self, x):
         if self._data_sharding is None:
@@ -390,7 +487,7 @@ class BatchingEngine:
     def generate_batch(
         self, prompts: Sequence[str], seeds: Sequence[int],
         record_stats: bool = True, steps: Optional[Sequence] = None,
-        resolution: Optional[int] = None,
+        resolution: Optional[int] = None, lora: Optional[str] = None,
     ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
         {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
@@ -402,6 +499,13 @@ class BatchingEngine:
         (use the continuous engine to recycle short requests' slots)."""
         import jax
 
+        if lora is not None or self._adapters:
+            if self._runner is not None:
+                raise ValueError("adapters are SD3-pipeline-only")
+            # swap the backbone operand for this batch; no recompile (params
+            # are jit arguments). The assignment persists until the next
+            # group — _params_for(None) restores the base tree.
+            self.pipe.mmdit_params = self._params_for(lora)
         n = len(prompts)
         assert 0 < n <= self.max_batch
         pad = self.max_batch - n
@@ -506,6 +610,11 @@ class BatchingEngine:
         stage = {"batch": n, "padded": pad, "tokenize_s": t_tokenized - t_start}
         if resolution is not None:
             stage["resolution"] = resolution
+        if lora is not None:
+            stage["lora"] = lora
+        if record_stats and (lora is not None or self._adapters):
+            key = lora or "<base>"
+            self.adapter_batches[key] = self.adapter_batches.get(key, 0) + 1
         if embeds is not None:
             stage["encode_s"] = t_encoded - t_tokenized
         if split:
@@ -548,6 +657,7 @@ class BatchingEngine:
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
         deadline_s: Optional[float] = None,
+        lora: Optional[str] = None,
     ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
@@ -563,9 +673,14 @@ class BatchingEngine:
                     f"resolution {resolution} not in the served set "
                     f"{sorted(self.resolutions)}"
                 )
+        if lora is not None and lora not in self._adapters:
+            raise ValueError(
+                f"unknown adapter {lora!r}; registered: "
+                f"{sorted(self._adapters)}"
+            )
         req = ServeRequest(
             prompt=prompt, seed=seed, steps=steps, resolution=resolution,
-            deadline_s=deadline_s,
+            deadline_s=deadline_s, lora=lora,
         )
         try:
             self._queue.put_nowait(req)
@@ -644,12 +759,13 @@ class BatchingEngine:
             batch = [r for r in batch if r not in expired]
             if not batch:
                 continue
-            # group by resolution (first-seen order): each resolution is
-            # its own compiled shape, so mixed windows run as sub-batches
+            # group by (resolution, adapter), first-seen order: each
+            # resolution is its own compiled shape; each adapter is its own
+            # backbone operand — mixed windows run as sub-batches
             groups: dict = {}
             for r in batch:
-                groups.setdefault(r.resolution, []).append(r)
-            for res_px, group in groups.items():
+                groups.setdefault((r.resolution, r.lora), []).append(r)
+            for (res_px, lora_name), group in groups.items():
                 try:
                     now = time.monotonic()
                     waits = [now - r.submitted_at for r in group]
@@ -658,6 +774,7 @@ class BatchingEngine:
                         [r.seed for r in group],
                         steps=[r.steps for r in group],
                         resolution=res_px,
+                        lora=lora_name,
                     )
                     if self._stage_times:
                         self._stage_times[-1]["queue_wait_s_max"] = max(waits)
@@ -703,10 +820,16 @@ class BatchingEngine:
                 "decode_s_p50": pct_of((r["decode_s"] for r in decode_rows), 0.5),
                 "decode_s_p95": pct_of((r["decode_s"] for r in decode_rows), 0.95),
             }
+        adapter_stats = (
+            {"adapter_batches": dict(self.adapter_batches),
+             "adapter_merges": self.adapter_merges}
+            if self._adapters else {}
+        )
         return {
             "batches_run": self.batches_run,
             "requests_expired": self.requests_expired,
             "recent": len(rows),
+            **adapter_stats,
             **wait_stats,
             "batch_fill_mean": float(np.mean([r["batch"] for r in rows]))
             / self.max_batch,
