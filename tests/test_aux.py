@@ -170,6 +170,43 @@ class TestCheckpoint:
         r2.bit_generator.state = restored["np_rng_state"]
         assert (r2.integers(0, 10, 5) == rng.integers(0, 10, 5)).all()
 
+    def test_latest_skips_incomplete_dirs(self, tmp_path):
+        """A crash mid-save must never leave a dir that resume picks up:
+        saves go through tmp-checkpoint-N + os.replace, and resolution
+        skips checkpoint-N dirs missing state/meta files."""
+        import optax
+
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        params = {"w": jnp.ones((2,))}
+        tx = optax.adam(1e-3)
+        good = ckpt.save_checkpoint(str(tmp_path), 3, params, tx.init(params))
+        # debris: higher-numbered but incomplete (pre-atomic-save crash shape)
+        os.makedirs(tmp_path / "checkpoint-9")
+        # debris: interrupted atomic save
+        os.makedirs(tmp_path / "tmp-checkpoint-12")
+        assert ckpt.latest_checkpoint(str(tmp_path)) == good
+        # rotation sweeps the tmp debris even with no limit set
+        pruned = ckpt.rotate_checkpoints(str(tmp_path), None)
+        assert str(tmp_path / "tmp-checkpoint-12") in pruned
+        assert not (tmp_path / "tmp-checkpoint-12").exists()
+        assert (tmp_path / "checkpoint-3").exists()
+
+    def test_resave_same_step_replaces(self, tmp_path):
+        import optax
+
+        from tpdm_tpu.train import checkpoint as ckpt
+
+        tx = optax.adam(1e-3)
+        p1 = {"w": jnp.ones((2,))}
+        p2 = {"w": jnp.full((2,), 5.0)}
+        ckpt.save_checkpoint(str(tmp_path), 4, p1, tx.init(p1))
+        path = ckpt.save_checkpoint(str(tmp_path), 4, p2, tx.init(p2))
+        restored = ckpt.restore_checkpoint(
+            path, {"w": jnp.zeros((2,))}, tx.init({"w": jnp.zeros((2,))})
+        )
+        np.testing.assert_allclose(np.asarray(restored["tpm_params"]["w"]), 5.0)
+
     def test_tpm_safetensors_reference_layout(self, tmp_path):
         import optax
 

@@ -39,8 +39,18 @@ def save_checkpoint(
     export_tpm_safetensors: bool = True,
     ema_params: Any = None,
 ) -> str:
-    path = os.path.join(output_dir, f"checkpoint-{step}")
-    os.makedirs(path, exist_ok=True)
+    final = os.path.join(output_dir, f"checkpoint-{step}")
+    # Crash-atomic: everything is written into a tmp dir that the
+    # `checkpoint-(\d+)` resolution regex can never match, then renamed
+    # into place in one os.replace. A kill mid-save leaves only
+    # `tmp-checkpoint-N` debris, never a resumable-looking half checkpoint
+    # (the reference inherits the same hazard from HF save_pretrained).
+    path = os.path.join(output_dir, f"tmp-checkpoint-{step}")
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path)
 
     state = {"tpm_params": tpm_params, "opt_state": opt_state}
     with open(os.path.join(path, STATE_FILE), "wb") as f:
@@ -66,17 +76,34 @@ def save_checkpoint(
             sd = None  # not a TimePredictor tree; skip interchange export
         if sd is not None:
             save_file(sd, os.path.join(path, TPM_FILE))
-    return path
+
+    if os.path.isdir(final):
+        import shutil
+
+        shutil.rmtree(final)  # re-saving the same step replaces it
+    os.replace(path, final)
+    return final
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest complete `checkpoint-N` dir (HF get_last_checkpoint analogue,
+    rloo_trainer.py:301-304). Dirs missing the state or meta file — debris
+    from pre-atomic-save crashes or foreign layouts — are skipped rather
+    than handed to resume to crash on."""
     if not os.path.isdir(output_dir):
         return None
     best, best_step = None, -1
     for name in os.listdir(output_dir):
         m = re.fullmatch(r"checkpoint-(\d+)", name)
-        if m and int(m.group(1)) > best_step:
-            best, best_step = os.path.join(output_dir, name), int(m.group(1))
+        if not m or int(m.group(1)) <= best_step:
+            continue
+        path = os.path.join(output_dir, name)
+        if not (
+            os.path.exists(os.path.join(path, STATE_FILE))
+            and os.path.exists(os.path.join(path, META_FILE))
+        ):
+            continue
+        best, best_step = path, int(m.group(1))
     return best
 
 
@@ -112,8 +139,16 @@ def rotate_checkpoints(output_dir: str, save_total_limit: Optional[int]) -> list
     reference inherits the flag via TrainingArguments. Returns pruned paths."""
     import shutil
 
+    pruned_tmp = []
+    if os.path.isdir(output_dir):
+        for name in os.listdir(output_dir):
+            # debris from a save interrupted mid-write (see save_checkpoint)
+            if re.fullmatch(r"tmp-checkpoint-(\d+)", name):
+                p = os.path.join(output_dir, name)
+                shutil.rmtree(p, ignore_errors=True)
+                pruned_tmp.append(p)
     if not save_total_limit or save_total_limit < 1:
-        return []
+        return pruned_tmp
     found = []
     for name in os.listdir(output_dir):
         m = re.fullmatch(r"checkpoint-(\d+)", name)
@@ -124,7 +159,7 @@ def rotate_checkpoints(output_dir: str, save_total_limit: Optional[int]) -> list
     for _, path in found[: max(0, len(found) - save_total_limit)]:
         shutil.rmtree(path, ignore_errors=True)
         pruned.append(path)
-    return pruned
+    return pruned_tmp + pruned
 
 
 def load_tpm_safetensors(path: str) -> dict:
