@@ -744,10 +744,32 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
         protocol_version = "HTTP/1.1"
 
         def do_GET(self):
-            if self.path != "/stats":
-                self.send_error(404)
+            if self.path == "/stats":
+                self._reply(engine.stats())
                 return
-            self._reply(engine.stats())
+            if self.path == "/healthz":
+                # liveness: the worker thread must still be running
+                alive = getattr(engine, "_thread", None) is not None
+                body = b"ok\n" if alive else b"stopped\n"
+                self.send_response(200 if alive else 503)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if self.path == "/metrics":
+                from tpdm_tpu.utils.metrics_export import prometheus_text
+
+                body = prometheus_text(engine.stats()).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self.send_error(404)
 
         def do_POST(self):
             if self.path == "/rank":
@@ -760,13 +782,27 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             # one bad request must not poison a coalesced batch
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > 65536:  # a generate request is a prompt + seed
+                # prompt + seed fits in 64K; allow room for an img2img
+                # init image (base64 PNG) while still bounding the body
+                if length > 8 * 1024 * 1024:
                     self.send_error(413, "request body too large")
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 prompt = req.get("prompt", args.prompt)
                 if not isinstance(prompt, str):
                     raise ValueError("prompt must be a string")
+                init_image = None
+                strength = None
+                if req.get("init_image_png_base64"):
+                    import numpy as np
+                    from PIL import Image
+
+                    raw = base64.b64decode(req["init_image_png_base64"])
+                    pil = Image.open(io.BytesIO(raw)).convert("RGB")
+                    init_image = np.asarray(pil, dtype=np.uint8)
+                    strength = req.get("strength")
+                    if strength is not None:
+                        strength = float(strength)
                 seed = int(req.get("seed", args.seed))
                 steps = req.get("steps")
                 if steps is not None:
@@ -788,6 +824,16 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     raise ValueError("lora must be an adapter name string")
                 if lora is not None and not hasattr(engine, "register_adapter"):
                     raise ValueError("this engine does not serve adapters")
+                if init_image is not None:
+                    import inspect
+
+                    if "init_image" not in inspect.signature(
+                        engine.submit
+                    ).parameters:
+                        raise ValueError(
+                            "this engine does not serve img2img (use the "
+                            "fixed-batch SD3 engine)"
+                        )
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
@@ -795,6 +841,10 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
 
             try:
                 kw = {} if lora is None else {"lora": lora}
+                if init_image is not None:
+                    kw["init_image"] = init_image
+                    if strength is not None:
+                        kw["strength"] = strength
                 res = engine.submit(
                     prompt, seed, steps=steps, resolution=resolution,
                     deadline_s=deadline_s, **kw,

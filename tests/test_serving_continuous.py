@@ -654,3 +654,79 @@ class TestDeadlinesContinuous:
             assert eng.stats()["requests_expired"] == 1
         finally:
             eng.stop()
+
+
+class TestContinuousImg2Img:
+    """img2img slots in the continuous engine: per-slot starting sigma is
+    traced state, so i2i and t2i requests share the compiled segment AND
+    match the fixed-batch engine bit-for-bit (same noise mixing)."""
+
+    def _img(self, pipe, seed=0):
+        px = pipe.mmdit.config.sample_size * 2  # toy VAE factor 2
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (px, px, 3), dtype=np.uint8)
+
+    def test_parity_with_fixed_batch_engine(self, toy):
+        pipe, tokenize = toy
+        img = self._img(pipe, seed=8)
+        ref = BatchingEngine(
+            pipe, tokenize, max_batch=1, window_ms=1, max_steps=4,
+            vae_scale_factor=2,
+        ).generate_batch(
+            ["a boat"], [11], init_images=[img], strengths=[0.5]
+        )[0]
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4, vae_scale_factor=2)
+        eng.start()
+        try:
+            got = eng.submit(
+                "a boat", seed=11, init_image=img, strength=0.5
+            ).result(timeout=600)
+        finally:
+            eng.stop()
+        assert got["inference_steps"] == ref["inference_steps"]
+        # two differently-compiled programs: allow the rare 1-level seam
+        assert (
+            np.abs(
+                got["image"].astype(np.int16) - ref["image"].astype(np.int16)
+            ).max()
+            <= 1
+        )
+
+    def test_mixed_slots_t2i_unperturbed(self, toy):
+        pipe, tokenize = toy
+        img = self._img(pipe, seed=9)
+        solo = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                        max_steps=4, vae_scale_factor=2)
+        solo.start()
+        try:
+            want = solo.submit("a cat", seed=3).result(timeout=600)
+        finally:
+            solo.stop()
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4, vae_scale_factor=2)
+        eng.start()
+        try:
+            r_t2i = eng.submit("a cat", seed=3)
+            r_i2i = eng.submit("a dog", seed=5, init_image=img, strength=0.3)
+            got = r_t2i.result(timeout=600)
+            out_i2i = r_i2i.result(timeout=600)
+        finally:
+            eng.stop()
+        np.testing.assert_array_equal(got["image"], want["image"])
+        assert got["inference_steps"] == want["inference_steps"]
+        assert 1 <= out_i2i["inference_steps"] <= 4
+        # a strength-0.3 slot starts at sigma 0.3
+        assert out_i2i["sigmas"][0] <= 0.3 + 1e-6
+
+    def test_validation(self, toy):
+        pipe, tokenize = toy
+        img = self._img(pipe)
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2, vae_scale_factor=2)
+        with pytest.raises(ValueError, match="strength"):
+            eng.submit("x", init_image=img, strength=0.0)
+        with pytest.raises(ValueError, match="serves"):
+            eng.submit("x", init_image=img[:-2])
+        with pytest.raises(ValueError, match="init_image"):
+            eng.submit("x", strength=0.4)

@@ -56,3 +56,21 @@ def uniform_flow_sigmas(num_steps: int = 28, shift: float = 3.0) -> jax.Array:
     """
     t = jnp.linspace(1.0, 1.0 / 1000.0, num_steps)
     return shift * t / (1.0 + (shift - 1.0) * t)
+
+
+def img2img_sigmas(
+    num_steps: int, strength: float, shift: float = 3.0
+) -> jax.Array:
+    """Fixed-schedule ladder starting at noise level ``strength``.
+
+    The image-to-image (SDEdit) companion of `uniform_flow_sigmas`: the first
+    sigma equals ``strength`` (the level the init latents were noised to via
+    ``(1-s)*x0 + s*eps``); the ladder then follows the same shifted-t curve
+    down to sigma_min. strength=1.0 reproduces `uniform_flow_sigmas` exactly.
+    Inverts sigma = shift*t / (1+(shift-1)*t) to find the starting t.
+    """
+    if not (0.0 < strength <= 1.0):
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    t0 = strength / (shift - (shift - 1.0) * strength)
+    t = jnp.linspace(t0, 1.0 / 1000.0, num_steps)
+    return shift * t / (1.0 + (shift - 1.0) * t)

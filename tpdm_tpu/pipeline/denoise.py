@@ -32,9 +32,14 @@ def make_cfg_denoise_fn(
             when guidance_scale is not None, else (b, n, d).
         pooled_embeds: (2b, p) resp. (b, p), same convention.
         guidance_scale: None disables CFG entirely.
-        token_grid: token-grid side (latent_size // patch_size; 64 for SD3),
-            the spatial size of the TPM input map.
+        token_grid: token-grid side (latent_size // patch_size; 64 for SD3)
+            or an (gh, gw) tuple for rectangular latents — the spatial size
+            of the TPM input map.
     """
+    if isinstance(token_grid, tuple):
+        gh, gw = token_grid
+    else:
+        gh = gw = token_grid
 
     def denoise_fn(latents, sigma):
         if guidance_scale is not None:
@@ -52,8 +57,8 @@ def make_cfg_denoise_fn(
             vel, temb, h1, h2 = guide(vel), guide(temb), guide(h1), guide(h2)
         h_combined = jnp.concatenate(
             [
-                reshape_tokens_to_2d(h1, token_grid, token_grid, patch_size),
-                reshape_tokens_to_2d(h2, token_grid, token_grid, patch_size),
+                reshape_tokens_to_2d(h1, gh, gw, patch_size),
+                reshape_tokens_to_2d(h2, gh, gw, patch_size),
             ],
             axis=1,
         )

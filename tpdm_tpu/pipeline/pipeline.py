@@ -29,7 +29,7 @@ from tpdm_tpu.pipeline.sampler import (
     fixed_schedule_sample,
 )
 from tpdm_tpu.ops.schedules import uniform_flow_sigmas
-from tpdm_tpu.utils.image import postprocess_images
+from tpdm_tpu.utils.image import postprocess_images, preprocess_images
 
 
 class GenerationResult(NamedTuple):
@@ -82,6 +82,7 @@ class TPDMPipeline:
         self.token_grid = mcfg.sample_size // mcfg.patch_size
         self._jit_cache: dict = {}
         self._decode_jit = None
+        self._encode_jit = None
 
     # -- internals -------------------------------------------------------
     def _decode_impl(self, vae_params, latents: jax.Array) -> jax.Array:
@@ -94,33 +95,90 @@ class TPDMPipeline:
             self._decode_jit = jax.jit(self._decode_impl)
         return self._decode_jit(self.vae_params, latents)
 
+    def encode_image(
+        self,
+        images: np.ndarray,
+        key: Optional[jax.Array] = None,
+        sample_posterior: bool = False,
+    ) -> jax.Array:
+        """uint8 (b, H, W, 3) -> model-space latents (b, c, H/8, W/8).
+
+        The inverse of the decode transform (`z/scaling + shift`,
+        modeling_sd3_pnt.py:631): posterior mean (or a sample when
+        ``sample_posterior`` and ``key`` are given), then
+        ``(z - shift_factor) * scaling_factor``. The image-to-image entry —
+        the reference ships the VAE encoder but never exposes an img2img
+        path; this is the flow-matching SDEdit extension.
+        """
+        if self.vae is None:
+            raise ValueError("pipeline has no VAE; cannot encode images")
+        if self._encode_jit is None:
+
+            def enc(vae_params, x, eps):
+                mean, logvar = self.vae.apply(vae_params, x, method="encode")
+                z = mean if eps is None else mean + jnp.exp(0.5 * logvar) * eps
+                cfg = self.vae.config
+                return (z - cfg.shift_factor) * cfg.scaling_factor
+
+            self._encode_jit = jax.jit(enc, static_argnums=())
+        from tpdm_tpu.models.vae import vae_scale_factor
+
+        x = preprocess_images(np.asarray(images)).astype(self.vae.config.dtype)
+        eps = None
+        if sample_posterior:
+            if key is None:
+                raise ValueError("sample_posterior=True needs a key")
+            f = vae_scale_factor(self.vae.config)
+            lat = (x.shape[0], self.vae.config.latent_channels,
+                   x.shape[2] // f, x.shape[3] // f)
+            eps = jax.random.normal(key, lat, jnp.float32)
+        return self._encode_jit(self.vae_params, x, eps)
+
     def _run(
         self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig,
-        decode: bool = True, step_caps=None,
+        decode: bool = True, step_caps=None, init_sigma=None, proj_args=None,
     ):
-        # caps are a traced (b,) argument, NOT part of the cache signature:
-        # one compiled shape serves every per-request step-cap mix
+        # caps and init_sigma are traced (b,) arguments, NOT part of the
+        # cache signature: one compiled shape serves every per-request
+        # step-cap / img2img-strength mix. proj_args (inpainting: the
+        # (x0, eps, mask) triple the per-step projection needs) are traced
+        # too — only their PRESENCE keys the cache.
         if step_caps is None:
             step_caps = jnp.full(
                 (latents.shape[0],), scfg.max_inference_steps, jnp.int32
             )
-        sig = (guidance_scale, scfg, decode)
+        if init_sigma is None:
+            init_sigma = jnp.ones((latents.shape[0],), jnp.float32)
+        sig = (guidance_scale, scfg, decode, proj_args is not None)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key,
-                   caps):
+                   caps, sigma0, proj):
                 # grid follows the RUNTIME latent size (jit retraces per
-                # shape): non-default serving resolutions ride the same
-                # code path as the config size
-                grid = latents.shape[-1] // self.mmdit.config.patch_size
+                # shape): non-default and rectangular serving resolutions
+                # ride the same code path as the config size
+                p = self.mmdit.config.patch_size
+                grid = (latents.shape[-2] // p, latents.shape[-1] // p)
                 denoise_fn = make_cfg_denoise_fn(
                     lambda *a: self.mmdit.apply(mmdit_params, *a),
                     pe,
                     pp,
                     guidance_scale,
                     grid,
-                    self.mmdit.config.patch_size,
+                    p,
                 )
+                project_fn = None
+                if proj is not None:
+                    x0, eps, m = proj  # fp32 latents; m (b,1,lh,lw) in [0,1]
+
+                    def project_fn(lat, sig_next):
+                        # re-impose the known region at the step's new noise
+                        # level (RePaint/diffusers-legacy style, fixed eps)
+                        sb = sig_next.reshape((-1, 1, 1, 1))
+                        known = (1.0 - sb) * x0 + sb * eps
+                        mixed = m * lat.astype(jnp.float32) + (1.0 - m) * known
+                        return mixed.astype(lat.dtype)
+
                 out = adaptive_sample(
                     denoise_fn,
                     lambda h, t: self.tpm.apply(tpm_params, h, t),
@@ -128,17 +186,29 @@ class TPDMPipeline:
                     key,
                     scfg,
                     step_caps=caps,
+                    init_sigma=sigma0,
+                    project_fn=project_fn,
                 )
+                final = out.final_latents
+                if proj is not None:
+                    # exact composite: the kept region IS the init image's
+                    # latents in the output, regardless of where each
+                    # sample's adaptive schedule stopped
+                    x0, _, m = proj
+                    final = (
+                        m * final.astype(jnp.float32) + (1.0 - m) * x0
+                    ).astype(final.dtype)
+                    out = out._replace(final_latents=final)
                 if decode and self.vae is not None:
-                    decoded = self._decode_impl(vae_params, out.final_latents)
+                    decoded = self._decode_impl(vae_params, final)
                 else:
-                    decoded = out.final_latents
+                    decoded = final
                 return out, decoded
 
-            self._jit_cache[sig] = jax.jit(go)
+            self._jit_cache[sig] = jax.jit(go, static_argnums=())
         return self._jit_cache[sig](
             self.mmdit_params, self.tpm_params, self.vae_params, latents, pe, pp,
-            key, step_caps,
+            key, step_caps, init_sigma, proj_args,
         )
 
     # -- public API ------------------------------------------------------
@@ -160,6 +230,12 @@ class TPDMPipeline:
         return_full_process_images: bool = False,
         decode: bool = True,
         step_caps=None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.6,
+        mask: Optional[np.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        init_sigma: Optional[jax.Array] = None,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -174,6 +250,37 @@ class TPDMPipeline:
         ``step_caps`` (optional (b,) ints) caps each sample's NFE
         individually without recompiling — the serving per-request
         quality/latency knob (the batch still runs to the max cap).
+
+        ``init_image`` (uint8 (b, H, W, 3)) switches to image-to-image:
+        the image is VAE-encoded and noised to level ``strength`` via the
+        flow-matching forward ``(1-s)*x0 + s*eps``, and the adaptive loop
+        starts at sigma = strength instead of 1.0 (SDEdit). ``strength`` may
+        be a scalar or a per-sample sequence; 1.0 reduces exactly to
+        text-to-image with the same seed. Beyond-reference capability (the
+        reference ships the VAE encoder unused).
+
+        ``height``/``width`` (pixels, each divisible by the VAE factor x
+        patch size = 16 for SD3) select a non-default — including
+        rectangular — output size; the pos-embed table is center-cropped
+        (or regenerated past its stored 96x96 grid) to the runtime token
+        grid, one compiled program per shape. Default: the square config
+        size. Ignored when ``latents`` or ``init_image`` fix the geometry.
+
+        ``init_sigma`` (advanced, (b,) floats) sets per-sample starting
+        noise levels for caller-prepared ``latents`` — the serving engine
+        uses this to mix img2img and text-to-image requests in ONE batch
+        (t2i slots carry sigma 1.0). Mutually exclusive with ``init_image``
+        (which derives it from ``strength``).
+
+        ``mask`` (with ``init_image``) switches to inpainting: (b, H, W) or
+        (b, 1, H, W) floats/bools in pixel space, 1 = regenerate, 0 = keep.
+        Downsampled (area mean) to the latent grid; after every adaptive
+        step the kept region is re-imposed at the step's noise level
+        (``(1-sigma)*x0 + sigma*eps``, fixed eps — diffusers-legacy/RePaint
+        convention), and the final latents composite the init image's
+        latents exactly where mask = 0. Soft (fractional) masks blend.
+        Typical use: ``strength=1.0`` so masked regions start from pure
+        noise. Beyond-reference capability.
         """
         if prompt_embeds is None:
             if self.text_encoders is None or clip_ids is None:
@@ -204,10 +311,78 @@ class TPDMPipeline:
         mcfg = self.mmdit.config
         key = jax.random.PRNGKey(seed)
         key_lat, key_roll = jax.random.split(key)
+        if mask is not None and init_image is None:
+            raise ValueError("mask (inpainting) requires init_image")
+        proj_args = None
+        if init_image is not None:
+            if latents is not None:
+                raise ValueError("pass init_image or latents, not both")
+            if init_sigma is not None:
+                raise ValueError(
+                    "init_sigma is derived from strength when init_image "
+                    "is given; pass one or the other"
+                )
+            s0 = jnp.broadcast_to(
+                jnp.asarray(strength, jnp.float32), (b,)
+            )
+            if bool(jnp.any((s0 <= 0.0) | (s0 > 1.0))):
+                raise ValueError(
+                    f"strength must be in (0, 1], got {strength}"
+                )
+            clean = self.encode_image(init_image).astype(jnp.float32)
+            if clean.shape[0] != b:
+                raise ValueError(
+                    f"init_image batch {clean.shape[0]} != prompt batch {b}"
+                )
+            # draw in model dtype so strength=1.0 reproduces the
+            # text-to-image draw bit-for-bit, then mix in fp32
+            eps = jax.random.normal(
+                key_lat, clean.shape, mcfg.dtype
+            ).astype(jnp.float32)
+            sb = s0.reshape((b, 1, 1, 1))
+            latents = ((1.0 - sb) * clean + sb * eps).astype(mcfg.dtype)
+            init_sigma = s0
+            if mask is not None:
+                m = jnp.asarray(mask, jnp.float32)
+                if m.ndim == 3:
+                    m = m[:, None]
+                if m.ndim != 4 or m.shape[0] != b or m.shape[1] != 1:
+                    raise ValueError(
+                        "mask must be (b, H, W) or (b, 1, H, W); got "
+                        f"{np.shape(mask)}"
+                    )
+                if m.shape[-2:] != init_image.shape[1:3]:
+                    raise ValueError(
+                        f"mask is {m.shape[-2]}x{m.shape[-1]}, init_image "
+                        f"is {init_image.shape[1]}x{init_image.shape[2]}"
+                    )
+                # area-mean downsample to the latent grid: a pixel-space
+                # boundary becomes a soft one-latent seam, which the
+                # projection blends instead of hard-clipping
+                m_lat = jax.image.resize(
+                    m, (b, 1) + clean.shape[-2:], method="linear"
+                )
+                m_lat = jnp.clip(m_lat, 0.0, 1.0)
+                proj_args = (clean, eps, m_lat)
         if latents is None:
+            lh = lw = mcfg.sample_size
+            if height is not None or width is not None:
+                from tpdm_tpu.models.vae import vae_scale_factor
+
+                f = vae_scale_factor(self.vae.config) if self.vae else 8
+                fp = f * mcfg.patch_size
+                h_px = height if height is not None else width
+                w_px = width if width is not None else height
+                if h_px % fp or w_px % fp:
+                    raise ValueError(
+                        f"height/width must be divisible by {fp} "
+                        f"(VAE factor {f} x patch {mcfg.patch_size}); got "
+                        f"{h_px}x{w_px}"
+                    )
+                lh, lw = h_px // f, w_px // f
             latents = jax.random.normal(
                 key_lat,
-                (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
+                (b, mcfg.in_channels, lh, lw),
                 mcfg.dtype,
             )
 
@@ -223,6 +398,9 @@ class TPDMPipeline:
         out, decoded = self._run(
             key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,
             step_caps=None if step_caps is None else jnp.asarray(step_caps),
+            init_sigma=None if init_sigma is None
+            else jnp.asarray(init_sigma, jnp.float32),
+            proj_args=proj_args,
         )
 
         history = None

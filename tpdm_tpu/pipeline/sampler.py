@@ -118,6 +118,8 @@ def adaptive_sample(
     key: jax.Array,
     cfg: SamplerConfig,
     step_caps: Optional[jax.Array] = None,
+    init_sigma: Optional[jax.Array] = None,
+    project_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> SampleOutput:
     """Run the adaptive, self-terminating denoise loop.
 
@@ -130,6 +132,19 @@ def adaptive_sample(
             it has executed ``step_caps[i]`` steps; the loop still runs to
             the batch max (a traced value, so ONE compiled shape serves
             every cap mix). None = everyone runs to ``max_inference_steps``.
+        init_sigma: optional (b,) float starting noise levels (default all
+            1.0 = pure noise, the reference's only mode,
+            modeling_sd3_pnt.py:508). Passing sigma_0 < 1 with
+            ``init_latents = (1-sigma_0)*x0 + sigma_0*eps`` is the
+            flow-matching image-to-image (SDEdit) entry: the schedule policy
+            then adapts from that partial noise level. A sample whose
+            init_sigma is already below ``min_sigma`` executes zero valid
+            steps and returns its init latents.
+        project_fn: optional ``(latents (b,c,h,w), sigma_next (b,)) ->
+            latents`` constraint applied after every Euler step — the
+            inpainting hook: re-impose the known region at the step's new
+            noise level (``m*lat + (1-m)*((1-sigma)*x0 + sigma*eps)``),
+            RePaint-style. Must be jit-traceable; identity when None.
     """
     b = init_latents.shape[0]
     T = cfg.max_inference_steps
@@ -174,11 +189,16 @@ def adaptive_sample(
     if cfg.keep_history:
         buffers["history"] = jnp.zeros((T,) + init_latents.shape, dtype)
 
+    sigma0 = (
+        jnp.ones((b,), jnp.float32)
+        if init_sigma is None
+        else jnp.asarray(init_sigma, jnp.float32).reshape((b,))
+    )
     state = {
         "step": jnp.int32(0),
         "all_done": jnp.array(False),
         "latents": init_latents,
-        "sigma": jnp.ones((b,), jnp.float32),
+        "sigma": sigma0,
         "last_valid": init_latents,
         "key": key,
         **buffers,
@@ -210,6 +230,8 @@ def adaptive_sample(
             sigma_next = jnp.where(done, 0.0, sigma_next)
 
         new_latents = flow_euler_step(velocity, sigma_next, sigma, latents)
+        if project_fn is not None:
+            new_latents = project_fn(new_latents, sigma_next)
 
         bcast = done.reshape((b,) + (1,) * (latents.ndim - 1))
         out = dict(s)
@@ -268,6 +290,7 @@ def replay_logprobs(
     temb_cache: jax.Array,  # (T, b, inner)
     fix_sigmas: jax.Array,  # (b, T) — the rollout's recorded sigmas
     cfg: SamplerConfig,
+    init_sigma: Optional[jax.Array] = None,  # (b,) rollout starting sigmas
 ) -> jax.Array:
     """Recompute per-step logprobs with current TPM weights (differentiable).
 
@@ -311,8 +334,13 @@ def replay_logprobs(
         )
         return sigma_next, logprob
 
+    sigma0 = (
+        jnp.ones((b,), jnp.float32)
+        if init_sigma is None
+        else jnp.asarray(init_sigma, jnp.float32).reshape((b,))
+    )
     _, logprobs_tm = jax.lax.scan(
-        step_fn, jnp.ones((b,), jnp.float32), (h_cache, temb_cache, sigmas_tm)
+        step_fn, sigma0, (h_cache, temb_cache, sigmas_tm)
     )
     return logprobs_tm.T  # (b, T)
 

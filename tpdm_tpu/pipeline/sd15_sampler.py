@@ -71,8 +71,16 @@ def sd15_adaptive_sample(
     key: jax.Array,
     cfg: SD15SamplerConfig,
     step_caps: Optional[jax.Array] = None,
+    init_t: Optional[jax.Array] = None,
 ) -> SD15SampleOutput:
-    """``step_caps``: optional (b,) int32 PER-SAMPLE step caps (serving
+    """``init_t``: optional (b,) int32 starting timesteps (default all 999,
+    the reference's only mode, modeling_sd_v1_5.py:716). Passing
+    t0 = strength*999 with init latents DDPM-noised to t0
+    (x_t = alpha_t*x0 + sigma_t*eps) is the integer-t image-to-image
+    entry; a sample whose init_t is already below ``min_time`` executes
+    zero valid steps and returns its init latents.
+
+    ``step_caps``: optional (b,) int32 PER-SAMPLE step caps (serving
     quality/latency knob, same semantics as the SD3 sampler's —
     sampler.py adaptive_sample). Sample i's step ``caps[i]-1`` becomes its
     terminal step: t_next forced to 0, which makes the DPM update take the
@@ -92,8 +100,13 @@ def sd15_adaptive_sample(
         denoise_fn, init_latents, jnp.full((b,), 999.0)
     )
 
+    t0 = (
+        jnp.full((b,), 999, jnp.int32)
+        if init_t is None
+        else jnp.asarray(init_t, jnp.int32).reshape((b,))
+    )
     buffers = {
-        "times": jnp.zeros((T + 1, b), jnp.int32).at[0].set(999),
+        "times": jnp.zeros((T + 1, b), jnp.int32).at[0].set(t0),
         "ratios": jnp.zeros((T, b), jnp.float32),
         "logprobs": jnp.full((T, b), INVALID_LOGPROB, jnp.float32),
         "masks": jnp.ones((T, b), bool),
@@ -110,8 +123,8 @@ def sd15_adaptive_sample(
         "step": jnp.int32(0),
         "all_done": jnp.array(False),
         "latents": init_latents,
-        "t": jnp.full((b,), 999, jnp.int32),
-        "t_prev": jnp.full((b,), 999, jnp.int32),
+        "t": t0,
+        "t_prev": t0,
         "x0_prev": jnp.zeros_like(init_latents),
         "last_valid": init_latents,
         "key": key,

@@ -16,7 +16,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpdm_tpu.utils.image import postprocess_images
+from tpdm_tpu.utils.image import postprocess_images, preprocess_images
+
+
+_ENCODE_JITS: dict = {}
+
+
+def encode_init_image(vae, vae_params, images: np.ndarray) -> jax.Array:
+    """uint8 (b, H, W, 3) -> model-space latents (posterior mean, fp32).
+
+    Shared img2img encode for the family pipelines: the inverse of their
+    decode transform `z/scaling + shift` (same convention as
+    TPDMPipeline.encode_image)."""
+    cfg = vae.config
+    fn = _ENCODE_JITS.get(id(vae))
+    if fn is None:
+        fn = jax.jit(lambda p, x: vae.apply(p, x, method="encode"))
+        _ENCODE_JITS[id(vae)] = fn
+    x = preprocess_images(np.asarray(images)).astype(cfg.dtype)
+    mean, _ = fn(vae_params, x)
+    return ((mean - cfg.shift_factor) * cfg.scaling_factor).astype(jnp.float32)
 
 
 class VariantResult(NamedTuple):
@@ -52,7 +71,17 @@ class SD15Pipeline:
         negative_clip_ids: Optional[np.ndarray] = None,
         seed: int = 0,
         tpm_params=None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.6,
     ) -> VariantResult:
+        """``init_image`` (uint8 (b,H,W,3)) switches to image-to-image in
+        the integer-t flavor: DDPM forward noising
+        x_t = alpha_t*x0 + sigma_t*eps at t0 = round(strength*999), and the
+        adaptive DPM loop starts at t0 instead of 999. At strength=1.0 the
+        schedule matches text-to-image (t0=999) while the init latents keep
+        the standard DDPM alpha_999*x0 residual (~0.068) — the usual
+        discrete-forward img2img semantics, not an exact t2i reduction
+        (unlike the flow-matching families, where s=1 is exact)."""
         if prompt_embeds is None:
             if self.text_encoder is None:
                 raise ValueError("need prompt_embeds or a text encoder")
@@ -77,6 +106,35 @@ class SD15Pipeline:
             "prompt_embeds": prompt_embeds,
             "negative_prompt_embeds": negative_prompt_embeds,
         }
+        if init_image is not None:
+            if self.vae is None:
+                raise ValueError("img2img needs a VAE on the pipeline")
+            from tpdm_tpu.ops.dpm_solver import (
+                ddpm_sigmas_from_betas,
+                sigma_to_alpha_sigma_t,
+            )
+
+            b = prompt_embeds.shape[0]
+            s0 = jnp.broadcast_to(jnp.asarray(strength, jnp.float32), (b,))
+            if bool(jnp.any((s0 <= 0.0) | (s0 > 1.0))):
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            clean = encode_init_image(self.vae, self.vae_params, init_image)
+            if clean.shape[0] != b:
+                raise ValueError(
+                    f"init_image batch {clean.shape[0]} != prompt batch {b}"
+                )
+            t0 = jnp.round(s0 * 999.0).astype(jnp.int32)
+            sig = ddpm_sigmas_from_betas()[t0]
+            alpha_t, sigma_t = sigma_to_alpha_sigma_t(sig)
+            dtype = self.agent.unet.config.dtype
+            key_lat, _ = jax.random.split(jax.random.PRNGKey(seed))
+            eps = jax.random.normal(
+                key_lat, clean.shape, dtype
+            ).astype(jnp.float32)
+            a = alpha_t.reshape((b, 1, 1, 1))
+            s = sigma_t.reshape((b, 1, 1, 1))
+            batch["latents"] = (a * clean + s * eps).astype(dtype)
+            batch["init_t"] = t0
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(
@@ -116,11 +174,44 @@ class FluxPipeline:
         pooled_prompt_embeds: jax.Array,  # CLIP pooled (b, vec_dim)
         seed: int = 0,
         tpm_params=None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.6,
     ) -> VariantResult:
+        """``init_image`` (uint8 (b,H,W,3)) switches to image-to-image:
+        flow-matching forward noising to level ``strength``, adaptive loop
+        from sigma = strength — same semantics as
+        TPDMPipeline.generate(init_image=...) (FLUX is the same rectified-
+        flow sigma space). strength=1.0 reduces to text-to-image."""
         batch = {
             "prompt_embeds": prompt_embeds,
             "pooled_prompt_embeds": pooled_prompt_embeds,
         }
+        if init_image is not None:
+            if self.vae is None:
+                raise ValueError("img2img needs a VAE on the pipeline")
+            b = prompt_embeds.shape[0]
+            s0 = jnp.broadcast_to(jnp.asarray(strength, jnp.float32), (b,))
+            if bool(jnp.any((s0 <= 0.0) | (s0 > 1.0))):
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            clean = encode_init_image(self.vae, self.vae_params, init_image)
+            if clean.shape[0] != b:
+                raise ValueError(
+                    f"init_image batch {clean.shape[0]} != prompt batch {b}"
+                )
+            if clean.shape[-1] != self.agent.latent_size:
+                raise ValueError(
+                    f"init_image encodes to latent {clean.shape[-1]}, agent "
+                    f"serves {self.agent.latent_size}"
+                )
+            dtype = self.agent.flux.config.dtype
+            # mirror the agent's own key split so strength=1.0 equals t2i
+            key_lat, _ = jax.random.split(jax.random.PRNGKey(seed))
+            eps = jax.random.normal(
+                key_lat, clean.shape, dtype
+            ).astype(jnp.float32)
+            sb = s0.reshape((b, 1, 1, 1))
+            batch["latents"] = ((1.0 - sb) * clean + sb * eps).astype(dtype)
+            batch["init_sigma"] = s0
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(

@@ -57,6 +57,11 @@ class ServeRequest:
     # (BatchingEngine.register_adapter) this request should run under;
     # None = the base model. Requests coalesce per-adapter.
     lora: Optional[str] = None
+    # image-to-image: uint8 (H, W, 3) init image (size must match the
+    # request's served resolution) noised to `strength` — img2img and
+    # text-to-image requests mix in ONE batch (t2i slots ride sigma 1.0).
+    init_image: Optional[np.ndarray] = None
+    strength: Optional[float] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -488,6 +493,8 @@ class BatchingEngine:
         self, prompts: Sequence[str], seeds: Sequence[int],
         record_stats: bool = True, steps: Optional[Sequence] = None,
         resolution: Optional[int] = None, lora: Optional[str] = None,
+        init_images: Optional[Sequence] = None,
+        strengths: Optional[Sequence] = None,
     ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
         {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
@@ -496,7 +503,13 @@ class BatchingEngine:
         ``steps`` (optional per-request ints, None entries = engine max)
         caps each request's NFE; caps are a traced argument so any mix runs
         on the one compiled shape — but the BATCH still pays its max cap
-        (use the continuous engine to recycle short requests' slots)."""
+        (use the continuous engine to recycle short requests' slots).
+
+        ``init_images``/``strengths`` (optional per-request, None entries =
+        text-to-image) run img2img slots: the image is VAE-encoded and
+        mixed into that slot's seed noise at its strength, with the slot's
+        starting sigma set to the strength — both are traced (b,)-shaped
+        arguments, so any t2i/img2img mix runs on the one compiled shape."""
         import jax
 
         if lora is not None or self._adapters:
@@ -516,8 +529,15 @@ class BatchingEngine:
             for c in (list(steps) if steps is not None else [None] * n)
         ]
         caps = caps + [caps[-1]] * pad
+        imgs = list(init_images) if init_images is not None else [None] * n
+        strs = list(strengths) if strengths is not None else [None] * n
+        imgs = imgs + [imgs[-1]] * pad
+        strs = strs + [strs[-1]] * pad
+        any_i2i = any(im is not None for im in imgs)
 
         if self._runner is not None:
+            if any_i2i:
+                raise ValueError("img2img is SD3-pipeline-engine-only")
             t_start = time.monotonic()
             results = self._runner(prompts, seeds, caps)
             t_done = time.monotonic()
@@ -574,6 +594,25 @@ class BatchingEngine:
             )[0]
 
         latents = np.stack([_latent(s) for s in seeds])
+        init_sigma = None
+        if any_i2i:
+            # encode all img2img slots in one VAE-encode dispatch, then mix
+            # each into its slot's seed noise at its strength; t2i slots
+            # ride sigma 1.0 with x0=0 — identical math to pure noise, so
+            # any mix shares the one compiled denoise program
+            idx = [i for i, im in enumerate(imgs) if im is not None]
+            clean = np.asarray(
+                self.pipe.encode_image(np.stack([imgs[i] for i in idx])),
+                np.float32,
+            )
+            sig = np.ones((self.max_batch,), np.float32)
+            lat32 = latents.astype(np.float32)
+            for j, i in enumerate(idx):
+                s = 0.6 if strs[i] is None else float(strs[i])
+                sig[i] = s
+                lat32[i] = (1.0 - s) * clean[j] + s * lat32[i]
+            latents = lat32.astype(latents.dtype)
+            init_sigma = sig
         t_tokenized = time.monotonic()
         split = self.split_stages and self.pipe.vae is not None
         embeds = None
@@ -590,6 +629,7 @@ class BatchingEngine:
             guidance_scale=self.guidance_scale,
             decode=not split,
             step_caps=np.asarray(caps, np.int32),
+            init_sigma=init_sigma,
         )
         if embeds is not None:
             res = self.pipe.generate(
@@ -658,6 +698,8 @@ class BatchingEngine:
         resolution: Optional[int] = None,
         deadline_s: Optional[float] = None,
         lora: Optional[str] = None,
+        init_image: Optional[np.ndarray] = None,
+        strength: Optional[float] = None,
     ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
@@ -665,6 +707,29 @@ class BatchingEngine:
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
+        if init_image is not None:
+            if self._runner is not None or self.pipe.vae is None:
+                raise ValueError(
+                    "img2img needs the SD3 pipeline engine with a VAE"
+                )
+            s = 0.6 if strength is None else float(strength)
+            if not 0.0 < s <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            strength = s
+            init_image = np.asarray(init_image)
+            if init_image.ndim != 3 or init_image.shape[-1] != 3:
+                raise ValueError("init_image must be (H, W, 3) uint8")
+            px = (
+                resolution if resolution is not None
+                else self.pipe.mmdit.config.sample_size * self.vae_scale_factor
+            )
+            if init_image.shape[0] != px or init_image.shape[1] != px:
+                raise ValueError(
+                    f"init_image is {init_image.shape[0]}x"
+                    f"{init_image.shape[1]}; this request serves {px}x{px}"
+                )
+        elif strength is not None:
+            raise ValueError("strength needs an init_image")
         if resolution is not None:
             if self._runner is not None:
                 raise ValueError("per-request resolutions are SD3-only")
@@ -681,6 +746,7 @@ class BatchingEngine:
         req = ServeRequest(
             prompt=prompt, seed=seed, steps=steps, resolution=resolution,
             deadline_s=deadline_s, lora=lora,
+            init_image=init_image, strength=strength,
         )
         try:
             self._queue.put_nowait(req)
@@ -775,6 +841,8 @@ class BatchingEngine:
                         steps=[r.steps for r in group],
                         resolution=res_px,
                         lora=lora_name,
+                        init_images=[r.init_image for r in group],
+                        strengths=[r.strength for r in group],
                     )
                     if self._stage_times:
                         self._stage_times[-1]["queue_wait_s_max"] = max(waits)

@@ -390,13 +390,14 @@ class ContinuousBatchingEngine:
         else:
             self._segment = jax.jit(segment, donate_argnums=donate)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap):
-            """Slot refill as ONE jitted update (slot index is traced —
-            one compiled shape for any slot/cap mix); out_shardings keep
-            the state on the serving mesh."""
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
+            """Slot refill as ONE jitted update (slot index, cap, and
+            starting sigma are all traced — one compiled shape for any
+            slot/cap/img2img-strength mix); out_shardings keep the state
+            on the serving mesh."""
             return _SlotState(
                 latents=st.latents.at[slot].set(lat),
-                sigma=st.sigma.at[slot].set(1.0),
+                sigma=st.sigma.at[slot].set(sigma0),
                 steps=st.steps.at[slot].set(0),
                 caps=st.caps.at[slot].set(cap),
                 pe=st.pe.at[slot].set(pe_row),
@@ -465,11 +466,37 @@ class ContinuousBatchingEngine:
             mcfg.dtype,
         )
 
+    def _encode_image(self, image: "np.ndarray"):
+        """uint8 (H, W, 3) -> (c, h, w) fp32 model-space latents (img2img)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            self.pipe.encode_image(np.asarray(image)[None]), jnp.float32
+        )[0]
+
+    def _slot_init(self, req: ServeRequest):
+        """(latent row, starting carry scalar) for a fresh slot. t2i slots
+        ride sigma 1.0 (pure noise); img2img slots mix the encoded init
+        image into the SAME seed noise at `strength` and start there —
+        identical math to BatchingEngine.generate_batch's img2img slots,
+        so both engines produce the same (prompt, seed, image) results."""
+        lat = self._init_latent(req.seed)
+        if req.init_image is None:
+            return lat, np.float32(1.0)
+        import jax.numpy as jnp
+
+        clean = self._encode_image(req.init_image)
+        s = 0.6 if req.strength is None else float(req.strength)
+        lat = ((1.0 - s) * clean + s * jnp.asarray(lat, jnp.float32)).astype(
+            self._mcfg.dtype
+        )
+        return lat, np.float32(s)
+
     def _assign(self, slot: int, req: ServeRequest):
         import jax
 
         pe_row, pp_row = self._prompt_embeds(req.prompt)
-        lat = self._init_latent(req.seed)
+        lat, sigma0 = self._slot_init(req)
         cap = min(req.steps or self.max_steps, self.max_steps)
         if self._mesh is not None:
             # committed-device discipline: rows must live on the serving
@@ -479,7 +506,8 @@ class ContinuousBatchingEngine:
                 for x in (lat, pe_row, pp_row)
             )
         self._state = self._assign_fn(
-            self._state, np.int32(slot), lat, pe_row, pp_row, np.int32(cap)
+            self._state, np.int32(slot), lat, pe_row, pp_row, np.int32(cap),
+            sigma0,
         )
         self._slot_req[slot] = req
         self._slot_sigmas[slot] = []
@@ -598,12 +626,20 @@ class ContinuousBatchingEngine:
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
         deadline_s: Optional[float] = None,
+        init_image: Optional["np.ndarray"] = None,
+        strength: Optional[float] = None,
     ) -> ServeRequest:
         """Enqueue one request. `steps` caps THIS request's NFE (quality vs
         latency knob, clamped to the engine max) — slot recycling means a
         short request frees its slot early instead of riding out the batch.
         `deadline_s` sheds the request with RequestExpired if it is still
-        QUEUED (no slot) that many seconds after submit."""
+        QUEUED (no slot) that many seconds after submit.
+
+        `init_image` (uint8 (H, W, 3) at the engine's served resolution)
+        runs this request image-to-image: its slot starts at
+        sigma = `strength` from the noised init latents, while other slots
+        ride their own schedules — starting sigma is per-slot traced state,
+        so img2img and text-to-image requests share the compiled segment."""
         if self._stop.is_set():
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
@@ -614,8 +650,29 @@ class ContinuousBatchingEngine:
                 "resolutions with MultiResContinuousRouter (or the "
                 "fixed-batch engine's resolutions=)"
             )
+        if init_image is not None:
+            if self.pipe is None or self.pipe.vae is None:
+                raise ValueError(
+                    "img2img needs the SD3 pipeline engine with a VAE"
+                )
+            s = 0.6 if strength is None else float(strength)
+            if not 0.0 < s <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            strength = s
+            init_image = np.asarray(init_image)
+            if init_image.ndim != 3 or init_image.shape[-1] != 3:
+                raise ValueError("init_image must be (H, W, 3) uint8")
+            px = self._lat_size * self.vae_scale_factor
+            if init_image.shape[0] != px or init_image.shape[1] != px:
+                raise ValueError(
+                    f"init_image is {init_image.shape[0]}x"
+                    f"{init_image.shape[1]}; this engine serves {px}x{px}"
+                )
+        elif strength is not None:
+            raise ValueError("strength needs an init_image")
         req = ServeRequest(
-            prompt=prompt, seed=seed, steps=steps, deadline_s=deadline_s
+            prompt=prompt, seed=seed, steps=steps, deadline_s=deadline_s,
+            init_image=init_image, strength=strength,
         )
         try:
             self._queue.put_nowait(req)
@@ -998,10 +1055,10 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
             self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.flux_params, self._tpm_params)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap):
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
             return _SlotState(
                 latents=st.latents.at[slot].set(lat),
-                sigma=st.sigma.at[slot].set(1.0),
+                sigma=st.sigma.at[slot].set(sigma0),
                 steps=st.steps.at[slot].set(0),
                 caps=st.caps.at[slot].set(cap),
                 pe=st.pe.at[slot].set(pe_row),
@@ -1086,6 +1143,11 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
 
     def _default_guidance(self) -> Optional[float]:
         return self.agent.guidance_scale
+
+    def _slot_init(self, req: ServeRequest):
+        # integer-t family: fresh slots start at t = 999 (img2img is
+        # rejected in submit — no pipe/VAE on agent-backed engines)
+        return self._init_latent(req.seed), np.float32(999.0)
 
     def _build_device_functions(self):
         import jax
@@ -1199,16 +1261,18 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.unet_params, self._tpm_params)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap):
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
+            # sigma0 carries the starting integer t (999.0 from _slot_init;
+            # uniform assign signature across the engine family)
             return _SD15SlotState(
                 latents=st.latents.at[slot].set(lat),
-                sigma=st.sigma.at[slot].set(999.0),
+                sigma=st.sigma.at[slot].set(sigma0),
                 steps=st.steps.at[slot].set(0),
                 caps=st.caps.at[slot].set(cap),
                 pe=st.pe.at[slot].set(pe_row),
                 pp=st.pp,
                 key=st.key,
-                t_prev=st.t_prev.at[slot].set(999),
+                t_prev=st.t_prev.at[slot].set(sigma0.astype(jnp.int32)),
                 x0_prev=st.x0_prev.at[slot].set(0.0),
             )
 
@@ -1313,6 +1377,8 @@ class MultiResContinuousRouter:
         self, prompt: str, seed: int = 0, steps: Optional[int] = None,
         resolution: Optional[int] = None,
         deadline_s: Optional[float] = None,
+        init_image: Optional["np.ndarray"] = None,
+        strength: Optional[float] = None,
     ) -> ServeRequest:
         r = resolution if resolution is not None else self.default_resolution
         eng = self._engines.get(r)
@@ -1321,7 +1387,8 @@ class MultiResContinuousRouter:
                 f"resolution {r} not in the served set {self.resolutions}"
             )
         return eng.submit(prompt, seed=seed, steps=steps,
-                          deadline_s=deadline_s)
+                          deadline_s=deadline_s,
+                          init_image=init_image, strength=strength)
 
     def warmup(self):
         for eng in self._engines.values():

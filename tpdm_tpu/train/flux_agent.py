@@ -145,7 +145,7 @@ class FluxAgent:
         )
 
     def _sample(self, flux_params, tpm_params, latents, txt, txt_ids, pooled,
-                key, step_caps, scfg):
+                key, step_caps, init_sigma, scfg):
         # backbone params as a jit ARGUMENT, not captured constants (see
         # TPDMAgent._sample)
         denoise_fn = make_flux_denoise_fn(
@@ -158,13 +158,16 @@ class FluxAgent:
         )
         return adaptive_sample(
             denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
-            step_caps=step_caps,
+            step_caps=step_caps, init_sigma=init_sigma,
         )
 
     def sample(
         self, tpm_params, batch, key, predict=False, sampler_cfg=None,
         step_caps=None,
     ) -> SampleOutput:
+        """``batch`` may carry ``latents`` (explicit init) and ``init_sigma``
+        ((b,) starting noise levels — the img2img entry, see
+        pipeline.variants.FluxPipeline.generate(init_image=...))."""
         txt = batch["prompt_embeds"]  # (b, n_txt, txt_dim) — T5 features
         b, n_txt = txt.shape[:2]
         txt_ids = jnp.zeros((b, n_txt, 3))
@@ -178,9 +181,12 @@ class FluxAgent:
         )
         if step_caps is not None:
             step_caps = jnp.asarray(step_caps, jnp.int32)
+        init_sigma = batch.get("init_sigma")
+        if init_sigma is not None:
+            init_sigma = jnp.asarray(init_sigma, jnp.float32)
         return self._sample_jit(
             self.flux_params, tpm_params, latents, txt, txt_ids, pooled,
-            key_roll, step_caps, scfg=scfg,
+            key_roll, step_caps, init_sigma, scfg=scfg,
         )
 
     def replay(self, tpm_params, outputs, inputs=None, backbone_params=None) -> jax.Array:

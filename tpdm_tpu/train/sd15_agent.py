@@ -116,7 +116,7 @@ class SD15Agent:
         )
 
     def _sample(self, unet_params, tpm_params, latents, prompt_embeds, key,
-                step_caps, scfg):
+                step_caps, init_t, scfg):
         # backbone params as a jit ARGUMENT, not captured constants (see
         # TPDMAgent._sample)
         denoise_fn = make_sd15_denoise_fn(
@@ -126,13 +126,16 @@ class SD15Agent:
         )
         return sd15_adaptive_sample(
             denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
-            step_caps=step_caps,
+            step_caps=step_caps, init_t=init_t,
         )
 
     def sample(
         self, tpm_params, batch, key, predict=False, sampler_cfg=None,
         step_caps=None,
     ) -> SD15SampleOutput:
+        """``batch`` may carry ``latents`` (explicit init) and ``init_t``
+        ((b,) int starting timesteps — the integer-t img2img entry, see
+        pipeline.variants.SD15Pipeline.generate(init_image=...))."""
         pe = batch["prompt_embeds"]
         if self.guidance_scale is not None and self.guidance_scale > 1:
             pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
@@ -148,9 +151,12 @@ class SD15Agent:
         )
         if step_caps is not None:
             step_caps = jnp.asarray(step_caps, jnp.int32)
+        init_t = batch.get("init_t")
+        if init_t is not None:
+            init_t = jnp.asarray(init_t, jnp.int32)
         return self._sample_jit(
             self.unet_params, tpm_params, latents, pe, key_roll, step_caps,
-            scfg=scfg,
+            init_t, scfg=scfg,
         )
 
     def replay(
