@@ -37,7 +37,9 @@ logger = logging.getLogger("main_train")
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_config", required=True, help="agent component yaml")
-    p.add_argument("--reward_model_config", required=True, help="reward yaml")
+    p.add_argument("--reward_model_config", default=None,
+                   help="reward yaml (required for rloo/draft; unused by "
+                        "dpo — preference pairs ARE the supervision)")
     p.add_argument("--train_dataset", required=True, help="dataset yaml")
     p.add_argument("--data_collator", default=None, help="collator yaml")
     p.add_argument("--resume_from_checkpoint", default=None,
@@ -75,16 +77,28 @@ def parse_args():
                         "completes, so first-update compiles stay out")
     p.add_argument("--profile_start", type=int, default=1,
                    help="update whose COMPLETION starts the trace window")
-    p.add_argument("--trainer", choices=["rloo", "draft"], default="rloo",
+    p.add_argument("--trainer", choices=["rloo", "draft", "dpo"],
+                   default="rloo",
                    help="rloo = the reference algorithm (TPM schedule "
                         "policy); draft = reward-gradient LoRA fine-tuning "
                         "of the backbone (train/draft.py; the reward YAML "
-                        "must build a DIFFERENTIABLE reward_apply)")
+                        "must build a DIFFERENTIABLE reward_apply); dpo = "
+                        "Diffusion-DPO preference-pair LoRA fine-tuning "
+                        "(train/dpo.py; no reward model — the dataset YAML "
+                        "must yield latents_w/latents_l pairs, e.g. "
+                        "configs/datasets/toy_preference_pairs.yaml or a "
+                        "data.datasets.PreferencePairDataset manifest)")
     p.add_argument("--lora_rank", type=int, default=4)
     p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--k_backprop", type=int, default=1,
                    help="DRaFT-K: how many final denoise steps backprop")
-    p.add_argument("--draft_updates", type=int, default=10)
+    p.add_argument("--draft_updates", type=int, default=10,
+                   help="LoRA updates for --trainer draft AND dpo")
+    p.add_argument("--dpo_beta", type=float, default=500.0,
+                   help="DPO inverse temperature on the err difference")
+    p.add_argument("--dpo_timestep_sampling",
+                   choices=["logit_normal", "uniform"],
+                   default="logit_normal")
     for f in dataclasses.fields(RLOOConfig):
         flag = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
@@ -163,8 +177,87 @@ def _run_draft(args, config, agent, reward_apply, dataset, collate_fn, mesh):
     )
 
 
+def _run_dpo(args, config, agent, dataset, collate_fn, mesh):
+    """--trainer dpo: Diffusion-DPO preference-pair LoRA fine-tuning
+    (train/dpo.py). No reward model: the dataset supplies (preferred,
+    rejected) pairs as model-space latents (latents_w/latents_l per row).
+    The collate is wrapped so the pair arrays ride along with whatever
+    prompt-embedding collate the agent uses."""
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from tpdm_tpu.train.dpo import DPOConfig, DPOTrainer
+
+    base_collate = collate_fn
+
+    def dpo_collate(rows):
+        batch = base_collate(rows)
+        for k in ("latents_w", "latents_l", "images_w", "images_l"):
+            if k in rows[0]:
+                batch[k] = jnp.stack([jnp.asarray(r[k]) for r in rows])
+        return batch
+
+    dcfg = DPOConfig(
+        seed=config.seed,
+        output_dir=config.output_dir,
+        total_updates=args.draft_updates,
+        batch_size=config.per_device_train_batch_size,
+        learning_rate=config.learning_rate,
+        adam_beta1=config.adam_beta1,
+        adam_beta2=config.adam_beta2,
+        adam_epsilon=config.adam_epsilon,
+        max_grad_norm=config.max_grad_norm,
+        lora_rank=args.lora_rank,
+        lora_scale=args.lora_scale,
+        beta=args.dpo_beta,
+        timestep_sampling=args.dpo_timestep_sampling,
+        logging_steps=config.logging_steps,
+        save_steps=config.save_steps,
+        save_total_limit=config.save_total_limit,
+    )
+    callbacks = []
+    if config.report_to == "tensorboard":
+        from tpdm_tpu.train.callbacks import TensorBoardCallback
+
+        callbacks.append(
+            TensorBoardCallback(os.path.join(config.output_dir, "tb"))
+        )
+    if args.profile_updates:
+        from tpdm_tpu.train.callbacks import ProfilerCallback
+
+        callbacks.append(
+            ProfilerCallback(
+                os.path.join(config.output_dir, "profile"),
+                start=args.profile_start,
+                count=args.profile_updates,
+            )
+        )
+    trainer = DPOTrainer(
+        dcfg, agent, dataset, collate_fn=dpo_collate,
+        callbacks=callbacks, mesh=mesh,
+    )
+    with mesh if mesh is not None else contextlib.nullcontext():
+        trainer.train()
+    for cb in callbacks:
+        close = getattr(cb, "close", None)
+        if close is not None:
+            close()
+    last = trainer.metrics_history[-1] if trainer.metrics_history else {}
+    logger.info(
+        "dpo training done: %d updates, final margin %.4f acc %.2f",
+        dcfg.total_updates,
+        last.get("dpo/margin", float("nan")),
+        last.get("dpo/implicit_acc", float("nan")),
+    )
+
+
 def main():
     args = parse_args()
+    if args.trainer in ("rloo", "draft") and not args.reward_model_config:
+        raise SystemExit(
+            f"--trainer {args.trainer} requires --reward_model_config"
+        )
     if args.cpu:
         import jax
 
@@ -204,7 +297,12 @@ def main():
         if isinstance(agent_builder, functools.partial)
         else agent_builder
     )
-    reward_fn = instantiate_file(args.reward_model_config)
+    reward_fn = (
+        instantiate_file(args.reward_model_config)
+        if args.reward_model_config else None
+    )
+    if args.trainer == "dpo" and reward_fn is not None:
+        logger.info("--trainer dpo ignores --reward_model_config")
     dataset = instantiate_file(args.train_dataset)
 
     if args.data_collator is not None:
@@ -246,6 +344,9 @@ def main():
 
     if args.trainer == "draft":
         _run_draft(args, config, agent, reward_fn, dataset, collate_fn, mesh)
+        return
+    if args.trainer == "dpo":
+        _run_dpo(args, config, agent, dataset, collate_fn, mesh)
         return
 
     callbacks = []

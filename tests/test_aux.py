@@ -100,6 +100,72 @@ class TestDatasets:
         assert len(d) >= 30
         assert all("prompt" in r for r in d.rows)
 
+    def test_preference_pairs_npy_and_images(self, tmp_path):
+        """PreferencePairDataset (train/dpo.py input): lazy npy latents,
+        relative-to-manifest paths, image rows as uint8 RGB."""
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        from tpdm_tpu.data.datasets import PreferencePairDataset
+
+        rng = np.random.default_rng(0)
+        np.save(tmp_path / "w.npy", rng.normal(size=(4, 8, 8)).astype("f4"))
+        np.save(tmp_path / "l.npy", rng.normal(size=(4, 8, 8)).astype("f4"))
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(tmp_path / "w.png")
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        ).save(tmp_path / "l.png")
+        manifest = tmp_path / "pairs.jsonl"
+        manifest.write_text(
+            json.dumps(
+                {"prompt": "a", "latents_w": "w.npy", "latents_l": "l.npy"}
+            )
+            + "\n"
+            + json.dumps(
+                {"prompt": "b", "image_w": "w.png", "image_l": "l.png"}
+            )
+            + "\n"
+        )
+        d = PreferencePairDataset(str(manifest))
+        assert len(d) == 2
+        rows = {d[i]["prompt"]: d[i] for i in range(2)}
+        assert rows["a"]["latents_w"].shape == (4, 8, 8)
+        assert rows["a"]["latents_w"].dtype == np.float32
+        assert rows["b"]["images_w"].shape == (16, 16, 3)
+        assert rows["b"]["images_l"].dtype == np.uint8
+
+    def test_preference_pairs_bad_rows_fail_loudly(self, tmp_path):
+        import json
+
+        import numpy as np
+        import pytest
+
+        from tpdm_tpu.data.datasets import PreferencePairDataset
+
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text(json.dumps({"prompt": "x", "latents_w": "w.npy"}))
+        with pytest.raises(ValueError, match="latents_w/latents_l"):
+            PreferencePairDataset(str(bad))
+        # wrong latent rank fails at load, not deep inside the trainer
+        np.save(tmp_path / "flat.npy", np.zeros((8,), "f4"))
+        m = tmp_path / "rank.jsonl"
+        m.write_text(
+            json.dumps(
+                {
+                    "prompt": "x",
+                    "latents_w": "flat.npy",
+                    "latents_l": "flat.npy",
+                }
+            )
+        )
+        d = PreferencePairDataset(str(m))
+        with pytest.raises(ValueError, match="c, h, w"):
+            d[0]
+
 
 class TestInstantiate:
     def test_target_and_partial(self, tmp_path):

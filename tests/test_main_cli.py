@@ -91,6 +91,47 @@ class TestMainTrainCLI:
         assert [s for s, _ in rows] == [1, 2]
         assert "draft/reward" in rows[-1][1]
 
+    def test_trainer_dpo_mode(self, tmp_path):
+        """--trainer dpo: Diffusion-DPO preference-pair LoRA fine-tuning —
+        no reward YAML; the pair dataset IS the supervision. Must write
+        the rotated LoRA safetensors and log a positive final margin."""
+        out = str(tmp_path)
+        cmd = [
+            sys.executable, "main_train.py", "--cpu", "--trainer", "dpo",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--train_dataset", "configs/datasets/toy_preference_pairs.yaml",
+            "--draft_updates", "3", "--per_device_train_batch_size", "2",
+            "--learning_rate", "5e-3", "--lora_rank", "2",
+            "--dpo_beta", "100", "--save_steps", "1",
+            "--save_total_limit", "2", "--output_dir", out,
+        ]
+        r = _run(cmd)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "dpo training done" in (r.stderr + r.stdout)
+        import glob as _glob
+
+        files = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(str(tmp_path / "lora-*.safetensors"))
+        )
+        assert files == ["lora-2.safetensors", "lora-3.safetensors"]
+        from tpdm_tpu.train.draft import load_lora
+
+        assert load_lora(str(tmp_path / "lora-3.safetensors"))
+
+    def test_dpo_rejects_missing_reward_only_for_rloo_draft(self, tmp_path):
+        """rloo/draft without --reward_model_config must exit with an
+        actionable message (dpo legitimately runs without one)."""
+        cmd = [
+            sys.executable, "main_train.py", "--cpu",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--train_dataset", "configs/datasets/jsonl_prompts.yaml",
+            "--output_dir", str(tmp_path),
+        ]
+        r = _run(cmd)
+        assert r.returncode != 0
+        assert "requires --reward_model_config" in (r.stderr + r.stdout)
+
     def test_prompts_only_collator_fails_with_guidance(self, tmp_path):
         """An embeds-less collator with an embeds-consuming agent must fail
         fast with an actionable message, not a bare KeyError."""

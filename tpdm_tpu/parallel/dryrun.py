@@ -411,3 +411,59 @@ def dryrun_agent_families(
     results["flux"] = _run_family_trainer(fagent, cfg, fdataset, mesh)
     results["mesh"] = f"data={d} fsdp={f} tensor={t}"
     return results
+
+
+def dryrun_dpo_trainer(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
+    """Two mesh-native Diffusion-DPO updates through the real
+    ``DPOTrainer``: pair batch sharded over (data, fsdp), frozen backbone
+    over (fsdp, tensor), replicated LoRA factors (train/dpo.py;
+    beyond-reference — the reference has no preference trainer)."""
+    from tpdm_tpu.train.builders import build_toy_agent, make_prompt_encoder
+    from tpdm_tpu.train.dpo import DPOConfig, DPOTrainer
+
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    d, f, t = mesh_shape
+    mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+
+    agent = build_toy_agent(RLOOConfig(guidance_scale=7.0)).shard(mesh)
+    mcfg = agent.mmdit.config
+    batch = max(2 * d * f, 4)  # per-shard batch >= 2 (see CLAUDE.md)
+    rng = np.random.default_rng(0)
+    shape = (mcfg.in_channels, mcfg.sample_size, mcfg.sample_size)
+    dataset = [
+        {
+            "prompt": f"prompt {i}",
+            "latents_w": rng.normal(size=shape).astype(np.float32) * 0.1,
+            "latents_l": rng.normal(size=shape).astype(np.float32) * 1.5,
+        }
+        for i in range(batch)
+    ]
+    base_collate = make_prompt_encoder(agent)
+
+    def collate(rows):
+        out = base_collate(rows)
+        for k in ("latents_w", "latents_l"):
+            out[k] = jnp.stack([jnp.asarray(r[k]) for r in rows])
+        return out
+
+    cfg = DPOConfig(
+        total_updates=2, batch_size=batch, learning_rate=5e-3,
+        lora_rank=2, beta=100.0,
+    )
+    trainer = DPOTrainer(cfg, agent, dataset, collate_fn=collate, mesh=mesh)
+    with mesh:
+        lora, _ = trainer.train()
+    metrics = dict(trainer.metrics_history[-1])
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+    assert metrics["dpo/num_skipped"] == 0.0
+    assert any(
+        float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+    ), "LoRA factors did not move"
+    metrics["mesh"] = mesh_shape
+    return metrics

@@ -278,31 +278,41 @@ class DraftTrainer:
         return lora, opt_state
 
     def save_lora(self, update: int, lora) -> str:
-        import os
-
-        path = os.path.join(
-            self.config.output_dir, f"lora-{update}.safetensors"
+        return save_rotating_lora(
+            self.config.output_dir, update, lora,
+            self.config.save_total_limit,
         )
-        os.makedirs(self.config.output_dir, exist_ok=True)
-        save_lora(path, lora)
-        logger.info("saved %s", path)
-        limit = self.config.save_total_limit
-        if limit and limit >= 1:
-            import re
-
-            found = []
-            for name in os.listdir(self.config.output_dir):
-                m = re.fullmatch(r"lora-(\d+)\.safetensors", name)
-                if m:
-                    found.append((int(m.group(1)), name))
-            found.sort()
-            for _, name in found[: max(0, len(found) - limit)]:
-                os.remove(os.path.join(self.config.output_dir, name))
-                logger.info("save_total_limit=%d: pruned %s", limit, name)
-        return path
 
 
 # -- LoRA (de)serialization: flat "path|a"/"path|b" safetensors --------------
+
+
+def save_rotating_lora(
+    output_dir: str, update: int, lora, save_total_limit: "int | None"
+) -> str:
+    """Write lora-<update>.safetensors and prune the oldest beyond the
+    limit — RLOOConfig.save_total_limit semantics for adapter files.
+    Shared by DraftTrainer and DPOTrainer."""
+    import os
+    import re
+
+    path = os.path.join(output_dir, f"lora-{update}.safetensors")
+    os.makedirs(output_dir, exist_ok=True)
+    save_lora(path, lora)
+    logger.info("saved %s", path)
+    if save_total_limit and save_total_limit >= 1:
+        found = []
+        for name in os.listdir(output_dir):
+            m = re.fullmatch(r"lora-(\d+)\.safetensors", name)
+            if m:
+                found.append((int(m.group(1)), name))
+        found.sort()
+        for _, name in found[: max(0, len(found) - save_total_limit)]:
+            os.remove(os.path.join(output_dir, name))
+            logger.info(
+                "save_total_limit=%d: pruned %s", save_total_limit, name
+            )
+    return path
 
 
 def save_lora(path: str, lora: dict) -> None:
