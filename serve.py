@@ -819,6 +819,12 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     deadline_s = float(deadline_s)
                     if deadline_s <= 0:
                         raise ValueError("deadline_s must be > 0")
+                guidance = req.get("guidance_scale")
+                if guidance is not None:
+                    guidance = float(guidance)
+                negative = req.get("negative_prompt")
+                if negative is not None and not isinstance(negative, str):
+                    raise ValueError("negative_prompt must be a string")
                 lora = req.get("lora")
                 if lora is not None and not isinstance(lora, str):
                     raise ValueError("lora must be an adapter name string")
@@ -845,6 +851,10 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     kw["init_image"] = init_image
                     if strength is not None:
                         kw["strength"] = strength
+                if guidance is not None:
+                    kw["guidance_scale"] = guidance
+                if negative:
+                    kw["negative_prompt"] = negative
                 res = engine.submit(
                     prompt, seed, steps=steps, resolution=resolution,
                     deadline_s=deadline_s, **kw,

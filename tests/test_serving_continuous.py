@@ -55,7 +55,16 @@ class TestContinuousParity:
                 got = r.result(timeout=600)
                 exp = want[(p, s)]
                 assert got["inference_steps"] == exp["inference_steps"]
-                np.testing.assert_array_equal(got["image"], exp["image"])
+                # normally bit-identical, but the seg-scan and while_loop
+                # are different jit programs: when foreign AOT cache
+                # entries load, bf16 may round 1 ulp apart at a uint8
+                # quantization boundary — allow the rare 1-level seam
+                diff = np.abs(
+                    got["image"].astype(np.int16)
+                    - exp["image"].astype(np.int16)
+                )
+                assert diff.max() <= 1, diff.max()
+                assert (diff > 0).mean() < 0.01
                 # the f32 sigma traces come from two different jit graphs
                 # (scan-segment vs while_loop) — XLA may fuse the
                 # sigma*ratio chain differently, so allow float-ulp slack
@@ -654,6 +663,77 @@ class TestDeadlinesContinuous:
             assert eng.stats()["requests_expired"] == 1
         finally:
             eng.stop()
+
+
+class TestContinuousPerRequestCFG:
+    """Per-slot guidance strength + negative-prompt embeds are traced
+    state: any mix shares the compiled segment and matches the
+    fixed-batch engine."""
+
+    def test_parity_with_fixed_batch_engine(self, toy):
+        pipe, tokenize = toy
+        ref_eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=4)
+        want_g = ref_eng.generate_batch(
+            ["a cat"], [3], guidances=[2.0]
+        )[0]
+        want_n = ref_eng.generate_batch(
+            ["a dog"], [7], negative_prompts=["blurry"]
+        )[0]
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4)
+        eng.start()
+        try:
+            r_g = eng.submit("a cat", seed=3, guidance_scale=2.0)
+            r_n = eng.submit("a dog", seed=7, negative_prompt="blurry")
+            got_g = r_g.result(timeout=600)
+            got_n = r_n.result(timeout=600)
+        finally:
+            eng.stop()
+        for got, want in ((got_g, want_g), (got_n, want_n)):
+            assert got["inference_steps"] == want["inference_steps"]
+            # differently-compiled programs: allow the 1-level seam
+            assert (
+                np.abs(
+                    got["image"].astype(np.int16)
+                    - want["image"].astype(np.int16)
+                ).max()
+                <= 1
+            )
+
+    def test_default_slots_unperturbed_and_validation(self, toy):
+        pipe, tokenize = toy
+        solo = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=2,
+                                        max_steps=4)
+        solo.start()
+        try:
+            want = solo.submit("a cat", seed=3).result(timeout=600)
+        finally:
+            solo.stop()
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4)
+        eng.start()
+        try:
+            r_def = eng.submit("a cat", seed=3)
+            r_g = eng.submit("a dog", seed=5, guidance_scale=1.0,
+                             negative_prompt="red")
+            got = r_def.result(timeout=600)
+            other = r_g.result(timeout=600)
+        finally:
+            eng.stop()
+        # a default-CFG slot next to a custom-CFG slot is bit-identical
+        # to running alone
+        np.testing.assert_array_equal(got["image"], want["image"])
+        assert got["inference_steps"] == want["inference_steps"]
+        assert 1 <= other["inference_steps"] <= 4
+        no_cfg = ContinuousBatchingEngine(pipe, tokenize, slots=1,
+                                          seg_steps=2, max_steps=3,
+                                          guidance_scale=None)
+        try:
+            with pytest.raises(ValueError, match="CFG-enabled"):
+                no_cfg.submit("a", guidance_scale=2.0)
+        finally:
+            no_cfg.stop()
 
 
 class TestContinuousImg2Img:

@@ -31,7 +31,12 @@ def make_cfg_denoise_fn(
         prompt_embeds: (2b, n, d) already concatenated [negative; positive]
             when guidance_scale is not None, else (b, n, d).
         pooled_embeds: (2b, p) resp. (b, p), same convention.
-        guidance_scale: None disables CFG entirely.
+        guidance_scale: None disables CFG entirely. A scalar applies one
+            strength to the whole batch; a traced (b,) array applies
+            PER-SAMPLE strengths (the serving engine's per-request knob —
+            kept a jit argument there so any mix shares one compiled
+            program). Cast to each output's dtype, so a scalar matches the
+            historical weak-typed-python-float arithmetic bit-for-bit.
         token_grid: token-grid side (latent_size // patch_size; 64 for SD3)
             or an (gh, gw) tuple for rectangular latents — the spatial size
             of the TPM input map.
@@ -52,7 +57,9 @@ def make_cfg_denoise_fn(
 
             def guide(a):
                 uncond, cond = jnp.split(a, 2)
-                return uncond + guidance_scale * (cond - uncond)
+                g = jnp.asarray(guidance_scale, uncond.dtype)
+                g = g.reshape((-1,) + (1,) * (uncond.ndim - 1))
+                return uncond + g * (cond - uncond)
 
             vel, temb, h1, h2 = guide(vel), guide(temb), guide(h1), guide(h2)
         h_combined = jnp.concatenate(

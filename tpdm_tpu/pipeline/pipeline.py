@@ -138,22 +138,31 @@ class TPDMPipeline:
         self, key, latents, pe, pp, guidance_scale, scfg: SamplerConfig,
         decode: bool = True, step_caps=None, init_sigma=None, proj_args=None,
     ):
-        # caps and init_sigma are traced (b,) arguments, NOT part of the
-        # cache signature: one compiled shape serves every per-request
-        # step-cap / img2img-strength mix. proj_args (inpainting: the
-        # (x0, eps, mask) triple the per-step projection needs) are traced
-        # too — only their PRESENCE keys the cache.
+        # caps, init_sigma and guidance are traced (b,) arguments, NOT part
+        # of the cache signature: one compiled shape serves every
+        # per-request step-cap / img2img-strength / guidance-strength mix
+        # (only CFG on/off is structural — it changes the embed geometry).
+        # proj_args (inpainting: the (x0, eps, mask) triple the per-step
+        # projection needs) are traced too — only their PRESENCE keys the
+        # cache.
         if step_caps is None:
             step_caps = jnp.full(
                 (latents.shape[0],), scfg.max_inference_steps, jnp.int32
             )
         if init_sigma is None:
             init_sigma = jnp.ones((latents.shape[0],), jnp.float32)
-        sig = (guidance_scale, scfg, decode, proj_args is not None)
+        if guidance_scale is not None:
+            guidance_scale = jnp.broadcast_to(
+                jnp.asarray(guidance_scale, jnp.float32).reshape(-1),
+                (latents.shape[0],),
+            )
+        sig = (guidance_scale is not None, scfg, decode,
+               proj_args is not None)
         if sig not in self._jit_cache:
+            cfg_on = guidance_scale is not None
 
             def go(mmdit_params, tpm_params, vae_params, latents, pe, pp, key,
-                   caps, sigma0, proj):
+                   caps, sigma0, gs, proj):
                 # grid follows the RUNTIME latent size (jit retraces per
                 # shape): non-default and rectangular serving resolutions
                 # ride the same code path as the config size
@@ -163,7 +172,7 @@ class TPDMPipeline:
                     lambda *a: self.mmdit.apply(mmdit_params, *a),
                     pe,
                     pp,
-                    guidance_scale,
+                    gs if cfg_on else None,
                     grid,
                     p,
                 )
@@ -206,9 +215,13 @@ class TPDMPipeline:
                 return out, decoded
 
             self._jit_cache[sig] = jax.jit(go, static_argnums=())
+        gs_arg = (
+            guidance_scale if guidance_scale is not None
+            else jnp.zeros((latents.shape[0],), jnp.float32)  # unused
+        )
         return self._jit_cache[sig](
             self.mmdit_params, self.tpm_params, self.vae_params, latents, pe, pp,
-            key, step_caps, init_sigma, proj_args,
+            key, step_caps, init_sigma, gs_arg, proj_args,
         )
 
     # -- public API ------------------------------------------------------
@@ -250,6 +263,13 @@ class TPDMPipeline:
         ``step_caps`` (optional (b,) ints) caps each sample's NFE
         individually without recompiling — the serving per-request
         quality/latency knob (the batch still runs to the max cap).
+
+        ``guidance_scale`` may be a scalar (one CFG strength for the
+        batch) or a (b,) array of PER-SAMPLE strengths; either way it is
+        a traced argument, so any mix of strengths shares one compiled
+        program (1.0 = conditional-only arithmetic while still paying the
+        CFG double forward). Only ``None`` — CFG structurally off, single
+        forward — changes the compiled program.
 
         ``init_image`` (uint8 (b, H, W, 3)) switches to image-to-image:
         the image is VAE-encoded and noised to level ``strength`` via the

@@ -62,6 +62,14 @@ class ServeRequest:
     # text-to-image requests mix in ONE batch (t2i slots ride sigma 1.0).
     init_image: Optional[np.ndarray] = None
     strength: Optional[float] = None
+    # per-request CFG strength; None = engine default. Traced (b,)-shaped
+    # in the compiled program, so any mix runs on one shape (1.0 =
+    # conditional-only arithmetic). Requires a CFG-enabled engine.
+    guidance_scale: Optional[float] = None
+    # per-request negative prompt; None/"" = the engine's constant empty
+    # negative. Embedded through the same text towers + LRU cache as the
+    # positive prompt.
+    negative_prompt: Optional[str] = None
     submitted_at: float = field(default_factory=time.monotonic)
     _event: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
@@ -443,12 +451,53 @@ class BatchingEngine:
         return jax.device_put(x, s)
 
     # -- per-prompt embedding cache -----------------------------------------
-    def _embeds_for(self, prompts, clip_ids, t5_ids):
+    def _ensure_neg_embed(self, clip_ids, t5_ids):
+        if self._neg_embed is None:
+            ne1, npp1 = self.pipe.text_encoders.encode(
+                np.zeros_like(clip_ids[:1]), np.zeros_like(t5_ids[:1])
+            )
+            self._neg_embed = (ne1[0], npp1[0])
+
+    def _neg_rows(self, negatives, clip_ids, t5_ids):
+        """Per-request negative-prompt embed rows. ""/None rides the
+        engine's constant zero-ids negative (bit-identical to the
+        historical single-negative path); non-empty texts embed through
+        the same towers and LRU cache as positives, under a reserved
+        key prefix so a prompt and a negative never collide."""
+        import jax.numpy as jnp
+
+        cache = self._embed_cache
+        self._ensure_neg_embed(clip_ids, t5_ids)
+        rows = []
+        for text in negatives:
+            if not text:
+                rows.append(self._neg_embed)
+                continue
+            key = ("\x00neg", text)
+            if key in cache:
+                cache.move_to_end(key)
+                self.embed_hits += 1
+            else:
+                c, t = self.tokenize(text)
+                e, p = self.pipe.text_encoders.encode(c, t)
+                cache[key] = (e[0], p[0])
+                while len(cache) > self._embed_cache_size:
+                    cache.popitem(last=False)
+                self.embed_misses += 1
+            rows.append(cache[key])
+        ne = jnp.stack([r[0] for r in rows])
+        npp = jnp.stack([r[1] for r in rows])
+        return ne, npp
+
+    def _embeds_for(self, prompts, clip_ids, t5_ids, negatives=None):
         """Return (pe, pp, ne, npp) for the padded batch, from the LRU
         embed cache when every prompt (and the constant negative branch)
         is cached, else by running the text towers once and filling the
         cache row-by-row. Cached and encoded batches are numerically
-        identical — the towers have no cross-batch coupling."""
+        identical — the towers have no cross-batch coupling.
+
+        ``negatives`` (optional per-slot strings, ""/None = the constant
+        empty negative) selects per-request negative prompts."""
         import jax.numpy as jnp
 
         cache = self._embed_cache
@@ -471,16 +520,17 @@ class BatchingEngine:
                     cache[p] = (pe[i], pp[i])
                     while len(cache) > self._embed_cache_size:
                         cache.popitem(last=False)
-            if need_neg and self._neg_embed is None:
-                ne1, npp1 = self.pipe.text_encoders.encode(
-                    np.zeros_like(clip_ids[:1]), np.zeros_like(t5_ids[:1])
-                )
-                self._neg_embed = (ne1[0], npp1[0])
+            if need_neg:
+                self._ensure_neg_embed(clip_ids, t5_ids)
             self.embed_misses += b
         ne = npp = None
         if need_neg:
-            ne = jnp.tile(self._neg_embed[0][None], (b, 1, 1))
-            npp = jnp.tile(self._neg_embed[1][None], (b, 1))
+            if negatives is not None and any(negatives):
+                ne, npp = self._neg_rows(negatives, clip_ids, t5_ids)
+            else:
+                self._ensure_neg_embed(clip_ids, t5_ids)
+                ne = jnp.tile(self._neg_embed[0][None], (b, 1, 1))
+                npp = jnp.tile(self._neg_embed[1][None], (b, 1))
         return (
             self._place_batch(pe),
             self._place_batch(pp),
@@ -495,6 +545,8 @@ class BatchingEngine:
         resolution: Optional[int] = None, lora: Optional[str] = None,
         init_images: Optional[Sequence] = None,
         strengths: Optional[Sequence] = None,
+        guidances: Optional[Sequence] = None,
+        negative_prompts: Optional[Sequence] = None,
     ):
         """Run ONE padded fixed-shape batch; returns a per-request list of
         {image, inference_steps, sigmas}. ``record_stats=False`` (warmup)
@@ -509,7 +561,16 @@ class BatchingEngine:
         text-to-image) run img2img slots: the image is VAE-encoded and
         mixed into that slot's seed noise at its strength, with the slot's
         starting sigma set to the strength — both are traced (b,)-shaped
-        arguments, so any t2i/img2img mix runs on the one compiled shape."""
+        arguments, so any t2i/img2img mix runs on the one compiled shape.
+
+        ``guidances`` (optional per-request floats, None entries = engine
+        default) sets per-request CFG strengths — also a traced (b,)
+        argument, one compiled shape for any mix. Requires a CFG-enabled
+        engine (guidance_scale is not None).
+
+        ``negative_prompts`` (optional per-request strings, None/"" =
+        the engine's constant empty negative) embeds per-request negative
+        prompts through the same towers/cache as positives."""
         import jax
 
         if lora is not None or self._adapters:
@@ -534,10 +595,41 @@ class BatchingEngine:
         imgs = imgs + [imgs[-1]] * pad
         strs = strs + [strs[-1]] * pad
         any_i2i = any(im is not None for im in imgs)
+        gds = list(guidances) if guidances is not None else [None] * n
+        negs = [
+            x or ""
+            for x in (
+                list(negative_prompts)
+                if negative_prompts is not None else [None] * n
+            )
+        ]
+        if (
+            any(g is not None for g in gds) or any(negs)
+        ) and self.guidance_scale is None:
+            raise ValueError(
+                "per-request guidance/negative prompts need a CFG-enabled "
+                "engine (this one was built with guidance_scale=None)"
+            )
+        gds = gds + [gds[-1]] * pad
+        negs = negs + [negs[-1]] * pad
+        gs_batch = None
+        if self.guidance_scale is not None:
+            gs_batch = np.asarray(
+                [
+                    self.guidance_scale if g is None else float(g)
+                    for g in gds
+                ],
+                np.float32,
+            )
 
         if self._runner is not None:
             if any_i2i:
                 raise ValueError("img2img is SD3-pipeline-engine-only")
+            if any(g is not None for g in gds) or any(negs):
+                raise ValueError(
+                    "per-request guidance/negative prompts are "
+                    "SD3-pipeline-engine-only"
+                )
             t_start = time.monotonic()
             results = self._runner(prompts, seeds, caps)
             t_done = time.monotonic()
@@ -620,13 +712,15 @@ class BatchingEngine:
             self._embed_cache is not None
             and getattr(self.pipe, "text_encoders", None) is not None
         ):
-            embeds = self._embeds_for(prompts, clip_ids, t5_ids)
+            embeds = self._embeds_for(prompts, clip_ids, t5_ids, negs)
         t_encoded = time.monotonic()
         common = dict(
             latents=self._place_batch(latents),
             predict=True,
             max_inference_steps=self.max_steps,
-            guidance_scale=self.guidance_scale,
+            guidance_scale=(
+                gs_batch if gs_batch is not None else self.guidance_scale
+            ),
             decode=not split,
             step_caps=np.asarray(caps, np.int32),
             init_sigma=init_sigma,
@@ -640,11 +734,20 @@ class BatchingEngine:
                 **common,
             )
         else:
+            # ""-negative slots keep the historical zero-ids negative;
+            # non-empty ones tokenize through the same path as positives
+            nc = np.zeros_like(clip_ids)
+            nt = np.zeros_like(t5_ids)
+            for i, text in enumerate(negs):
+                if text:
+                    c, t = self.tokenize(text)
+                    nc[i] = c[0]
+                    nt[i] = t[0]
             res = self.pipe.generate(
                 clip_ids=clip_ids,
                 t5_ids=t5_ids,
-                negative_clip_ids=np.zeros_like(clip_ids),
-                negative_t5_ids=np.zeros_like(t5_ids),
+                negative_clip_ids=nc,
+                negative_t5_ids=nt,
                 **common,
             )
         stage = {"batch": n, "padded": pad, "tokenize_s": t_tokenized - t_start}
@@ -700,6 +803,8 @@ class BatchingEngine:
         lora: Optional[str] = None,
         init_image: Optional[np.ndarray] = None,
         strength: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> ServeRequest:
         if self._stop.is_set():
             # a request enqueued after stop() would never be processed and
@@ -707,6 +812,18 @@ class BatchingEngine:
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
+        if guidance_scale is not None or negative_prompt:
+            if self._runner is not None:
+                raise ValueError(
+                    "per-request guidance/negative prompts are SD3-only"
+                )
+            if self.guidance_scale is None:
+                raise ValueError(
+                    "per-request guidance/negative prompts need a "
+                    "CFG-enabled engine (built with guidance_scale=None)"
+                )
+            if guidance_scale is not None and not np.isfinite(guidance_scale):
+                raise ValueError(f"bad guidance_scale {guidance_scale}")
         if init_image is not None:
             if self._runner is not None or self.pipe.vae is None:
                 raise ValueError(
@@ -747,6 +864,10 @@ class BatchingEngine:
             prompt=prompt, seed=seed, steps=steps, resolution=resolution,
             deadline_s=deadline_s, lora=lora,
             init_image=init_image, strength=strength,
+            guidance_scale=(
+                None if guidance_scale is None else float(guidance_scale)
+            ),
+            negative_prompt=negative_prompt or None,
         )
         try:
             self._queue.put_nowait(req)
@@ -843,6 +964,8 @@ class BatchingEngine:
                         lora=lora_name,
                         init_images=[r.init_image for r in group],
                         strengths=[r.strength for r in group],
+                        guidances=[r.guidance_scale for r in group],
+                        negative_prompts=[r.negative_prompt for r in group],
                     )
                     if self._stage_times:
                         self._stage_times[-1]["queue_wait_s_max"] = max(waits)

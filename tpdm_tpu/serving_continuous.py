@@ -103,6 +103,10 @@ class _SlotState(NamedTuple):
     pe: object  # (S, L, D) positive prompt embeds
     pp: object  # (S, P) positive pooled embeds
     key: object  # PRNG key (predict=False draws)
+    # per-request CFG state (SD3 engine, CFG on; None otherwise):
+    gs: object = None  # (S,) f32 per-slot guidance strength
+    neg_pe: object = None  # (S, L, D) per-slot negative prompt embeds
+    neg_pp: object = None  # (S, P) per-slot negative pooled embeds
 
 
 class ContinuousBatchingEngine:
@@ -304,6 +308,9 @@ class ContinuousBatchingEngine:
                 pe=slot_sh(3),
                 pp=slot_sh(2),
                 key=self._rep_sharding,
+                gs=slot_sh(1) if gs is not None else None,
+                neg_pe=slot_sh(3) if gs is not None else None,
+                neg_pp=slot_sh(2) if gs is not None else None,
             )
             self._trace_sharding = NamedSharding(
                 mesh, P(None, ("data", "fsdp"))
@@ -329,20 +336,20 @@ class ContinuousBatchingEngine:
             clamp, per-sample Euler) so a slot's latent trajectory is
             identical to a solo `pipe.generate` run.
             """
+            # neg_pe/neg_pp args are legacy (the shared worker passes the
+            # engine constants); per-slot negatives + guidance live IN the
+            # state now so any per-request mix shares this one program
+            del neg_pe, neg_pp
             if gs is not None:
-                pe_full = jnp.concatenate(
-                    [jnp.broadcast_to(neg_pe, st.pe.shape), st.pe]
-                )
-                pp_full = jnp.concatenate(
-                    [jnp.broadcast_to(neg_pp, st.pp.shape), st.pp]
-                )
+                pe_full = jnp.concatenate([st.neg_pe, st.pe])
+                pp_full = jnp.concatenate([st.neg_pp, st.pp])
             else:
                 pe_full, pp_full = st.pe, st.pp
             denoise_fn = make_cfg_denoise_fn(
                 lambda *a: pipe.mmdit.apply(mmdit_params, *a),
                 pe_full,
                 pp_full,
-                gs,
+                st.gs if gs is not None else None,
                 token_grid,
                 mcfg.patch_size,
             )
@@ -373,7 +380,8 @@ class ContinuousBatchingEngine:
                 step, (st.latents, st.sigma, st.steps, st.key), None, length=seg
             )
             return (
-                _SlotState(lat, sigma, steps, st.caps, st.pe, st.pp, key),
+                _SlotState(lat, sigma, steps, st.caps, st.pe, st.pp, key,
+                           st.gs, st.neg_pe, st.neg_pp),
                 trace,  # (seg, S) sigma-after-step
             )
 
@@ -390,11 +398,20 @@ class ContinuousBatchingEngine:
         else:
             self._segment = jax.jit(segment, donate_argnums=donate)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
-            """Slot refill as ONE jitted update (slot index, cap, and
-            starting sigma are all traced — one compiled shape for any
-            slot/cap/img2img-strength mix); out_shardings keep the state
-            on the serving mesh."""
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0, gs0,
+                   npe_row, npp_row):
+            """Slot refill as ONE jitted update (slot index, cap, starting
+            sigma, guidance strength, and negative-embed rows are all
+            traced — one compiled shape for any slot/cap/img2img-strength/
+            guidance/negative mix); out_shardings keep the state on the
+            serving mesh."""
+            cfg_kw = {}
+            if gs is not None:
+                cfg_kw = dict(
+                    gs=st.gs.at[slot].set(gs0),
+                    neg_pe=st.neg_pe.at[slot].set(npe_row),
+                    neg_pp=st.neg_pp.at[slot].set(npp_row),
+                )
             return _SlotState(
                 latents=st.latents.at[slot].set(lat),
                 sigma=st.sigma.at[slot].set(sigma0),
@@ -403,6 +420,7 @@ class ContinuousBatchingEngine:
                 pe=st.pe.at[slot].set(pe_row),
                 pp=st.pp.at[slot].set(pp_row),
                 key=st.key,
+                **cfg_kw,
             )
 
         self._assign_fn = jax.jit(
@@ -418,6 +436,13 @@ class ContinuousBatchingEngine:
             return st
 
         def _fresh_state_impl():
+            cfg_kw = {}
+            if gs is not None:
+                cfg_kw = dict(
+                    gs=jnp.full((S,), float(gs), jnp.float32),
+                    neg_pe=jnp.tile(self._neg_pe, (S, 1, 1)),
+                    neg_pp=jnp.tile(self._neg_pp, (S, 1)),
+                )
             return _SlotState(
                 latents=jnp.zeros(
                     (S, mcfg.in_channels, self._lat_size, self._lat_size),
@@ -435,6 +460,7 @@ class ContinuousBatchingEngine:
                     probe.pooled_prompt_embeds.dtype,
                 ),
                 key=jax.random.PRNGKey(0),
+                **cfg_kw,
             )
 
         self._fresh_state = fresh_state
@@ -450,6 +476,20 @@ class ContinuousBatchingEngine:
         pe = self.pipe.text_encoders.encode(c, t)
         return self._embed_cache.put(
             prompt, (pe.prompt_embeds[0], pe.pooled_prompt_embeds[0])
+        )
+
+    def _neg_prompt_embeds(self, text: str):
+        """Per-request negative-prompt embed rows, LRU-cached under a
+        reserved key prefix so a prompt and a negative never collide
+        ("" rides the engine's constant zero-ids negative instead)."""
+        key = "\x00neg\x00" + text
+        hit = self._embed_cache.get(key)
+        if hit is not None:
+            return hit
+        c, t = self.tokenize(text)
+        pe = self.pipe.text_encoders.encode(c, t)
+        return self._embed_cache.put(
+            key, (pe.prompt_embeds[0], pe.pooled_prompt_embeds[0])
         )
 
     def _init_latent(self, seed: int):
@@ -498,16 +538,32 @@ class ContinuousBatchingEngine:
         pe_row, pp_row = self._prompt_embeds(req.prompt)
         lat, sigma0 = self._slot_init(req)
         cap = min(req.steps or self.max_steps, self.max_steps)
+        # per-request CFG state (SD3 engine, CFG on — its state carries
+        # gs/neg rows). Family engines and CFG-off states take the dummy
+        # branch: the assign fn ignores the operands, arity stays fixed.
+        if getattr(self._state, "gs", None) is not None:
+            gs0 = np.float32(
+                self.guidance_scale if req.guidance_scale is None
+                else req.guidance_scale
+            )
+            if req.negative_prompt:
+                npe_row, npp_row = self._neg_prompt_embeds(
+                    req.negative_prompt
+                )
+            else:
+                npe_row, npp_row = self._neg_pe[0], self._neg_pp[0]
+        else:
+            gs0, npe_row, npp_row = np.float32(0.0), pe_row, pp_row
         if self._mesh is not None:
             # committed-device discipline: rows must live on the serving
             # mesh before they meet the mesh-committed state in the jit
-            lat, pe_row, pp_row = (
+            lat, pe_row, pp_row, npe_row, npp_row = (
                 jax.device_put(x, self._rep_sharding)
-                for x in (lat, pe_row, pp_row)
+                for x in (lat, pe_row, pp_row, npe_row, npp_row)
             )
         self._state = self._assign_fn(
             self._state, np.int32(slot), lat, pe_row, pp_row, np.int32(cap),
-            sigma0,
+            sigma0, gs0, npe_row, npp_row,
         )
         self._slot_req[slot] = req
         self._slot_sigmas[slot] = []
@@ -628,6 +684,8 @@ class ContinuousBatchingEngine:
         deadline_s: Optional[float] = None,
         init_image: Optional["np.ndarray"] = None,
         strength: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> ServeRequest:
         """Enqueue one request. `steps` caps THIS request's NFE (quality vs
         latency knob, clamped to the engine max) — slot recycling means a
@@ -639,11 +697,28 @@ class ContinuousBatchingEngine:
         runs this request image-to-image: its slot starts at
         sigma = `strength` from the noised init latents, while other slots
         ride their own schedules — starting sigma is per-slot traced state,
-        so img2img and text-to-image requests share the compiled segment."""
+        so img2img and text-to-image requests share the compiled segment.
+
+        `guidance_scale` / `negative_prompt` (SD3 engine, CFG on) set THIS
+        request's CFG strength / negative conditioning — per-slot traced
+        state and per-slot embed rows, so any mix shares the compiled
+        segment (guidance 1.0 = conditional-only arithmetic)."""
         if self._stop.is_set():
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
+        if guidance_scale is not None or negative_prompt:
+            if self.pipe is None:
+                raise ValueError(
+                    "per-request guidance/negative prompts are SD3-only"
+                )
+            if self.guidance_scale is None:
+                raise ValueError(
+                    "per-request guidance/negative prompts need a "
+                    "CFG-enabled engine (built with guidance_scale=None)"
+                )
+            if guidance_scale is not None and not np.isfinite(guidance_scale):
+                raise ValueError(f"bad guidance_scale {guidance_scale}")
         if resolution is not None:
             raise ValueError(
                 "slots share one compiled latent shape — serve multiple "
@@ -673,6 +748,10 @@ class ContinuousBatchingEngine:
         req = ServeRequest(
             prompt=prompt, seed=seed, steps=steps, deadline_s=deadline_s,
             init_image=init_image, strength=strength,
+            guidance_scale=(
+                None if guidance_scale is None else float(guidance_scale)
+            ),
+            negative_prompt=negative_prompt or None,
         )
         try:
             self._queue.put_nowait(req)
@@ -1055,7 +1134,10 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
             self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.flux_params, self._tpm_params)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0,
+                   _gs0, _npe, _npp):
+            # trailing CFG operands unused (FLUX guidance is embedded);
+            # uniform assign arity across the engine family
             return _SlotState(
                 latents=st.latents.at[slot].set(lat),
                 sigma=st.sigma.at[slot].set(sigma0),
@@ -1261,9 +1343,11 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             self._segment = jax.jit(segment, donate_argnums=donate)
         self._segment_params = (agent.unet_params, self._tpm_params)
 
-        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0):
+        def assign(st, slot, lat, pe_row, pp_row, cap, sigma0,
+                   _gs0, _npe, _npp):
             # sigma0 carries the starting integer t (999.0 from _slot_init;
-            # uniform assign signature across the engine family)
+            # uniform assign signature across the engine family — the
+            # trailing CFG operands are the SD3 engine's, unused here)
             return _SD15SlotState(
                 latents=st.latents.at[slot].set(lat),
                 sigma=st.sigma.at[slot].set(sigma0),
