@@ -708,11 +708,19 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
     # multi-tenant adapters (--lora NAME=PATH): fixed-batch SD3 engine only
     _merge_path, _named_adapters = _split_lora_args(args)
     if _named_adapters:
-        if not isinstance(engine, BatchingEngine) or runner is not None:
+        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+
+        ok_fixed = isinstance(engine, BatchingEngine) and runner is None
+        ok_cont = (
+            isinstance(engine, ContinuousBatchingEngine)
+            and getattr(engine, "pipe", None) is not None
+        )
+        if not (ok_fixed or ok_cont):
             raise SystemExit(
-                "--lora NAME=PATH needs the fixed-batch SD3 engine (no "
-                "--continuous, no --family runner): per-slot adapters "
-                "cannot share one running continuous batch"
+                "--lora NAME=PATH needs an SD3 engine — fixed-batch "
+                "(per-adapter sub-batches) or --continuous (time-"
+                "multiplexed segments); family runners and the multi-res "
+                "router don't serve per-request adapters"
             )
         from tpdm_tpu.train.draft import load_lora
 

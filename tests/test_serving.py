@@ -1185,7 +1185,13 @@ class TestLoraCliAndHttp:
         finally:
             pipe.mmdit_params = base_params
 
-    def test_named_adapters_rejected_on_continuous(self, toy, tmp_path):
+    def test_named_adapters_on_continuous_http(self, toy, tmp_path):
+        """--continuous + --lora NAME=PATH serves the adapter over HTTP
+        (time-multiplexed segments, tpdm_tpu/serving_continuous.py
+        register_adapter); the multi-res ROUTER still rejects."""
+        import json
+        from urllib import request as urlreq
+
         import jax
 
         import serve
@@ -1198,8 +1204,42 @@ class TestLoraCliAndHttp:
         )
         args = argparse.Namespace(
             max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
-            prompt="default", seed=1, port=0, continuous=True, seg_steps=2,
-            lora=[f"a={tmp_path}/a.safetensors"], lora_scale=1.0, lora_cache=1,
+            mesh=None, prompt="default", seed=1, port=0, continuous=True,
+            seg_steps=2, lora=[f"a={tmp_path}/a.safetensors"],
+            lora_scale=1.0, lora_cache=1,
         )
-        with pytest.raises(SystemExit, match="fixed-batch"):
+        engine, server = serve.make_http_server(pipe, tokenize, args)
+        engine.start()
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+
+            def post_image(payload):
+                import base64
+                import io
+
+                from PIL import Image
+
+                body = json.dumps(payload).encode()
+                r = urlreq.urlopen(
+                    urlreq.Request(
+                        f"http://127.0.0.1:{port}/generate", data=body,
+                        headers={"Content-Type": "application/json"},
+                    ),
+                    timeout=600,
+                )
+                png = base64.b64decode(json.loads(r.read())["image_png_base64"])
+                return np.asarray(Image.open(io.BytesIO(png)), np.int16)
+
+            base = post_image({"prompt": "a cat", "seed": 7})
+            tuned = post_image({"prompt": "a cat", "seed": 7, "lora": "a"})
+            assert np.abs(base - tuned).max() > 1
+        finally:
+            server.shutdown()
+            engine.stop()
+
+        # the multi-res router still rejects named adapters
+        args.resolutions = "24"
+        with pytest.raises(SystemExit, match="router"):
             serve.make_http_server(pipe, tokenize, args)

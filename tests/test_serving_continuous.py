@@ -393,6 +393,120 @@ class TestLifecycle:
             eng.stop()
 
 
+def _noisy_lora(params, key, rank=2, scale_b=0.05):
+    """LoRA factors with RANDOM b (init_lora's b=0 is an exact identity —
+    useless for telling adapters apart in tests)."""
+    import jax
+
+    from tpdm_tpu.models.lora import init_lora
+
+    lora = init_lora(params, rank=rank, key=key)
+    out = {}
+    for i, (name, fac) in enumerate(sorted(lora.items())):
+        kb = jax.random.fold_in(key, i + 1)
+        out[name] = {
+            "a": fac["a"],
+            "b": jax.random.normal(kb, fac["b"].shape, fac["b"].dtype)
+            * scale_b,
+        }
+    return out
+
+
+class TestContinuousAdapters:
+    """Multi-tenant LoRA over continuous batching: slots carry different
+    adapters, segments time-multiplex one adapter's merged params with the
+    live-mask freezing its peers — a request's trajectory must equal a
+    solo run under its merged weights regardless of slot neighbours."""
+
+    def test_mixed_pool_parity_with_fixed_engine(self, toy):
+        import jax
+
+        pipe, tokenize = toy
+        lora_a = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+        lora_b = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(2))
+
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        ref.register_adapter("a", lora_a, merged_cache=2)
+        ref.register_adapter("b", lora_b, merged_cache=2)
+        jobs = [("a cat", 7, None), ("a cat", 7, "a"), ("a cat", 7, "b"),
+                ("blue bird", 3, "a")]
+        want = {
+            (p, s, l): ref.generate_batch([p], [s], lora=l)[0]["image"]
+            for p, s, l in jobs
+        }
+        assert (
+            np.abs(want[jobs[0]].astype(int) - want[jobs[1]].astype(int)).max()
+            > 1
+        ), "adapter must visibly change the output"
+
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4)
+        eng.register_adapter("a", lora_a, merged_cache=2)
+        eng.register_adapter("b", lora_b, merged_cache=2)
+        eng.start()
+        try:
+            reqs = [(j, eng.submit(j[0], seed=j[1], lora=j[2]))
+                    for j in jobs]
+            for j, r in reqs:
+                got = r.result(timeout=600)["image"]
+                diff = np.abs(
+                    got.astype(np.int16) - want[j].astype(np.int16)
+                )
+                # different jit programs (segment scan vs whole loop):
+                # allow the documented 1-level uint8 seam, never more
+                assert diff.max() <= 1, (j, diff.max())
+            st = eng.stats()
+            assert st["adapter_merges"] == 2  # one merge per adapter, LRU hit after
+            assert set(st["adapter_segments"]) == {"a", "b"}
+            # param-operand switching must not retrace the segment
+            assert eng._segment._cache_size() == 1
+        finally:
+            eng.stop()
+
+    def test_fairness_base_not_starved_by_adapter_flood(self, toy):
+        import jax
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=1,
+                                       max_steps=4)
+        eng.register_adapter(
+            "a", _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+        )
+        eng.adapter_fair_every = 2
+        eng.start()
+        try:
+            flood = [eng.submit(f"p{i}", seed=i, lora="a") for i in range(6)]
+            base = eng.submit("base prompt", seed=99)
+            assert base.result(timeout=600)["inference_steps"] >= 1
+            for r in flood:
+                r.result(timeout=600)
+        finally:
+            eng.stop()
+
+    def test_adapter_validation(self, toy):
+        import jax
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2)
+        with pytest.raises(ValueError, match="unknown adapter"):
+            eng.submit("x", lora="nope")
+        with pytest.raises(ValueError, match="non-empty"):
+            eng.register_adapter(
+                "", _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+            )
+        eng.start()
+        try:
+            with pytest.raises(RuntimeError, match="before start"):
+                eng.register_adapter(
+                    "late", _noisy_lora(pipe.mmdit_params,
+                                        jax.random.PRNGKey(1))
+                )
+        finally:
+            eng.stop()
+
+
 class TestMultiResRouter:
     """Per-request resolution over continuous batching: one engine (slot
     pool + compiled segment) per resolution, shared weights."""
@@ -439,6 +553,41 @@ class TestMultiResRouter:
             assert s["requests_done"] == 3
             assert s["resolutions"]["16"]["requests_done"] == 2
             assert s["resolutions"]["24"]["requests_done"] == 1
+        finally:
+            router.stop()
+
+    def test_router_forwards_per_request_cfg_knobs(self, toy):
+        """guidance_scale / negative_prompt pass through the router to the
+        resolution engine: a non-default strength == a fixed-batch run at
+        that engine-level strength (1-level seam across programs)."""
+        from tpdm_tpu.serving_continuous import MultiResContinuousRouter
+
+        pipe, tokenize = toy
+        exp = BatchingEngine(
+            pipe, tokenize, max_batch=1, window_ms=1, max_steps=4,
+            guidance_scale=2.0, vae_scale_factor=2,
+        ).generate_batch(["a cat"], [3])[0]
+        router = MultiResContinuousRouter(
+            pipe, tokenize, resolutions=[], slots=1, seg_steps=2,
+            max_steps=4, guidance_scale=7.0, vae_scale_factor=2,
+        )
+        router.start()
+        try:
+            got = router.submit(
+                "a cat", seed=3, guidance_scale=2.0
+            ).result(timeout=600)
+            diff = np.abs(
+                got["image"].astype(np.int16) - exp["image"].astype(np.int16)
+            )
+            assert diff.max() <= 1, diff.max()
+            # negative prompt reaches the slot state: output changes
+            neg = router.submit(
+                "a cat", seed=3, guidance_scale=2.0,
+                negative_prompt="blurry",
+            ).result(timeout=600)
+            assert np.abs(
+                neg["image"].astype(np.int16) - got["image"].astype(np.int16)
+            ).max() > 1
         finally:
             router.stop()
 

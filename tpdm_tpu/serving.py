@@ -571,15 +571,35 @@ class BatchingEngine:
         ``negative_prompts`` (optional per-request strings, None/"" =
         the engine's constant empty negative) embeds per-request negative
         prompts through the same towers/cache as positives."""
-        import jax
-
         if lora is not None or self._adapters:
             if self._runner is not None:
                 raise ValueError("adapters are SD3-pipeline-only")
             # swap the backbone operand for this batch; no recompile (params
-            # are jit arguments). The assignment persists until the next
-            # group — _params_for(None) restores the base tree.
+            # are jit arguments). Restored in the finally so the shared
+            # pipe is never left holding a merged tree (anything built on
+            # pipe.mmdit_params afterwards — another engine, a bench —
+            # must see the true base).
             self.pipe.mmdit_params = self._params_for(lora)
+            try:
+                return self._generate_batch_impl(
+                    prompts, seeds, record_stats, steps, resolution, lora,
+                    init_images, strengths, guidances, negative_prompts,
+                )
+            finally:
+                self.pipe.mmdit_params = self._base_mmdit_params
+        return self._generate_batch_impl(
+            prompts, seeds, record_stats, steps, resolution, None,
+            init_images, strengths, guidances, negative_prompts,
+        )
+
+    def _generate_batch_impl(
+        self, prompts, seeds, record_stats, steps, resolution, lora,
+        init_images, strengths, guidances, negative_prompts,
+    ):
+        # the adapter swap (and its restore) happened in generate_batch;
+        # `lora` here only labels the stats rows
+        import jax
+
         n = len(prompts)
         assert 0 < n <= self.max_batch
         pad = self.max_batch - n

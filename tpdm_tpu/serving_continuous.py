@@ -200,8 +200,31 @@ class ContinuousBatchingEngine:
         self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
             maxsize=queue_limit if queue_limit is not None else 8 * slots
         )
+        # requests drained from _queue awaiting a slot (adapter-affinity
+        # refill may serve them out of FIFO order, bounded by aging)
+        self._pending: "collections.deque" = collections.deque()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # -- multi-tenant LoRA adapters (register_adapter) --
+        # Slots may carry different adapters; each SEGMENT runs under ONE
+        # adapter's merged backbone (time-multiplexed — switching the param
+        # operand of the compiled segment costs no recompile), with the
+        # other adapters' slots frozen by the live-mask. name -> (factors,
+        # scale); merged trees materialize lazily into an LRU.
+        self._adapters: dict = {}
+        self._merged: "collections.OrderedDict" = collections.OrderedDict()
+        self._merged_cache_size = 1
+        self._merge_jit = None
+        self._slot_adapter: list = [None] * slots
+        self.adapter_merges = 0  # merged-tree LRU misses (full merges paid)
+        self.adapter_segments: dict = {}  # adapter name -> segments run
+        # fairness: an adapter with busy slots runs at least every
+        # `adapter_fair_every` segments, whatever the greedy count says
+        self.adapter_fair_every = 4
+        self._adapter_skipped: dict = {}  # name -> consecutive skips
+        # aging bound on affinity refill: a pending request older than
+        # this is seated FIFO even if its adapter has no slots in flight
+        self.adapter_starvation_s = 5.0
         self.async_decode = async_decode
         # finished slots' (req, latent_row, nfe, sigmas) awaiting decode
         self._decode_queue: "queue.Queue" = queue.Queue()
@@ -247,6 +270,95 @@ class ContinuousBatchingEngine:
 
             mesh, _ = setup_mesh_placement(self.pipe, mesh_shape)
         return mesh
+
+    # -- multi-tenant LoRA adapters ----------------------------------------
+    def register_adapter(
+        self, name: str, lora: dict, scale: float = 1.0,
+        merged_cache: int = 1,
+    ):
+        """Serve a named LoRA adapter next to the base model under
+        CONTINUOUS batching: requests carrying ``lora=name`` run on
+        ``apply_lora(base, lora, scale)``.
+
+        Slots holding different adapters coexist in the pool; each
+        segment is TIME-MULTIPLEXED to one adapter — the scheduler picks
+        the adapter with the most runnable slots (round-robin fairness
+        floor: every adapter with busy slots runs at least every
+        ``adapter_fair_every`` segments) and the live-mask freezes the
+        rest, so a request's trajectory equals a solo run under its
+        merged weights regardless of slot peers. Switching the segment's
+        param operand is recompile-free (same shapes/dtypes); the cost of
+        a mixed-adapter pool is utilization (frozen slots idle), reported
+        by ``stats()["slot_utilization"]`` — the fixed-batch engine's
+        per-adapter sub-batches (tpdm_tpu/serving.py register_adapter)
+        pay the same price as padding instead.
+
+        SD3 pipeline engines only (family runners own their params).
+        """
+        if self.pipe is None:
+            raise ValueError(
+                "adapters need the SD3 pipeline engine; family engines "
+                "own their backbone params"
+            )
+        if not name:
+            raise ValueError("adapter name must be non-empty")
+        if not lora:
+            raise ValueError("empty LoRA tree")
+        if self._thread is not None:
+            raise RuntimeError("register adapters before start()")
+        if self._mesh is not None:
+            import jax
+
+            # factors ride the mesh replicated; the merged kernels inherit
+            # the base kernels' shardings through the jitted merge (GSPMD)
+            lora = jax.tree.map(
+                lambda x: jax.device_put(x, self._rep_sharding), lora
+            )
+        self._adapters[name] = (lora, float(scale))
+        self._merged_cache_size = max(self._merged_cache_size, merged_cache)
+
+    def _params_for(self, name: Optional[str]):
+        """Backbone params for one adapter (None = base), merged lazily
+        into an LRU of at most `_merged_cache_size` trees."""
+        if name is None:
+            return self.pipe.mmdit_params
+        if name in self._merged:
+            self._merged.move_to_end(name)
+            return self._merged[name]
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+
+        if self._merge_jit is None:
+            self._merge_jit = jax.jit(apply_lora, static_argnames=("scale",))
+        lora, scale = self._adapters[name]
+        merged = self._merge_jit(self.pipe.mmdit_params, lora, scale=scale)
+        self.adapter_merges += 1
+        self._merged[name] = merged
+        while len(self._merged) > self._merged_cache_size:
+            self._merged.popitem(last=False)
+        return merged
+
+    def _pick_adapter(self, counts: dict):
+        """Scheduling: which adapter does THIS segment run? Greedy
+        max-runnable-slots, with a fairness floor — any adapter skipped
+        `adapter_fair_every` consecutive segments while holding busy
+        slots runs next (prevents a majority tenant starving a minority
+        slot forever)."""
+        if not counts:
+            return None
+        starved = [
+            n for n in counts
+            if self._adapter_skipped.get(n, 0) >= self.adapter_fair_every
+        ]
+        pool = starved or list(counts)
+        active = max(pool, key=lambda n: (counts[n], n is None))
+        for n in counts:
+            if n == active:
+                self._adapter_skipped[n] = 0
+            else:
+                self._adapter_skipped[n] = self._adapter_skipped.get(n, 0) + 1
+        return active
 
     # -- compiled pieces ---------------------------------------------------
     def _build_device_functions(self):
@@ -328,13 +440,19 @@ class ContinuousBatchingEngine:
 
         clamp_cfg = SamplerConfig(relative=relative)
 
-        def segment(mmdit_params, tpm_params, st: _SlotState, neg_pe, neg_pp):
+        def segment(mmdit_params, tpm_params, st: _SlotState, neg_pe, neg_pp,
+                    live):
             """seg_steps adaptive steps; finished/empty slots frozen by mask.
 
             Step semantics mirror `adaptive_sample`'s body
             (pipeline/sampler.py body(): done-before-step masking, ratio
             clamp, per-sample Euler) so a slot's latent trajectory is
             identical to a solo `pipe.generate` run.
+
+            ``live`` (S,) bool folds into the done-mask: slots whose
+            adapter is NOT the one this segment's params were merged for
+            freeze in place (time-multiplexed multi-tenant serving) —
+            traced, so every adapter mix shares this one program.
             """
             # neg_pe/neg_pp args are legacy (the shared worker passes the
             # engine constants); per-slot negatives + guidance live IN the
@@ -367,7 +485,7 @@ class ContinuousBatchingEngine:
                     ratio = beta_sample(sub, alpha, beta)
                 ratio = _clamp_ratio(ratio, sigma, clamp_cfg)
                 sig_next = sigma * ratio if relative else sigma - ratio
-                done = (sigma < min_sigma) | (steps >= st.caps)
+                done = (sigma < min_sigma) | (steps >= st.caps) | ~live
                 sig_next = jnp.where(done, sigma, sig_next)
                 bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
                 new_lat = jnp.where(
@@ -566,6 +684,7 @@ class ContinuousBatchingEngine:
             sigma0, gs0, npe_row, npp_row,
         )
         self._slot_req[slot] = req
+        self._slot_adapter[slot] = req.lora
         self._slot_sigmas[slot] = []
         self._steps_host[slot] = 0
         self._caps_host[slot] = cap
@@ -593,6 +712,7 @@ class ContinuousBatchingEngine:
             lat_row = jax.device_put(lat_row, self._rep_sharding)
         sigmas = [float(s) for s in self._slot_sigmas[slot][:nfe]]
         self._slot_req[slot] = None
+        self._slot_adapter[slot] = None
         self._slot_sigmas[slot] = []
         if self._decode_thread is not None:
             self._decode_queue.put((req, lat_row, nfe, sigmas))
@@ -627,27 +747,58 @@ class ContinuousBatchingEngine:
             self._complete(*item)
 
     def _refill(self, block: bool) -> bool:
-        """Fill free slots from the queue. Returns False on shutdown."""
-        free = [i for i in range(self.slots) if self._slot_req[i] is None]
-        for slot in free:
-            while True:
-                try:
-                    req = self._queue.get(block=block) if block else (
-                        self._queue.get_nowait()
-                    )
-                except queue.Empty:
-                    return True
-                if req is None:
-                    return False
-                if req.expired():
-                    # load shedding: don't give an abandoned request a slot
-                    req._expire()
-                    with self._lock:
-                        self.requests_expired += 1
-                    continue
+        """Fill free slots from the queue. Returns False on shutdown.
+
+        With adapters registered, free slots prefer pending requests whose
+        adapter already holds slots (affinity keeps the time-multiplexed
+        scheduler's runnable set large), bounded by aging — a request
+        older than ``adapter_starvation_s`` seats FIFO regardless."""
+        # drain the thread-safe queue into the worker-owned pending deque
+        # (only the FIRST get may block, and only when nothing is pending)
+        while True:
+            try:
+                req = self._queue.get(block=block and not self._pending)
+            except queue.Empty:
                 break
+            block = False
+            if req is None:
+                return False
+            self._pending.append(req)
+        # load shedding: don't give an abandoned request a slot
+        kept: "collections.deque" = collections.deque()
+        for req in self._pending:
+            if req.expired():
+                req._expire()
+                with self._lock:
+                    self.requests_expired += 1
+            else:
+                kept.append(req)
+        self._pending = kept
+        free = [i for i in range(self.slots) if self._slot_req[i] is None]
+        inflight = {
+            self._slot_adapter[i]
+            for i in range(self.slots)
+            if self._slot_req[i] is not None
+        }
+        now = time.monotonic()
+        for slot in free:
+            if not self._pending:
+                break
+            idx = 0
+            if (
+                self._adapters
+                and inflight
+                and now - self._pending[0].submitted_at
+                <= self.adapter_starvation_s
+            ):
+                for j, r in enumerate(self._pending):
+                    if r.lora in inflight:
+                        idx = j
+                        break
+            req = self._pending[idx]
+            del self._pending[idx]
             self._assign(slot, req)
-            block = False  # only the first wait may block
+            inflight.add(req.lora)
         return True
 
     def _run_segment(self):
@@ -655,11 +806,28 @@ class ContinuousBatchingEngine:
 
         busy_before = [i for i in range(self.slots) if self._slot_req[i] is not None]
         steps_before = self._steps_host.copy()
+        # time-multiplexed adapters: ONE adapter's merged params per
+        # segment, its peers frozen by the live-mask (no adapters in
+        # flight -> base params, all-live — the common case)
+        counts: dict = {}
+        for i in busy_before:
+            a = self._slot_adapter[i]
+            counts[a] = counts.get(a, 0) + 1
+        active = self._pick_adapter(counts)
+        live = np.asarray(
+            [self._slot_adapter[i] == active for i in range(self.slots)],
+            bool,
+        )
+        params = (
+            self._segment_params if active is None
+            else (self._params_for(active),) + self._segment_params[1:]
+        )
         self._state, trace = self._segment(
-            *self._segment_params,
+            *params,
             self._state,
             self._neg_pe,
             self._neg_pp,
+            live,
         )
         sigma, steps, trace = jax.device_get(
             (self._state.sigma, self._state.steps, trace)
@@ -667,6 +835,10 @@ class ContinuousBatchingEngine:
         self._steps_host[:] = steps
         with self._lock:
             self.segments_run += 1
+            if active is not None:
+                self.adapter_segments[active] = (
+                    self.adapter_segments.get(active, 0) + 1
+                )
             self.slot_steps_total += self.slots * self.seg_steps
             self.slot_steps_active += int(
                 (steps - steps_before)[busy_before].sum()
@@ -686,6 +858,7 @@ class ContinuousBatchingEngine:
         strength: Optional[float] = None,
         guidance_scale: Optional[float] = None,
         negative_prompt: Optional[str] = None,
+        lora: Optional[str] = None,
     ) -> ServeRequest:
         """Enqueue one request. `steps` caps THIS request's NFE (quality vs
         latency knob, clamped to the engine max) — slot recycling means a
@@ -702,11 +875,22 @@ class ContinuousBatchingEngine:
         `guidance_scale` / `negative_prompt` (SD3 engine, CFG on) set THIS
         request's CFG strength / negative conditioning — per-slot traced
         state and per-slot embed rows, so any mix shares the compiled
-        segment (guidance 1.0 = conditional-only arithmetic)."""
+        segment (guidance 1.0 = conditional-only arithmetic).
+
+        `lora` names a registered adapter (``register_adapter``) this
+        request runs under; None = the base model. Mixed-adapter slot
+        pools time-multiplex segments per adapter (see register_adapter)."""
         if self._stop.is_set():
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
+        if lora is not None:
+            if self.pipe is None:
+                raise ValueError(
+                    "adapters are SD3-pipeline-engine-only"
+                )
+            if lora not in self._adapters:
+                raise ValueError(f"unknown adapter {lora!r}")
         if guidance_scale is not None or negative_prompt:
             if self.pipe is None:
                 raise ValueError(
@@ -752,6 +936,7 @@ class ContinuousBatchingEngine:
                 None if guidance_scale is None else float(guidance_scale)
             ),
             negative_prompt=negative_prompt or None,
+            lora=lora,
         )
         try:
             self._queue.put_nowait(req)
@@ -804,6 +989,7 @@ class ContinuousBatchingEngine:
                 req._error = RuntimeError("engine stopped mid-generation")
                 req._event.set()
                 self._slot_req[i] = None
+                self._slot_adapter[i] = None
                 self._slot_sigmas[i] = []
         if had_inflight:  # restart begins from clean, all-empty slots
             self._state = self._fresh_state()
@@ -811,14 +997,23 @@ class ContinuousBatchingEngine:
             self._caps_host[:] = self.max_steps
 
     def _drain_failed(self, message: str):
+        def fail(req):
+            req._error = RuntimeError(message)
+            req._event.set()
+
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
             if req is not None:
-                req._error = RuntimeError(message)
-                req._event.set()
+                fail(req)
+        # _pending is owned by the worker thread: drain it only once the
+        # worker is no longer running (stop() joins before calling this;
+        # submit()'s TOCTOU path may race a still-exiting worker and skips)
+        if self._thread is None or not self._thread.is_alive():
+            while self._pending:
+                fail(self._pending.popleft())
 
     def _worker(self):
         while not self._stop.is_set():
@@ -883,10 +1078,13 @@ class ContinuousBatchingEngine:
                     if self.slot_steps_total
                     else 0.0
                 ),
-                "queue_depth": self._queue.qsize(),
+                "queue_depth": self._queue.qsize() + len(self._pending),
                 "decode_pending": self._decode_queue.qsize(),
                 "embed_cache_entries": len(self._embed_cache),
             }
+            if self._adapters:
+                out["adapter_merges"] = self.adapter_merges
+                out["adapter_segments"] = dict(self.adapter_segments)
         if nfes:
             out["nfe_mean"] = float(np.mean(nfes))
             out["nfe_max"] = int(np.max(nfes))
@@ -1083,7 +1281,8 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
             caps=slot_sh(1), pe=slot_sh(3), pp=slot_sh(2), key=rep,
         )
 
-        def segment(flux_params, tpm_params, st: _SlotState, _neg_pe, _neg_pp):
+        def segment(flux_params, tpm_params, st: _SlotState, _neg_pe, _neg_pp,
+                    live):
             txt_ids = jnp.zeros((S, n_txt, 3))
             denoise_fn = make_flux_denoise_fn(
                 lambda *a: agent.flux.apply(flux_params, *a),
@@ -1107,7 +1306,7 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
                     ratio = beta_sample(sub, alpha, beta)
                 ratio = _clamp_ratio(ratio, sigma, clamp_cfg)
                 sig_next = sigma * ratio if relative else sigma - ratio
-                done = (sigma < scfg.min_sigma) | (steps >= st.caps)
+                done = (sigma < scfg.min_sigma) | (steps >= st.caps) | ~live
                 sig_next = jnp.where(done, sigma, sig_next)
                 bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
                 new_lat = jnp.where(
@@ -1271,7 +1470,8 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         if rep is not None:
             self._neg_pe = jax.device_put(self._neg_pe, rep)
 
-        def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, _npp):
+        def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, _npp,
+                    live):
             pe_full = (
                 jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
                 if gs is not None and gs > 1 else st.pe
@@ -1294,7 +1494,7 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
                 )
                 ratio = jnp.clip(ratio, eps_clip, 1.0 - eps_clip)
                 t_next = (t.astype(jnp.float32) * ratio).astype(jnp.int32)
-                done = (t < scfg.min_time) | (steps >= st.caps)
+                done = (t < scfg.min_time) | (steps >= st.caps) | ~live
                 cap_now = (~done) & (steps >= st.caps - 1)
                 t_next = jnp.where(cap_now, 0, t_next)
 
@@ -1463,6 +1663,8 @@ class MultiResContinuousRouter:
         deadline_s: Optional[float] = None,
         init_image: Optional["np.ndarray"] = None,
         strength: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
     ) -> ServeRequest:
         r = resolution if resolution is not None else self.default_resolution
         eng = self._engines.get(r)
@@ -1472,7 +1674,9 @@ class MultiResContinuousRouter:
             )
         return eng.submit(prompt, seed=seed, steps=steps,
                           deadline_s=deadline_s,
-                          init_image=init_image, strength=strength)
+                          init_image=init_image, strength=strength,
+                          guidance_scale=guidance_scale,
+                          negative_prompt=negative_prompt)
 
     def warmup(self):
         for eng in self._engines.values():
