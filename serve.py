@@ -441,12 +441,20 @@ def main():
                         "checkpoint untouched on disk). NAME=PATH (repeat "
                         "the flag) registers named adapters for multi-"
                         "tenant serving instead: requests select one via "
-                        '{"lora": "NAME"} (fixed-batch SD3 engine only; '
-                        "base model serves requests without the field)")
+                        '{"lora": "NAME"} (SD3 engines — fixed-batch or '
+                        "--continuous; base model serves requests without "
+                        "the field)")
     p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--lora_cache", type=int, default=1,
                    help="merged-backbone LRU entries for NAME=PATH adapters "
                         "(each is a full backbone copy in device memory)")
+    p.add_argument("--lora_fused", action="store_true",
+                   help="continuous engine only: apply NAME=PATH adapters "
+                        "as per-slot rank-r deltas inside the backbone "
+                        "(one segment advances every tenant — full slot "
+                        "utilization for any adapter mix, no merged "
+                        "weight copies) instead of time-multiplexing "
+                        "merged trees")
     p.add_argument("--tb_dir", default=None,
                    help="stream engine stats() to TensorBoard event files "
                         "in this directory every --tb_interval seconds "
@@ -688,6 +696,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 max_steps=args.max_steps,
                 dp=args.dp,
                 mesh_shape=mesh_shape,
+                fused_lora=getattr(args, "lora_fused", False),
             )
     else:
         res_list = getattr(args, "resolutions", None)
@@ -705,8 +714,21 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             vae_scale_factor=_pipe_vae_scale_factor(pipe),
         )
 
-    # multi-tenant adapters (--lora NAME=PATH): fixed-batch SD3 engine only
+    # multi-tenant adapters (--lora NAME=PATH): SD3 engines only
     _merge_path, _named_adapters = _split_lora_args(args)
+    if getattr(args, "lora_fused", False):
+        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+
+        if not (
+            isinstance(engine, ContinuousBatchingEngine)
+            and getattr(engine, "pipe", None) is not None
+        ):
+            raise SystemExit(
+                "--lora_fused needs the single continuous SD3 engine "
+                "(--continuous, no --resolutions, no --family runner)"
+            )
+        if not _named_adapters:
+            raise SystemExit("--lora_fused without --lora NAME=PATH adapters")
     if _named_adapters:
         from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 

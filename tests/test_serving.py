@@ -1185,6 +1185,26 @@ class TestLoraCliAndHttp:
         finally:
             pipe.mmdit_params = base_params
 
+    def test_lora_fused_requires_continuous_sd3(self, toy, tmp_path):
+        import jax
+
+        import serve
+        from tpdm_tpu.train.draft import save_lora
+
+        pipe, tokenize = toy
+        save_lora(
+            str(tmp_path / "a.safetensors"),
+            _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(13)),
+        )
+        args = argparse.Namespace(
+            max_steps=3, max_batch=2, batch_window_ms=10.0, dp=None,
+            mesh=None, prompt="default", seed=1, port=0, continuous=False,
+            seg_steps=2, lora=[f"a={tmp_path}/a.safetensors"],
+            lora_scale=1.0, lora_cache=1, lora_fused=True,
+        )
+        with pytest.raises(SystemExit, match="continuous"):
+            serve.make_http_server(pipe, tokenize, args)
+
     def test_named_adapters_on_continuous_http(self, toy, tmp_path):
         """--continuous + --lora NAME=PATH serves the adapter over HTTP
         (time-multiplexed segments, tpdm_tpu/serving_continuous.py

@@ -484,6 +484,92 @@ class TestContinuousAdapters:
         finally:
             eng.stop()
 
+    def test_fused_mixed_pool_matches_merged_solo(self, toy):
+        """fused_lora=True: per-slot rank-r deltas inside the backbone.
+        Base requests keep base numerics (1-level seam: the interceptor
+        graph fuses differently); adapter requests match the MERGED solo
+        run within the rounding of W-vs-(W+Δ) in the base matmuls (the
+        documented fused/merged numerics gap)."""
+        import jax
+
+        pipe, tokenize = toy
+        lora_a = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+        lora_b = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(2))
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        ref.register_adapter("a", lora_a, merged_cache=2)
+        ref.register_adapter("b", lora_b, merged_cache=2)
+        jobs = [("a cat", 7, None), ("a cat", 7, "a"), ("blue bird", 3, "b")]
+        want = {
+            j: ref.generate_batch([j[0]], [j[1]], lora=j[2])[0]["image"]
+            for j in jobs
+        }
+
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4, fused_lora=True)
+        eng.register_adapter("a", lora_a)
+        eng.register_adapter("b", lora_b)
+        eng.start()
+        try:
+            reqs = [(j, eng.submit(j[0], seed=j[1], lora=j[2]))
+                    for j in jobs]
+            for j, r in reqs:
+                got = r.result(timeout=600)["image"]
+                diff = np.abs(
+                    got.astype(np.int16) - want[j].astype(np.int16)
+                )
+                if j[2] is None:
+                    # base rows ride an exact zero delta
+                    assert diff.max() <= 1, diff.max()
+                else:
+                    # fused-vs-merged rounding, amplified through the
+                    # adaptive loop: small but not bitwise
+                    assert diff.max() <= 24, diff.max()
+                    assert diff.mean() < 3.0, diff.mean()
+                    # ... and the adapter must still dominate the delta:
+                    base_diff = np.abs(
+                        want[(j[0], j[1], None)].astype(np.int16)
+                        - want[j].astype(np.int16)
+                    ) if (j[0], j[1], None) in want else None
+                    if base_diff is not None:
+                        assert base_diff.max() > diff.max()
+            st = eng.stats()
+            assert st["lora_mode"] == "fused"
+            assert st["adapter_merges"] == 0  # no merged trees in fused mode
+        finally:
+            eng.stop()
+
+    def test_fused_advances_all_tenants_in_one_segment(self, toy):
+        """The fused mode's point: a 50/50 two-tenant pool finishes in the
+        segments a single-tenant pool would need (time-multiplexing would
+        pay one segment per tenant)."""
+        import jax
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=3,
+                                       max_steps=3, fused_lora=True)
+        eng.register_adapter(
+            "a", _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+        )
+        eng.register_adapter(
+            "b", _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(2))
+        )
+        ra = eng.submit("x", seed=1, lora="a")
+        rb = eng.submit("y", seed=2, lora="b")
+        eng.start()
+        try:
+            ra.result(timeout=600)
+            rb.result(timeout=600)
+            st = eng.stats()
+            assert st["segments_run"] == 1, st["segments_run"]
+            assert st["slot_utilization"] == 1.0
+        finally:
+            eng.stop()
+
+    def test_fused_rejected_on_family_engines(self, toy):
+        with pytest.raises(ValueError, match="SD3"):
+            ContinuousBatchingEngine(None, None, slots=1, fused_lora=True)
+
     def test_adapter_validation(self, toy):
         import jax
 

@@ -161,9 +161,12 @@ class ContinuousBatchingEngine:
         async_decode: bool = True,
         resolution: Optional[int] = None,
         vae_scale_factor: int = 8,
+        fused_lora: bool = False,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
+        if fused_lora and pipe is None:
+            raise ValueError("fused_lora needs the SD3 pipeline engine")
         if resolution is not None and resolution % vae_scale_factor != 0:
             raise ValueError(
                 f"resolution {resolution} not a multiple of vae_scale_factor "
@@ -216,6 +219,15 @@ class ContinuousBatchingEngine:
         self._merged_cache_size = 1
         self._merge_jit = None
         self._slot_adapter: list = [None] * slots
+        # fused mode (fused_lora=True): per-slot rank-r deltas from a
+        # stacked factor bank applied INSIDE the backbone — every segment
+        # advances ALL adapters at once (full slot utilization for any
+        # tenant mix, no merged weight copies; numerics differ from the
+        # merged path by the base matmul's rounding of W vs W+Δ)
+        self.fused_lora = bool(fused_lora)
+        self._bank = None
+        self._adapter_ids: dict = {}
+        self._fused_active = False
         self.adapter_merges = 0  # merged-tree LRU misses (full merges paid)
         self.adapter_segments: dict = {}  # adapter name -> segments run
         # fairness: an adapter with busy slots runs at least every
@@ -440,8 +452,10 @@ class ContinuousBatchingEngine:
 
         clamp_cfg = SamplerConfig(relative=relative)
 
+        fused = self._fused_active
+
         def segment(mmdit_params, tpm_params, st: _SlotState, neg_pe, neg_pp,
-                    live):
+                    live, bank=None, ids=None):
             """seg_steps adaptive steps; finished/empty slots frozen by mask.
 
             Step semantics mirror `adaptive_sample`'s body
@@ -463,8 +477,28 @@ class ContinuousBatchingEngine:
                 pp_full = jnp.concatenate([st.neg_pp, st.pp])
             else:
                 pe_full, pp_full = st.pe, st.pp
+            if fused:
+                # per-slot LoRA deltas INSIDE the backbone: one forward
+                # advances every adapter in the pool (CFG batch is
+                # [uncond slots; cond slots] -> ids repeat)
+                import flax.linen as nn
+
+                from tpdm_tpu.models.lora import lora_interceptor
+
+                row_ids = (
+                    jnp.concatenate([ids, ids]) if gs is not None else ids
+                )
+
+                def apply_fn(*a):
+                    with nn.intercept_methods(
+                        lora_interceptor(bank, row_ids)
+                    ):
+                        return pipe.mmdit.apply(mmdit_params, *a)
+
+            else:
+                apply_fn = lambda *a: pipe.mmdit.apply(mmdit_params, *a)
             denoise_fn = make_cfg_denoise_fn(
-                lambda *a: pipe.mmdit.apply(mmdit_params, *a),
+                apply_fn,
                 pe_full,
                 pp_full,
                 st.gs if gs is not None else None,
@@ -787,6 +821,7 @@ class ContinuousBatchingEngine:
             idx = 0
             if (
                 self._adapters
+                and not self._fused_active  # fused: any mix advances together
                 and inflight
                 and now - self._pending[0].submitted_at
                 <= self.adapter_starvation_s
@@ -813,21 +848,38 @@ class ContinuousBatchingEngine:
         for i in busy_before:
             a = self._slot_adapter[i]
             counts[a] = counts.get(a, 0) + 1
-        active = self._pick_adapter(counts)
-        live = np.asarray(
-            [self._slot_adapter[i] == active for i in range(self.slots)],
-            bool,
-        )
-        params = (
-            self._segment_params if active is None
-            else (self._params_for(active),) + self._segment_params[1:]
-        )
+        if self._fused_active:
+            # fused mode: every tenant advances in the same segment — base
+            # params + all-live; per-slot bank ids route the deltas
+            active = None
+            live = np.ones((self.slots,), bool)
+            ids = np.asarray(
+                [
+                    0 if a is None else self._adapter_ids[a]
+                    for a in self._slot_adapter
+                ],
+                np.int32,
+            )
+            extra = (self._bank, ids)
+            params = self._segment_params
+        else:
+            active = self._pick_adapter(counts)
+            live = np.asarray(
+                [self._slot_adapter[i] == active for i in range(self.slots)],
+                bool,
+            )
+            extra = ()
+            params = (
+                self._segment_params if active is None
+                else (self._params_for(active),) + self._segment_params[1:]
+            )
         self._state, trace = self._segment(
             *params,
             self._state,
             self._neg_pe,
             self._neg_pp,
             live,
+            *extra,
         )
         sigma, steps, trace = jax.device_get(
             (self._state.sigma, self._state.steps, trace)
@@ -835,9 +887,14 @@ class ContinuousBatchingEngine:
         self._steps_host[:] = steps
         with self._lock:
             self.segments_run += 1
-            if active is not None:
-                self.adapter_segments[active] = (
-                    self.adapter_segments.get(active, 0) + 1
+            advanced = (
+                [n for n in counts if n is not None]
+                if self._fused_active
+                else ([active] if active is not None else [])
+            )
+            for name in advanced:
+                self.adapter_segments[name] = (
+                    self.adapter_segments.get(name, 0) + 1
                 )
             self.slot_steps_total += self.slots * self.seg_steps
             self.slot_steps_active += int(
@@ -953,6 +1010,21 @@ class ContinuousBatchingEngine:
     def start(self):
         if self._thread is not None:
             return
+        if self.fused_lora and self._adapters and self._bank is None:
+            import jax
+
+            from tpdm_tpu.models.lora import stack_adapters
+
+            self._bank, self._adapter_ids = stack_adapters(self._adapters)
+            if self._mesh is not None:
+                self._bank = jax.tree.map(
+                    lambda x: jax.device_put(x, self._rep_sharding),
+                    self._bank,
+                )
+            self._fused_active = True
+            # rebuild the compiled pieces: the fused segment takes the
+            # factor bank + per-slot bank ids as extra traced operands
+            self._build_device_functions()
         self._stop.clear()
         if self.async_decode:
             self._decode_thread = threading.Thread(
@@ -1085,6 +1157,9 @@ class ContinuousBatchingEngine:
             if self._adapters:
                 out["adapter_merges"] = self.adapter_merges
                 out["adapter_segments"] = dict(self.adapter_segments)
+                out["lora_mode"] = (
+                    "fused" if self.fused_lora else "multiplex"
+                )
         if nfes:
             out["nfe_mean"] = float(np.mean(nfes))
             out["nfe_max"] = int(np.max(nfes))
