@@ -276,6 +276,50 @@ class TestMeshContinuous:
             self._drive(caps, mesh_shape=(2, 2, 2), slots=8), want
         )
 
+    def test_fused_adapters_under_full_mesh(self, toy):
+        """Fused multi-tenant LoRA on the (2,2,2) serving mesh: the factor
+        bank replicates, slot ids route per-row deltas into batch-sharded
+        activations (GSPMD). Mesh results must match the single-device
+        FUSED engine (same math, differently partitioned program: 1-LSB
+        seam), with per-shard batch >= 2 (partitioner-landmine rule)."""
+        import jax
+
+        def adapters(pipe):
+            return {
+                n: _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(s))
+                for n, s in (("a", 1), ("b", 2))
+            }
+
+        jobs = [("vary", 5, 3, "a"), ("vary", 5, 3, "b"),
+                ("vary", 5, 6, None), ("other", 2, 4, "a"),
+                ("vary", 5, 2, "b"), ("other", 2, 6, None),
+                ("vary", 5, 4, "a"), ("other", 2, 2, "b")]
+
+        def drive(mesh_shape, slots):
+            pipe, tokenize = _toy_pipeline()
+            kw = {} if mesh_shape is None else {"mesh_shape": mesh_shape}
+            eng = ContinuousBatchingEngine(pipe, tokenize, slots=slots,
+                                           seg_steps=2, max_steps=6,
+                                           fused_lora=True, **kw)
+            for n, lora in adapters(pipe).items():
+                eng.register_adapter(n, lora)
+            eng.start()
+            try:
+                reqs = [eng.submit(p, seed=s, steps=c, lora=l)
+                        for p, s, c, l in jobs]
+                return [r.result(timeout=600) for r in reqs]
+            finally:
+                eng.stop()
+
+        want = drive(None, 1)  # single-device fused, solo slots
+        got = drive((2, 2, 2), 8)
+        for j, w, g in zip(jobs, want, got):
+            assert g["inference_steps"] == w["inference_steps"]
+            diff = np.abs(
+                g["image"].astype(np.int64) - w["image"].astype(np.int64)
+            ).max()
+            assert diff <= 1, f"{j}: image off by {diff} > 1 LSB"
+
     def test_bad_shapes_rejected(self, toy):
         pipe, tokenize = toy
         with pytest.raises(ValueError, match="divisible"):
