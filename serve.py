@@ -338,26 +338,37 @@ def build_family_world(args):
     if getattr(args, "lora", None):
         lora_path, named = _split_lora_args(args)
         if named:
-            raise SystemExit(
-                "--lora NAME=PATH adapters are SD3-engine-only; --family "
-                "flux supports a single merged adapter (bare path)"
-            )
-        if fcfg.quant_matmuls:
-            raise SystemExit(
-                "--lora cannot merge into a quantized (--int8/--int4) "
-                "backbone; merge first, then quantize the merged weights"
-            )
-        from tpdm_tpu.models.lora import apply_lora
-        from tpdm_tpu.train.draft import load_lora
+            if not (
+                getattr(args, "lora_fused", False)
+                and getattr(args, "continuous", False)
+            ):
+                raise SystemExit(
+                    "--family flux NAME=PATH adapters need --continuous "
+                    "--lora_fused (per-slot fused deltas; a merged 12B "
+                    "copy per tenant would not fit); a bare path merges "
+                    "a single adapter at load"
+                )
+            # registered on the continuous engine in make_http_server
+            lora_path = None
+        if lora_path is not None:
+            if fcfg.quant_matmuls:
+                raise SystemExit(
+                    "--lora cannot merge into a quantized (--int8/--int4) "
+                    "backbone; merge first, then quantize the merged "
+                    "weights"
+                )
+            from tpdm_tpu.models.lora import apply_lora
+            from tpdm_tpu.train.draft import load_lora
 
-        lora = load_lora(lora_path)
-        agent.flux_params = apply_lora(
-            agent.flux_params, lora, scale=getattr(args, "lora_scale", 1.0)
-        )
-        logger.info(
-            "merged LoRA %s into the FLUX backbone (%d kernels)",
-            lora_path, len(lora),
-        )
+            lora = load_lora(lora_path)
+            agent.flux_params = apply_lora(
+                agent.flux_params, lora,
+                scale=getattr(args, "lora_scale", 1.0),
+            )
+            logger.info(
+                "merged LoRA %s into the FLUX backbone (%d kernels)",
+                lora_path, len(lora),
+            )
 
     vae = VAE(VAEConfig.toy(latent_channels=4))
     vae_params = vae.init(key, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1, 3, 16, 16)))
@@ -654,6 +665,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 seg_steps=getattr(args, "seg_steps", 4),
                 dp=args.dp,
                 mesh_shape=mesh_shape,
+                fused_lora=getattr(args, "lora_fused", False),
                 # default max_steps: the agent's own compiled step budget
                 # (the toy worlds already clamp it to min(args.max_steps, 8))
             )
@@ -717,32 +729,42 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
     # multi-tenant adapters (--lora NAME=PATH): SD3 engines only
     _merge_path, _named_adapters = _split_lora_args(args)
     if getattr(args, "lora_fused", False):
-        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+        from tpdm_tpu.serving_continuous import (
+            ContinuousBatchingEngine,
+            ContinuousSD15Engine,
+        )
 
-        if not (
-            isinstance(engine, ContinuousBatchingEngine)
-            and getattr(engine, "pipe", None) is not None
+        if not isinstance(engine, ContinuousBatchingEngine) or isinstance(
+            engine, ContinuousSD15Engine
         ):
             raise SystemExit(
-                "--lora_fused needs the single continuous SD3 engine "
-                "(--continuous, no --resolutions, no --family runner)"
+                "--lora_fused needs a single continuous SD3 or FLUX "
+                "engine (--continuous, no --resolutions router, no sd15 "
+                "— that family has no LoRA trainer)"
             )
         if not _named_adapters:
             raise SystemExit("--lora_fused without --lora NAME=PATH adapters")
     if _named_adapters:
-        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
+        from tpdm_tpu.serving_continuous import (
+            ContinuousBatchingEngine,
+            ContinuousFluxEngine,
+        )
 
         ok_fixed = isinstance(engine, BatchingEngine) and runner is None
-        ok_cont = (
-            isinstance(engine, ContinuousBatchingEngine)
-            and getattr(engine, "pipe", None) is not None
+        ok_cont = isinstance(engine, ContinuousBatchingEngine) and (
+            getattr(engine, "pipe", None) is not None
+            or (
+                getattr(args, "lora_fused", False)
+                and isinstance(engine, ContinuousFluxEngine)
+            )
         )
         if not (ok_fixed or ok_cont):
             raise SystemExit(
                 "--lora NAME=PATH needs an SD3 engine — fixed-batch "
                 "(per-adapter sub-batches) or --continuous (time-"
-                "multiplexed segments); family runners and the multi-res "
-                "router don't serve per-request adapters"
+                "multiplexed segments) — or --family flux --continuous "
+                "--lora_fused; the multi-res router doesn't serve "
+                "per-request adapters"
             )
         from tpdm_tpu.train.draft import load_lora
 

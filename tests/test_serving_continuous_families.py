@@ -138,6 +138,112 @@ class TestContinuousFlux:
         _drive_continuous(eng, REQUESTS[:3])
         assert eng._segment._cache_size() == 1
 
+
+def _noisy_lora(params, key, rank=2, scale_b=0.05):
+    import jax
+
+    from tpdm_tpu.models.lora import init_lora
+
+    lora = init_lora(params, rank=rank, key=key)
+    out = {}
+    for i, (name, fac) in enumerate(sorted(lora.items())):
+        kb = jax.random.fold_in(key, i + 1)
+        out[name] = {
+            "a": fac["a"],
+            "b": jax.random.normal(kb, fac["b"].shape, fac["b"].dtype)
+            * scale_b,
+        }
+    return out
+
+
+class TestFluxFusedAdapters:
+    """Multi-tenant FLUX serving: fused-only (per-slot rank-r deltas via
+    models/lora.py lora_interceptor — a 12B-class merged copy per tenant
+    would not fit, so there is no multiplex path for families)."""
+
+    def test_fused_mixed_pool_vs_merged_solo(self, flux_world):
+        import copy
+
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+        from tpdm_tpu.serving_families import make_flux_runner
+
+        w = flux_world
+        lora = _noisy_lora(w["agent"].flux_params, jax.random.PRNGKey(4))
+
+        # oracle: a solo fixed-batch runner over MANUALLY merged weights
+        merged_agent = copy.copy(w["agent"])
+        merged_agent.flux_params = apply_lora(w["agent"].flux_params, lora)
+        merged_runner = make_flux_runner(
+            merged_agent, w["tpm_params"], w["encode"], w["decode"]
+        )
+        ref_tuned = BatchingEngine(
+            None, _noop_tokenize, max_batch=1, window_ms=1, max_steps=4,
+            runner=merged_runner,
+        ).generate_batch(["a cat"], [3])[0]
+        ref_base = _fixed_reference(w, [("a cat", 3, None)])[
+            ("a cat", 3, None)
+        ]
+
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=2,
+            fused_lora=True,
+        )
+        eng.register_adapter("style", lora)
+        eng.start()
+        try:
+            rb = eng.submit("a cat", seed=3)
+            rt = eng.submit("a cat", seed=3, lora="style")
+            base = rb.result(timeout=600)
+            tuned = rt.result(timeout=600)
+        finally:
+            eng.stop()
+        # base slots ride an exact zero delta: 1-LSB program seam only
+        _assert_images_within_1lsb(
+            base["image"], ref_base["image"], "base"
+        )
+        # adapter slot ~ merged oracle (fused rounds W and x@AB
+        # separately: small, bounded gap), and visibly not the base
+        assert tuned["inference_steps"] == ref_tuned["inference_steps"]
+        diff = np.abs(
+            tuned["image"].astype(np.int16)
+            - ref_tuned["image"].astype(np.int16)
+        )
+        assert diff.max() <= 24, diff.max()
+        assert diff.mean() < 3.0
+        assert (
+            np.abs(
+                tuned["image"].astype(np.int16)
+                - base["image"].astype(np.int16)
+            ).max()
+            > 1
+        )
+        assert eng.stats()["lora_mode"] == "fused"
+
+    def test_family_adapters_require_fused(self, flux_world):
+        import jax
+
+        w = flux_world
+        eng = ContinuousFluxEngine(
+            w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
+        )
+        with pytest.raises(ValueError, match="fused-only"):
+            eng.register_adapter(
+                "x", _noisy_lora(w["agent"].flux_params, jax.random.PRNGKey(1))
+            )
+
+    def test_sd15_has_no_adapter_path(self, sd15_world):
+        w = sd15_world
+        eng = ContinuousSD15Engine(
+            w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
+            fused_lora=True,
+        )
+        with pytest.raises(ValueError, match="no LoRA adapter path"):
+            eng.register_adapter("x", {"k": {"a": np.zeros((2, 1)),
+                                             "b": np.zeros((1, 2))}})
+
     def test_embed_cache_dedupes_repeat_prompts(self, flux_world):
         w = flux_world
         eng = ContinuousFluxEngine(
@@ -244,3 +350,61 @@ class TestServeCLIWiring:
         finally:
             server.server_close()
             engine.stop()
+
+    def test_flux_fused_adapters_over_cli(self, tmp_path):
+        """--family flux --continuous --lora_fused --lora NAME=PATH:
+        the adapter registers on the fused continuous engine and a
+        {"lora": NAME} request visibly changes the output."""
+        import jax
+
+        import serve
+        from tpdm_tpu.train.draft import save_lora
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, family="flux", max_steps=3, max_batch=2,
+            batch_window_ms=10.0, dp=None, mesh=None, continuous=True,
+            seg_steps=1, prompt="d", seed=1, port=0, lora_fused=True,
+            lora_scale=1.0, lora_cache=1,
+        )
+        world = serve.build_family_world(args)
+        save_lora(
+            str(tmp_path / "s.safetensors"),
+            _noisy_lora(world["agent"].flux_params, jax.random.PRNGKey(4)),
+        )
+        args.lora = [f"s={tmp_path}/s.safetensors"]
+        engine, server = serve.make_http_server(
+            None, _noop_tokenize, args, runner=world["runner"],
+            family_world=world,
+        )
+        try:
+            assert isinstance(engine, ContinuousFluxEngine)
+            assert engine.fused_lora and "s" in engine._adapters
+            engine.start()
+            base = engine.submit("a cat", seed=7).result(timeout=600)
+            tuned = engine.submit(
+                "a cat", seed=7, lora="s"
+            ).result(timeout=600)
+            assert (
+                np.abs(
+                    base["image"].astype(np.int16)
+                    - tuned["image"].astype(np.int16)
+                ).max()
+                > 1
+            )
+        finally:
+            server.server_close()
+            engine.stop()
+
+    def test_sd15_fused_rejected_over_cli(self, tmp_path):
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, family="sd15", max_steps=3, max_batch=2,
+            batch_window_ms=10.0, dp=None, mesh=None, continuous=True,
+            seg_steps=1, prompt="d", seed=1, port=0, lora_fused=True,
+            lora=["s=/nonexistent.safetensors"], lora_scale=1.0,
+            lora_cache=1,
+        )
+        # rejected at world-build time: no SD1.5 LoRA trainer exists
+        with pytest.raises(SystemExit, match="sd15"):
+            serve.build_family_world(args)

@@ -165,7 +165,9 @@ class ContinuousBatchingEngine:
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
-        if fused_lora and pipe is None:
+        if fused_lora and pipe is None and not hasattr(self, "agent"):
+            # agent-backed family engines (which set self.agent before
+            # delegating here) opt in via their own register_adapter
             raise ValueError("fused_lora needs the SD3 pipeline engine")
         if resolution is not None and resolution % vae_scale_factor != 0:
             raise ValueError(
@@ -305,13 +307,19 @@ class ContinuousBatchingEngine:
         per-adapter sub-batches (tpdm_tpu/serving.py register_adapter)
         pay the same price as padding instead.
 
-        SD3 pipeline engines only (family runners own their params).
+        SD3 pipeline engines only (family engines override: FLUX serves
+        adapters fused-only).
         """
         if self.pipe is None:
             raise ValueError(
                 "adapters need the SD3 pipeline engine; family engines "
                 "own their backbone params"
             )
+        self._store_adapter(name, lora, scale)
+        self._merged_cache_size = max(self._merged_cache_size, merged_cache)
+
+    def _store_adapter(self, name: str, lora: dict, scale: float):
+        """Shared validation + mesh placement + registration."""
         if not name:
             raise ValueError("adapter name must be non-empty")
         if not lora:
@@ -327,7 +335,6 @@ class ContinuousBatchingEngine:
                 lambda x: jax.device_put(x, self._rep_sharding), lora
             )
         self._adapters[name] = (lora, float(scale))
-        self._merged_cache_size = max(self._merged_cache_size, merged_cache)
 
     def _params_for(self, name: Optional[str]):
         """Backbone params for one adapter (None = base), merged lazily
@@ -941,13 +948,10 @@ class ContinuousBatchingEngine:
             raise EngineOverloaded("engine is stopped; no worker will run this")
         if steps is not None and steps < 1:
             raise ValueError("steps must be >= 1")
-        if lora is not None:
-            if self.pipe is None:
-                raise ValueError(
-                    "adapters are SD3-pipeline-engine-only"
-                )
-            if lora not in self._adapters:
-                raise ValueError(f"unknown adapter {lora!r}")
+        if lora is not None and lora not in self._adapters:
+            # registration gates which engines serve adapters (SD3:
+            # both modes; families: fused-only)
+            raise ValueError(f"unknown adapter {lora!r}")
         if guidance_scale is not None or negative_prompt:
             if self.pipe is None:
                 raise ValueError(
@@ -1193,6 +1197,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
         dp: Optional[int] = None,
         mesh_shape: Optional[tuple] = None,
         async_decode: bool = True,
+        fused_lora: bool = False,
     ):
         import jax
 
@@ -1219,7 +1224,25 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
             dp=dp,
             mesh_shape=mesh_shape,
             async_decode=async_decode,
+            fused_lora=fused_lora,
         )
+
+    def register_adapter(
+        self, name: str, lora: dict, scale: float = 1.0,
+        merged_cache: int = 1,
+    ):
+        """Family engines serve adapters FUSED-ONLY: build the engine with
+        ``fused_lora=True`` (per-slot rank-r deltas inside the backbone,
+        models/lora.py lora_interceptor). There is no merged-tree
+        multiplex path here — the agent owns its backbone params, and a
+        12B-class FLUX merged copy per tenant would not fit anyway."""
+        del merged_cache  # fused mode keeps factors only
+        if not self.fused_lora:
+            raise ValueError(
+                "family engines serve adapters fused-only: build with "
+                "fused_lora=True"
+            )
+        self._store_adapter(name, lora, scale)
 
     def _default_max_steps(self) -> int:
         raise NotImplementedError
@@ -1356,11 +1379,26 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
             caps=slot_sh(1), pe=slot_sh(3), pp=slot_sh(2), key=rep,
         )
 
+        fused = self._fused_active
+
         def segment(flux_params, tpm_params, st: _SlotState, _neg_pe, _neg_pp,
-                    live):
+                    live, bank=None, ids=None):
             txt_ids = jnp.zeros((S, n_txt, 3))
+            if fused:
+                # per-slot LoRA deltas inside the FLUX backbone (no CFG
+                # batch doubling — guidance is embedded, rows == slots)
+                import flax.linen as nn
+
+                from tpdm_tpu.models.lora import lora_interceptor
+
+                def apply_fn(*a):
+                    with nn.intercept_methods(lora_interceptor(bank, ids)):
+                        return agent.flux.apply(flux_params, *a)
+
+            else:
+                apply_fn = lambda *a: agent.flux.apply(flux_params, *a)
             denoise_fn = make_flux_denoise_fn(
-                lambda *a: agent.flux.apply(flux_params, *a),
+                apply_fn,
                 st.pe,
                 txt_ids,
                 st.pp,
@@ -1493,6 +1531,14 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
     """
 
     _backbone_attr = "unet_params"
+
+    def register_adapter(self, name, lora, scale=1.0, merged_cache=1):
+        raise ValueError(
+            "the SD1.5 family has no LoRA adapter path: the framework's "
+            "LoRA trainers target flow-ladder agents only (train/draft.py "
+            "— SD15Agent's eps-prediction DPM-Solver does not qualify), "
+            "so there are no SD1.5 adapters to serve"
+        )
 
     def _default_max_steps(self) -> int:
         return self.agent.sampler_cfg.num_inference_steps
