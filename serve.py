@@ -442,6 +442,11 @@ def main():
                    help="step-level continuous batching: finished slots are "
                         "refilled mid-denoise (best with a trained TPM whose "
                         "NFE varies per prompt)")
+    p.add_argument("--pipeline_depth", type=int, default=1,
+                   help="continuous engine: keep N dispatched segments in "
+                        "flight, reading results back while the device "
+                        "runs ahead — hides the per-segment host sync "
+                        "(2 is the useful setting; 1 = synchronous)")
     p.add_argument("--seg_steps", type=int, default=4,
                    help="denoise steps per jitted segment between slot-"
                         "recycling syncs (--continuous only)")
@@ -666,6 +671,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 dp=args.dp,
                 mesh_shape=mesh_shape,
                 fused_lora=getattr(args, "lora_fused", False),
+                pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
                 # default max_steps: the agent's own compiled step budget
                 # (the toy worlds already clamp it to min(args.max_steps, 8))
             )
@@ -698,6 +704,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 dp=args.dp,
                 mesh_shape=mesh_shape,
                 vae_scale_factor=_pipe_vae_scale_factor(pipe),
+                pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
             )
         else:
             engine = ContinuousBatchingEngine(
@@ -709,6 +716,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 dp=args.dp,
                 mesh_shape=mesh_shape,
                 fused_lora=getattr(args, "lora_fused", False),
+                pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
             )
     else:
         res_list = getattr(args, "resolutions", None)

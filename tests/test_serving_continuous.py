@@ -104,6 +104,89 @@ class TestContinuousParity:
         assert eng._segment._cache_size() == 1
 
 
+class TestPipelinedSegments:
+    """pipeline_depth=2: the worker keeps one dispatched segment in
+    flight ahead of the readback (hides the per-segment host sync).
+    Numerics must be UNCHANGED: finished slots are frozen in-graph by the
+    done-mask, so the speculative extra segment no-ops on them."""
+
+    def test_parity_and_recycling_with_mixed_caps(self, toy):
+        """5 requests, 2 slots, per-request step caps — recycling happens
+        while a later segment is already in flight; every image still
+        matches the solo fixed-batch run (documented 1-LSB program seam),
+        and per-request NFE/sigma traces are exact."""
+        pipe, tokenize = toy
+        jobs = [("a cat", 3, 6), ("a dog on a hill", 7, 3),
+                ("blue bird", 11, 5), ("a cat", 3, 6), ("red square", 23, 2)]
+        ref_eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=6)
+        want = {
+            j: ref_eng.generate_batch([j[0]], [j[1]], steps=[j[2]])[0]
+            for j in set(jobs)
+        }
+
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=6, pipeline_depth=2)
+        eng.start()
+        try:
+            reqs = [(j, eng.submit(j[0], seed=j[1], steps=j[2]))
+                    for j in jobs]
+            for j, r in reqs:
+                got = r.result(timeout=600)
+                exp = want[j]
+                assert got["inference_steps"] == exp["inference_steps"], j
+                diff = np.abs(
+                    got["image"].astype(np.int16)
+                    - exp["image"].astype(np.int16)
+                )
+                assert diff.max() <= 1, (j, diff.max())
+                np.testing.assert_allclose(
+                    got["sigmas"], exp["sigmas"], rtol=1e-5, atol=1e-8
+                )
+        finally:
+            eng.stop()
+        st = eng.stats()
+        assert st["pipeline_depth"] == 2
+        assert st["requests_done"] == 5
+        # per-request accounting survives out-of-order slot recycling
+        assert st["slot_steps_active"] == sum(
+            want[j]["inference_steps"] for j in jobs
+        )
+        assert eng._segment._cache_size() == 1  # still one compiled shape
+
+    def test_depth_one_is_default_and_validated(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2)
+        assert eng.pipeline_depth == 1
+        with pytest.raises(ValueError, match="pipeline_depth"):
+            ContinuousBatchingEngine(pipe, tokenize, slots=1,
+                                     pipeline_depth=0)
+
+    def test_pipelined_fused_adapters(self, toy):
+        """Pipelining composes with fused multi-tenant LoRA (both change
+        the segment's dispatch path)."""
+        import jax
+
+        pipe, tokenize = toy
+        lora = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4, fused_lora=True,
+                                       pipeline_depth=2)
+        eng.register_adapter("a", lora)
+        eng.start()
+        try:
+            rb = eng.submit("a cat", seed=7)
+            rt = eng.submit("a cat", seed=7, lora="a")
+            base = rb.result(timeout=600)["image"]
+            tuned = rt.result(timeout=600)["image"]
+        finally:
+            eng.stop()
+        assert np.abs(
+            base.astype(np.int16) - tuned.astype(np.int16)
+        ).max() > 1
+
+
 class TestSlotRecycling:
     def test_utilization_accounting(self, toy):
         pipe, tokenize = toy
@@ -613,6 +696,73 @@ class TestContinuousAdapters:
     def test_fused_rejected_on_family_engines(self, toy):
         with pytest.raises(ValueError, match="SD3"):
             ContinuousBatchingEngine(None, None, slots=1, fused_lora=True)
+
+
+class TestQuantFusedAdapters:
+    """QLoRA-style serving: stored-int8/int4 backbone + fused rank-r
+    adapters. The interceptor adds x@A@B NEXT TO the quantized matmul
+    (models/lora.py lora_interceptor targets DenseMaybeQuant too), so no
+    float merge is needed; multiplex mode — which materializes
+    apply_lora(base, factors) — is refused on quantized trees."""
+
+    @staticmethod
+    def _quant_pipe(flag):
+        import argparse
+
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, **{flag: True}
+        )
+        return serve.build_pipeline(args)
+
+    def test_fused_adapters_over_int8_backbone(self):
+        import jax
+        import jax.numpy as jnp
+
+        pipe, tokenize = self._quant_pipe("int8")
+        blk = pipe.mmdit_params["params"]["transformer_blocks_0"]
+        assert blk["attn"]["to_q"]["kernel"].dtype == jnp.int8
+        lora = _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4)
+        want_base = ref.generate_batch(["a cat"], [7])[0]["image"]
+
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=4, fused_lora=True)
+        eng.register_adapter("style", lora)
+        eng.start()
+        try:
+            rb = eng.submit("a cat", seed=7)
+            rt = eng.submit("a cat", seed=7, lora="style")
+            base = rb.result(timeout=600)["image"]
+            tuned = rt.result(timeout=600)["image"]
+        finally:
+            eng.stop()
+        # base slots ride an exact zero delta; int8 cross-program seams
+        # are wider than fp's (a shifted dynamic-range max requantizes a
+        # whole activation row) — same budget as the int8 mesh test
+        base_diff = np.abs(base.astype(np.int16) - want_base.astype(np.int16))
+        assert base_diff.max() <= 3, base_diff.max()
+        # the adapter must dominate any seam
+        tuned_diff = np.abs(tuned.astype(np.int16) - base.astype(np.int16))
+        assert tuned_diff.max() > 3, tuned_diff.max()
+        st = eng.stats()
+        assert st["lora_mode"] == "fused"
+        assert st["adapter_merges"] == 0  # no merged trees exist here
+
+    @pytest.mark.parametrize("flag", ["int8", "int4"])
+    def test_multiplex_adapters_rejected_on_quant_backbone(self, flag):
+        import jax
+
+        pipe, tokenize = self._quant_pipe(flag)
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2)
+        with pytest.raises(ValueError, match="fused-only"):
+            eng.register_adapter(
+                "a", _noisy_lora(pipe.mmdit_params, jax.random.PRNGKey(1))
+            )
 
     def test_adapter_validation(self, toy):
         import jax

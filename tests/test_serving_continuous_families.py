@@ -395,6 +395,52 @@ class TestServeCLIWiring:
             server.server_close()
             engine.stop()
 
+    def test_flux_fused_adapters_over_int8_backbone(self, tmp_path):
+        """QLoRA-style family serving: --family flux --int8 --continuous
+        --lora_fused — the interceptor's delta rides next to the
+        stored-int8 matmuls (DenseMaybeQuant), no float merge needed."""
+        import jax
+        import jax.numpy as jnp
+
+        import serve
+        from tpdm_tpu.train.draft import save_lora
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, family="flux", max_steps=3, max_batch=2,
+            batch_window_ms=10.0, dp=None, mesh=None, continuous=True,
+            seg_steps=1, prompt="d", seed=1, port=0, lora_fused=True,
+            lora_scale=1.0, lora_cache=1, int8=True,
+        )
+        world = serve.build_family_world(args)
+        leaf = jax.tree.leaves(world["agent"].flux_params)
+        assert any(getattr(x, "dtype", None) == jnp.int8 for x in leaf)
+        save_lora(
+            str(tmp_path / "s.safetensors"),
+            _noisy_lora(world["agent"].flux_params, jax.random.PRNGKey(4)),
+        )
+        args.lora = [f"s={tmp_path}/s.safetensors"]
+        engine, server = serve.make_http_server(
+            None, _noop_tokenize, args, runner=world["runner"],
+            family_world=world,
+        )
+        try:
+            assert isinstance(engine, ContinuousFluxEngine)
+            engine.start()
+            base = engine.submit("a cat", seed=7).result(timeout=600)
+            tuned = engine.submit(
+                "a cat", seed=7, lora="s"
+            ).result(timeout=600)
+            assert (
+                np.abs(
+                    base["image"].astype(np.int16)
+                    - tuned["image"].astype(np.int16)
+                ).max()
+                > 1
+            )
+        finally:
+            server.server_close()
+            engine.stop()
+
     def test_sd15_fused_rejected_over_cli(self, tmp_path):
         import serve
 

@@ -162,9 +162,12 @@ class ContinuousBatchingEngine:
         resolution: Optional[int] = None,
         vae_scale_factor: int = 8,
         fused_lora: bool = False,
+        pipeline_depth: int = 1,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         if fused_lora and pipe is None and not hasattr(self, "agent"):
             # agent-backed family engines (which set self.agent before
             # delegating here) opt in via their own register_adapter
@@ -227,6 +230,15 @@ class ContinuousBatchingEngine:
         # tenant mix, no merged weight copies; numerics differ from the
         # merged path by the base matmul's rounding of W vs W+Δ)
         self.fused_lora = bool(fused_lora)
+        # pipeline_depth > 1: keep that many dispatched segments in flight
+        # and read trailing results back while the device runs ahead —
+        # hides the per-segment host sync (the dominant scheduler overhead
+        # when the device is remote). Numerically free: a slot that
+        # finishes during segment k is frozen in-graph by the done-mask,
+        # so the speculatively dispatched segment k+1 no-ops on it; the
+        # cost is recycling latency (a freed slot seats new work up to
+        # depth-1 segments later).
+        self.pipeline_depth = int(pipeline_depth)
         self._bank = None
         self._adapter_ids: dict = {}
         self._fused_active = False
@@ -315,6 +327,23 @@ class ContinuousBatchingEngine:
                 "adapters need the SD3 pipeline engine; family engines "
                 "own their backbone params"
             )
+        if not self.fused_lora:
+            import jax
+            import jax.numpy as jnp
+
+            # multiplex mode materializes apply_lora(base, factors) —
+            # impossible on stored-int kernels (the delta has no float
+            # weight to merge into). Fused mode never merges: the
+            # interceptor adds x@A@B next to the quantized matmul, so a
+            # QLoRA-style int8/int4 backbone serves adapters fine there.
+            if any(
+                getattr(leaf, "dtype", None) in (jnp.int8, jnp.int4)
+                for leaf in jax.tree.leaves(self.pipe.mmdit_params)
+            ):
+                raise ValueError(
+                    "quantized (--int8/--int4) backbones serve adapters "
+                    "fused-only: build the engine with fused_lora=True"
+                )
         self._store_adapter(name, lora, scale)
         self._merged_cache_size = max(self._merged_cache_size, merged_cache)
 
@@ -547,7 +576,14 @@ class ContinuousBatchingEngine:
         self._segment_params = (pipe.mmdit_params, pipe.tpm_params)
         self._min_live = min_sigma  # completion threshold on the carried scalar
 
-        donate = () if jax.default_backend() == "cpu" else (2,)
+        # pipelined dispatch holds references into segment k's output state
+        # (sigma/steps for the deferred readback) while segment k+1 runs on
+        # it — donation would delete those buffers under the reader
+        donate = (
+            ()
+            if jax.default_backend() == "cpu" or self.pipeline_depth > 1
+            else (2,)
+        )
         if self._mesh is not None:
             self._segment = jax.jit(
                 segment,
@@ -844,15 +880,25 @@ class ContinuousBatchingEngine:
         return True
 
     def _run_segment(self):
-        import jax
+        self._process_readback(self._dispatch_segment())
 
-        busy_before = [i for i in range(self.slots) if self._slot_req[i] is not None]
-        steps_before = self._steps_host.copy()
+    def _dispatch_segment(self):
+        """Enqueue one segment on the device; returns a readback entry for
+        `_process_readback`. With pipeline_depth > 1 the worker dispatches
+        ahead of the readbacks, so the device never idles on the
+        per-segment host sync — numerically free because a slot that
+        finished during segment k is frozen in-graph by the done-mask and
+        simply no-ops through the speculatively dispatched k+1."""
+        busy = [
+            (i, self._slot_req[i])
+            for i in range(self.slots)
+            if self._slot_req[i] is not None
+        ]
         # time-multiplexed adapters: ONE adapter's merged params per
         # segment, its peers frozen by the live-mask (no adapters in
         # flight -> base params, all-live — the common case)
         counts: dict = {}
-        for i in busy_before:
+        for i, _ in busy:
             a = self._slot_adapter[i]
             counts[a] = counts.get(a, 0) + 1
         if self._fused_active:
@@ -888,10 +934,22 @@ class ContinuousBatchingEngine:
             live,
             *extra,
         )
-        sigma, steps, trace = jax.device_get(
-            (self._state.sigma, self._state.steps, trace)
-        )
-        self._steps_host[:] = steps
+        return (busy, counts, active, self._state.sigma, self._state.steps,
+                trace)
+
+    def _process_readback(self, entry):
+        """Fetch one dispatched segment's results; free finished slots.
+
+        Entries MUST be processed in dispatch order: per-segment
+        executed-step counts come from consecutive `_steps_host` deltas.
+        A slot whose request changed since the entry's dispatch (finished
+        at an earlier readback, then recycled) is skipped — that segment
+        provably froze it (done-mask), and its host counters now belong
+        to the new occupant."""
+        import jax
+
+        busy, counts, active, sigma_d, steps_d, trace_d = entry
+        sigma, steps, trace = jax.device_get((sigma_d, steps_d, trace_d))
         with self._lock:
             self.segments_run += 1
             advanced = (
@@ -904,11 +962,13 @@ class ContinuousBatchingEngine:
                     self.adapter_segments.get(name, 0) + 1
                 )
             self.slot_steps_total += self.slots * self.seg_steps
-            self.slot_steps_active += int(
-                (steps - steps_before)[busy_before].sum()
-            )
-        for i in busy_before:
-            executed = int(steps[i] - steps_before[i])
+        for i, req in busy:
+            if self._slot_req[i] is not req:
+                continue
+            executed = int(steps[i] - self._steps_host[i])
+            self._steps_host[i] = steps[i]
+            with self._lock:
+                self.slot_steps_active += executed
             self._slot_sigmas[i].extend(float(s) for s in trace[:executed, i])
             if sigma[i] < self._min_live or steps[i] >= self._caps_host[i]:
                 self._finish(i, int(steps[i]))
@@ -1092,18 +1152,31 @@ class ContinuousBatchingEngine:
                 fail(self._pending.popleft())
 
     def _worker(self):
+        # depth > 1: dispatched-but-unread segments, oldest first
+        inflight: "collections.deque" = collections.deque()
         while not self._stop.is_set():
-            have_work = any(r is not None for r in self._slot_req)
+            have_work = (
+                any(r is not None for r in self._slot_req) or bool(inflight)
+            )
             try:
                 if not self._refill(block=not have_work):
                     continue  # shutdown sentinel; loop re-checks _stop
             except BaseException:
                 logger.exception("refill failed")
                 continue
-            if all(r is None for r in self._slot_req):
+            if all(r is None for r in self._slot_req) and not inflight:
                 continue
             try:
-                self._run_segment()
+                if any(r is not None for r in self._slot_req):
+                    inflight.append(self._dispatch_segment())
+                # steady state keeps depth-1 segments running ahead of the
+                # readback; when no dispatch happened (all slots empty)
+                # drain what's in flight so finished slots free up
+                if inflight and (
+                    len(inflight) >= self.pipeline_depth
+                    or all(r is None for r in self._slot_req)
+                ):
+                    self._process_readback(inflight.popleft())
             except BaseException as e:
                 logger.exception("segment failed")
                 for i in range(self.slots):
@@ -1114,7 +1187,9 @@ class ContinuousBatchingEngine:
                         self._slot_req[i] = None
                         self._slot_sigmas[i] = []
                 # the failed segment may have consumed (donated) the state
-                # buffers — rebuild from scratch rather than touch them
+                # buffers — rebuild from scratch rather than touch them;
+                # any other in-flight segment shares the poisoned chain
+                inflight.clear()
                 self._state = self._fresh_state()
                 self._steps_host[:] = 0
                 self._caps_host[:] = self.max_steps
@@ -1144,6 +1219,7 @@ class ContinuousBatchingEngine:
                 "requests_expired": self.requests_expired,
                 "slots": self.slots,
                 "seg_steps": self.seg_steps,
+                "pipeline_depth": self.pipeline_depth,
                 "slot_steps_total": self.slot_steps_total,
                 "slot_steps_active": self.slot_steps_active,
                 # fraction of slot-steps that advanced a real request —
@@ -1198,6 +1274,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
         mesh_shape: Optional[tuple] = None,
         async_decode: bool = True,
         fused_lora: bool = False,
+        pipeline_depth: int = 1,
     ):
         import jax
 
@@ -1225,6 +1302,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
             mesh_shape=mesh_shape,
             async_decode=async_decode,
             fused_lora=fused_lora,
+            pipeline_depth=pipeline_depth,
         )
 
     def register_adapter(
@@ -1436,7 +1514,14 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
                 trace,
             )
 
-        donate = () if jax.default_backend() == "cpu" else (2,)
+        # pipelined dispatch holds references into segment k's output state
+        # (sigma/steps for the deferred readback) while segment k+1 runs on
+        # it — donation would delete those buffers under the reader
+        donate = (
+            ()
+            if jax.default_backend() == "cpu" or self.pipeline_depth > 1
+            else (2,)
+        )
         if self._mesh is not None:
             self._segment = jax.jit(
                 segment, donate_argnums=donate,
@@ -1654,7 +1739,14 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
                 trace,
             )
 
-        donate = () if jax.default_backend() == "cpu" else (2,)
+        # pipelined dispatch holds references into segment k's output state
+        # (sigma/steps for the deferred readback) while segment k+1 runs on
+        # it — donation would delete those buffers under the reader
+        donate = (
+            ()
+            if jax.default_backend() == "cpu" or self.pipeline_depth > 1
+            else (2,)
+        )
         if self._mesh is not None:
             self._segment = jax.jit(
                 segment, donate_argnums=donate,
