@@ -144,13 +144,14 @@ def run_static(pipe, tokenize, prompts, seeds, caps, max_batch, max_steps):
 
 
 def run_continuous(pipe, tokenize, prompts, seeds, caps, slots, seg_steps,
-                   max_steps, async_decode=True):
+                   max_steps, async_decode=True, pipeline_depth=1):
     from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 
     eng = ContinuousBatchingEngine(pipe, tokenize, slots=slots,
                                    seg_steps=seg_steps, max_steps=max_steps,
                                    queue_limit=len(prompts) + slots,
-                                   async_decode=async_decode)
+                                   async_decode=async_decode,
+                                   pipeline_depth=pipeline_depth)
     eng.warmup()
     eng.start()
     t0 = time.monotonic()
@@ -163,6 +164,7 @@ def run_continuous(pipe, tokenize, prompts, seeds, caps, slots, seg_steps,
     return {
         "engine": f"continuous(seg={seg_steps})",
         "async_decode": async_decode,
+        "pipeline_depth": pipeline_depth,
         "wall_s": round(dt, 3),
         "img_per_s": round(len(prompts) / dt, 4),
         "nfe_mean": round(float(np.mean(nfes)), 2),
@@ -187,6 +189,9 @@ def main():
     ap.add_argument("--async_sweep", action="store_true",
                     help="also measure async_decode=False (decode/readback "
                          "inline between segments) for each seg_steps")
+    ap.add_argument("--depths", default="1",
+                    help="pipeline_depth values to sweep (depth 2 overlaps "
+                         "the per-segment host sync with device compute)")
     args = ap.parse_args()
 
     pipe, tokenize = build_world(args.toy)
@@ -202,14 +207,18 @@ def main():
                         args.max_steps)
     print(json.dumps(static), flush=True)
     for seg in (int(x) for x in args.segs.split(",")):
-        for async_decode in ((True, False) if args.async_sweep else (True,)):
-            cb = run_continuous(pipe, tokenize, prompts, seeds, caps,
-                                args.slots, seg, args.max_steps,
-                                async_decode=async_decode)
-            cb["speedup_vs_static"] = round(
-                cb["img_per_s"] / static["img_per_s"], 3
-            )
-            print(json.dumps(cb), flush=True)
+        for depth in (int(x) for x in args.depths.split(",")):
+            for async_decode in (
+                (True, False) if args.async_sweep else (True,)
+            ):
+                cb = run_continuous(pipe, tokenize, prompts, seeds, caps,
+                                    args.slots, seg, args.max_steps,
+                                    async_decode=async_decode,
+                                    pipeline_depth=depth)
+                cb["speedup_vs_static"] = round(
+                    cb["img_per_s"] / static["img_per_s"], 3
+                )
+                print(json.dumps(cb), flush=True)
 
 
 if __name__ == "__main__":

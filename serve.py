@@ -447,6 +447,10 @@ def main():
                         "flight, reading results back while the device "
                         "runs ahead — hides the per-segment host sync "
                         "(2 is the useful setting; 1 = synchronous)")
+    p.add_argument("--decode_batch", type=int, default=1,
+                   help="continuous engine: coalesce up to N finished "
+                        "slots into one batched VAE decode (pow-2 "
+                        "padded; the decode amortizes markedly batched)")
     p.add_argument("--seg_steps", type=int, default=4,
                    help="denoise steps per jitted segment between slot-"
                         "recycling syncs (--continuous only)")
@@ -672,6 +676,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 mesh_shape=mesh_shape,
                 fused_lora=getattr(args, "lora_fused", False),
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+                decode_batch=getattr(args, "decode_batch", 1) or 1,
                 # default max_steps: the agent's own compiled step budget
                 # (the toy worlds already clamp it to min(args.max_steps, 8))
             )
@@ -705,6 +710,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 mesh_shape=mesh_shape,
                 vae_scale_factor=_pipe_vae_scale_factor(pipe),
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+                decode_batch=getattr(args, "decode_batch", 1) or 1,
             )
         else:
             engine = ContinuousBatchingEngine(
@@ -717,6 +723,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 mesh_shape=mesh_shape,
                 fused_lora=getattr(args, "lora_fused", False),
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
+                decode_batch=getattr(args, "decode_batch", 1) or 1,
             )
     else:
         res_list = getattr(args, "resolutions", None)

@@ -154,6 +154,21 @@ class TestPipelinedSegments:
         )
         assert eng._segment._cache_size() == 1  # still one compiled shape
 
+        # cap-driven finishes are host-predictable: the worker drains the
+        # pipeline right before a segment that recycles a slot, so depth-2
+        # pays ZERO wasted segments vs a synchronous depth-1 run
+        eng1 = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                        max_steps=6)
+        eng1.start()
+        try:
+            for j, r in [(j, eng1.submit(j[0], seed=j[1], steps=j[2]))
+                         for j in jobs]:
+                r.result(timeout=600)
+        finally:
+            eng1.stop()
+        assert st["segments_run"] == eng1.stats()["segments_run"]
+        assert st["slot_utilization"] == eng1.stats()["slot_utilization"]
+
     def test_depth_one_is_default_and_validated(self, toy):
         pipe, tokenize = toy
         eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
@@ -185,6 +200,73 @@ class TestPipelinedSegments:
         assert np.abs(
             base.astype(np.int16) - tuned.astype(np.int16)
         ).max() > 1
+
+
+class TestBatchedDecode:
+    """decode_batch > 1: the async decode worker coalesces finished slots
+    already waiting in its queue into one padded pow-2 batched VAE decode
+    (docs/PERF.md: the SD3 decode amortizes 102 -> 79 ms/img batched)."""
+
+    def test_worker_coalesces_and_matches_single_decode(self, toy):
+        """Deterministic: pre-fill the decode queue, run the worker body
+        synchronously — 3 waiting rows decode as one (padded-to-4) batch
+        and each image matches its batch-1 decode (program seam only)."""
+        import jax
+        from tpdm_tpu.serving_continuous import ServeRequest
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2, decode_batch=4)
+        lats = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 8, 8))
+        reqs = [ServeRequest(prompt=f"p{i}", seed=i) for i in range(3)]
+        for i, r in enumerate(reqs):
+            eng._decode_queue.put((r, lats[i : i + 1], 2, [1.0, 0.5]))
+        eng._decode_queue.put(None)
+        eng._decode_worker()  # returns at the sentinel
+        singles = [eng._decode_row(lats[i : i + 1]) for i in range(3)]
+        for r, want in zip(reqs, singles):
+            got = r.result(timeout=1)
+            assert got["inference_steps"] == 2
+            diff = np.abs(
+                got["image"].astype(np.int16) - want.astype(np.int16)
+            )
+            assert diff.max() <= 1, diff.max()
+        assert eng.decode_rows_coalesced == 3
+        assert eng.stats()["decode_rows_coalesced"] == 3
+
+    def test_end_to_end_parity_with_batched_decode(self, toy):
+        """4 same-cap requests through 4 slots finish together; whatever
+        coalescing the race produces, every image still matches the solo
+        fixed-batch run."""
+        pipe, tokenize = toy
+        ref_eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                                 max_steps=4)
+        jobs = [("a cat", 3), ("a dog on a hill", 7), ("blue bird", 11),
+                ("red square", 23)]
+        want = {
+            (p, s): ref_eng.generate_batch([p], [s])[0] for p, s in jobs
+        }
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=4, seg_steps=4,
+                                       max_steps=4, decode_batch=4)
+        eng.start()
+        try:
+            reqs = [(p, s, eng.submit(p, seed=s)) for p, s in jobs]
+            for p, s, r in reqs:
+                got = r.result(timeout=600)
+                exp = want[(p, s)]
+                assert got["inference_steps"] == exp["inference_steps"]
+                diff = np.abs(
+                    got["image"].astype(np.int16)
+                    - exp["image"].astype(np.int16)
+                )
+                assert diff.max() <= 1, ((p, s), diff.max())
+        finally:
+            eng.stop()
+
+    def test_validation(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="decode_batch"):
+            ContinuousBatchingEngine(pipe, tokenize, slots=1, decode_batch=0)
 
 
 class TestSlotRecycling:

@@ -163,11 +163,14 @@ class ContinuousBatchingEngine:
         vae_scale_factor: int = 8,
         fused_lora: bool = False,
         pipeline_depth: int = 1,
+        decode_batch: int = 1,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
+        if decode_batch < 1:
+            raise ValueError("decode_batch must be >= 1")
         if fused_lora and pipe is None and not hasattr(self, "agent"):
             # agent-backed family engines (which set self.agent before
             # delegating here) opt in via their own register_adapter
@@ -252,6 +255,13 @@ class ContinuousBatchingEngine:
         # this is seated FIFO even if its adapter has no slots in flight
         self.adapter_starvation_s = 5.0
         self.async_decode = async_decode
+        # decode_batch > 1 (async decode only): the decode worker drains
+        # up to this many finished slots per pass and decodes them as ONE
+        # padded pow-2 batch — the VAE amortizes markedly batched
+        # (docs/PERF.md: 102 -> 79 ms/img at batch 8 for SD3 1024px) at
+        # the cost of log2(decode_batch) extra compiled decode shapes
+        self.decode_batch = int(decode_batch)
+        self.decode_rows_coalesced = 0  # rows decoded in batches > 1
         # finished slots' (req, latent_row, nfe, sigmas) awaiting decode
         self._decode_queue: "queue.Queue" = queue.Queue()
         self._decode_thread: Optional[threading.Thread] = None
@@ -768,11 +778,15 @@ class ContinuousBatchingEngine:
 
     def _decode_row(self, lat_row) -> "np.ndarray":
         """Batch-1 latent -> uint8 image (family-overridable)."""
+        return self._decode_rows(lat_row)[0]
+
+    def _decode_rows(self, lats) -> "np.ndarray":
+        """(b, C, H, W) latents -> (b, H', W', 3) uint8 images."""
         from tpdm_tpu.utils.image import postprocess_images
 
         if self.pipe.vae is not None:
-            return postprocess_images(self.pipe._decode(lat_row))[0]
-        return np.asarray(lat_row)[0]
+            return postprocess_images(self.pipe._decode(lats))
+        return np.asarray(lats)
 
     def _finish(self, slot: int, nfe: int):
         """Free one finished slot: capture its latent row (an on-device
@@ -821,7 +835,66 @@ class ContinuousBatchingEngine:
             item = self._decode_queue.get()
             if item is None:
                 return
-            self._complete(*item)
+            done = False
+            items = [item]
+            # coalesce whatever other finishes are already waiting (burst
+            # finishes are common: several slots cross min_sigma/cap in
+            # the same segment) into one batched decode
+            while len(items) < self.decode_batch:
+                try:
+                    nxt = self._decode_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    done = True
+                    break
+                items.append(nxt)
+            if len(items) == 1:
+                self._complete(*items[0])
+            else:
+                self._complete_batch(items)
+            if done:
+                return
+
+    def _complete_batch(self, items: list):
+        """Decode several finished latents as ONE padded pow-2 batch.
+
+        Pads by repeating the last row up to the next power of two, so
+        at most log2(decode_batch) decode shapes ever compile; falls back
+        to per-item batch-1 decodes if the batched program fails (keeps
+        one bad latent from failing its batch peers)."""
+        import jax.numpy as jnp
+
+        n = len(items)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        rows = [it[1] for it in items]
+        rows += [rows[-1]] * (bucket - n)
+        try:
+            images = self._decode_rows(jnp.concatenate(rows, axis=0))
+        except BaseException:
+            logger.exception(
+                "batched decode failed; retrying the %d rows singly", n
+            )
+            for it in items:
+                self._complete(*it)
+            return
+        with self._lock:
+            self.decode_rows_coalesced += n
+        for (req, _lat, nfe, sigmas), image in zip(items, images):
+            req._result = {
+                "image": np.asarray(image),
+                "inference_steps": nfe,
+                "sigmas": sigmas,
+            }
+            req._event.set()
+            with self._lock:
+                self.requests_done += 1
+                self._nfe_done.append(nfe)
+                self._latency_done.append(
+                    time.monotonic() - req.submitted_at
+                )
 
     def _refill(self, block: bool) -> bool:
         """Fill free slots from the queue. Returns False on shutdown.
@@ -936,6 +1009,21 @@ class ContinuousBatchingEngine:
         )
         return (busy, counts, active, self._state.sigma, self._state.steps,
                 trace)
+
+    def _may_finish(self, entry) -> bool:
+        """Will the oldest in-flight segment (predictably) free a slot?
+
+        Step-cap finishes are host-predictable (`_steps_host` is exact
+        through the segment before `entry`, because readbacks process in
+        order); sigma-threshold early stops are not — those degrade to
+        the one-segment recycle lag. Frozen multiplex slots may predict a
+        finish that didn't execute; the cost is only a serial sync."""
+        busy = entry[0]
+        return any(
+            self._slot_req[i] is req
+            and self._steps_host[i] + self.seg_steps >= self._caps_host[i]
+            for i, req in busy
+        )
 
     def _process_readback(self, entry):
         """Fetch one dispatched segment's results; free finished slots.
@@ -1168,7 +1256,18 @@ class ContinuousBatchingEngine:
                 continue
             try:
                 if any(r is not None for r in self._slot_req):
-                    inflight.append(self._dispatch_segment())
+                    if inflight and self._may_finish(inflight[0]):
+                        # the oldest in-flight segment (predictably) frees
+                        # a slot: take its sync NOW so the freed slot
+                        # seats new work in the next dispatch instead of
+                        # idling through it — for cap-driven traffic the
+                        # pipelined engine then wastes ZERO slot-steps
+                        # and only finish segments pay a serial sync
+                        self._process_readback(inflight.popleft())
+                        if not self._refill(block=False):
+                            continue
+                    if any(r is not None for r in self._slot_req):
+                        inflight.append(self._dispatch_segment())
                 # steady state keeps depth-1 segments running ahead of the
                 # readback; when no dispatch happened (all slots empty)
                 # drain what's in flight so finished slots free up
@@ -1220,6 +1319,8 @@ class ContinuousBatchingEngine:
                 "slots": self.slots,
                 "seg_steps": self.seg_steps,
                 "pipeline_depth": self.pipeline_depth,
+                "decode_batch": self.decode_batch,
+                "decode_rows_coalesced": self.decode_rows_coalesced,
                 "slot_steps_total": self.slot_steps_total,
                 "slot_steps_active": self.slot_steps_active,
                 # fraction of slot-steps that advanced a real request —
@@ -1275,6 +1376,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
         async_decode: bool = True,
         fused_lora: bool = False,
         pipeline_depth: int = 1,
+        decode_batch: int = 1,
     ):
         import jax
 
@@ -1303,6 +1405,7 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
             async_decode=async_decode,
             fused_lora=fused_lora,
             pipeline_depth=pipeline_depth,
+            decode_batch=decode_batch,
         )
 
     def register_adapter(
@@ -1385,10 +1488,10 @@ class _AgentContinuousEngine(ContinuousBatchingEngine):
         key_lat = jax.random.split(jax.random.PRNGKey(seed))[0]
         return self.agent.prepare_latents(key_lat, 1)[0]
 
-    def _decode_row(self, lat_row):
+    def _decode_rows(self, lats):
         if self._decode_fn is not None:
-            return self._decode_fn(lat_row)[0]
-        return np.asarray(lat_row)[0]
+            return self._decode_fn(lats)
+        return np.asarray(lats)
 
     def _cache_embeds(self, prompt: str, val):
         return self._embed_cache.put(prompt, val)
