@@ -263,6 +263,36 @@ class TestBatchedDecode:
         finally:
             eng.stop()
 
+    def test_batched_decode_failure_falls_back_to_single_rows(self, toy):
+        """A failing batched decode program must not fail its batch peers:
+        the worker retries each row singly."""
+        import jax
+        from tpdm_tpu.serving_continuous import ServeRequest
+
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=1,
+                                       max_steps=2, decode_batch=4)
+        real = eng._decode_rows
+
+        def flaky(lats):
+            if lats.shape[0] > 1:
+                raise RuntimeError("synthetic batched-decode failure")
+            return real(lats)
+
+        eng._decode_rows = flaky
+        lats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 8))
+        reqs = [ServeRequest(prompt=f"p{i}", seed=i) for i in range(2)]
+        for i, r in enumerate(reqs):
+            eng._decode_queue.put((r, lats[i : i + 1], 1, [1.0]))
+        eng._decode_queue.put(None)
+        eng._decode_worker()
+        for i, r in enumerate(reqs):
+            got = r.result(timeout=1)
+            np.testing.assert_array_equal(
+                got["image"], real(lats[i : i + 1])[0]
+            )
+        assert eng.decode_rows_coalesced == 0
+
     def test_validation(self, toy):
         pipe, tokenize = toy
         with pytest.raises(ValueError, match="decode_batch"):
