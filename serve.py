@@ -35,6 +35,33 @@ def _quant_bits(args) -> int:
     return 4 if getattr(args, "int4", False) else 8
 
 
+_IMAGE_FORMATS = ("png", "jpeg")
+
+
+def _check_format(fmt) -> str:
+    """Per-request response image format. PNG (default) is lossless but
+    costs ~180 ms/image encode at 1024px on one core; JPEG q92 encodes in
+    ~10 ms at a third of the bytes — the right default for latency-
+    sensitive clients."""
+    if fmt is None:
+        return "png"
+    if not isinstance(fmt, str) or fmt.lower() not in _IMAGE_FORMATS:
+        raise ValueError(f"format must be one of {_IMAGE_FORMATS}")
+    return fmt.lower()
+
+
+def _encode_image(image, fmt: str):
+    """uint8 (H, W, 3) -> (payload key, base64 string)."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    if fmt == "jpeg":
+        Image.fromarray(image).save(buf, format="JPEG", quality=92)
+    else:
+        Image.fromarray(image).save(buf, format="PNG")
+    return f"image_{fmt}_base64", base64.b64encode(buf.getvalue()).decode()
+
+
 def build_pipeline(args):
     import jax
 
@@ -897,6 +924,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     raise ValueError("lora must be an adapter name string")
                 if lora is not None and not hasattr(engine, "register_adapter"):
                     raise ValueError("this engine does not serve adapters")
+                fmt = _check_format(req.get("format"))
                 if init_image is not None:
                     import inspect
 
@@ -938,13 +966,14 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             except Exception as e:
                 self.send_error(500, str(e)[:100])
                 return
-            from PIL import Image
-
-            buf = io.BytesIO()
-            Image.fromarray(res["image"]).save(buf, format="PNG")
+            try:
+                key, data = _encode_image(res["image"], fmt)
+            except ValueError as e:
+                self.send_error(400, str(e)[:100])
+                return
             self._reply(
                 {
-                    "image_png_base64": base64.b64encode(buf.getvalue()).decode(),
+                    key: data,
                     "inference_steps": res["inference_steps"],
                     "sigmas": res["sigmas"],
                 }
@@ -979,6 +1008,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     raise ValueError("lora must be an adapter name string")
                 if lora is not None and not hasattr(engine, "register_adapter"):
                     raise ValueError("this engine does not serve adapters")
+                fmt = _check_format(req.get("format"))
             except Exception as e:
                 self.send_error(400, str(e)[:100])
                 return
@@ -998,8 +1028,6 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             except Exception as e:
                 self.send_error(500, str(e)[:100])
                 return
-            from PIL import Image
-
             payload = {
                 "seeds": out["seeds"],
                 "inference_steps": [
@@ -1010,12 +1038,9 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             for k in ("ranking", "rewards", "best"):
                 if k in out:
                     payload[k] = out[k]
-            pngs = []
-            for c in out["candidates"]:
-                buf = io.BytesIO()
-                Image.fromarray(c["image"]).save(buf, format="PNG")
-                pngs.append(base64.b64encode(buf.getvalue()).decode())
-            payload["images_png_base64"] = pngs
+            encoded = [_encode_image(c["image"], fmt)
+                       for c in out["candidates"]]
+            payload[f"images_{fmt}_base64"] = [d for _, d in encoded]
             self._reply(payload)
 
         def _reply(self, payload: dict):

@@ -200,6 +200,27 @@ class TestHTTPServer:
             conn.request("POST", "/generate",
                          body=json.dumps({"prompt": 42}))
             assert conn.getresponse().status == 400
+
+            # per-request response format: JPEG trades lossless for an
+            # ~18x cheaper encode; bad formats 400
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST", "/generate",
+                body=json.dumps(
+                    {"prompt": "a cat", "seed": 7, "format": "jpeg"}
+                ),
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            jp = json.loads(resp.read())
+            raw = base64.b64decode(jp["image_jpeg_base64"])
+            assert raw[:3] == b"\xff\xd8\xff"
+            assert "image_png_base64" not in jp
+            conn.request(
+                "POST", "/generate",
+                body=json.dumps({"prompt": "a cat", "format": "webp"}),
+            )
+            assert conn.getresponse().status == 400
         finally:
             server.shutdown()
             engine.stop()
