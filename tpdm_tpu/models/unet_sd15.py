@@ -1,4 +1,4 @@
-"""SD1.5 UNet in flax.linen, returning the TPDM four-output contract.
+"""SD1.x / SDXL UNet in flax.linen, returning the TPDM four-output contract.
 
 Architecture parity with the reference `CustomizedUNet2DConditionModel`
 (reference: src/models/stable_diffusion_v1_5/unet_sd_v1_5.py:71-1318) —
@@ -6,8 +6,12 @@ diffusers' SD1.5 UNet forked to also return `t_emb`, `hidden_states_1`
 (post-conv_in, :1172-1173) and `hidden_states_2` (post-conv_norm_out/silu,
 pre-conv_out, :1304-1309); tuple return at :1316.
 
-Fixed SD1.x topology (3 cross-attn down blocks + plain block, cross-attn
-mid, mirrored up path), configurable widths; convs run NHWC internally.
+The same module covers the SDXL-base topology (beyond-reference family):
+per-level transformer depth (``transformer_layers_per_block``), per-level
+head counts via ``attention_head_dim``, and the SDXL "text_time" addition
+embedding (pooled text + six sinusoid-embedded size/crop ids added into
+the time embedding). Defaults keep the SD1.5 wiring bit-identical; convs
+run NHWC internally.
 """
 
 from __future__ import annotations
@@ -33,10 +37,41 @@ class UNetConfig:
     norm_num_groups: int = 32
     sample_size: int = 64
     dtype: jnp.dtype = jnp.float32
+    # None -> SD1.x wiring: one transformer layer at every level except the
+    # last. SDXL-base uses (0, 2, 10) (diffusers transformer_layers_per_block,
+    # with 0 marking the attention-free DownBlock2D/UpBlock2D level).
+    transformer_layers_per_block: Optional[Tuple[int, ...]] = None
+    mid_transformer_layers: int = 1
+    # None -> fixed `num_attention_heads` everywhere (SD1.x: 8 heads of
+    # dim C/8). Set (e.g. 64 for SDXL) to derive heads = channels // dim.
+    attention_head_dim: Optional[int] = None
+    # SDXL "text_time" conditioning: pooled text (addition_pooled_dim) +
+    # num_time_ids sinusoid embeddings of addition_time_embed_dim each,
+    # projected into the time embedding.
+    addition_embed: bool = False
+    addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280
+    num_time_ids: int = 6
 
     @classmethod
     def sd15(cls, **kw) -> "UNetConfig":
         return cls(**kw)
+
+    @classmethod
+    def sdxl(cls, **kw) -> "UNetConfig":
+        """SDXL-base 2.6B topology (diffusers unet/config.json)."""
+        d = dict(
+            block_out_channels=(320, 640, 1280),
+            layers_per_block=2,
+            cross_attention_dim=2048,
+            attention_head_dim=64,
+            transformer_layers_per_block=(0, 2, 10),
+            mid_transformer_layers=10,
+            sample_size=128,
+            addition_embed=True,
+        )
+        d.update(kw)
+        return cls(**d)
 
     @classmethod
     def toy(cls, **kw) -> "UNetConfig":
@@ -51,9 +86,42 @@ class UNetConfig:
         d.update(kw)
         return cls(**d)
 
+    @classmethod
+    def toy_xl(cls, **kw) -> "UNetConfig":
+        """Tiny SDXL-topology config for tests: attention-free first level,
+        depth-2 transformers above, text_time addition embedding."""
+        d = dict(
+            block_out_channels=(8, 12, 16),
+            layers_per_block=1,
+            cross_attention_dim=24,
+            attention_head_dim=4,
+            transformer_layers_per_block=(0, 1, 2),
+            mid_transformer_layers=2,
+            norm_num_groups=4,
+            sample_size=16,
+            addition_embed=True,
+            addition_time_embed_dim=8,
+            addition_pooled_dim=12,
+        )
+        d.update(kw)
+        return cls(**d)
+
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    @property
+    def depths(self) -> Tuple[int, ...]:
+        """Per-level transformer depth on the down path (reversed for up)."""
+        if self.transformer_layers_per_block is not None:
+            return self.transformer_layers_per_block
+        n = len(self.block_out_channels)
+        return tuple(1 for _ in range(n - 1)) + (0,)
+
+    def heads_for(self, out_ch: int) -> int:
+        if self.attention_head_dim is None:
+            return self.num_attention_heads
+        return out_ch // self.attention_head_dim
 
 
 class ResnetBlockTimeEmb(nn.Module):
@@ -129,13 +197,19 @@ class _CrossAttnBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """diffusers Transformer2DModel (conv projections, 1 basic block)."""
+    """diffusers Transformer2DModel (conv projections, `depth` basic blocks).
+
+    SDXL's use_linear_projection=True proj_in/proj_out are 1x1 convs in
+    NHWC (identical math); the converter reshapes Linear weights into the
+    (1,1,in,out) kernel.
+    """
 
     dim: int
     heads: int
     ctx_dim: int
     groups: int
     dtype: jnp.dtype = jnp.float32
+    depth: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, ctx: jax.Array) -> jax.Array:
@@ -144,9 +218,12 @@ class SpatialTransformer(nn.Module):
         h = GroupNorm(self.groups, c, name="norm")(x)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(b, hh * ww, self.dim)
-        h = _CrossAttnBlock(
-            self.dim, self.heads, self.ctx_dim, self.dtype, name="block"
-        )(h, ctx)
+        for k in range(self.depth):
+            # depth-1 keeps the historical "block" param name (SD1.x ckpts)
+            name = "block" if self.depth == 1 else f"block_{k}"
+            h = _CrossAttnBlock(
+                self.dim, self.heads, self.ctx_dim, self.dtype, name=name
+            )(h, ctx)
         h = h.reshape(b, hh, ww, self.dim)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + res
@@ -163,11 +240,13 @@ class UNetSD15(nn.Module):
         latents: jax.Array,  # (b, 4, 64, 64) NCHW
         timestep: jax.Array,  # (b,) float in [0, 999]
         encoder_hidden_states: jax.Array,  # (b, 77, 768)
+        added_cond: Optional[dict] = None,  # SDXL: {"text_embeds", "time_ids"}
     ):
         cfg = self.config
         ch = cfg.block_out_channels
         g = cfg.norm_num_groups
         ctx = encoder_hidden_states
+        depths = cfg.depths
 
         t_feat = sinusoidal_timestep_embedding(timestep, ch[0]).astype(cfg.dtype)
         temb = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_linear_1")(
@@ -176,26 +255,51 @@ class UNetSD15(nn.Module):
         temb = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_linear_2")(
             nn.silu(temb)
         )
+        if cfg.addition_embed:
+            # SDXL "text_time": concat([pooled_text, sinusoid(time_ids)])
+            # through a 2-layer MLP, summed into the time embedding
+            # (diffusers UNet2DConditionModel.get_aug_embed / add_embedding).
+            if added_cond is None:
+                raise ValueError(
+                    "config.addition_embed is on: pass added_cond="
+                    '{"text_embeds": (b, pooled), "time_ids": (b, 6)}'
+                )
+            pooled = added_cond["text_embeds"]
+            time_ids = jnp.asarray(added_cond["time_ids"], jnp.float32)
+            b = pooled.shape[0]
+            t6 = sinusoidal_timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(b, cfg.num_time_ids * cfg.addition_time_embed_dim)
+            add = jnp.concatenate(
+                [pooled.astype(cfg.dtype), t6.astype(cfg.dtype)], axis=-1
+            )
+            aug = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="add_linear_1")(add)
+            aug = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="add_linear_2")(
+                nn.silu(aug)
+            )
+            temb = temb + aug
 
         x = latents.transpose(0, 2, 3, 1)
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=cfg.dtype, name="conv_in")(x)
         h1 = x.transpose(0, 3, 1, 2)  # reference :1172-1173
 
         skips = [x]
-        # down path: 3 cross-attn blocks + 1 plain, downsample between
+        # down path: per-level transformer depth (SD1.x: 1,1,1,0;
+        # SDXL: 0,2,10), downsample between levels
         for i, out_ch in enumerate(ch):
             is_last = i == len(ch) - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetBlockTimeEmb(
                     out_ch, g, cfg.dtype, name=f"down_{i}_resnet_{j}"
                 )(x, temb)
-                if not is_last:
+                if depths[i] > 0:
                     x = SpatialTransformer(
                         out_ch,
-                        cfg.num_attention_heads,
+                        cfg.heads_for(out_ch),
                         cfg.cross_attention_dim,
                         g,
                         cfg.dtype,
+                        depth=depths[i],
                         name=f"down_{i}_attn_{j}",
                     )(x, ctx)
                 skips.append(x)
@@ -209,27 +313,28 @@ class UNetSD15(nn.Module):
         # mid
         x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_0")(x, temb)
         x = SpatialTransformer(
-            ch[-1], cfg.num_attention_heads, cfg.cross_attention_dim, g,
-            cfg.dtype, name="mid_attn",
+            ch[-1], cfg.heads_for(ch[-1]), cfg.cross_attention_dim, g,
+            cfg.dtype, depth=cfg.mid_transformer_layers, name="mid_attn",
         )(x, ctx)
         x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_1")(x, temb)
 
-        # up path (mirror)
+        # up path (mirror; depths reversed)
         for i, out_ch in enumerate(reversed(ch)):
-            is_first = i == 0
+            depth_i = depths[len(ch) - 1 - i]
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlockTimeEmb(
                     out_ch, g, cfg.dtype, name=f"up_{i}_resnet_{j}"
                 )(x, temb)
-                if not is_first:
+                if depth_i > 0:
                     x = SpatialTransformer(
                         out_ch,
-                        cfg.num_attention_heads,
+                        cfg.heads_for(out_ch),
                         cfg.cross_attention_dim,
                         g,
                         cfg.dtype,
+                        depth=depth_i,
                         name=f"up_{i}_attn_{j}",
                     )(x, ctx)
             if i < len(ch) - 1:

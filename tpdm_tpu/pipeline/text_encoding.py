@@ -74,3 +74,34 @@ class SD3TextEncoders:
 
     def encode(self, clip_ids, t5_ids=None) -> PromptEmbeds:
         return self._encode(jnp.asarray(clip_ids), None if t5_ids is None else jnp.asarray(t5_ids))
+
+
+class SDXLTextEncoders:
+    """SDXL prompt encoding: CLIP-L + CLIP-bigG (the same two towers SD3
+    uses, minus T5) -> UNet conditioning.
+
+        prompt_embeds = concat([clip_l_penultimate, clip_g_penultimate], -1)
+                        # (b, 77, 768+1280 = 2048)
+        pooled        = clip_g_projected                      # (b, 1280)
+
+    diffusers StableDiffusionXLPipeline.encode_prompt semantics: both
+    towers contribute penultimate hidden states (clip_skip=None), only
+    text_encoder_2's projected EOS embedding is pooled. Beyond-reference
+    family (the reference has no SDXL); tokenization happens on host.
+    """
+
+    def __init__(self, clip_l_model, clip_l_params, clip_g_model, clip_g_params):
+        self.clip_l = (clip_l_model, clip_l_params)
+        self.clip_g = (clip_g_model, clip_g_params)
+        self._encode = jax.jit(self._encode_impl)
+
+    def _encode_impl(self, clip_ids: jax.Array) -> PromptEmbeds:
+        lm, lp = self.clip_l
+        gm, gp = self.clip_g
+        pen_l, _, _, _ = lm.apply(lp, clip_ids)
+        pen_g, _, _, proj_g = gm.apply(gp, clip_ids)
+        prompt_embeds = jnp.concatenate([pen_l, pen_g], axis=-1)
+        return PromptEmbeds(prompt_embeds, proj_g)
+
+    def encode(self, clip_ids) -> PromptEmbeds:
+        return self._encode(jnp.asarray(clip_ids))

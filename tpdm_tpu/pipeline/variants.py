@@ -45,6 +45,35 @@ class VariantResult(NamedTuple):
     schedule: np.ndarray  # times (SD1.5) or sigmas (FLUX), (b, T)
 
 
+def _ddpm_img2img_batch(vae, vae_params, batch_size, init_image, strength,
+                        seed, dtype):
+    """Integer-t img2img prep shared by the epsilon-prediction families
+    (SD1.5/SDXL): DDPM forward noising x_t = alpha_t*x0 + sigma_t*eps at
+    t0 = round(strength*999). Returns {"latents", "init_t"}."""
+    from tpdm_tpu.ops.dpm_solver import (
+        ddpm_sigmas_from_betas,
+        sigma_to_alpha_sigma_t,
+    )
+
+    if vae is None:
+        raise ValueError("img2img needs a VAE on the pipeline")
+    b = batch_size
+    s0 = jnp.broadcast_to(jnp.asarray(strength, jnp.float32), (b,))
+    if bool(jnp.any((s0 <= 0.0) | (s0 > 1.0))):
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    clean = encode_init_image(vae, vae_params, init_image)
+    if clean.shape[0] != b:
+        raise ValueError(f"init_image batch {clean.shape[0]} != prompt batch {b}")
+    t0 = jnp.round(s0 * 999.0).astype(jnp.int32)
+    sig = ddpm_sigmas_from_betas()[t0]
+    alpha_t, sigma_t = sigma_to_alpha_sigma_t(sig)
+    key_lat, _ = jax.random.split(jax.random.PRNGKey(seed))
+    eps = jax.random.normal(key_lat, clean.shape, dtype).astype(jnp.float32)
+    a = alpha_t.reshape((b, 1, 1, 1))
+    s = sigma_t.reshape((b, 1, 1, 1))
+    return {"latents": (a * clean + s * eps).astype(dtype), "init_t": t0}
+
+
 class SD15Pipeline:
     """SD1.5 adaptive generation: agent rollout (predict) + VAE decode."""
 
@@ -107,34 +136,99 @@ class SD15Pipeline:
             "negative_prompt_embeds": negative_prompt_embeds,
         }
         if init_image is not None:
-            if self.vae is None:
-                raise ValueError("img2img needs a VAE on the pipeline")
-            from tpdm_tpu.ops.dpm_solver import (
-                ddpm_sigmas_from_betas,
-                sigma_to_alpha_sigma_t,
+            batch.update(
+                _ddpm_img2img_batch(
+                    self.vae, self.vae_params, prompt_embeds.shape[0],
+                    init_image, strength, seed, self.agent.unet.config.dtype,
+                )
+            )
+        if tpm_params is None:
+            tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
+        out = self.agent.sample(
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+        )
+        if self._decode is not None:
+            images = postprocess_images(self._decode(self.vae_params, out.final_latents))
+        else:
+            images = np.asarray(out.final_latents)
+        return VariantResult(
+            images=images,
+            num_steps=int(out.num_steps),
+            last_valid_index=np.asarray(out.last_valid_index),
+            schedule=np.asarray(out.times),
+        )
+
+
+class SDXLPipeline:
+    """SDXL adaptive generation: agent rollout (predict) + VAE decode.
+
+    Beyond-reference family; same integer-t adaptive loop as SD15Pipeline
+    with the SDXL conditioning surface (dual-CLIP embeds + pooled bigG +
+    size/crop time_ids threaded through CFG).
+    """
+
+    def __init__(self, agent, vae=None, vae_params=None, text_encoders=None):
+        self.agent = agent
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoders = text_encoders  # SDXLTextEncoders or None
+        self._decode = None
+        if vae is not None:
+            cfg = vae.config
+            self._decode = jax.jit(
+                lambda p, z: vae.apply(
+                    p, z.astype(jnp.float32) / cfg.scaling_factor + cfg.shift_factor
+                )
             )
 
-            b = prompt_embeds.shape[0]
-            s0 = jnp.broadcast_to(jnp.asarray(strength, jnp.float32), (b,))
-            if bool(jnp.any((s0 <= 0.0) | (s0 > 1.0))):
-                raise ValueError(f"strength must be in (0, 1], got {strength}")
-            clean = encode_init_image(self.vae, self.vae_params, init_image)
-            if clean.shape[0] != b:
-                raise ValueError(
-                    f"init_image batch {clean.shape[0]} != prompt batch {b}"
+    def generate(
+        self,
+        prompt_embeds: Optional[jax.Array] = None,  # (b, 77, 2048)
+        pooled_prompt_embeds: Optional[jax.Array] = None,  # (b, 1280)
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
+        clip_ids: Optional[np.ndarray] = None,
+        negative_clip_ids: Optional[np.ndarray] = None,
+        time_ids: Optional[np.ndarray] = None,
+        seed: int = 0,
+        tpm_params=None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.6,
+    ) -> VariantResult:
+        """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
+        [+ negatives under CFG] or token ids for the bundled dual-CLIP
+        encoders. ``init_image`` switches to integer-t img2img (see
+        SD15Pipeline.generate)."""
+        if prompt_embeds is None:
+            if self.text_encoders is None:
+                raise ValueError("need prompt_embeds or text_encoders")
+            pe = self.text_encoders.encode(jnp.asarray(clip_ids))
+            prompt_embeds, pooled_prompt_embeds = pe
+            if negative_clip_ids is not None:
+                ne = self.text_encoders.encode(jnp.asarray(negative_clip_ids))
+                negative_prompt_embeds, negative_pooled_prompt_embeds = ne
+        gs = self.agent.guidance_scale
+        if gs is not None and gs > 1 and negative_prompt_embeds is None:
+            raise ValueError(
+                f"classifier-free guidance is on (guidance_scale={gs}); pass "
+                "negative_prompt_embeds/negative_pooled_prompt_embeds or "
+                "negative_clip_ids (diffusers encodes an empty prompt)"
+            )
+        batch = {
+            "prompt_embeds": prompt_embeds,
+            "pooled_prompt_embeds": pooled_prompt_embeds,
+            "negative_prompt_embeds": negative_prompt_embeds,
+            "negative_pooled_prompt_embeds": negative_pooled_prompt_embeds,
+        }
+        if time_ids is not None:
+            batch["time_ids"] = jnp.asarray(time_ids, jnp.float32)
+        if init_image is not None:
+            batch.update(
+                _ddpm_img2img_batch(
+                    self.vae, self.vae_params, prompt_embeds.shape[0],
+                    init_image, strength, seed, self.agent.unet.config.dtype,
                 )
-            t0 = jnp.round(s0 * 999.0).astype(jnp.int32)
-            sig = ddpm_sigmas_from_betas()[t0]
-            alpha_t, sigma_t = sigma_to_alpha_sigma_t(sig)
-            dtype = self.agent.unet.config.dtype
-            key_lat, _ = jax.random.split(jax.random.PRNGKey(seed))
-            eps = jax.random.normal(
-                key_lat, clean.shape, dtype
-            ).astype(jnp.float32)
-            a = alpha_t.reshape((b, 1, 1, 1))
-            s = sigma_t.reshape((b, 1, 1, 1))
-            batch["latents"] = (a * clean + s * eps).astype(dtype)
-            batch["init_t"] = t0
+            )
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(

@@ -1,0 +1,150 @@
+"""SDXL RL agent: frozen SDXL UNet + TPM over the DPM-Solver++ adaptive loop.
+
+Beyond-reference model family (the reference ships SD3 + SD1.5 agents;
+SDXL is the same epsilon-prediction / integer-timestep regime as SD1.5 —
+reference: src/models/stable_diffusion_v1_5/modeling_sd_v1_5.py:925-1041 —
+so the SD1.5 sampler, replay, and zero-KL semantics carry over verbatim).
+What changes is the conditioning surface: dual CLIP towers (L + bigG
+penultimate states concatenated to 2048) plus the "text_time" added
+embedding (pooled bigG text + size/crop time_ids), all threaded through
+classifier-free guidance.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpdm_tpu.models.tpm import TimePredictor
+from tpdm_tpu.models.unet_sd15 import UNetSD15
+from tpdm_tpu.pipeline.sd15_sampler import SD15SampleOutput, sd15_adaptive_sample
+from tpdm_tpu.train.config import RLOOConfig
+from tpdm_tpu.train.sd15_agent import SD15Agent
+
+
+def make_sdxl_denoise_fn(
+    unet_apply, prompt_embeds, added_cond, guidance_scale: Optional[float]
+):
+    """CFG wrapper over the SDXL UNet: combines noise_pred AND temb/h1/h2
+    (same guidance-on-activations contract as make_sd15_denoise_fn;
+    h_combined = concat([h1, h2], channel)). `prompt_embeds` and
+    `added_cond` are pre-doubled [uncond; cond] when guidance is on."""
+
+    def denoise_fn(latents, t):
+        if guidance_scale is not None and guidance_scale > 1:
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+        else:
+            lat, tt = latents, t
+        eps, temb, h1, h2 = unet_apply(lat, tt, prompt_embeds, added_cond)
+        if guidance_scale is not None and guidance_scale > 1:
+
+            def guide(a):
+                u, c = jnp.split(a, 2)
+                return u + guidance_scale * (c - u)
+
+            eps, temb, h1, h2 = guide(eps), guide(temb), guide(h1), guide(h2)
+        return eps, temb, jnp.concatenate([h1, h2], axis=1)
+
+    return denoise_fn
+
+
+class SDXLAgent(SD15Agent):
+    """RLOOTrainer-compatible agent over the SDXL UNet.
+
+    Inherits the SD1.5 integer-t machinery (init_tpm_params, prepare_latents,
+    replay/logprobs, zero kl_divergence, mesh shard) — the TPM contract is
+    identical (h = concat([h1, h2]) at 2*320 channels, pre-MLP 320-dim
+    sinusoidal temb).
+    """
+
+    def __init__(
+        self,
+        unet: UNetSD15,
+        unet_params,
+        config: RLOOConfig,
+        tpm: Optional[TimePredictor] = None,
+        min_time: int = 10,
+        guidance_scale: float = 5.0,
+    ):
+        if not unet.config.addition_embed:
+            raise ValueError(
+                "SDXLAgent needs a UNetConfig with addition_embed=True "
+                "(UNetConfig.sdxl()/toy_xl()); use SD15Agent otherwise"
+            )
+        super().__init__(
+            unet, unet_params, config, tpm=tpm, min_time=min_time,
+            guidance_scale=guidance_scale,
+        )
+
+    def default_time_ids(self, batch_size: int) -> jax.Array:
+        """[orig_h, orig_w, crop_top, crop_left, target_h, target_w] at the
+        native resolution (diffusers SDXL _get_add_time_ids defaults)."""
+        px = float(self.unet.config.sample_size * 8)
+        row = jnp.asarray([px, px, 0.0, 0.0, px, px], jnp.float32)
+        return jnp.broadcast_to(row, (batch_size, 6))
+
+    def _sample(self, unet_params, tpm_params, latents, cond, key, step_caps,
+                init_t, scfg):
+        prompt_embeds, added_cond = cond
+        denoise_fn = make_sdxl_denoise_fn(
+            lambda *a: self.unet.apply(unet_params, *a),
+            prompt_embeds,
+            added_cond,
+            self.guidance_scale,
+        )
+        return sd15_adaptive_sample(
+            denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
+            step_caps=step_caps, init_t=init_t,
+        )
+
+    def sample(
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None,
+        step_caps=None,
+    ) -> SD15SampleOutput:
+        """``batch`` carries ``prompt_embeds`` (b, 77, 2048) and
+        ``pooled_prompt_embeds`` (b, 1280); under CFG also the negative
+        pair. Optional: ``time_ids`` (b, 6), ``latents``, ``init_t``."""
+        pe = batch["prompt_embeds"]
+        pooled = batch["pooled_prompt_embeds"]
+        b = pe.shape[0]
+        time_ids = batch.get("time_ids")
+        if time_ids is None:
+            time_ids = self.default_time_ids(b)
+        time_ids = jnp.asarray(time_ids, jnp.float32)
+        if self.guidance_scale is not None and self.guidance_scale > 1:
+            if (
+                batch.get("negative_prompt_embeds") is None
+                or batch.get("negative_pooled_prompt_embeds") is None
+            ):
+                raise ValueError(
+                    "classifier-free guidance is on (guidance_scale="
+                    f"{self.guidance_scale}); pass negative_prompt_embeds "
+                    "AND negative_pooled_prompt_embeds (encode an empty "
+                    "prompt, as diffusers does)"
+                )
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+            pooled = jnp.concatenate(
+                [batch["negative_pooled_prompt_embeds"], pooled]
+            )
+            time_ids = jnp.concatenate([time_ids, time_ids])
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+
+        key_lat, key_roll = jax.random.split(key)
+        latents = batch.get("latents")
+        if latents is None:
+            latents = self.prepare_latents(key_lat, b)
+        import dataclasses
+
+        scfg = sampler_cfg or dataclasses.replace(self.sampler_cfg, predict=predict)
+        if step_caps is not None:
+            step_caps = jnp.asarray(step_caps, jnp.int32)
+        init_t = batch.get("init_t")
+        if init_t is not None:
+            init_t = jnp.asarray(init_t, jnp.int32)
+        return self._sample_jit(
+            self.unet_params, tpm_params, latents, (pe, added), key_roll,
+            step_caps, init_t, scfg=scfg,
+        )

@@ -521,6 +521,204 @@ def export_unet_sd15(params: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# SDXL UNet (diffusers UNet2DConditionModel layout, use_linear_projection)
+# ---------------------------------------------------------------------------
+
+
+def _conv_any(sd: _SD, key: str) -> dict:
+    """Conv params from either a 4D conv weight (O,I,H,W) or a 2D Linear
+    weight (O,I) — SDXL's use_linear_projection Transformer2DModel stores
+    proj_in/proj_out as Linear; a 1x1 NHWC conv is the identical map, so
+    the Linear weight reshapes to kernel (1,1,I,O)."""
+    w = sd(f"{key}.weight")
+    if w.ndim == 2:
+        kernel = np.ascontiguousarray(w.T[None, None])
+    else:
+        kernel = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+    return {"kernel": kernel, "bias": sd(f"{key}.bias")}
+
+
+def _sdxl_attn_tree(sd: _SD, base: str, depth: int) -> dict:
+    """Transformer2DModel with `depth` BasicTransformerBlocks."""
+    out = {
+        "norm": _ln(sd, f"{base}.norm"),
+        "proj_in": _conv_any(sd, f"{base}.proj_in"),
+        "proj_out": _conv_any(sd, f"{base}.proj_out"),
+    }
+    for k in range(depth):
+        tb = f"{base}.transformer_blocks.{k}"
+        block = {
+            "norm1": _ln(sd, f"{tb}.norm1"),
+            "norm2": _ln(sd, f"{tb}.norm2"),
+            "norm3": _ln(sd, f"{tb}.norm3"),
+            "ff_proj": _dense(sd, f"{tb}.ff.net.0.proj"),
+            "ff_out": _dense(sd, f"{tb}.ff.net.2"),
+        }
+        for a in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                block[f"{a}_{proj}"] = _dense(sd, f"{tb}.{a}.{proj}", bias=False)
+            block[f"{a}_to_out"] = _dense(sd, f"{tb}.{a}.to_out.0")
+        out["block" if depth == 1 else f"block_{k}"] = block
+    return out
+
+
+def convert_unet_sdxl(
+    state_dict: Mapping,
+    block_out_channels=(320, 640, 1280),
+    layers_per_block: int = 2,
+    transformer_layers_per_block=(0, 2, 10),
+    mid_transformer_layers: int = 10,
+    dtype=None,
+) -> dict:
+    """diffusers SDXL UNet2DConditionModel state dict -> UNetSD15 params
+    (UNetConfig.sdxl()). Beyond-reference family: DownBlock2D +
+    2x CrossAttnDownBlock2D with transformer depths (2, 10), text_time
+    add_embedding, linear transformer projections."""
+    sd = _SD(state_dict, dtype)
+    n = len(block_out_channels)
+    depths = tuple(transformer_layers_per_block)
+    p: dict = {
+        "time_linear_1": _dense(sd, "time_embedding.linear_1"),
+        "time_linear_2": _dense(sd, "time_embedding.linear_2"),
+        "add_linear_1": _dense(sd, "add_embedding.linear_1"),
+        "add_linear_2": _dense(sd, "add_embedding.linear_2"),
+        "conv_in": _conv(sd, "conv_in"),
+        "conv_norm_out": _ln(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "mid_resnet_0": _sd15_resnet_tree(sd, "mid_block.resnets.0"),
+        "mid_attn": _sdxl_attn_tree(
+            sd, "mid_block.attentions.0", mid_transformer_layers
+        ),
+        "mid_resnet_1": _sd15_resnet_tree(sd, "mid_block.resnets.1"),
+    }
+    for i in range(n):
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _sd15_resnet_tree(
+                sd, f"down_blocks.{i}.resnets.{j}"
+            )
+            if depths[i] > 0:
+                p[f"down_{i}_attn_{j}"] = _sdxl_attn_tree(
+                    sd, f"down_blocks.{i}.attentions.{j}", depths[i]
+                )
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = _conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv"
+            )
+    for i in range(n):
+        depth_i = depths[n - 1 - i]
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _sd15_resnet_tree(
+                sd, f"up_blocks.{i}.resnets.{j}"
+            )
+            if depth_i > 0:
+                p[f"up_{i}_attn_{j}"] = _sdxl_attn_tree(
+                    sd, f"up_blocks.{i}.attentions.{j}", depth_i
+                )
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return {"params": p}
+
+
+def export_unet_sdxl(params: dict, linear_projection: bool = True) -> dict:
+    """UNetSD15 (SDXL config) params -> diffusers-layout state dict (numpy).
+
+    linear_projection=True writes Transformer2DModel proj_in/proj_out as
+    2D Linear weights (diffusers SDXL convention)."""
+    p = params["params"] if "params" in params else params
+    out: dict = {}
+
+    def dense(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(tree["kernel"]).T)
+        if "bias" in tree:
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def conv(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(
+            np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)
+        )
+        out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def proj(tree, key):
+        if linear_projection:
+            k = np.asarray(tree["kernel"])  # (1,1,I,O)
+            out[f"{key}.weight"] = np.ascontiguousarray(k[0, 0].T)
+            out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+        else:
+            conv(tree, key)
+
+    def norm(tree, key):
+        out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(tree["scale"]))
+        out[f"{key}.bias"] = np.ascontiguousarray(np.asarray(tree["bias"]))
+
+    def resnet(tree, base):
+        norm(tree["norm1"], f"{base}.norm1")
+        conv(tree["conv1"], f"{base}.conv1")
+        dense(tree["time_emb_proj"], f"{base}.time_emb_proj")
+        norm(tree["norm2"], f"{base}.norm2")
+        conv(tree["conv2"], f"{base}.conv2")
+        if "conv_shortcut" in tree:
+            conv(tree["conv_shortcut"], f"{base}.conv_shortcut")
+
+    def attn(tree, base):
+        norm(tree["norm"], f"{base}.norm")
+        proj(tree["proj_in"], f"{base}.proj_in")
+        proj(tree["proj_out"], f"{base}.proj_out")
+        blocks = (
+            [("block", 0)]
+            if "block" in tree
+            else sorted(
+                ((k, int(k.rsplit("_", 1)[1])) for k in tree if k.startswith("block_")),
+                key=lambda kv: kv[1],
+            )
+        )
+        for name, k in blocks:
+            tb = f"{base}.transformer_blocks.{k}"
+            b = tree[name]
+            for nm in ("norm1", "norm2", "norm3"):
+                norm(b[nm], f"{tb}.{nm}")
+            for a in ("attn1", "attn2"):
+                for pj in ("to_q", "to_k", "to_v"):
+                    dense(b[f"{a}_{pj}"], f"{tb}.{a}.{pj}")
+                dense(b[f"{a}_to_out"], f"{tb}.{a}.to_out.0")
+            dense(b["ff_proj"], f"{tb}.ff.net.0.proj")
+            dense(b["ff_out"], f"{tb}.ff.net.2")
+
+    for name, tree in p.items():
+        if name.startswith("time_linear_"):
+            dense(tree, f"time_embedding.linear_{name[-1]}")
+        elif name.startswith("add_linear_"):
+            dense(tree, f"add_embedding.linear_{name[-1]}")
+        elif name in ("conv_in", "conv_out"):
+            conv(tree, name)
+        elif name == "conv_norm_out":
+            norm(tree, name)
+        elif "_resnet_" in name:
+            loc, _, j = name.rpartition("_")
+            loc = loc.replace("_resnet", "")
+            base = (
+                f"mid_block.resnets.{j}"
+                if loc == "mid"
+                else f"{loc.split('_')[0]}_blocks.{loc.split('_')[1]}.resnets.{j}"
+            )
+            resnet(tree, base)
+        elif name == "mid_attn":
+            attn(tree, "mid_block.attentions.0")
+        elif "_attn_" in name:
+            loc, _, j = name.rpartition("_")
+            loc = loc.replace("_attn", "")
+            attn(tree, f"{loc.split('_')[0]}_blocks.{loc.split('_')[1]}.attentions.{j}")
+        elif name.endswith("_downsample"):
+            i = name.split("_")[1]
+            conv(tree, f"down_blocks.{i}.downsamplers.0.conv")
+        elif name.endswith("_upsample"):
+            i = name.split("_")[1]
+            conv(tree, f"up_blocks.{i}.upsamplers.0.conv")
+        else:
+            raise ValueError(f"unmapped SDXL UNet module: {name}")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # FLUX transformer (BFL checkpoint layout: black-forest-labs flux.1 repos)
 # ---------------------------------------------------------------------------
 
