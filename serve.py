@@ -333,6 +333,76 @@ def build_family_world(args):
             runner=make_sd15_runner(agent, tpm_params, encode, decode),
         )
 
+    if fam == "sdxl":
+        if _quant_on(args):
+            raise SystemExit(
+                "--int8/--int4 are not supported for --family sdxl "
+                "(quantization covers the MMDiT/FLUX transformer backbones)"
+            )
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.pipeline.text_encoding import SDXLTextEncoders
+        from tpdm_tpu.serving_families import make_sdxl_runner
+        from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+        cfg = UNetConfig.toy_xl(cross_attention_dim=16 + 24, addition_pooled_dim=12)
+        unet = UNetSD15(cfg)
+        lcfg = CLIPTextConfig.toy(
+            hidden_size=16, projection_dim=8, max_position_embeddings=8
+        )
+        gcfg = CLIPTextConfig.toy(
+            hidden_size=24, projection_dim=12, max_position_embeddings=8
+        )
+        lm, gm = CLIPTextModel(lcfg), CLIPTextModel(gcfg)
+        lparams = lm.init(key, jnp.zeros((1, 8), jnp.int32))
+        gparams = gm.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+        enc = SDXLTextEncoders(lm, lparams, gm, gparams)
+        unet_params = unet.init(
+            key,
+            jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, 8, cfg.cross_attention_dim)),
+            {
+                "text_embeds": jnp.zeros((2, cfg.addition_pooled_dim)),
+                "time_ids": jnp.zeros((2, 6)),
+            },
+        )
+        agent = SDXLAgent(
+            unet, unet_params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * cfg.block_out_channels[0],
+                temb_dim=cfg.block_out_channels[0],
+            ),
+        )
+        vae = VAE(VAEConfig.toy(latent_channels=4))
+        vae_params = vae.init(
+            key,
+            jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
+            jnp.zeros((1, 3, 2 * cfg.sample_size, 2 * cfg.sample_size)),
+        )
+
+        def toy_ids(prompt):
+            ids = [97] + [abs(hash(w)) % 90 + 1 for w in prompt.split()[:6]] + [98]
+            return np.array([ids[:8] + [0] * (8 - len(ids))], np.int32)
+
+        def encode(prompts):
+            ids = np.concatenate([toy_ids(p) for p in prompts])
+            pe = enc.encode(ids)
+            ne = enc.encode(np.zeros_like(ids))
+            return (
+                pe.prompt_embeds, pe.pooled_prompt_embeds,
+                ne.prompt_embeds, ne.pooled_prompt_embeds,
+            )
+
+        tpm_params = agent.init_tpm_params(key)
+        decode = make_vae_decoder(vae, vae_params)
+        return dict(
+            family="sdxl", agent=agent, tpm_params=tpm_params,
+            encode=encode, decode=decode,
+            runner=make_sdxl_runner(agent, tpm_params, encode, decode),
+        )
+
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
     from tpdm_tpu.serving_families import make_flux_runner
     from tpdm_tpu.train.flux_agent import FluxAgent
@@ -449,9 +519,10 @@ def main():
     p.add_argument("--pretrained", default=None)
     p.add_argument("--tpm", default=None)
     p.add_argument("--toy", action="store_true")
-    p.add_argument("--family", choices=["sd3", "sd15", "flux"], default="sd3",
-                   help="model family to serve (sd15/flux: toy configs via "
-                        "the engine's runner delegate)")
+    p.add_argument("--family", choices=["sd3", "sd15", "sdxl", "flux"],
+                   default="sd3",
+                   help="model family to serve (sd15/sdxl/flux: toy configs "
+                        "via the engine's runner delegate)")
     p.add_argument("--cli", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--prompt", default="a serene mountain lake at dawn")
@@ -687,10 +758,13 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             from tpdm_tpu.serving_continuous import (
                 ContinuousFluxEngine,
                 ContinuousSD15Engine,
+                ContinuousSDXLEngine,
             )
 
             cls = {
-                "sd15": ContinuousSD15Engine, "flux": ContinuousFluxEngine
+                "sd15": ContinuousSD15Engine,
+                "sdxl": ContinuousSDXLEngine,
+                "flux": ContinuousFluxEngine,
             }[family_world["family"]]
             engine = cls(
                 family_world["agent"],

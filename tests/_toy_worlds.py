@@ -70,6 +70,74 @@ def build_sd15_world(max_steps=4):
     )
 
 
+def build_sdxl_world(max_steps=4):
+    from tpdm_tpu.models import TimePredictor
+    from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from tpdm_tpu.models.vae import VAE, VAEConfig
+    from tpdm_tpu.pipeline.text_encoding import SDXLTextEncoders
+    from tpdm_tpu.serving_families import make_sdxl_runner, make_vae_decoder
+    from tpdm_tpu.train import RLOOConfig
+    from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+    cfg = UNetConfig.toy_xl(cross_attention_dim=16 + 24, addition_pooled_dim=12)
+    unet = UNetSD15(cfg)
+    lcfg = CLIPTextConfig.toy(
+        hidden_size=16, projection_dim=8, max_position_embeddings=8
+    )
+    gcfg = CLIPTextConfig.toy(
+        hidden_size=24, projection_dim=12, max_position_embeddings=8
+    )
+    lm, gm = CLIPTextModel(lcfg), CLIPTextModel(gcfg)
+    key = jax.random.PRNGKey(0)
+    lparams = lm.init(key, jnp.zeros((1, 8), jnp.int32))
+    gparams = gm.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    enc = SDXLTextEncoders(lm, lparams, gm, gparams)
+    unet_params = unet.init(
+        key,
+        jnp.zeros((2, 4, cfg.sample_size, cfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, 8, cfg.cross_attention_dim)),
+        {
+            "text_embeds": jnp.zeros((2, cfg.addition_pooled_dim)),
+            "time_ids": jnp.zeros((2, 6)),
+        },
+    )
+    config = RLOOConfig(max_inference_steps=max_steps)
+    agent = SDXLAgent(
+        unet, unet_params, config,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg.block_out_channels[0],
+            temb_dim=cfg.block_out_channels[0],
+        ),
+    )
+    vae = VAE(VAEConfig.toy(latent_channels=4))
+    vae_params = vae.init(
+        key,
+        jnp.zeros((1, 4, cfg.sample_size, cfg.sample_size)),
+        jnp.zeros((1, 3, 2 * cfg.sample_size, 2 * cfg.sample_size)),
+    )
+    tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
+
+    def encode(prompts):
+        ids = np.concatenate([tokenize_ids(p) for p in prompts])
+        pe = enc.encode(ids)
+        ne = enc.encode(np.zeros_like(ids))
+        return (
+            pe.prompt_embeds, pe.pooled_prompt_embeds,
+            ne.prompt_embeds, ne.pooled_prompt_embeds,
+        )
+
+    decode = make_vae_decoder(vae, vae_params)
+    runner = make_sdxl_runner(agent, tpm_params, encode, decode)
+    return dict(
+        agent=agent, tpm_params=tpm_params, encode=encode, decode=decode,
+        runner=runner, text_encoders=enc, vae=vae,
+        vae_params=vae_params, sample_size=cfg.sample_size,
+    )
+
+
 def build_flux_world(max_steps=4):
     from tpdm_tpu.models import TimePredictor
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents

@@ -401,14 +401,16 @@ class TestMeshTrainer:
         assert np.isfinite(m["policy/grad_norm_avg"])
 
     def test_dryrun_agent_families(self):
-        """SD1.5 and FLUX agents each run a sharded RLOO update through the
-        real trainer (SURVEY §2.5)."""
+        """SD1.5, SDXL, and FLUX agents each run a sharded RLOO update
+        through the real trainer (SURVEY §2.5)."""
         from tpdm_tpu.parallel.dryrun import dryrun_agent_families
 
         r = dryrun_agent_families(4, (2, 2, 1))
         assert np.isfinite(r["sd15"]["loss/policy_avg"])
+        assert np.isfinite(r["sdxl"]["loss/policy_avg"])
         assert np.isfinite(r["flux"]["loss/policy_avg"])
         assert r["sd15"]["objective/kl"] == 0.0  # SD1.5 KL identically zero
+        assert r["sdxl"]["objective/kl"] == 0.0  # inherited zero-KL
 
     def test_world_size_mismatch_raises(self):
         import dataclasses

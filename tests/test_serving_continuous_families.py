@@ -21,6 +21,7 @@ from tpdm_tpu.serving import BatchingEngine
 from tpdm_tpu.serving_continuous import (
     ContinuousFluxEngine,
     ContinuousSD15Engine,
+    ContinuousSDXLEngine,
 )
 
 
@@ -110,6 +111,38 @@ class TestContinuousSD15:
         )
         with pytest.raises(ValueError, match="resolution"):
             eng.submit("x", resolution=512)
+
+
+class TestContinuousSDXL:
+    @pytest.fixture(scope="class")
+    def sdxl_world(self):
+        from _toy_worlds import build_sdxl_world
+
+        return build_sdxl_world()
+
+    def test_parity_with_fixed_runner(self, sdxl_world):
+        """SDXL slot recycling == solo make_sdxl_runner runs: exact
+        integer-t schedules, images <= 1 LSB (pooled + time_ids threaded
+        through the segment's CFG)."""
+        w = sdxl_world
+        want = _fixed_reference(w, REQUESTS)
+        eng = ContinuousSDXLEngine(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=2,
+        )
+        for k, got in _drive_continuous(eng, REQUESTS):
+            exp = want[k]
+            assert got["inference_steps"] == exp["inference_steps"], k
+            assert [int(t) for t in got["sigmas"]] == exp["sigmas"], k
+            _assert_images_within_1lsb(got["image"], exp["image"], k)
+
+    def test_no_adapter_path(self, sdxl_world):
+        w = sdxl_world
+        eng = ContinuousSDXLEngine(
+            w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
+        )
+        with pytest.raises(ValueError, match="SDXL family has no LoRA"):
+            eng.register_adapter("a", {})
 
 
 class TestContinuousFlux:
@@ -326,7 +359,8 @@ class TestShardedFamilies:
 
 class TestServeCLIWiring:
     @pytest.mark.parametrize("family,cls", [
-        ("sd15", ContinuousSD15Engine), ("flux", ContinuousFluxEngine),
+        ("sd15", ContinuousSD15Engine), ("sdxl", ContinuousSDXLEngine),
+        ("flux", ContinuousFluxEngine),
     ])
     def test_http_server_builds_family_continuous_engine(self, family, cls):
         import serve

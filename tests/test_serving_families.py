@@ -105,6 +105,66 @@ class TestSD15Serving:
             )
 
 
+class TestSDXLServing:
+    @pytest.fixture(scope="class")
+    def sdxl_world(self):
+        from _toy_worlds import build_sdxl_world
+
+        return build_sdxl_world()
+
+    def test_requests_coalesce_and_decode(self, sdxl_world):
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=3, window_ms=200, max_steps=4,
+            runner=sdxl_world["runner"],
+        )
+        eng.start()
+        try:
+            reqs = [eng.submit(f"prompt {i}", seed=i) for i in range(3)]
+            results = [r.result(timeout=300) for r in reqs]
+        finally:
+            eng.stop()
+        assert eng.batches_run == 1
+        ss = sdxl_world["sample_size"]
+        for res in results:
+            assert res["image"].shape == (2 * ss, 2 * ss, 3)
+            assert res["image"].dtype == np.uint8
+            assert 1 <= res["inference_steps"] <= 4
+            assert all(0 <= t < 999 for t in res["sigmas"])
+
+    def test_seed_parity_with_direct_pipeline(self, sdxl_world):
+        from tpdm_tpu.pipeline.variants import SDXLPipeline
+
+        w = sdxl_world
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=2, window_ms=1, max_steps=4,
+            runner=w["runner"],
+        )
+        via_engine = eng.generate_batch(["a cat"], [7])[0]["image"]
+        pipe = SDXLPipeline(
+            w["agent"], w["vae"], w["vae_params"],
+            text_encoders=w["text_encoders"],
+        )
+        ids = tokenize_ids("a cat")
+        direct = pipe.generate(
+            clip_ids=ids, negative_clip_ids=np.zeros_like(ids), seed=7,
+            tpm_params=w["tpm_params"],
+        )
+        diff = np.abs(
+            via_engine.astype(np.int16) - direct.images[0].astype(np.int16)
+        )
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 0.01
+
+    def test_same_seed_same_image_across_batch_compositions(self, sdxl_world):
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=2, window_ms=1, max_steps=4,
+            runner=sdxl_world["runner"],
+        )
+        solo = eng.generate_batch(["a cat"], [9])[0]
+        paired = eng.generate_batch(["a dog", "a cat"], [3, 9])[1]
+        np.testing.assert_array_equal(solo["image"], paired["image"])
+
+
 class TestFluxServing:
     def test_requests_coalesce_and_decode(self, flux_world):
         eng = BatchingEngine(

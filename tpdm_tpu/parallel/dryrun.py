@@ -367,6 +367,51 @@ def dryrun_agent_families(
     ]
     results["sd15"] = _run_family_trainer(agent, cfg, dataset, mesh)
 
+    # ---- SDXL (beyond-reference: per-level transformer depth, text_time
+    # added conditioning + pooled bigG threaded through CFG, same
+    # integer-t loop) ----
+    from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+    xcfg = UNetConfig.toy_xl()
+    xunet = UNetSD15(xcfg)
+    xparams = xunet.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((2, 4, xcfg.sample_size, xcfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, n_txt, xcfg.cross_attention_dim)),
+        {
+            "text_embeds": jnp.zeros((2, xcfg.addition_pooled_dim)),
+            "time_ids": jnp.zeros((2, 6)),
+        },
+    )
+    xagent = SDXLAgent(
+        xunet, xparams, cfg,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * xcfg.block_out_channels[0],
+            temb_dim=xcfg.block_out_channels[0],
+        ),
+    ).shard(mesh)
+    xdataset = [
+        {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(
+                size=(n_txt, xcfg.cross_attention_dim)
+            ).astype(np.float32),
+            "pooled_prompt_embeds": rng.normal(
+                size=(xcfg.addition_pooled_dim,)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, xcfg.cross_attention_dim), np.float32
+            ),
+            "negative_pooled_prompt_embeds": np.zeros(
+                (xcfg.addition_pooled_dim,), np.float32
+            ),
+        }
+        for i in range(max(4, dp))
+    ]
+    results["sdxl"] = _run_family_trainer(xagent, cfg, xdataset, mesh)
+
     # ---- FLUX (packed tokens, embedded guidance, no CFG doubling) ----
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
     from tpdm_tpu.train.flux_agent import FluxAgent

@@ -1739,6 +1739,30 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         # rejected in submit — no pipe/VAE on agent-backed engines)
         return self._init_latent(req.seed), np.float32(999.0)
 
+    def _encode_probe(self):
+        """Family hook: probe encode for state geometry.
+        Returns (pe_probe, neg_pe (1, n, d), neg_pp or None, pp_row_shape)."""
+        import jax.numpy as jnp
+
+        pe, npe = self._encode(["probe"])
+        return pe, jnp.asarray(npe[:1]), None, (1,)
+
+    def _segment_denoise(self, unet_params, st, neg_pe, neg_pp):
+        """Family hook: build the (latents, t) -> (eps, temb, h) denoise
+        closure for a segment from the slot state's conditioning rows."""
+        import jax.numpy as jnp
+
+        from tpdm_tpu.train.sd15_agent import make_sd15_denoise_fn
+
+        gs = self.guidance_scale
+        pe_full = (
+            jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
+            if gs is not None and gs > 1 else st.pe
+        )
+        return make_sd15_denoise_fn(
+            lambda *a: self.agent.unet.apply(unet_params, *a), pe_full, gs
+        )
+
     def _build_device_functions(self):
         import jax
         import jax.numpy as jnp
@@ -1751,8 +1775,6 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             dpm_second_order_update,
             epsilon_to_x0,
         )
-        from tpdm_tpu.train.sd15_agent import make_sd15_denoise_fn
-
         agent = self.agent
         scfg = agent.sampler_cfg
         self._min_live = float(scfg.min_time)  # carried scalar is t
@@ -1766,9 +1788,7 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         dtype = ucfg.dtype
         sigmas_table = ddpm_sigmas_from_betas()
 
-        pe_probe, npe_probe = self._encode(["probe"])
-        self._neg_pe = jnp.asarray(npe_probe[:1])  # (1, n, d)
-        self._neg_pp = None
+        pe_probe, self._neg_pe, self._neg_pp, pp_shape = self._encode_probe()
         rep, slot_sh, trace = self._mesh_shardings()
         self._rep_sharding, self._trace_sharding = rep, trace
         self._state_shardings = None if rep is None else _SD15SlotState(
@@ -1778,16 +1798,12 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         )
         if rep is not None:
             self._neg_pe = jax.device_put(self._neg_pe, rep)
+            if self._neg_pp is not None:
+                self._neg_pp = jax.device_put(self._neg_pp, rep)
 
-        def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, _npp,
+        def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, npp,
                     live):
-            pe_full = (
-                jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
-                if gs is not None and gs > 1 else st.pe
-            )
-            denoise_fn = make_sd15_denoise_fn(
-                lambda *a: agent.unet.apply(unet_params, *a), pe_full, gs
-            )
+            denoise_fn = self._segment_denoise(unet_params, st, neg_pe, npp)
             tpm_fn = agent.tpm_fn(tpm_params)
 
             def step(carry, _):
@@ -1870,7 +1886,8 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
                 steps=st.steps.at[slot].set(0),
                 caps=st.caps.at[slot].set(cap),
                 pe=st.pe.at[slot].set(pe_row),
-                pp=st.pp,
+                # SD1.5's pp rows are (1,) zeros; SDXL stores pooled bigG
+                pp=st.pp.at[slot].set(pp_row),
                 key=st.key,
                 t_prev=st.t_prev.at[slot].set(sigma0.astype(jnp.int32)),
                 x0_prev=st.x0_prev.at[slot].set(0.0),
@@ -1887,7 +1904,7 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
                 caps=jnp.full((S,), self.max_steps, jnp.int32),
                 pe=jnp.zeros((S,) + jnp.asarray(pe_probe).shape[1:],
                              jnp.asarray(pe_probe).dtype),
-                pp=jnp.zeros((S, 1), jnp.float32),
+                pp=jnp.zeros((S,) + pp_shape, jnp.float32),
                 key=jax.random.PRNGKey(0),
                 t_prev=jnp.full((S,), 999, jnp.int32),
                 x0_prev=jnp.zeros((S,) + hw, jnp.float32),
@@ -1905,6 +1922,73 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             return hit
         pe, _ = self._encode([prompt])
         return self._cache_embeds(prompt, (pe[0], np.zeros((1,), np.float32)))
+
+
+class ContinuousSDXLEngine(ContinuousSD15Engine):
+    """Slot-recycling serving for the SDXL family (beyond-reference).
+
+    Identical integer-t DPM-Solver++ segment machinery as the SD1.5
+    engine; the slot state's ``pp`` field carries the pooled bigG text
+    embedding and the denoise closure threads the text_time added
+    conditioning (pooled + size/crop time_ids at the agent's native
+    resolution) through classifier-free guidance.
+
+    Args:
+        agent: an ``SDXLAgent``.
+        encode: ``(prompts) -> (prompt_embeds, pooled, negative_prompt_
+            embeds, negative_pooled)`` — the serve.py --family sdxl
+            encode contract (make_sdxl_runner's).
+    """
+
+    def register_adapter(self, name, lora, scale=1.0, merged_cache=1):
+        raise ValueError(
+            "the SDXL family has no LoRA adapter path: the framework's "
+            "LoRA trainers target flow-ladder agents only (train/draft.py "
+            "— SDXLAgent's eps-prediction DPM-Solver does not qualify), "
+            "so there are no SDXL adapters to serve"
+        )
+
+    def _encode_probe(self):
+        import jax.numpy as jnp
+
+        pe, pooled, npe, npooled = self._encode(["probe"])
+        return (
+            pe,
+            jnp.asarray(npe[:1]),
+            jnp.asarray(npooled[:1]),
+            tuple(np.asarray(pooled).shape[1:]),
+        )
+
+    def _segment_denoise(self, unet_params, st, neg_pe, neg_pp):
+        import jax.numpy as jnp
+
+        from tpdm_tpu.train.sdxl_agent import make_sdxl_denoise_fn
+
+        gs = self.guidance_scale
+        cfg_on = gs is not None and gs > 1
+        pe_full = (
+            jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
+            if cfg_on else st.pe
+        )
+        pp_full = (
+            jnp.concatenate([jnp.broadcast_to(neg_pp, st.pp.shape), st.pp])
+            if cfg_on else st.pp
+        )
+        added = {
+            "text_embeds": pp_full,
+            "time_ids": self.agent.default_time_ids(pe_full.shape[0]),
+        }
+        return make_sdxl_denoise_fn(
+            lambda *a: self.agent.unet.apply(unet_params, *a),
+            pe_full, added, gs,
+        )
+
+    def _prompt_embeds(self, prompt: str):
+        hit = self._embed_cache.get(prompt)
+        if hit is not None:
+            return hit
+        pe, pooled, _, _ = self._encode([prompt])
+        return self._cache_embeds(prompt, (pe[0], pooled[0]))
 
 
 class MultiResContinuousRouter:

@@ -93,6 +93,66 @@ def make_sd15_runner(
     return runner
 
 
+def make_sdxl_runner(
+    agent,
+    tpm_params,
+    encode: Callable,
+    decode: Optional[Callable] = None,
+) -> Callable:
+    """Serving runner for the SDXL family (integer-t DPM-Solver++ loop,
+    dual-CLIP conditioning + pooled bigG + text_time ids).
+
+    Args:
+        agent: an ``SDXLAgent``.
+        tpm_params: TPM params.
+        encode: ``(prompts) -> (prompt_embeds (b, 77, 2048),
+            pooled (b, 1280), negative_prompt_embeds, negative_pooled)``
+            — the negative pair encodes the empty prompt (diffusers SDXL
+            CFG convention); pass None pairs when guidance is off.
+        decode: optional ``final_latents -> uint8 images``.
+    """
+    import jax
+
+    def runner(prompts, seeds, caps):
+        pe, pooled, npe, npooled = encode(prompts)
+        latents = _per_seed_latents(agent, seeds)
+        batch = {
+            "prompt_embeds": pe,
+            "pooled_prompt_embeds": pooled,
+            "latents": latents,
+        }
+        if npe is not None:
+            batch["negative_prompt_embeds"] = npe
+            batch["negative_pooled_prompt_embeds"] = npooled
+        out = agent.sample(
+            tpm_params,
+            batch,
+            jax.random.PRNGKey(0),  # predict=True: rollout key is unused
+            predict=True,
+            step_caps=np.asarray(caps, np.int32),
+        )
+        images = (
+            decode(out.final_latents) if decode is not None
+            else np.asarray(out.final_latents)
+        )
+        times = np.asarray(out.times)
+        lvi = np.asarray(out.last_valid_index)
+        results = []
+        for i in range(len(prompts)):
+            nfe = int(lvi[i]) + 1
+            results.append(
+                {
+                    "image": images[i],
+                    "inference_steps": nfe,
+                    # integer timesteps (t in [0, 999]), same slot as SD1.5
+                    "sigmas": times[i][1 : nfe + 1].tolist(),
+                }
+            )
+        return results
+
+    return runner
+
+
 def make_flux_runner(
     agent,
     tpm_params,
