@@ -663,3 +663,29 @@ class TestCompileCache:
             assert len(host_fingerprint()) == 12
         finally:
             jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_fingerprint_discriminates_xla_tuning_flags(self, monkeypatch):
+        """AOT artifacts built under different XLA tuning flags load from
+        a cpuinfo-keyed cache and flood cpu_aot_loader.cc SIGILL warnings
+        (observed 2026-08-19 with +prefer-no-scatter mismatch). The
+        fingerprint must fold in the flag identity so a foreign-flag
+        cache is a different directory, not a toxic hit."""
+        from tpdm_tpu.utils.cache import host_fingerprint
+
+        raw = host_fingerprint.__wrapped__  # bypass the lru_cache
+        base_flags = os.environ.get("XLA_FLAGS", "")
+        monkeypatch.setenv(
+            "XLA_FLAGS", (base_flags + " --xla_cpu_prefer_no_scatter").strip()
+        )
+        foreign = raw()
+        monkeypatch.setenv("XLA_FLAGS", base_flags)
+        ours = raw()
+        assert foreign != ours
+        # pure flag reordering is NOT a cache miss
+        parts = base_flags.split()
+        if len(parts) >= 2:
+            monkeypatch.setenv("XLA_FLAGS", " ".join(reversed(parts)))
+            assert raw() == ours
+        # libtpu init args and jax version changes also miss
+        monkeypatch.setenv("LIBTPU_INIT_ARGS", "--foo=1")
+        assert raw() != ours

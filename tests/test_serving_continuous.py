@@ -101,7 +101,7 @@ class TestContinuousParity:
                 eng.submit(p, seed=s).result(timeout=600)
         finally:
             eng.stop()
-        assert eng._segment._cache_size() == 1
+        assert eng.segment_traces == 1
 
 
 class TestPipelinedSegments:
@@ -152,7 +152,7 @@ class TestPipelinedSegments:
         assert st["slot_steps_active"] == sum(
             want[j]["inference_steps"] for j in jobs
         )
-        assert eng._segment._cache_size() == 1  # still one compiled shape
+        assert eng.segment_traces == 1  # still one compiled shape
 
         # cap-driven finishes are host-predictable: the worker drains the
         # pipeline right before a segment that recycles a slot, so depth-2
@@ -699,7 +699,7 @@ class TestContinuousAdapters:
             assert st["adapter_merges"] == 2  # one merge per adapter, LRU hit after
             assert set(st["adapter_segments"]) == {"a", "b"}
             # param-operand switching must not retrace the segment
-            assert eng._segment._cache_size() == 1
+            assert eng.segment_traces == 1
         finally:
             eng.stop()
 

@@ -96,7 +96,7 @@ class TestContinuousSD15:
             tpm_params=w["tpm_params"], slots=2, seg_steps=1,
         )
         got = _drive_continuous(eng, REQUESTS[:3])
-        assert eng._segment._cache_size() == 1
+        assert eng.segment_traces == 1
         s = eng.stats()
         assert s["requests_done"] == 3
         assert s["slot_steps_active"] == sum(
@@ -169,7 +169,7 @@ class TestContinuousFlux:
             tpm_params=w["tpm_params"], slots=2, seg_steps=1,
         )
         _drive_continuous(eng, REQUESTS[:3])
-        assert eng._segment._cache_size() == 1
+        assert eng.segment_traces == 1
 
 
 def _noisy_lora(params, key, rank=2, scale_b=0.05):

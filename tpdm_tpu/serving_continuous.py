@@ -59,6 +59,30 @@ from tpdm_tpu.serving import EngineOverloaded, ServeRequest
 logger = logging.getLogger(__name__)
 
 
+def _jit_segment(engine, segment, donate, shardings=None):
+    """jit the segment body with a trace counter on the engine.
+
+    `engine.segment_traces` counts how many distinct argument signatures
+    have been TRACED. Tracing runs exactly once per compiled shape even
+    when the executable itself deserializes from the persistent compile
+    cache (the cache skips XLA compilation, never tracing), so — unlike
+    jax's private `PjitFunction._cache_size()`, which reads 0 on a
+    persistent-cache hit — the counter is hermetic to on-disk cache
+    state. Tests assert `segment_traces == 1` to pin the
+    one-compiled-shape invariant of continuous batching.
+    """
+    import jax
+
+    def counted(*args):
+        engine.segment_traces += 1
+        return segment(*args)
+
+    kw = dict(donate_argnums=donate)
+    if shardings is not None:
+        kw["out_shardings"] = shardings
+    return jax.jit(counted, **kw)
+
+
 class PromptEmbedCache:
     """Thread-safe LRU of prompt -> encoded embeds.
 
@@ -594,14 +618,12 @@ class ContinuousBatchingEngine:
             if jax.default_backend() == "cpu" or self.pipeline_depth > 1
             else (2,)
         )
-        if self._mesh is not None:
-            self._segment = jax.jit(
-                segment,
-                donate_argnums=donate,
-                out_shardings=(self._state_shardings, self._trace_sharding),
-            )
-        else:
-            self._segment = jax.jit(segment, donate_argnums=donate)
+        self.segment_traces = 0
+        self._segment = _jit_segment(
+            self, segment, donate,
+            (self._state_shardings, self._trace_sharding)
+            if self._mesh is not None else None,
+        )
 
         def assign(st, slot, lat, pe_row, pp_row, cap, sigma0, gs0,
                    npe_row, npp_row):
@@ -1314,6 +1336,7 @@ class ContinuousBatchingEngine:
             lats = sorted(self._latency_done)
             out = {
                 "segments_run": self.segments_run,
+                "segment_traces": self.segment_traces,
                 "requests_done": self.requests_done,
                 "requests_expired": self.requests_expired,
                 "slots": self.slots,
@@ -1625,13 +1648,12 @@ class ContinuousFluxEngine(_AgentContinuousEngine):
             if jax.default_backend() == "cpu" or self.pipeline_depth > 1
             else (2,)
         )
-        if self._mesh is not None:
-            self._segment = jax.jit(
-                segment, donate_argnums=donate,
-                out_shardings=(self._state_shardings, self._trace_sharding),
-            )
-        else:
-            self._segment = jax.jit(segment, donate_argnums=donate)
+        self.segment_traces = 0
+        self._segment = _jit_segment(
+            self, segment, donate,
+            (self._state_shardings, self._trace_sharding)
+            if self._mesh is not None else None,
+        )
         self._segment_params = (agent.flux_params, self._tpm_params)
 
         def assign(st, slot, lat, pe_row, pp_row, cap, sigma0,
@@ -1866,13 +1888,12 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             if jax.default_backend() == "cpu" or self.pipeline_depth > 1
             else (2,)
         )
-        if self._mesh is not None:
-            self._segment = jax.jit(
-                segment, donate_argnums=donate,
-                out_shardings=(self._state_shardings, self._trace_sharding),
-            )
-        else:
-            self._segment = jax.jit(segment, donate_argnums=donate)
+        self.segment_traces = 0
+        self._segment = _jit_segment(
+            self, segment, donate,
+            (self._state_shardings, self._trace_sharding)
+            if self._mesh is not None else None,
+        )
         self._segment_params = (agent.unet_params, self._tpm_params)
 
         def assign(st, slot, lat, pe_row, pp_row, cap, sigma0,

@@ -25,14 +25,21 @@ DEFAULT_CACHE_DIR = "/tmp/tpdm_jax_cache_tpu"
 
 @functools.lru_cache(maxsize=1)
 def host_fingerprint() -> str:
-    """Short hash identifying this host's CPU ISA features.
+    """Short hash identifying this host's compile-compatibility identity.
 
     JAX's persistent cache keys executables by program + compiler, NOT by
     the machine that compiled them; XLA:CPU AOT results built on a host
     with different vector features load with a SIGILL warning and can
     miscompute (observed: 2 numeric parity failures from a cache
-    populated on an AMX-capable host, 2026-08-17). Keying the cache dir
-    by the feature set makes a foreign cache invisible instead of toxic.
+    populated on an AMX-capable host, 2026-08-17). Worse, the cpuinfo
+    flags alone do NOT discriminate AOT artifacts built under different
+    XLA tuning flags (`+prefer-no-scatter/+prefer-no-gather` mismatch
+    floods cpu_aot_loader.cc "machine feature mismatch … could lead to
+    SIGILL" warnings from a cache populated by a foreign session,
+    observed 2026-08-19). The fingerprint therefore hashes, in order:
+    CPU ISA flags, jax + jaxlib versions, and the XLA tuning-flag
+    identity ($XLA_FLAGS and $LIBTPU_INIT_ARGS). Keying the cache dir by
+    all of it makes a foreign cache invisible instead of toxic.
     """
     feats = platform.machine()
     try:
@@ -43,6 +50,19 @@ def host_fingerprint() -> str:
                     break
     except OSError:  # pragma: no cover - non-Linux
         feats += platform.processor()
+    try:
+        import jax
+        import jaxlib
+
+        feats += f"|jax={jax.__version__}|jaxlib={jaxlib.__version__}"
+    except Exception:  # pragma: no cover - jax not importable
+        pass
+    # Tuning flags change the AOT machine-feature contract without
+    # changing the program hash JAX keys on — fold them in. Sort the
+    # space-separated XLA_FLAGS so a pure reordering isn't a cache miss.
+    xla_flags = " ".join(sorted(os.environ.get("XLA_FLAGS", "").split()))
+    feats += f"|xla_flags={xla_flags}"
+    feats += f"|libtpu={os.environ.get('LIBTPU_INIT_ARGS', '')}"
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
