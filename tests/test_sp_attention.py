@@ -133,3 +133,84 @@ class TestRingAttention:
         out = jax.jit(ring)(q, k, v)
         ref = attention_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class TestRingKvLen:
+    """kv_len masking via the exact (m, l) pad correction: pad kv columns
+    are exact zeros appended at the global tail (the joint-sequence
+    alignment pad in models/mmdit.py JointAttention)."""
+
+    @pytest.mark.parametrize("kv_len", [450, 384, 257])
+    def test_matches_masked_dense(self, kv_len):
+        # 512 tokens over 8 devices = 64/shard; kv_len=450 pads within the
+        # last shard, 384 kills shards 6-7 ENTIRELY (dead-shard guard),
+        # 257 leaves one valid column in shard 4
+        mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+        q, k, v = _qkv(jax.random.PRNGKey(8), b=1, h=2, n=512)
+        zero = jnp.zeros_like(k[:, :, kv_len:])
+        k = k.at[:, :, kv_len:].set(zero)
+        v = v.at[:, :, kv_len:].set(zero)
+        ring = make_ring_attention(
+            mesh, axis="seq", use_pallas=False, kv_len=kv_len
+        )
+        out = jax.jit(ring)(q, k, v)
+        ref = attention_reference(q, k, v, kv_len=kv_len)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :, :kv_len],
+            np.asarray(ref)[:, :, :kv_len],
+            rtol=3e-5, atol=3e-5,
+        )
+
+    def test_pallas_interpret_path(self):
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        q, k, v = _qkv(jax.random.PRNGKey(9), b=1, h=1, n=512)
+        kv_len = 390
+        zero = jnp.zeros_like(k[:, :, kv_len:])
+        k = k.at[:, :, kv_len:].set(zero)
+        v = v.at[:, :, kv_len:].set(zero)
+        ring = make_ring_attention(
+            mesh, axis="seq", use_pallas=True, interpret=True, kv_len=kv_len
+        )
+        out = jax.jit(ring)(q, k, v)
+        ref = attention_reference(q, k, v, kv_len=kv_len)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :, :kv_len],
+            np.asarray(ref)[:, :, :kv_len],
+            rtol=3e-5, atol=3e-5,
+        )
+
+    def test_backward_with_kv_len(self):
+        """Grads w.r.t. the VALID region match the masked dense reference
+        (pad-row cotangents are dropped by the caller's pad transpose —
+        here emulated by slicing before the loss)."""
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        qf, kf, vf = _qkv(jax.random.PRNGKey(10), b=1, h=1, n=256)
+        kv_len = 200
+        pad = 256 - kv_len
+
+        def pad_t(t):
+            return jnp.pad(t[:, :, :kv_len], ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        ring = make_ring_attention(
+            mesh, axis="seq", use_pallas=False, differentiable=True,
+            kv_len=kv_len,
+        )
+
+        def loss_ring(q, k, v):
+            o = ring(pad_t(q), pad_t(k), pad_t(v))[:, :, :kv_len]
+            return jnp.sum(o**2)
+
+        def loss_ref(q, k, v):
+            o = attention_reference(
+                q[:, :, :kv_len], k[:, :, :kv_len], v[:, :, :kv_len]
+            )
+            return jnp.sum(o**2)
+
+        g = jax.grad(loss_ring, argnums=(0, 1, 2))(qf, kf, vf)
+        r = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+        for gi, ri in zip(g, r):
+            np.testing.assert_allclose(
+                np.asarray(gi)[:, :, :kv_len],
+                np.asarray(ri)[:, :, :kv_len],
+                rtol=2e-4, atol=2e-5,
+            )

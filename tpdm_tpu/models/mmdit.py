@@ -56,6 +56,16 @@ class MMDiTConfig:
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
     quant_matmuls: bool = False  # W8A8-dynamic int8 for qkv/out/FF matmuls
     quant_bits: int = 8  # 4 = group-int4 weight-only (capacity mode)
+    # Sequence parallelism (2048px+ long-context generation, SURVEY §5):
+    # when seq_mesh is set, every attention call routes through
+    # parallel/sp_attention.make_ring_attention with the joint-token axis
+    # sharded over mesh axis `seq_axis`, and the image-token activations
+    # between blocks are sharding-constrained to stay distributed. The
+    # parameter tree is IDENTICAL to the unsharded model — the same
+    # weights serve both paths.
+    seq_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
+    seq_axis: str = "seq"
+    seq_batch_axes: Tuple[str, ...] = ("data", "fsdp")
 
     @property
     def inner_dim(self) -> int:
@@ -107,6 +117,59 @@ class MMDiTConfig:
         return cls(**defaults)
 
 
+def _use_pallas(cfg) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _seq_pad_unit(cfg) -> int:
+    """Token-axis alignment for the ring path: each device's shard must
+    be 128-aligned for the Pallas kernel; the jnp reference path only
+    needs divisibility by the ring size."""
+    import math
+
+    n_dev = cfg.seq_mesh.shape[cfg.seq_axis]
+    return math.lcm(128, n_dev) if _use_pallas(cfg) else n_dev
+
+
+def _ring_attention(cfg, q, k, v, n_valid: int):
+    """Sequence-parallel attention: token axis sharded over cfg.seq_mesh.
+
+    q/k/v: (b, h, n, d) where positions >= n_valid are exact-zero pad
+    rows (appended with jnp.pad below) — the ring's (m, l) correction
+    masks them without touching the kernel.
+    """
+    from tpdm_tpu.parallel.sp_attention import make_ring_attention
+
+    ring = make_ring_attention(
+        cfg.seq_mesh,
+        axis=cfg.seq_axis,
+        batch_axes=cfg.seq_batch_axes,
+        use_pallas=_use_pallas(cfg),
+        kv_len=n_valid if n_valid < q.shape[2] else None,
+    )
+    return ring(q, k, v)
+
+
+def _seq_constraint(cfg, x):
+    """Keep (b, n, dim) token activations sharded along the seq axis
+    between blocks so dense/FF layers stay token-parallel (no gather
+    between attention calls). No-op when the token count does not tile
+    the ring."""
+    if cfg.seq_mesh is None or x.shape[1] % cfg.seq_mesh.shape[cfg.seq_axis]:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = tuple(
+        a for a in cfg.seq_batch_axes if a in cfg.seq_mesh.axis_names
+    )
+    spec = P(batch if batch else None, cfg.seq_axis, None)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(cfg.seq_mesh, spec)
+    )
+
+
 class JointAttention(nn.Module):
     """MMDiT joint attention: separate image/text qkv, shared softmax.
 
@@ -152,8 +215,11 @@ class JointAttention(nn.Module):
         # multiple: the flash kernel then skips its three full-sequence pad
         # copies per layer (~27MB each at 1024px); the 51 pad kv columns are
         # masked via kv_len inside the kernel, pad q rows are sliced away.
+        # Sequence-parallel mode additionally needs the padded length to
+        # tile the ring (every device owns an equal, aligned token shard).
         n_tok = n_img + n_ctx
-        pad = -n_tok % 128
+        unit = _seq_pad_unit(cfg) if cfg.seq_mesh is not None else 128
+        pad = -n_tok % unit
         if pad:
             zeros = ((0, 0), (0, 0), (0, pad), (0, 0))
             qc, kc, vc = (jnp.pad(t, zeros) for t in (qc, kc, vc))
@@ -161,9 +227,13 @@ class JointAttention(nn.Module):
         k = jnp.concatenate([k, kc], axis=2)
         v = jnp.concatenate([v, vc], axis=2)
 
-        o = joint_attention(
-            q, k, v, kv_len=n_tok if pad else None, use_pallas=cfg.use_pallas
-        )
+        if cfg.seq_mesh is not None:
+            o = _ring_attention(cfg, q, k, v, n_tok)
+        else:
+            o = joint_attention(
+                q, k, v, kv_len=n_tok if pad else None,
+                use_pallas=cfg.use_pallas,
+            )
         o = o.transpose(0, 2, 1, 3).reshape(b, n_tok + pad, h * d)
         o_img, o_ctx = o[:, :n_img], o[:, n_img:n_tok]
 
@@ -206,7 +276,15 @@ class SelfAttention(nn.Module):
         if cfg.qk_norm == "rms_norm":
             q = RMSNorm(d, name="norm_q")(q)
             k = RMSNorm(d, name="norm_k")(k)
-        o = joint_attention(q, k, v, use_pallas=cfg.use_pallas)
+        if cfg.seq_mesh is not None:
+            n_img = q.shape[2]
+            pad = -n_img % _seq_pad_unit(cfg)
+            if pad:
+                zeros = ((0, 0), (0, 0), (0, pad), (0, 0))
+                q, k, v = (jnp.pad(t, zeros) for t in (q, k, v))
+            o = _ring_attention(cfg, q, k, v, n_img)[:, :, :n_img]
+        else:
+            o = joint_attention(q, k, v, use_pallas=cfg.use_pallas)
         o = o.transpose(0, 2, 1, 3).reshape(b, -1, h * d)
         return DenseMaybeQuant(
             cfg.inner_dim, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
@@ -323,6 +401,7 @@ class MMDiT(nn.Module):
         )(encoder_hidden_states)
 
         block_cls = nn.remat(JointBlock) if self.remat else JointBlock
+        x = _seq_constraint(cfg, x)
         for i in range(cfg.num_layers):
             x, ctx = block_cls(
                 cfg,
@@ -330,6 +409,7 @@ class MMDiT(nn.Module):
                 use_dual_attention=(i in cfg.dual_attention_layers),
                 name=f"transformer_blocks_{i}",
             )(x, ctx, temb)
+            x = _seq_constraint(cfg, x)
 
         x = AdaLayerNormContinuous(cfg.inner_dim, dtype=cfg.dtype, name="norm_out")(
             x, temb

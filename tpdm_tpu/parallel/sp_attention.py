@@ -40,17 +40,38 @@ _NEG = -1e30
 _LOG2E = 1.4426950408889634
 
 
-def _ring_forward(q, k, v, axis: str, n_dev: int, local_stats):
+def _ring_forward(q, k, v, axis: str, n_dev: int, local_stats, pad_cnt=None):
     """Rotate kv n_dev times, merging online. Returns (o, m, l) with the
-    global exp2-domain softmax stats (residuals for the backward ring)."""
+    global exp2-domain softmax stats (residuals for the backward ring).
+
+    pad_cnt: optional per-shard () float32 count of PAD kv columns at the
+    tail of this shard (pad k/v rows are exact zeros, appended by jnp.pad
+    in the caller). Each pad column scores s2=0, so it contributes exactly
+    exp2(0 - m_i) to the local l and nothing to the numerator (v=0) —
+    subtracting cnt*exp2(-m_i) recovers the valid-only statistics without
+    any in-kernel masking, keeping the Pallas fast path mask-free. The
+    count rotates around the ring with its kv shard.
+    """
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     b, h, n_q, d = q.shape
     num = jnp.zeros((b, h, n_q, d), jnp.float32)
     l_tot = jnp.zeros((b, h, n_q), jnp.float32)
     m = jnp.full((b, h, n_q), _NEG, jnp.float32)
-    k_cur, v_cur = k, v
+    k_cur, v_cur, cnt_cur = k, v, pad_cnt
     for step in range(n_dev):
         o_i, m_i, l_i = local_stats(q, k_cur, v_cur)
+        if cnt_cur is not None:
+            l_raw = l_i
+            l_i = l_raw - cnt_cur * jnp.exp2(-m_i)
+            dead = l_i <= 0.0  # visiting shard entirely pad
+            safe = jnp.where(dead, 1.0, l_i)
+            o_i = jnp.where(
+                dead[..., None],
+                0.0,
+                o_i.astype(jnp.float32) * (l_raw / safe)[..., None],
+            )
+            m_i = jnp.where(dead, _NEG, m_i)
+            l_i = jnp.where(dead, 0.0, l_i)
         m_new = jnp.maximum(m, m_i)
         alpha = jnp.exp2(m - m_new)
         beta = jnp.exp2(m_i - m_new) * l_i
@@ -60,6 +81,8 @@ def _ring_forward(q, k, v, axis: str, n_dev: int, local_stats):
         if step + 1 < n_dev:
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            if cnt_cur is not None:
+                cnt_cur = jax.lax.ppermute(cnt_cur, axis, perm)
     o = (num / l_tot[..., None]).astype(q.dtype)
     return o, m, l_tot
 
@@ -104,6 +127,7 @@ def make_ring_attention(
     use_pallas: bool = True,
     interpret: bool = False,
     differentiable: bool = False,
+    kv_len: Optional[int] = None,
 ):
     """Build attention with the TOKEN axis sharded over `axis`.
 
@@ -115,6 +139,16 @@ def make_ring_attention(
     differentiable=True attaches the backward ring (long-context
     fine-tuning); leave it off for frozen-backbone inference to skip
     residual bookkeeping.
+
+    kv_len: static number of VALID kv positions; positions >= kv_len are
+    zero-padding appended by the caller (exact-zero k/v rows, e.g. the
+    joint-sequence 128-alignment pad in models/mmdit.py JointAttention).
+    Handled by the exact post-hoc (m, l) correction in `_ring_forward` —
+    no in-kernel masking needed, so the Pallas fast path is untouched.
+    The backward ring is exact without changes: pad columns recompute a
+    harmless nonzero p, but it only ever multiplies the zero pad k/v rows
+    into dq, and the garbage dk/dv pad rows are sliced away by jnp.pad's
+    transpose in the caller.
     """
     n_dev = mesh.shape[axis]
     present = tuple(a for a in batch_axes if a in mesh.axis_names)
@@ -125,13 +159,27 @@ def make_ring_attention(
             return flash_attention_with_stats(q, k, v, interpret=interpret)
         return attention_reference_stats(q, k, v)
 
+    def _pad_cnt(n_local):
+        """Per-shard () float32 count of pad kv columns on this shard."""
+        if kv_len is None or kv_len >= n_local * n_dev:
+            return None
+        idx = jax.lax.axis_index(axis)
+        start = idx * n_local
+        return jnp.clip(start + n_local - kv_len, 0, n_local).astype(
+            jnp.float32
+        )
+
     @jax.custom_vjp
     def ring_inner(q, k, v):
-        o, _, _ = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        o, _, _ = _ring_forward(
+            q, k, v, axis, n_dev, local_stats, _pad_cnt(q.shape[2])
+        )
         return o
 
     def ring_fwd(q, k, v):
-        o, m, l = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        o, m, l = _ring_forward(
+            q, k, v, axis, n_dev, local_stats, _pad_cnt(q.shape[2])
+        )
         return o, (q, k, v, o, m, l)
 
     def ring_bwd(res, g):
@@ -150,7 +198,9 @@ def make_ring_attention(
     def ring_attention(q, k, v):
         if differentiable:
             return ring_inner(q, k, v)
-        o, _, _ = _ring_forward(q, k, v, axis, n_dev, local_stats)
+        o, _, _ = _ring_forward(
+            q, k, v, axis, n_dev, local_stats, _pad_cnt(q.shape[2])
+        )
         return o
 
     return ring_attention
