@@ -302,3 +302,77 @@ class TestDPOMesh:
             np.testing.assert_allclose(
                 np.asarray(r), np.asarray(s), rtol=1e-4, atol=1e-6
             )
+
+
+class TestDPOEpsFamilies:
+    """Diffusion-DPO on the eps-prediction families — the paper's own
+    flagship setting is SDXL. The agent supplies forward_noising (DDPM
+    x_t = alpha x0 + sigma*alpha eps, target eps); the trainer's loss is
+    otherwise unchanged."""
+
+    def _world(self, family, **cfg_kw):
+        from test_draft import _eps_agent
+
+        agent, rows = _eps_agent(family)
+        ucfg = agent.unet.config
+        rng = np.random.default_rng(7)
+        shape = (4, ucfg.sample_size, ucfg.sample_size)
+        for r in rows:
+            r["latents_w"] = (
+                rng.normal(size=shape).astype(np.float32) * 0.1
+            )
+            r["latents_l"] = (
+                rng.normal(size=shape).astype(np.float32) * 1.5
+            )
+        kw = dict(
+            total_updates=6, batch_size=2, learning_rate=5e-3,
+            lora_rank=2, beta=100.0,
+        )
+        kw.update(cfg_kw)
+        cfg = DPOConfig(**kw)
+        return cfg, agent, DPOTrainer(cfg, agent, rows)
+
+    @pytest.mark.parametrize("family", ["sdxl", "sd15"])
+    def test_margin_ascends_and_base_stays_frozen(self, family):
+        cfg, agent, trainer = self._world(family)
+        base_before = jax.tree.map(jnp.copy, agent.unet_params)
+        lora, _ = trainer.train()
+        hist = trainer.metrics_history
+        first, last = hist[0], hist[-1]
+        # update 1 runs AT init: merged == base => margin 0, loss log 2
+        assert abs(first["dpo/margin"]) < 1e-3, first
+        np.testing.assert_allclose(first["dpo/loss"], np.log(2.0), rtol=1e-3)
+        assert last["dpo/margin"] > 0.05, [m["dpo/margin"] for m in hist]
+        assert last["dpo/implicit_acc"] > 0.5
+        assert last["dpo/loss"] < first["dpo/loss"]
+        assert all(m["dpo/num_skipped"] == 0.0 for m in hist)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_before),
+            jax.tree_util.tree_leaves(agent.unet_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_forward_noising_is_ddpm(self):
+        """x_t from the agent hook must be the VP forward at t = s*999,
+        matching the sigma table the DPM sampler integrates."""
+        from test_draft import _eps_agent
+
+        from tpdm_tpu.ops.dpm_solver import (
+            ddpm_sigmas_from_betas,
+            sigma_of_timestep,
+            sigma_to_alpha_sigma_t,
+        )
+
+        agent, _ = _eps_agent("sd15")
+        x0 = jnp.ones((2, 4, 16, 16)) * 0.5
+        eps = jnp.ones_like(x0) * 2.0
+        s = jnp.array([0.25, 0.75])
+        x_t, t_arg, target = agent.forward_noising(x0, eps, s)
+        np.testing.assert_allclose(np.asarray(t_arg), [249.75, 749.25])
+        np.testing.assert_array_equal(np.asarray(target), np.asarray(eps))
+        sig = sigma_of_timestep(ddpm_sigmas_from_betas(), s * 999.0)
+        a, sa = sigma_to_alpha_sigma_t(sig)
+        want = a[:, None, None, None] * x0 + sa[:, None, None, None] * eps
+        np.testing.assert_allclose(
+            np.asarray(x_t), np.asarray(want), rtol=1e-6, atol=1e-6
+        )

@@ -295,9 +295,10 @@ class TestDraftFlux:
             m["draft/num_skipped"] == 0.0 for m in trainer.metrics_history
         )
 
-    def test_sd15_agent_rejected(self):
-        """SD1.5 (eps-prediction DPM-Solver) has no flow ladder: the
-        trainer must refuse it with an actionable message."""
+    def test_hookless_agent_rejected(self):
+        """An agent without the draft hooks (backbone_params /
+        denoise_builder) must be refused with an actionable message.
+        (SD1.5/SDXL now HAVE the hooks — see TestDraftEpsFamilies.)"""
         class NotAFlowAgent:
             pass
 
@@ -568,3 +569,151 @@ class TestImageRewardGradApply:
         g = jax.grad(lambda im: jnp.sum(reward_apply(im, batch)))(images)
         ga = np.asarray(g)
         assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+
+
+def _eps_agent(family="sdxl", guidance_scale=None, max_steps=3):
+    """Toy eps-prediction agent (SD1.5 or SDXL) + prompt rows for the
+    reward-gradient / preference trainers."""
+    from tpdm_tpu.models import TimePredictor
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from tpdm_tpu.train import RLOOConfig
+
+    rng = np.random.default_rng(0)
+    n_txt = 5
+    if family == "sdxl":
+        from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+        ucfg = UNetConfig.toy_xl()
+        unet = UNetSD15(ucfg)
+        params = unet.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((2, 4, ucfg.sample_size, ucfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, n_txt, ucfg.cross_attention_dim)),
+            {
+                "text_embeds": jnp.zeros((2, ucfg.addition_pooled_dim)),
+                "time_ids": jnp.zeros((2, 6)),
+            },
+        )
+        agent = SDXLAgent(
+            unet, params, RLOOConfig(max_inference_steps=max_steps),
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * ucfg.block_out_channels[0],
+                temb_dim=ucfg.block_out_channels[0],
+            ),
+            guidance_scale=guidance_scale or 5.0,
+        )
+    else:
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        ucfg = UNetConfig.toy()
+        unet = UNetSD15(ucfg)
+        params = unet.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((2, 4, ucfg.sample_size, ucfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, n_txt, ucfg.cross_attention_dim)),
+        )
+        agent = SD15Agent(
+            unet, params, RLOOConfig(max_inference_steps=max_steps),
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * ucfg.block_out_channels[0],
+                temb_dim=ucfg.time_embed_dim,
+            ),
+            guidance_scale=guidance_scale or 1.0,
+        )
+    rows = []
+    for i in range(4):
+        row = {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(
+                size=(n_txt, ucfg.cross_attention_dim)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, ucfg.cross_attention_dim), np.float32
+            ),
+        }
+        if family == "sdxl":
+            row["pooled_prompt_embeds"] = rng.normal(
+                size=(ucfg.addition_pooled_dim,)
+            ).astype(np.float32)
+            row["negative_pooled_prompt_embeds"] = np.zeros(
+                (ucfg.addition_pooled_dim,), np.float32
+            )
+        rows.append(row)
+    return agent, rows
+
+
+class TestDraftEpsFamilies:
+    """DRaFT on the eps-prediction integer-t families: ReFL's own setting
+    is SD1.5 and Diffusion-DPO's is SDXL — the families round 3 rejected.
+    The agents supply draft_step_builder (differentiable DDIM over the
+    DDPM table); the trainer is unchanged."""
+
+    @pytest.mark.parametrize("family", ["sdxl", "sd15"])
+    def test_reward_ascends_and_base_stays_frozen(self, family):
+        agent, rows = _eps_agent(family)
+        cfg = DraftConfig(
+            total_updates=4, batch_size=2, learning_rate=5e-3,
+            lora_rank=2, num_steps=3, k_backprop=1,
+        )
+        trainer = DraftTrainer(
+            cfg, agent,
+            lambda imgs, batch: jnp.mean(imgs, axis=(1, 2, 3)),
+            rows,
+        )
+        arrays = {
+            k: v
+            for k, v in trainer.collate_fn(rows[:2]).items()
+            if isinstance(v, (jax.Array, np.ndarray))
+        }
+        lat0 = agent.prepare_latents(jax.random.PRNGKey(99), 2)
+        final_fn = jax.jit(trainer._final_latents)
+        lora0 = init_lora(
+            agent.backbone_params, cfg.lora_rank, jax.random.PRNGKey(0)
+        )
+        base_before = jax.tree.map(jnp.copy, agent.unet_params)
+        r_before = float(jnp.mean(final_fn(lora0, lat0, arrays)))
+        lora, _ = trainer.train()
+        r_after = float(jnp.mean(final_fn(lora, lat0, arrays)))
+        assert r_after > r_before, (family, r_before, r_after)
+        assert all(
+            m["draft/num_skipped"] == 0.0 for m in trainer.metrics_history
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_before),
+            jax.tree_util.tree_leaves(agent.unet_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ladder_terminal_step_integrates_to_x0(self):
+        """The last DDIM step must take the sigma_t=0 limit (exactly the
+        adaptive sampler's cap-step convention), not land at the table's
+        smallest nonzero sigma."""
+        agent, rows = _eps_agent("sd15")
+        step = agent.draft_step_builder(2)
+        arrays = {
+            k: jnp.asarray(np.stack([r[k] for r in rows[:2]]))
+            for k in ("prompt_embeds", "negative_prompt_embeds")
+        }
+        denoise = agent.denoise_builder(agent.unet_params, arrays)
+        lat = agent.prepare_latents(jax.random.PRNGKey(1), 2)
+        from tpdm_tpu.ops.dpm_solver import (
+            ddpm_sigmas_from_betas,
+            epsilon_to_x0,
+        )
+
+        mid = step(denoise, lat, 0)
+        got = step(denoise, mid, 1, terminal=True)
+        t1 = jnp.full((2,), 499.5)
+        eps = denoise(mid, t1)[0].astype(jnp.float32)
+        table = ddpm_sigmas_from_betas()
+        sig = 0.5 * (table[499] + table[500])
+        want = epsilon_to_x0(
+            eps, mid.astype(jnp.float32), jnp.full((2,), sig)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

@@ -512,3 +512,104 @@ def dryrun_dpo_trainer(
     ), "LoRA factors did not move"
     metrics["mesh"] = mesh_shape
     return metrics
+
+
+def dryrun_eps_finetune(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
+    """Mesh-native DRaFT + Diffusion-DPO on the SDXL toy agent — the
+    eps-prediction integer-t regime (Diffusion-DPO's flagship setting;
+    round-3 VERDICT item 4). Backbone over (fsdp, tensor), batch/pairs
+    over (data, fsdp), replicated LoRA factors, the agents' DDIM ladder /
+    DDPM forward_noising hooks (train/sd15_agent.py) in the sharded graph.
+    """
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from tpdm_tpu.train.draft import DraftConfig, DraftTrainer
+    from tpdm_tpu.train.dpo import DPOConfig, DPOTrainer
+    from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    d, f, t = mesh_shape
+    mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+
+    xcfg = UNetConfig.toy_xl()
+    unet = UNetSD15(xcfg)
+    n_txt = 5
+    params = unet.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((2, 4, xcfg.sample_size, xcfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, n_txt, xcfg.cross_attention_dim)),
+        {
+            "text_embeds": jnp.zeros((2, xcfg.addition_pooled_dim)),
+            "time_ids": jnp.zeros((2, 6)),
+        },
+    )
+    agent = SDXLAgent(
+        unet, params, RLOOConfig(max_inference_steps=2),
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * xcfg.block_out_channels[0],
+            temb_dim=xcfg.block_out_channels[0],
+        ),
+    ).shard(mesh)
+
+    batch = max(2 * d * f, 4)  # per-shard batch >= 2 (see CLAUDE.md)
+    rng = np.random.default_rng(0)
+    lat_shape = (4, xcfg.sample_size, xcfg.sample_size)
+    rows = [
+        {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(
+                size=(n_txt, xcfg.cross_attention_dim)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, xcfg.cross_attention_dim), np.float32
+            ),
+            "pooled_prompt_embeds": rng.normal(
+                size=(xcfg.addition_pooled_dim,)
+            ).astype(np.float32),
+            "negative_pooled_prompt_embeds": np.zeros(
+                (xcfg.addition_pooled_dim,), np.float32
+            ),
+            "latents_w": rng.normal(size=lat_shape).astype(np.float32) * 0.1,
+            "latents_l": rng.normal(size=lat_shape).astype(np.float32) * 1.5,
+        }
+        for i in range(batch)
+    ]
+
+    out = {"mesh": mesh_shape}
+    draft_cfg = DraftConfig(
+        total_updates=2, batch_size=batch, learning_rate=5e-3,
+        lora_rank=2, num_steps=2, k_backprop=1,
+    )
+    trainer = DraftTrainer(
+        draft_cfg, agent,
+        lambda imgs, _batch: jnp.mean(imgs, axis=(1, 2, 3)),
+        rows, mesh=mesh,
+    )
+    with mesh:
+        lora, _ = trainer.train()
+    m = trainer.metrics_history[-1]
+    assert m["draft/num_skipped"] == 0.0
+    assert np.isfinite(m["draft/reward"])
+    assert any(float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values())
+    out["draft/reward"] = m["draft/reward"]
+    out["draft/grad_norm"] = m["draft/grad_norm"]
+
+    dpo_cfg = DPOConfig(
+        total_updates=2, batch_size=batch, learning_rate=5e-3,
+        lora_rank=2, beta=100.0,
+    )
+    trainer = DPOTrainer(dpo_cfg, agent, rows, mesh=mesh)
+    with mesh:
+        lora, _ = trainer.train()
+    m = trainer.metrics_history[-1]
+    assert m["dpo/num_skipped"] == 0.0
+    assert np.isfinite(m["dpo/loss"])
+    assert any(float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values())
+    out["dpo/margin"] = m["dpo/margin"]
+    out["dpo/implicit_acc"] = m["dpo/implicit_acc"]
+    return out

@@ -8,8 +8,12 @@ Diffusion-DPO objective (Wallace et al. 2023, adapted to flow matching)
     L = -E log sigmoid( -beta * [ (err_theta^w - err_ref^w)
                                 - (err_theta^l - err_ref^l) ] )
 
-where err is the per-sample velocity-matching MSE at a randomly drawn
-noise level: x_sigma = (1-sigma) x0 + sigma eps, target v* = eps - x0.
+where err is the per-sample denoising MSE at a randomly drawn noise
+level. The noising/target pair is family-dependent: flow matching uses
+x_sigma = (1-sigma) x0 + sigma eps with target v* = eps - x0;
+eps-prediction families (SD1.5/SDXL — Diffusion-DPO's own flagship
+setting is SDXL) use the DDPM forward x_t = alpha x0 + sigma*alpha eps
+with target eps, supplied by the agent's `forward_noising` hook.
 No reward model is needed — the supervision is the pair ordering itself.
 
 The reference has no preference trainer (its only mode is RLOO on the
@@ -22,8 +26,9 @@ multi-tenant adapter path as DRaFT LoRAs (serve.py --lora) and merge into
 TPDMAgent for RLOO composition.
 
 Family coverage mirrors DraftTrainer: any agent exposing the draft hooks
-(`backbone_params` / `denoise_builder`) qualifies — SD3/SD3.5 (TPDMAgent)
-and FLUX (FluxAgent). SD1.5 (eps-prediction DPM) is rejected loudly.
+(`backbone_params` / `denoise_builder`) qualifies — SD3/SD3.5
+(TPDMAgent), FLUX (FluxAgent), SD1.5 (SD15Agent) and SDXL (SDXLAgent);
+the eps families also expose `forward_noising` (train/sd15_agent.py).
 
 Variance reduction follows the official Diffusion-DPO implementation:
 the preferred and rejected halves of a pair share ONE noise draw and ONE
@@ -87,7 +92,8 @@ class DPOTrainer:
         config: DPOConfig.
         agent: agent exposing the draft hooks — `.backbone_params` and
             `.denoise_builder(params, batch)` whose first output is the
-            velocity (TPDMAgent, FluxAgent).
+            model prediction (TPDMAgent, FluxAgent, SD15Agent, SDXLAgent);
+            eps-prediction agents also expose `.forward_noising`.
         dataset / collate_fn: rows -> batch dict carrying the prompt
             embeds the agent's denoise_builder reads PLUS the pair, as
             either latents ("latents_w"/"latents_l", model-space
@@ -116,8 +122,9 @@ class DPOTrainer:
         ):
             raise TypeError(
                 f"{type(agent).__name__} does not expose the draft hooks "
-                "(backbone_params / denoise_builder) — Diffusion-DPO covers "
-                "flow-matching agents (SD3, FLUX)"
+                "(backbone_params / denoise_builder) — Diffusion-DPO needs "
+                "a frozen backbone to LoRA-merge and a denoise chain "
+                "(TPDMAgent, FluxAgent, SD15Agent, SDXLAgent all qualify)"
             )
         if config.timestep_sampling not in ("logit_normal", "uniform"):
             raise ValueError(
@@ -147,10 +154,10 @@ class DPOTrainer:
         self.updates_this_run = 0  # watchdog stall signal (see rloo.py)
 
     # -- loss ---------------------------------------------------------------
-    def _pair_errs(self, params, x_sigma, sigma2, target, arrays2, b):
-        """Velocity-matching MSE at the drawn noise level, (b,) per half."""
+    def _pair_errs(self, params, x_sigma, t_arg, target, arrays2, b):
+        """Denoising MSE at the drawn noise level, (b,) per half."""
         denoise = self.agent.denoise_builder(params, arrays2)
-        v = denoise(x_sigma, sigma2)[0]
+        v = denoise(x_sigma, t_arg)[0]
         err = jnp.mean(
             (v.astype(jnp.float32) - target) ** 2,
             axis=tuple(range(1, v.ndim)),
@@ -166,22 +173,30 @@ class DPOTrainer:
         x0 = jnp.concatenate([lat_w, lat_l]).astype(jnp.float32)
         noise = jnp.concatenate([eps, eps]).astype(jnp.float32)
         sigma2 = jnp.concatenate([sigma, sigma])
-        sb = sigma2.reshape((-1,) + (1,) * (x0.ndim - 1))
-        x_sigma = ((1.0 - sb) * x0 + sb * noise).astype(lat_w.dtype)
-        target = noise - x0  # flow-matching velocity target
+        fwd = getattr(self.agent, "forward_noising", None)
+        if fwd is not None:
+            # family forward process (eps-prediction DDPM for SD1.5/SDXL):
+            # the agent maps the continuous draw to its own timestep arg
+            x_sigma, t_arg, target = fwd(x0, noise, sigma2)
+            x_sigma = x_sigma.astype(lat_w.dtype)
+        else:
+            sb = sigma2.reshape((-1,) + (1,) * (x0.ndim - 1))
+            x_sigma = ((1.0 - sb) * x0 + sb * noise).astype(lat_w.dtype)
+            target = noise - x0  # flow-matching velocity target
+            t_arg = sigma2
         arrays2 = {
             k: (jnp.concatenate([v, v]) if v.shape[:1] == (b,) else v)
             for k, v in arrays.items()
         }
 
         ref_w, ref_l = self._pair_errs(
-            base, x_sigma, sigma2, target, arrays2, b
+            base, x_sigma, t_arg, target, arrays2, b
         )
 
         def loss_fn(l):
             merged = apply_lora(base, l, scale=cfg.lora_scale)
             ew, el = self._pair_errs(
-                merged, x_sigma, sigma2, target, arrays2, b
+                merged, x_sigma, t_arg, target, arrays2, b
             )
             margin = -cfg.beta * ((ew - ref_w) - (el - ref_l))
             loss = -jnp.mean(jax.nn.log_sigmoid(margin))

@@ -73,14 +73,17 @@ class DraftTrainer:
 
     Args:
         config: DraftConfig.
-        agent: any flow-matching agent exposing the draft hooks —
-            `.backbone_params` (the frozen tree LoRA targets) and
+        agent: any agent exposing the draft hooks — `.backbone_params`
+            (the frozen tree LoRA targets) and
             `.denoise_builder(merged_params, batch)` returning a
-            denoise_fn whose first output is the velocity — plus
-            `.prepare_latents`. TPDMAgent (SD3/SD3.5) and FluxAgent
-            qualify; SD15Agent does not (eps-prediction DPM-Solver, not a
-            flow ladder). The backbone params stay frozen; LoRA factors
-            are the only trainable state.
+            denoise_fn whose first output is the model prediction — plus
+            `.prepare_latents`. Flow-matching agents (TPDMAgent SD3/SD3.5,
+            FluxAgent) roll out the uniform sigma ladder with Euler steps;
+            eps-prediction agents (SD15Agent, SDXLAgent — ReFL's and
+            Diffusion-DPO's own settings) additionally provide
+            `.draft_step_builder(num_steps)`, a differentiable DDIM ladder
+            over the DDPM table. The backbone params stay frozen; LoRA
+            factors are the only trainable state.
         reward_apply: (images, batch) -> (b,) DIFFERENTIABLE scores, where
             `images` is whatever `decode_fn` returns. For ImageReward use
             build_image_reward_grad_apply (score_grad under the hood).
@@ -119,7 +122,9 @@ class DraftTrainer:
             raise TypeError(
                 f"{type(agent).__name__} does not expose the draft hooks "
                 "(backbone_params / denoise_builder) — reward-gradient "
-                "fine-tuning covers flow-matching agents (SD3, FLUX)"
+                "fine-tuning needs a frozen backbone the trainer can "
+                "LoRA-merge and a differentiable denoise chain (TPDMAgent, "
+                "FluxAgent, SD15Agent, SDXLAgent all qualify)"
             )
         self.config = config
         self.agent = agent
@@ -159,14 +164,27 @@ class DraftTrainer:
         denoise = self.agent.denoise_builder(merged, batch_arrays)
         b = latents.shape[0]
 
-        def step(lat, i):
-            vel = denoise(lat, jnp.full((b,), self.sigmas[i]))[0]
-            return flow_euler_step(
-                vel,
-                jnp.full((b,), self.sigmas[i + 1]),
-                jnp.full((b,), self.sigmas[i]),
-                lat,
-            )
+        # family ladder: agents in the eps-prediction integer-t regime
+        # (SD1.5/SDXL) provide their own differentiable fixed schedule via
+        # draft_step_builder (DDIM over the DDPM table); flow-matching
+        # agents (SD3, FLUX) use the uniform sigma ladder + Euler below
+        fam_step = getattr(self.agent, "draft_step_builder", None)
+        if fam_step is not None:
+            fam_step = fam_step(cfg.num_steps)
+
+            def step(lat, i, terminal=False):
+                return fam_step(denoise, lat, i, terminal=terminal)
+
+        else:
+
+            def step(lat, i, terminal=False):
+                vel = denoise(lat, jnp.full((b,), self.sigmas[i]))[0]
+                return flow_euler_step(
+                    vel,
+                    jnp.full((b,), self.sigmas[i + 1]),
+                    jnp.full((b,), self.sigmas[i]),
+                    lat,
+                )
 
         T, K = cfg.num_steps, cfg.k_backprop
         if T > K:
@@ -177,7 +195,7 @@ class DraftTrainer:
             # this cut is what makes the memory cost K steps, not T
             latents = jax.lax.stop_gradient(lat)
         for i in range(T - K, T):  # K is small: unroll
-            latents = step(latents, i)
+            latents = step(latents, i, terminal=(i == T - 1))
         return latents
 
     def _update(self, lora, opt_state, latents, batch_arrays):

@@ -75,6 +75,7 @@ class SD15Agent:
             temb_dim=ucfg.block_out_channels[0],
             init_alpha=config.init_alpha,
             init_beta=config.init_beta,
+            param_cap=getattr(config, "tpm_param_cap", None),
         )
         self.sampler_cfg = SD15SamplerConfig(
             num_inference_steps=config.max_inference_steps,
@@ -93,6 +94,80 @@ class SD15Agent:
 
         self.unet_params = shard_params(self.unet_params, mesh)
         return self
+
+    # -- reward-gradient / preference fine-tuning hooks (train/draft.py,
+    # train/dpo.py). eps-prediction analogues of TPDMAgent's flow hooks:
+    # ReFL's own setting is SD1.5 and Diffusion-DPO's is SDXL, both this
+    # integer-t DDPM regime (reference ships the differentiable
+    # ImageReward.score_gard for exactly this, ImageReward.py:87-103).
+    prediction_space = "epsilon"
+
+    @property
+    def backbone_params(self):
+        """The frozen tree LoRA factors target (train/draft.py)."""
+        return self.unet_params
+
+    def denoise_builder(self, params, batch):
+        """(merged backbone params, collated batch arrays) -> denoise_fn
+        whose first output is the EPS prediction; same CFG contract as
+        sample()."""
+        pe = batch["prompt_embeds"]
+        if self.guidance_scale is not None and self.guidance_scale > 1:
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+        return make_sd15_denoise_fn(
+            lambda *a: self.unet.apply(params, *a), pe, self.guidance_scale
+        )
+
+    def forward_noising(self, x0, eps, s):
+        """DDPM forward for training-time noising (train/dpo.py):
+        continuous draw s in (0, 1) maps to t = s*999; returns
+        (x_t = alpha x0 + sigma*alpha eps, t (b,), target = eps) in the
+        VP parametrization the DPM solver uses (ops/dpm_solver.py)."""
+        from tpdm_tpu.ops.dpm_solver import (
+            ddpm_sigmas_from_betas,
+            sigma_of_timestep,
+            sigma_to_alpha_sigma_t,
+        )
+
+        t = s * 999.0
+        sig = sigma_of_timestep(ddpm_sigmas_from_betas(), t)
+        a, sa = sigma_to_alpha_sigma_t(sig)
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        x_t = a.reshape(shape) * x0 + sa.reshape(shape) * eps
+        return x_t.astype(x0.dtype), t, eps
+
+    def draft_step_builder(self, num_steps: int):
+        """Differentiable fixed ladder for reward-gradient rollouts
+        (train/draft.py): uniform integer-t schedule 999 -> 0, DDIM /
+        DPM-Solver++(1) updates (pure functions, exact gradients). The
+        terminal step takes the integrate-to-x0 limit exactly like the
+        adaptive sampler's cap step (pipeline/sd15_sampler.py)."""
+        from tpdm_tpu.ops.dpm_solver import (
+            ddpm_sigmas_from_betas,
+            dpm_first_order_update,
+            epsilon_to_x0,
+            sigma_of_timestep,
+        )
+
+        table = ddpm_sigmas_from_betas()
+        ts = jnp.linspace(999.0, 0.0, num_steps + 1)
+
+        def step(denoise_fn, lat, i, terminal: bool = False):
+            b = lat.shape[0]
+            t_i = jnp.full((b,), ts[i], jnp.float32)
+            eps = denoise_fn(lat, t_i)[0].astype(jnp.float32)
+            lat32 = lat.astype(jnp.float32)
+            sig_s = sigma_of_timestep(table, t_i)
+            x0 = epsilon_to_x0(eps, lat32, sig_s)
+            if terminal:
+                # sigma_t=0 limit: integrate straight to the x0 prediction
+                return x0.astype(lat.dtype)
+            sig_t = sigma_of_timestep(table, jnp.full((b,), ts[i + 1]))
+            return dpm_first_order_update(x0, lat32, sig_t, sig_s).astype(
+                lat.dtype
+            )
+
+        return step
 
     def init_tpm_params(self, key: jax.Array):
         ucfg = self.unet.config

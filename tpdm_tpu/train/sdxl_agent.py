@@ -86,6 +86,33 @@ class SDXLAgent(SD15Agent):
         row = jnp.asarray([px, px, 0.0, 0.0, px, px], jnp.float32)
         return jnp.broadcast_to(row, (batch_size, 6))
 
+    def denoise_builder(self, params, batch):
+        """(merged backbone params, collated batch arrays) -> denoise_fn
+        whose first output is the EPS prediction — the DRaFT/DPO hook
+        (Diffusion-DPO's own flagship setting is SDXL). Threads the
+        text_time added conditioning (pooled bigG + size/crop time_ids)
+        with the same CFG doubling as sample(); forward_noising and
+        draft_step_builder are inherited from SD15Agent (same integer-t
+        DDPM regime)."""
+        pe = batch["prompt_embeds"]
+        pooled = batch["pooled_prompt_embeds"]
+        b = pe.shape[0]
+        time_ids = batch.get("time_ids")
+        if time_ids is None:
+            time_ids = self.default_time_ids(b)
+        time_ids = jnp.asarray(time_ids, jnp.float32)
+        if self.guidance_scale is not None and self.guidance_scale > 1:
+            pe = jnp.concatenate([batch["negative_prompt_embeds"], pe])
+            pooled = jnp.concatenate(
+                [batch["negative_pooled_prompt_embeds"], pooled]
+            )
+            time_ids = jnp.concatenate([time_ids, time_ids])
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+        return make_sdxl_denoise_fn(
+            lambda *a: self.unet.apply(params, *a), pe, added,
+            self.guidance_scale,
+        )
+
     def _sample(self, unet_params, tpm_params, latents, cond, key, step_caps,
                 init_t, scfg):
         prompt_embeds, added_cond = cond
