@@ -114,6 +114,15 @@ class TimePredictor(nn.Module):
     init_beta: float = 0.5
     epsilon: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    # Collapse guard (None keeps reference exp() parity): smoothly bound
+    # alpha/beta at epsilon + param_cap. Once an RLOO policy collapses to
+    # the 1-step optimum, unbounded exp() heads blow past fp32 range at
+    # the ratio-clamp boundary, every subsequent update NaN-skips, and
+    # learning silently stops (observed: docs/learning_curve_sd3.json
+    # updates 23-30, all skipped — the reference's own NaN guard,
+    # rloo_trainer.py:497-523, has the same blind spot). Bounding the
+    # params floors the policy's entropy instead.
+    param_cap: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
@@ -165,4 +174,11 @@ class TimePredictor(nn.Module):
             dtype=self.dtype,
             name="fc2",
         )(x)
-        return jnp.exp(x.astype(jnp.float32)) + self.epsilon
+        x = x.astype(jnp.float32)
+        if self.param_cap is not None:
+            # cap*sigmoid(x - log cap) == exp(x) to first order while
+            # exp(x) << cap, saturating at the cap: same policy where it
+            # matters, finite everywhere
+            cap = float(self.param_cap)
+            return self.epsilon + cap * jax.nn.sigmoid(x - jnp.log(cap))
+        return jnp.exp(x) + self.epsilon

@@ -63,6 +63,20 @@ class RLOOConfig:
     # --- policy (CustomRLOOConfig custom fields) ---
     init_alpha: float = 1.5
     init_beta: float = 0.5
+    # Collapse guard (beyond-reference; see models/tpm.py param_cap): bound
+    # the TPM's alpha/beta at epsilon + tpm_param_cap so a policy that
+    # collapses to the 1-step optimum saturates finitely instead of blowing
+    # past fp32 at the ratio-clamp boundary and NaN-skipping every
+    # subsequent update (docs/learning_curve_sd3.json updates 23-30).
+    # None = reference exp() parity. Only consulted when the agent builds
+    # its default TPM (an explicitly passed tpm wins).
+    tpm_param_cap: Optional[float] = None
+    # Alarm when the NaN-skip fraction over the last `skip_alarm_window`
+    # logged updates exceeds `skip_alarm_threshold`: a collapsed run skips
+    # forever behind the finite-guard, which otherwise looks like healthy
+    # training (metric: policy/skip_rate; a WARNING log fires).
+    skip_alarm_window: int = 8
+    skip_alarm_threshold: float = 0.5
     relative: bool = True
     prediction_type: str = "alpha_beta"
     max_inference_steps: int = 28

@@ -84,6 +84,7 @@ class FluxAgent:
             temb_dim=fcfg.hidden_size,
             init_alpha=config.init_alpha,
             init_beta=config.init_beta,
+            param_cap=getattr(config, "tpm_param_cap", None),
         )
         self.sampler_cfg = SamplerConfig(
             max_inference_steps=config.max_inference_steps,

@@ -320,6 +320,7 @@ class TPDMAgent:
             temb_dim=mcfg.inner_dim,
             init_alpha=config.init_alpha,
             init_beta=config.init_beta,
+            param_cap=getattr(config, "tpm_param_cap", None),
         )
         self.sampler_cfg = SamplerConfig(
             max_inference_steps=config.max_inference_steps,
@@ -722,6 +723,17 @@ class RLOOTrainer:
             )
         self.sizes = config.derive_batch_sizes(len(dataset))
         self.metrics_history: list[dict] = []
+        # Collapse alarm: rolling NaN-skip fraction (policy/skip_rate). A
+        # collapsed policy (alpha/beta at the fp32 edge of the ratio clamp)
+        # skips EVERY update behind the finite-guard — without this, a dead
+        # run logs indistinguishably from a healthy one
+        # (docs/learning_curve_sd3.json updates 23-30; the reference's own
+        # guard rloo_trainer.py:497-523 has the same blind spot).
+        import collections as _collections
+
+        self._skip_window = _collections.deque(
+            maxlen=max(int(getattr(config, "skip_alarm_window", 8)), 1)
+        )
 
         schedule = _make_lr_schedule(config, self.sizes["num_total_batches"])
         # metrics report in trainer-update counts (the reference's lr metric)
@@ -1117,6 +1129,25 @@ class RLOOTrainer:
                 "lr": float(self._schedule(self.global_step)),
                 "episode": self.episode,
             }
+            self._skip_window.append(agg["skipped"])
+            skip_rate = float(np.mean(self._skip_window))
+            metrics["policy/skip_rate"] = skip_rate
+            threshold = float(
+                getattr(cfg, "skip_alarm_threshold", 0.5) or 0.5
+            )
+            if (
+                len(self._skip_window) == self._skip_window.maxlen
+                and skip_rate > threshold
+            ):
+                logger.warning(
+                    "policy collapse suspected: %.0f%% of the last %d "
+                    "updates were NaN/Inf-skipped (skip_rate %.2f > %.2f) — "
+                    "training has effectively stopped; consider "
+                    "tpm_param_cap (bounded alpha/beta head) or a lower "
+                    "learning rate",
+                    100 * skip_rate, self._skip_window.maxlen, skip_rate,
+                    threshold,
+                )
             if self._ema_fn is not None:
                 self.ema_params = self._ema_fn(self.ema_params, tpm_params)
             self.global_step += 1
