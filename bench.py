@@ -185,6 +185,128 @@ def build(batch_images: int, on_tpu: bool):
     )
 
 
+def _time_forward_loop(fwd, params, lat, reps):
+    """ms/forward via a rep-chained fori_loop in ONE dispatch (per-call
+    tunnel latency ~90 ms would otherwise dominate)."""
+
+    @jax.jit
+    def loop(params, lat):
+        def body(i, ll):
+            out = fwd(params, ll)
+            return lat + 0.001 * out.astype(lat.dtype)
+
+        return jax.lax.fori_loop(0, reps, body, lat)
+
+    _sync(loop(params, lat))
+    t0 = time.time()
+    _sync(loop(params, lat))
+    return (time.time() - t0) / reps * 1000
+
+
+def _zeros_params(model, *probe_args):
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *probe_args)
+    return jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        ),
+        shapes,
+    )
+
+
+def family_throughput(on_tpu: bool) -> dict:
+    """Per-family img/s/chip keys (SD1.5, SDXL, FLUX) for the driver
+    artifact — forward-timing methodology matching experiments/
+    bench_sd15.py, bench_sdxl.py, bench_flux.py. On CPU uses toy
+    geometry so the keys exist but carry a 'families_geometry' marker."""
+    from tpdm_tpu.models.flux import Flux, FluxConfig
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+
+    out = {"families_geometry": "full" if on_tpu else "toy-cpu"}
+    reps = 10 if on_tpu else 2
+
+    # ---- SD1.5: 512px (64x64 latents), CFG batch 2, 28 DPM steps ----
+    ucfg = UNetConfig.sd15(dtype=jnp.bfloat16) if on_tpu else UNetConfig.toy(
+        dtype=jnp.bfloat16
+    )
+    unet = UNetSD15(ucfg)
+    b = 2
+    lat = jax.random.normal(
+        jax.random.PRNGKey(0), (b, 4, ucfg.sample_size, ucfg.sample_size),
+        jnp.bfloat16,
+    )
+    t = jnp.full((b,), 500.0)
+    ctx = jnp.zeros((b, 77 if on_tpu else 5, ucfg.cross_attention_dim), jnp.bfloat16)
+    params = _zeros_params(unet, lat, t, ctx)
+    ms = _time_forward_loop(
+        lambda p, ll: unet.apply(p, ll, t, ctx)[0], params, lat, reps
+    )
+    out["sd15_img_per_s"] = round(1000.0 / (ms * 28), 4)
+    out["sd15_forward_ms"] = round(ms, 2)
+
+    # ---- SDXL-base: 1024px (128x128 latents), 2.6B, CFG batch 2 ----
+    xcfg = (
+        UNetConfig.sdxl(dtype=jnp.bfloat16)
+        if on_tpu
+        else UNetConfig.toy_xl(dtype=jnp.bfloat16)
+    )
+    xunet = UNetSD15(xcfg)
+    xlat = jax.random.normal(
+        jax.random.PRNGKey(0), (b, 4, xcfg.sample_size, xcfg.sample_size),
+        jnp.bfloat16,
+    )
+    xctx = jnp.zeros(
+        (b, 77 if on_tpu else 5, xcfg.cross_attention_dim), jnp.bfloat16
+    )
+    added = {
+        "text_embeds": jnp.zeros((b, xcfg.addition_pooled_dim), jnp.bfloat16),
+        "time_ids": jnp.broadcast_to(
+            jnp.asarray([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (b, 6)
+        ),
+    }
+    xparams = _zeros_params(xunet, xlat, t, xctx, added)
+    ms = _time_forward_loop(
+        lambda p, ll: xunet.apply(p, ll, t, xctx, added)[0], xparams, xlat,
+        reps,
+    )
+    out["sdxl_img_per_s"] = round(1000.0 / (ms * 28), 4)
+    out["sdxl_forward_ms"] = round(ms, 2)
+
+    # ---- FLUX: 12B bf16 exceeds one 16GB chip, so measure per-layer
+    # cost at two reduced depths and extrapolate to 19/38 (the
+    # experiments/bench_flux.py model: a double block ~2x a single);
+    # img/s at schnell's 4 steps ----
+    def flux_ms(dd, ds):
+        fcfg = (
+            FluxConfig.flux_dev(depth_double=dd, depth_single=ds)
+            if on_tpu
+            else FluxConfig.toy(
+                depth_double=dd, depth_single=ds, dtype=jnp.bfloat16
+            )
+        )
+        model = Flux(fcfg)
+        n_img, n_txt = (4096, 512) if on_tpu else (64, 5)
+        img = jnp.zeros((1, n_img, fcfg.in_channels), jnp.bfloat16)
+        img_ids = jnp.zeros((1, n_img, 3))
+        txt = jnp.zeros((1, n_txt, fcfg.txt_dim), jnp.bfloat16)
+        txt_ids = jnp.zeros((1, n_txt, 3))
+        tf = jnp.full((1,), 0.5)
+        vec = jnp.zeros((1, fcfg.vec_dim), jnp.bfloat16)
+        g = jnp.full((1,), 3.5)
+        fparams = _zeros_params(model, img, img_ids, txt, txt_ids, tf, vec, g)
+        return _time_forward_loop(
+            lambda p, ii: model.apply(p, ii, img_ids, txt, txt_ids, tf, vec, g)[0],
+            fparams, img, reps,
+        )
+
+    ms_a, w_a = flux_ms(4, 8), 4 + 8 / 2
+    ms_b, w_b = flux_ms(8, 16), 8 + 16 / 2
+    slope = (ms_b - ms_a) / (w_b - w_a)
+    full = max(ms_a - slope * w_a + slope * (19 + 38 / 2), 1e-6)
+    out["flux_img_per_s"] = round(1000.0 / (4 * full), 4)
+    out["flux_forward_ms_extrapolated"] = round(full, 1)
+    return out
+
+
 def main():
     if "--cpu" in sys.argv:  # force the CPU fallback (the session env pins
         jax.config.update("jax_platforms", "cpu")  # the axon TPU plugin)
@@ -275,6 +397,12 @@ def main():
         "adaptive_trained_like_img_per_s": round(trained_img_s, 4),
         "adaptive_trained_like_mean_nfe": trained_nfe,
     }
+    # whole-family surface (SD1.5 / SDXL / FLUX keys; round-3 VERDICT
+    # item 6) — measured last so a family failure can't cost the headline
+    try:
+        result.update(family_throughput(on_tpu))
+    except Exception as e:  # pragma: no cover - keep the ONE line printing
+        result["families_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

@@ -318,3 +318,71 @@ class TestSDXLPipeline:
         assert res.images.shape == (1, 2 * cfg.sample_size, 2 * cfg.sample_size, 3)
         assert res.images.dtype == np.uint8
         assert res.schedule[0, 0] == 999
+
+
+class TestAdviceFixes:
+    """Round-3 ADVICE items: per-tower CLIP ids, the SDXL VAE preset, and
+    up-front pooled-embed validation."""
+
+    def _encoders(self):
+        from tpdm_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from tpdm_tpu.pipeline.text_encoding import SDXLTextEncoders
+
+        lcfg = CLIPTextConfig.toy(hidden_size=16, projection_dim=8)
+        gcfg = CLIPTextConfig.toy(hidden_size=24, projection_dim=12)
+        lm, gm = CLIPTextModel(lcfg), CLIPTextModel(gcfg)
+        ids = jnp.asarray(np.array([[97, 1, 2, 98, 0, 0, 0, 0]], np.int32))
+        lp = lm.init(jax.random.PRNGKey(0), ids)
+        gp = gm.init(jax.random.PRNGKey(1), ids)
+        return SDXLTextEncoders(lm, lp, gm, gp), ids
+
+    def test_per_tower_clip_g_ids(self):
+        """diffusers SDXL tokenizes per tower (tokenizer_2 pads with 0,
+        not 49407) and supports prompt_2 — the bigG tower must be able to
+        receive its own ids. Default keeps the shared-ids behavior."""
+        enc, ids = self._encoders()
+        shared = enc.encode(ids)
+        same = enc.encode(ids, clip_g_ids=ids)
+        np.testing.assert_array_equal(
+            np.asarray(shared.prompt_embeds), np.asarray(same.prompt_embeds)
+        )
+        g_ids = ids.at[0, 4:].set(3)  # different pad token for the g tower
+        split = enc.encode(ids, clip_g_ids=g_ids)
+        # CLIP-L half unchanged, bigG half (and its pooled) moved
+        np.testing.assert_array_equal(
+            np.asarray(split.prompt_embeds[..., :16]),
+            np.asarray(shared.prompt_embeds[..., :16]),
+        )
+        assert (
+            float(
+                jnp.abs(
+                    split.prompt_embeds[..., 16:]
+                    - shared.prompt_embeds[..., 16:]
+                ).max()
+            )
+            > 0
+        )
+
+    def test_vae_sdxl_preset(self):
+        from tpdm_tpu.models.vae import VAEConfig
+
+        cfg = VAEConfig.sdxl()
+        assert cfg.scaling_factor == 0.13025
+        assert cfg.shift_factor == 0.0
+        assert cfg.latent_channels == 4
+
+    def test_generate_validates_pooled_up_front(self):
+        from tpdm_tpu.pipeline.variants import SDXLPipeline
+
+        cfg = UNetConfig.toy_xl()
+        _, agent, _ = _make_agent(cfg, guidance_scale=5.0, max_steps=2)
+        pipe = SDXLPipeline(agent)
+        pe = jnp.zeros((1, 5, cfg.cross_attention_dim))
+        with pytest.raises(ValueError, match="pooled_prompt_embeds"):
+            pipe.generate(prompt_embeds=pe)  # missing pooled
+        with pytest.raises(ValueError, match="negative_pooled"):
+            pipe.generate(
+                prompt_embeds=pe,
+                pooled_prompt_embeds=jnp.zeros((1, cfg.addition_pooled_dim)),
+                negative_prompt_embeds=pe,  # missing the pooled negative
+            )

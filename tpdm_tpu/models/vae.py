@@ -53,6 +53,21 @@ class VAEConfig:
         return cls(**d)
 
     @classmethod
+    def sdxl(cls, **kw) -> "VAEConfig":
+        """SDXL's AutoencoderKL: same 4-channel topology as SD1.5 but a
+        different scaling factor (diffusers sdxl vae/config.json:
+        scaling_factor=0.13025). Wiring a real SDXL VAE with the SD3
+        default (1.5305, 0.0609) or sd15() (0.18215) decodes silently
+        wrong — use this preset for SDXLPipeline/serving."""
+        d = dict(
+            latent_channels=4,
+            scaling_factor=0.13025,
+            shift_factor=0.0,
+        )
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
     def toy(cls, **kw) -> "VAEConfig":
         d = dict(
             latent_channels=4,

@@ -95,13 +95,20 @@ class SDXLTextEncoders:
         self.clip_g = (clip_g_model, clip_g_params)
         self._encode = jax.jit(self._encode_impl)
 
-    def _encode_impl(self, clip_ids: jax.Array) -> PromptEmbeds:
+    def _encode_impl(self, clip_ids: jax.Array, clip_g_ids: jax.Array) -> PromptEmbeds:
         lm, lp = self.clip_l
         gm, gp = self.clip_g
         pen_l, _, _, _ = lm.apply(lp, clip_ids)
-        pen_g, _, _, proj_g = gm.apply(gp, clip_ids)
+        pen_g, _, _, proj_g = gm.apply(gp, clip_g_ids)
         prompt_embeds = jnp.concatenate([pen_l, pen_g], axis=-1)
         return PromptEmbeds(prompt_embeds, proj_g)
 
-    def encode(self, clip_ids) -> PromptEmbeds:
-        return self._encode(jnp.asarray(clip_ids))
+    def encode(self, clip_ids, clip_g_ids=None) -> PromptEmbeds:
+        """clip_g_ids: optional per-tower ids for the bigG tower —
+        diffusers SDXL tokenizes per tower (tokenizer_2 pads with id 0,
+        not 49407) and supports a distinct prompt_2, so host tokenization
+        can supply different ids per tower. Defaults to clip_ids (one
+        prompt, shared tokenizer) for backward compatibility."""
+        clip_ids = jnp.asarray(clip_ids)
+        g = clip_ids if clip_g_ids is None else jnp.asarray(clip_g_ids)
+        return self._encode(clip_ids, g)

@@ -165,6 +165,11 @@ class SDXLPipeline:
     Beyond-reference family; same integer-t adaptive loop as SD15Pipeline
     with the SDXL conditioning surface (dual-CLIP embeds + pooled bigG +
     size/crop time_ids threaded through CFG).
+
+    The VAE must be built with ``VAEConfig.sdxl()`` (scaling_factor
+    0.13025) — the default VAEConfig is SD3's (1.5305, 0.0609) and
+    ``sd15()`` is 0.18215; a real SDXL autoencoder under either decodes
+    silently wrong.
     """
 
     def __init__(self, agent, vae=None, vae_params=None, text_encoders=None):
@@ -207,12 +212,22 @@ class SDXLPipeline:
             if negative_clip_ids is not None:
                 ne = self.text_encoders.encode(jnp.asarray(negative_clip_ids))
                 negative_prompt_embeds, negative_pooled_prompt_embeds = ne
+        if pooled_prompt_embeds is None:
+            raise ValueError(
+                "SDXL conditioning needs pooled_prompt_embeds (the bigG "
+                "projected EOS embedding) alongside prompt_embeds — "
+                "precomputed embeds must come as the (prompt_embeds, "
+                "pooled_prompt_embeds) pair"
+            )
         gs = self.agent.guidance_scale
-        if gs is not None and gs > 1 and negative_prompt_embeds is None:
+        if gs is not None and gs > 1 and (
+            negative_prompt_embeds is None
+            or negative_pooled_prompt_embeds is None
+        ):
             raise ValueError(
                 f"classifier-free guidance is on (guidance_scale={gs}); pass "
-                "negative_prompt_embeds/negative_pooled_prompt_embeds or "
-                "negative_clip_ids (diffusers encodes an empty prompt)"
+                "negative_prompt_embeds AND negative_pooled_prompt_embeds "
+                "(or negative_clip_ids — diffusers encodes an empty prompt)"
             )
         batch = {
             "prompt_embeds": prompt_embeds,

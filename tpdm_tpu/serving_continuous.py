@@ -1712,7 +1712,9 @@ class _SD15SlotState(NamedTuple):
     steps: object  # (S,) i32
     caps: object  # (S,) i32
     pe: object  # (S, n, d) positive CLIP embeds
-    pp: object  # (S, 1) unused (uniform assign signature)
+    pp: object  # (S, P) the family's pooled conditioning row: (S, 1)
+    # zeros for SD1.5 (no pooled input), pooled bigG (S, 1280) for
+    # ContinuousSDXLEngine — set generically from pp_row in assign()
     key: object
     t_prev: object  # (S,) i32
     x0_prev: object  # (S, 4, h, w) f32
@@ -1953,6 +1955,14 @@ class ContinuousSDXLEngine(ContinuousSD15Engine):
     embedding and the denoise closure threads the text_time added
     conditioning (pooled + size/crop time_ids at the agent's native
     resolution) through classifier-free guidance.
+
+    Micro-conditioning is FIXED per engine: every request is conditioned
+    with ``agent.default_time_ids`` (native-resolution size/crop ids) —
+    unlike the batch path (``batch["time_ids"]``), there is no
+    per-request time_ids knob; slots share one compiled segment whose
+    added-cond rows are uniform. Serve distinct time_ids from a separate
+    engine instance (they are an offline aesthetic knob, not a
+    per-request one, in the diffusers SDXL recipe too).
 
     Args:
         agent: an ``SDXLAgent``.
