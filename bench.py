@@ -213,11 +213,27 @@ def _zeros_params(model, *probe_args):
     )
 
 
+def _free_device_memory():
+    """Drop dead device buffers between model families: a 16GB v5e cannot
+    hold the SD3 bench world AND the 2.6B SDXL (or reduced-depth FLUX)
+    weights at once — without this the family section dies
+    RESOURCE_EXHAUSTED (observed on the first TPU run)."""
+    import gc
+
+    gc.collect()
+    try:
+        jax.clear_caches()  # jit executable caches pin their constants
+    except Exception:
+        pass
+    gc.collect()
+
+
 def family_throughput(on_tpu: bool) -> dict:
     """Per-family img/s/chip keys (SD1.5, SDXL, FLUX) for the driver
     artifact — forward-timing methodology matching experiments/
     bench_sd15.py, bench_sdxl.py, bench_flux.py. On CPU uses toy
-    geometry so the keys exist but carry a 'families_geometry' marker."""
+    geometry so the keys exist but carry a 'families_geometry' marker.
+    Each family's weights are freed before the next is built."""
     from tpdm_tpu.models.flux import Flux, FluxConfig
     from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
 
@@ -242,6 +258,8 @@ def family_throughput(on_tpu: bool) -> dict:
     )
     out["sd15_img_per_s"] = round(1000.0 / (ms * 28), 4)
     out["sd15_forward_ms"] = round(ms, 2)
+    del unet, params, lat, ctx
+    _free_device_memory()
 
     # ---- SDXL-base: 1024px (128x128 latents), 2.6B, CFG batch 2 ----
     xcfg = (
@@ -270,6 +288,8 @@ def family_throughput(on_tpu: bool) -> dict:
     )
     out["sdxl_img_per_s"] = round(1000.0 / (ms * 28), 4)
     out["sdxl_forward_ms"] = round(ms, 2)
+    del xunet, xparams, xlat, xctx, added
+    _free_device_memory()
 
     # ---- FLUX: 12B bf16 exceeds one 16GB chip, so measure per-layer
     # cost at two reduced depths and extrapolate to 19/38 (the
@@ -293,10 +313,13 @@ def family_throughput(on_tpu: bool) -> dict:
         vec = jnp.zeros((1, fcfg.vec_dim), jnp.bfloat16)
         g = jnp.full((1,), 3.5)
         fparams = _zeros_params(model, img, img_ids, txt, txt_ids, tf, vec, g)
-        return _time_forward_loop(
+        ms = _time_forward_loop(
             lambda p, ii: model.apply(p, ii, img_ids, txt, txt_ids, tf, vec, g)[0],
             fparams, img, reps,
         )
+        del fparams
+        _free_device_memory()
+        return ms
 
     ms_a, w_a = flux_ms(4, 8), 4 + 8 / 2
     ms_b, w_b = flux_ms(8, 16), 8 + 16 / 2
@@ -400,6 +423,10 @@ def main():
     # whole-family surface (SD1.5 / SDXL / FLUX keys; round-3 VERDICT
     # item 6) — measured last so a family failure can't cost the headline
     try:
+        # free the SD3 world first: its 2B params + executables do not
+        # coexist with the 2.6B SDXL weights on a 16GB chip
+        del world, params, tpm_params, lat, o, out, out_d
+        _free_device_memory()
         result.update(family_throughput(on_tpu))
     except Exception as e:  # pragma: no cover - keep the ONE line printing
         result["families_error"] = f"{type(e).__name__}: {e}"

@@ -205,6 +205,63 @@ def _split_lora_args(args):
     return (merge[0] if merge else None), named
 
 
+def _merge_family_lora(agent, attr: str, args, family: str):
+    """--lora for a family agent (sd15/sdxl/flux): a bare path merges
+    DRaFT/DPO-trained factors (train/draft.py, train/dpo.py) into the
+    frozen backbone at load; NAME=PATH adapters need --continuous
+    --lora_fused (per-slot fused deltas on the family continuous
+    engine)."""
+    if not getattr(args, "lora", None):
+        return
+    lora_path, named = _split_lora_args(args)
+    if named:
+        if not (
+            getattr(args, "lora_fused", False)
+            and getattr(args, "continuous", False)
+        ):
+            raise SystemExit(
+                f"--family {family} NAME=PATH adapters need --continuous "
+                "--lora_fused (per-slot fused deltas; family engines have "
+                "no merged-tree multiplex path); a bare path merges a "
+                "single adapter at load"
+            )
+        return  # registered on the continuous engine in make_http_server
+    import jax
+
+    from tpdm_tpu.models.lora import apply_lora
+    from tpdm_tpu.train.draft import load_lora
+
+    lora = load_lora(lora_path)
+    params = getattr(agent, attr)
+    # apply_lora silently skips unmatched keys — never serve base weights
+    # while the operator believes an adapter is live (fail-loud
+    # convention, same as the quant guards)
+    paths = set()
+    jax.tree_util.tree_map_with_path(
+        lambda p, _l: paths.add(
+            "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in p
+            )
+        ),
+        params,
+    )
+    missing = sorted(set(lora) - paths)
+    if missing:
+        raise ValueError(
+            f"--lora {lora_path}: {len(missing)}/{len(lora)} factor keys "
+            f"match nothing in the {family} backbone (e.g. {missing[0]!r}) "
+            "— wrong family's adapter?"
+        )
+    setattr(
+        agent, attr,
+        apply_lora(params, lora, scale=getattr(args, "lora_scale", 1.0)),
+    )
+    logger.info(
+        "merged LoRA %s into the %s backbone (%d kernels)",
+        lora_path, family, len(lora),
+    )
+
+
 def _apply_cli_lora(pipe, args):
     """--lora PATH: merge DRaFT-trained factors (train/draft.py) into the
     backbone weights before any jit — the serving engines see one plain
@@ -246,14 +303,6 @@ def build_family_world(args):
     fam = getattr(args, "family", "sd3")
     if fam == "sd3":
         return None
-    if getattr(args, "lora", None) and fam != "flux":
-        # never serve base weights while the operator believes a DRaFT
-        # adapter is live (same fail-loud convention as the quant guards);
-        # flux merges below — sd15 has no flow ladder, so no draft path
-        raise SystemExit(
-            f"--lora is not wired for --family {fam}; reward-gradient "
-            "fine-tuning covers flow-matching families (sd3, flux)"
-        )
     if not args.toy:
         raise SystemExit(
             f"--family {fam} currently serves --toy configs from the CLI; "
@@ -308,6 +357,7 @@ def build_family_world(args):
                 temb_dim=cfg.time_embed_dim,
             ),
         )
+        _merge_family_lora(agent, "unet_params", args, "sd15")
         vae = VAE(VAEConfig.toy(latent_channels=4))
         vae_params = vae.init(
             key,
@@ -375,6 +425,7 @@ def build_family_world(args):
                 temb_dim=cfg.block_out_channels[0],
             ),
         )
+        _merge_family_lora(agent, "unet_params", args, "sdxl")
         vae = VAE(VAEConfig.toy(latent_channels=4))
         vae_params = vae.init(
             key,
@@ -842,28 +893,23 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             vae_scale_factor=_pipe_vae_scale_factor(pipe),
         )
 
-    # multi-tenant adapters (--lora NAME=PATH): SD3 engines only
+    # multi-tenant adapters (--lora NAME=PATH): SD3 engines (merged
+    # multiplex or fused) and family continuous engines (fused-only)
     _merge_path, _named_adapters = _split_lora_args(args)
     if getattr(args, "lora_fused", False):
-        from tpdm_tpu.serving_continuous import (
-            ContinuousBatchingEngine,
-            ContinuousSD15Engine,
-        )
+        from tpdm_tpu.serving_continuous import ContinuousBatchingEngine
 
-        if not isinstance(engine, ContinuousBatchingEngine) or isinstance(
-            engine, ContinuousSD15Engine
-        ):
+        if not isinstance(engine, ContinuousBatchingEngine):
             raise SystemExit(
-                "--lora_fused needs a single continuous SD3 or FLUX "
-                "engine (--continuous, no --resolutions router, no sd15 "
-                "— that family has no LoRA trainer)"
+                "--lora_fused needs a single continuous engine "
+                "(--continuous, no --resolutions router)"
             )
         if not _named_adapters:
             raise SystemExit("--lora_fused without --lora NAME=PATH adapters")
     if _named_adapters:
         from tpdm_tpu.serving_continuous import (
             ContinuousBatchingEngine,
-            ContinuousFluxEngine,
+            _AgentContinuousEngine,
         )
 
         ok_fixed = isinstance(engine, BatchingEngine) and runner is None
@@ -871,16 +917,16 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             getattr(engine, "pipe", None) is not None
             or (
                 getattr(args, "lora_fused", False)
-                and isinstance(engine, ContinuousFluxEngine)
+                and isinstance(engine, _AgentContinuousEngine)
             )
         )
         if not (ok_fixed or ok_cont):
             raise SystemExit(
                 "--lora NAME=PATH needs an SD3 engine — fixed-batch "
                 "(per-adapter sub-batches) or --continuous (time-"
-                "multiplexed segments) — or --family flux --continuous "
-                "--lora_fused; the multi-res router doesn't serve "
-                "per-request adapters"
+                "multiplexed segments) — or a family engine with "
+                "--continuous --lora_fused (per-slot fused deltas); the "
+                "multi-res router doesn't serve per-request adapters"
             )
         from tpdm_tpu.train.draft import load_lora
 

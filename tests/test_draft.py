@@ -463,10 +463,31 @@ class TestServeLora:
         out = merged["runner"](["a cat"], [3], [3])[0]
         assert out["image"].shape[-1] == 3  # merged FLUX serves
 
-        with pytest.raises(SystemExit, match="sd3, flux"):
-            serve.build_family_world(fam_args("sd15", lora=path))
         with pytest.raises(SystemExit, match="quantize"):
             serve.build_family_world(fam_args("flux", lora=path, int8=True))
+
+        # sd15 merges its own family's factors now (round-4 eps trainers);
+        # a foreign (FLUX) LoRA still fails loudly on the key mismatch
+        sd15_base = serve.build_family_world(fam_args("sd15"))
+        sd15_lora = init_lora(
+            sd15_base["agent"].unet_params, rank=2, key=jax.random.PRNGKey(8)
+        )
+        sd15_lora = jax.tree.map(lambda x: x + 0.05, sd15_lora)
+        spath = str(tmp_path / "sd15_lora.safetensors")
+        save_lora(spath, sd15_lora)
+        sd15_merged = serve.build_family_world(fam_args("sd15", lora=spath))
+        sdiffs = [
+            float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(sd15_base["agent"].unet_params),
+                jax.tree_util.tree_leaves(sd15_merged["agent"].unet_params),
+            )
+        ]
+        assert max(sdiffs) > 0
+        out = sd15_merged["runner"](["a cat"], [3], [3])[0]
+        assert out["image"].shape[-1] == 3
+        with pytest.raises(ValueError):
+            serve.build_family_world(fam_args("sd15", lora=path))
 
 
 class TestFullDifferentiableChain:

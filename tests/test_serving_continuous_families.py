@@ -136,13 +136,17 @@ class TestContinuousSDXL:
             assert [int(t) for t in got["sigmas"]] == exp["sigmas"], k
             _assert_images_within_1lsb(got["image"], exp["image"], k)
 
-    def test_no_adapter_path(self, sdxl_world):
+    def test_adapters_require_fused(self, sdxl_world):
+        """SDXL adapters exist since the round-4 trainer extension, but
+        family engines serve them fused-only."""
         w = sdxl_world
         eng = ContinuousSDXLEngine(
             w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
         )
-        with pytest.raises(ValueError, match="SDXL family has no LoRA"):
-            eng.register_adapter("a", {})
+        with pytest.raises(ValueError, match="fused-only"):
+            eng.register_adapter(
+                "a", {"k": {"a": np.zeros((2, 1)), "b": np.zeros((1, 2))}}
+            )
 
 
 class TestContinuousFlux:
@@ -267,15 +271,17 @@ class TestFluxFusedAdapters:
                 "x", _noisy_lora(w["agent"].flux_params, jax.random.PRNGKey(1))
             )
 
-    def test_sd15_has_no_adapter_path(self, sd15_world):
+    def test_sd15_adapters_require_fused_too(self, sd15_world):
+        import jax
+
         w = sd15_world
         eng = ContinuousSD15Engine(
             w["agent"], w["encode"], tpm_params=w["tpm_params"], slots=1,
-            fused_lora=True,
         )
-        with pytest.raises(ValueError, match="no LoRA adapter path"):
-            eng.register_adapter("x", {"k": {"a": np.zeros((2, 1)),
-                                             "b": np.zeros((1, 2))}})
+        with pytest.raises(ValueError, match="fused-only"):
+            eng.register_adapter(
+                "x", _noisy_lora(w["agent"].unet_params, jax.random.PRNGKey(1))
+            )
 
     def test_embed_cache_dedupes_repeat_prompts(self, flux_world):
         w = flux_world
@@ -488,3 +494,83 @@ class TestServeCLIWiring:
         # rejected at world-build time: no SD1.5 LoRA trainer exists
         with pytest.raises(SystemExit, match="sd15"):
             serve.build_family_world(args)
+
+
+class TestEpsFamilyFusedAdapters:
+    """Multi-tenant LoRA on the eps-prediction family engines: SD1.5 /
+    SDXL trainers now produce adapters (train/draft.py, train/dpo.py
+    round-4), so the continuous engines serve them fused — per-slot
+    rank-r deltas via lora_interceptor, with the CFG row-doubling
+    mirrored onto the bank ids ([uncond; cond] both get the slot's
+    adapter, as diffusers applies LoRA)."""
+
+    def _fused_case(self, world, engine_cls, runner_maker):
+        import copy
+
+        import jax
+
+        from tpdm_tpu.models.lora import apply_lora
+
+        w = world
+        lora = _noisy_lora(w["agent"].unet_params, jax.random.PRNGKey(4))
+
+        merged_agent = copy.copy(w["agent"])
+        merged_agent.unet_params = apply_lora(w["agent"].unet_params, lora)
+        merged_runner = runner_maker(
+            merged_agent, w["tpm_params"], w["encode"], w["decode"]
+        )
+        ref_tuned = BatchingEngine(
+            None, _noop_tokenize, max_batch=1, window_ms=1, max_steps=4,
+            runner=merged_runner,
+        ).generate_batch(["a cat"], [3])[0]
+        ref_base = _fixed_reference(w, [("a cat", 3, None)])[
+            ("a cat", 3, None)
+        ]
+
+        eng = engine_cls(
+            w["agent"], w["encode"], decode=w["decode"],
+            tpm_params=w["tpm_params"], slots=2, seg_steps=2,
+            fused_lora=True,
+        )
+        eng.register_adapter("style", lora)
+        eng.start()
+        try:
+            rb = eng.submit("a cat", seed=3)
+            rt = eng.submit("a cat", seed=3, lora="style")
+            base = rb.result(timeout=600)
+            tuned = rt.result(timeout=600)
+        finally:
+            eng.stop()
+        # base slots ride an exact zero delta: 1-LSB program seam only
+        _assert_images_within_1lsb(base["image"], ref_base["image"], "base")
+        # adapter slot ~ merged oracle; integer-t schedules must be EXACT
+        assert tuned["inference_steps"] == ref_tuned["inference_steps"]
+        assert [int(t) for t in tuned["sigmas"]] == ref_tuned["sigmas"]
+        diff = np.abs(
+            tuned["image"].astype(np.int16)
+            - ref_tuned["image"].astype(np.int16)
+        )
+        assert diff.max() <= 24, diff.max()
+        assert diff.mean() < 3.0
+        assert (
+            np.abs(
+                tuned["image"].astype(np.int16)
+                - base["image"].astype(np.int16)
+            ).max()
+            > 1
+        )
+        assert eng.stats()["lora_mode"] == "fused"
+
+    def test_sd15_fused_mixed_pool_vs_merged_solo(self, sd15_world):
+        from tpdm_tpu.serving_families import make_sd15_runner
+
+        self._fused_case(sd15_world, ContinuousSD15Engine, make_sd15_runner)
+
+    def test_sdxl_fused_mixed_pool_vs_merged_solo(self):
+        from _toy_worlds import build_sdxl_world
+
+        from tpdm_tpu.serving_families import make_sdxl_runner
+
+        self._fused_case(
+            build_sdxl_world(), ContinuousSDXLEngine, make_sdxl_runner
+        )

@@ -1744,14 +1744,6 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
 
     _backbone_attr = "unet_params"
 
-    def register_adapter(self, name, lora, scale=1.0, merged_cache=1):
-        raise ValueError(
-            "the SD1.5 family has no LoRA adapter path: the framework's "
-            "LoRA trainers target flow-ladder agents only (train/draft.py "
-            "— SD15Agent's eps-prediction DPM-Solver does not qualify), "
-            "so there are no SD1.5 adapters to serve"
-        )
-
     def _default_max_steps(self) -> int:
         return self.agent.sampler_cfg.num_inference_steps
 
@@ -1771,9 +1763,10 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
         pe, npe = self._encode(["probe"])
         return pe, jnp.asarray(npe[:1]), None, (1,)
 
-    def _segment_denoise(self, unet_params, st, neg_pe, neg_pp):
+    def _segment_denoise(self, apply_fn, st, neg_pe, neg_pp):
         """Family hook: build the (latents, t) -> (eps, temb, h) denoise
-        closure for a segment from the slot state's conditioning rows."""
+        closure for a segment from the slot state's conditioning rows.
+        `apply_fn` is the (possibly LoRA-intercepted) backbone apply."""
         import jax.numpy as jnp
 
         from tpdm_tpu.train.sd15_agent import make_sd15_denoise_fn
@@ -1783,9 +1776,32 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
             jnp.concatenate([jnp.broadcast_to(neg_pe, st.pe.shape), st.pe])
             if gs is not None and gs > 1 else st.pe
         )
-        return make_sd15_denoise_fn(
-            lambda *a: self.agent.unet.apply(unet_params, *a), pe_full, gs
+        return make_sd15_denoise_fn(apply_fn, pe_full, gs)
+
+    def _backbone_apply(self, unet_params, bank, ids):
+        """Backbone apply for one segment: base, or per-slot fused LoRA
+        deltas (models/lora.py lora_interceptor). Under CFG the denoise
+        closure doubles rows to [uncond; cond], so the per-row bank ids
+        double too — both guidance branches get the slot's adapter, as
+        diffusers applies LoRA."""
+        agent = self.agent
+        if bank is None:
+            return lambda *a: agent.unet.apply(unet_params, *a)
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        from tpdm_tpu.models.lora import lora_interceptor
+
+        gs = self.guidance_scale
+        row_ids = (
+            jnp.concatenate([ids, ids]) if gs is not None and gs > 1 else ids
         )
+
+        def apply_fn(*a):
+            with nn.intercept_methods(lora_interceptor(bank, row_ids)):
+                return agent.unet.apply(unet_params, *a)
+
+        return apply_fn
 
     def _build_device_functions(self):
         import jax
@@ -1826,8 +1842,9 @@ class ContinuousSD15Engine(_AgentContinuousEngine):
                 self._neg_pp = jax.device_put(self._neg_pp, rep)
 
         def segment(unet_params, tpm_params, st: _SD15SlotState, neg_pe, npp,
-                    live):
-            denoise_fn = self._segment_denoise(unet_params, st, neg_pe, npp)
+                    live, bank=None, ids=None):
+            apply_fn = self._backbone_apply(unet_params, bank, ids)
+            denoise_fn = self._segment_denoise(apply_fn, st, neg_pe, npp)
             tpm_fn = agent.tpm_fn(tpm_params)
 
             def step(carry, _):
@@ -1971,14 +1988,6 @@ class ContinuousSDXLEngine(ContinuousSD15Engine):
             encode contract (make_sdxl_runner's).
     """
 
-    def register_adapter(self, name, lora, scale=1.0, merged_cache=1):
-        raise ValueError(
-            "the SDXL family has no LoRA adapter path: the framework's "
-            "LoRA trainers target flow-ladder agents only (train/draft.py "
-            "— SDXLAgent's eps-prediction DPM-Solver does not qualify), "
-            "so there are no SDXL adapters to serve"
-        )
-
     def _encode_probe(self):
         import jax.numpy as jnp
 
@@ -1990,7 +1999,7 @@ class ContinuousSDXLEngine(ContinuousSD15Engine):
             tuple(np.asarray(pooled).shape[1:]),
         )
 
-    def _segment_denoise(self, unet_params, st, neg_pe, neg_pp):
+    def _segment_denoise(self, apply_fn, st, neg_pe, neg_pp):
         import jax.numpy as jnp
 
         from tpdm_tpu.train.sdxl_agent import make_sdxl_denoise_fn
@@ -2009,10 +2018,7 @@ class ContinuousSDXLEngine(ContinuousSD15Engine):
             "text_embeds": pp_full,
             "time_ids": self.agent.default_time_ids(pe_full.shape[0]),
         }
-        return make_sdxl_denoise_fn(
-            lambda *a: self.agent.unet.apply(unet_params, *a),
-            pe_full, added, gs,
-        )
+        return make_sdxl_denoise_fn(apply_fn, pe_full, added, gs)
 
     def _prompt_embeds(self, prompt: str):
         hit = self._embed_cache.get(prompt)
