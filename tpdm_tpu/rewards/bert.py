@@ -51,10 +51,14 @@ class BertMedConfig:
 
 
 class _Attention(nn.Module):
-    """q from x; k/v from y (self-attn when y is x). HF post-norm layout."""
+    """q from x; k/v from y (self-attn when y is x). HF post-norm layout.
+
+    causal=True applies the decoder's lower-triangular mask on top of any
+    padding mask (BLIP med.py BertSelfAttention with is_decoder=True)."""
 
     config: BertMedConfig
     kv_width: int
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, y, mask: Optional[jax.Array]):
@@ -76,6 +80,9 @@ class _Attention(nn.Module):
         ) * hd**-0.5
         if mask is not None:
             s = jnp.where(mask[:, None, None, :], s, -1e9)
+        if self.causal:
+            tri = jnp.tril(jnp.ones((n, m), bool))
+            s = jnp.where(tri[None, None], s, -1e9)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         return o.transpose(0, 2, 1, 3).reshape(b, n, d)
@@ -83,6 +90,7 @@ class _Attention(nn.Module):
 
 class BertMedLayer(nn.Module):
     config: BertMedConfig
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x, image_embeds, text_mask, image_mask):
@@ -92,7 +100,9 @@ class BertMedLayer(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
         )
 
-        att = _Attention(cfg, d, name="attention_self")(x, x, text_mask)
+        att = _Attention(
+            cfg, d, causal=self.causal, name="attention_self"
+        )(x, x, text_mask)
         att = nn.Dense(d, dtype=cfg.dtype, name="attention_output")(att)
         x = ln("attention_ln")(x + att)
 
@@ -110,9 +120,17 @@ class BertMedLayer(nn.Module):
 
 
 class BertMedModel(nn.Module):
-    """Returns last_hidden_state (b, n, hidden)."""
+    """Returns last_hidden_state (b, n, hidden).
+
+    is_decoder=True switches every self-attention to the causal decoder
+    mask — the BLIP text-decoder mode (med.py BertLMHeadModel's trunk,
+    mode="text"/is_decoder, used by BLIP's captioner; ImageReward's
+    `score` never exercises it, blip_pretrain.py:14-43 ships it). The
+    parameter tree is identical to the encoder's — BLIP shares the
+    trunk and flips the mask."""
 
     config: BertMedConfig
+    is_decoder: bool = False
 
     @nn.compact
     def __call__(
@@ -138,7 +156,90 @@ class BertMedModel(nn.Module):
         )(x)
 
         for i in range(cfg.num_hidden_layers):
-            x = BertMedLayer(cfg, name=f"layer_{i}")(
+            x = BertMedLayer(cfg, causal=self.is_decoder, name=f"layer_{i}")(
                 x, encoder_hidden_states, attention_mask, encoder_attention_mask
             )
         return x
+
+
+class BertLMHead(nn.Module):
+    """HF BertOnlyMLMHead: transform (dense + gelu + LN) then the vocab
+    projection — the decoder head BLIP's captioner puts on the med trunk
+    (med.py BertLMHeadModel.cls; checkpoint keys
+    cls.predictions.transform.dense / .LayerNorm / cls.predictions.decoder)."""
+
+    config: BertMedConfig
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array) -> jax.Array:
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="transform")(hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="transform_ln"
+        )(x)
+        return nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="decoder")(x)
+
+
+class BertMedDecoder(nn.Module):
+    """Causal med trunk + LM head: (ids, image_embeds) -> vocab logits.
+
+    The full BLIP text-decoder the reference vendors but never runs from
+    ImageReward (med.py decoder path + blip_pretrain.py:14-43's
+    text_decoder); here it completes the framework's BLIP stack so a
+    captioning head can load converted BLIP weights."""
+
+    config: BertMedConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+    ):
+        x = BertMedModel(self.config, is_decoder=True, name="bert")(
+            input_ids, attention_mask, encoder_hidden_states,
+            encoder_attention_mask,
+        )
+        return BertLMHead(self.config, name="cls")(x)
+
+
+def greedy_caption(
+    decoder: BertMedDecoder,
+    params,
+    image_embeds: jax.Array,
+    bos_id: int,
+    sep_id: int,
+    max_len: int = 20,
+    pad_id: int = 0,
+):
+    """Greedy BLIP captioning over the causal decoder (the generate()
+    path of med.py's BertLMHeadModel, greedy beam=1 case): start from
+    [bos], append argmax tokens, stop per-sample at sep_id. Fixed-shape
+    scan — ONE compiled program for any batch; finished rows pad.
+
+    Returns (b, max_len) int32 token ids (bos included, pad after sep).
+    """
+    b = image_embeds.shape[0]
+    ids0 = jnp.full((b, max_len), pad_id, jnp.int32)
+    ids0 = ids0.at[:, 0].set(bos_id)
+
+    def step(carry, i):
+        ids, done = carry
+        logits = decoder.apply(
+            params, ids, ids != pad_id, image_embeds, None
+        )
+        nxt = jnp.argmax(logits[:, i - 1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        ids = ids.at[:, i].set(nxt)
+        done = done | (nxt == sep_id)
+        return (ids, done), None
+
+    (ids, _), _ = jax.lax.scan(
+        step,
+        (ids0, jnp.zeros((b,), bool)),
+        jnp.arange(1, max_len),
+    )
+    return ids

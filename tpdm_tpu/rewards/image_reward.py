@@ -204,14 +204,31 @@ def convert_image_reward(state_dict, vit_depth: int = 24, bert_layers: int = 12,
             "fc2": _dense(sd, f"{base}.mlp.fc2"),
         }
 
-    eb = "blip.text_encoder.embeddings"
+    bert = _convert_med_bert(sd, "blip.text_encoder", bert_layers)
+
+    mlp = {
+        f"fc{j}": _dense(sd, f"mlp.layers.{k}")
+        for j, k in enumerate((0, 2, 4, 6, 7))
+    }
+    return {
+        "params": {"visual_encoder": vit, "text_encoder": bert, "mlp": mlp}
+    }
+
+
+def _convert_med_bert(sd, prefix: str, bert_layers: int) -> dict:
+    """HF/BLIP med-BERT trunk keys -> BertMedModel param tree. Shared by
+    ImageReward's text encoder and the BLIP text decoder (identical
+    layout; the decoder only flips the attention mask)."""
+    from tpdm_tpu.utils.convert import _dense, _ln
+
+    eb = f"{prefix}.embeddings"
     bert: dict = {
         "word_embeddings": {"embedding": sd(f"{eb}.word_embeddings.weight")},
         "position_embeddings": sd(f"{eb}.position_embeddings.weight"),
         "embeddings_ln": _ln(sd, f"{eb}.LayerNorm"),
     }
     for i in range(bert_layers):
-        base = f"blip.text_encoder.encoder.layer.{i}"
+        base = f"{prefix}.encoder.layer.{i}"
         bert[f"layer_{i}"] = {
             "attention_self": {
                 "query": _dense(sd, f"{base}.attention.self.query"),
@@ -231,11 +248,40 @@ def convert_image_reward(state_dict, vit_depth: int = 24, bert_layers: int = 12,
             "output": _dense(sd, f"{base}.output.dense"),
             "output_ln": _ln(sd, f"{base}.output.LayerNorm"),
         }
+    return bert
 
-    mlp = {
-        f"fc{j}": _dense(sd, f"mlp.layers.{k}")
-        for j, k in enumerate((0, 2, 4, 6, 7))
+
+def convert_blip_decoder(
+    state_dict, bert_layers: int = 12, prefix: str = "text_decoder",
+    dtype=None,
+) -> dict:
+    """BLIP text-decoder checkpoint -> BertMedDecoder params.
+
+    Layout: `{prefix}.bert.*` is the med trunk (same keys as the
+    ImageReward text encoder) and `{prefix}.cls.predictions.*` is the LM
+    head (transform.dense / transform.LayerNorm / decoder[+bias]) —
+    reference: ImageReward/models/BLIP/med.py BertLMHeadModel +
+    blip_pretrain.py:14-43. BLIP ties decoder.weight to the word
+    embedding; untied checkpoints carry it explicitly — both load (tied
+    ones fall back to the embedding matrix transposed)."""
+    from tpdm_tpu.utils.convert import _SD, _dense, _ln
+
+    sd = _SD(state_dict, dtype)
+    bert = _convert_med_bert(sd, f"{prefix}.bert", bert_layers)
+    head_base = f"{prefix}.cls.predictions"
+    if sd.has(f"{head_base}.decoder.weight"):
+        decoder = {
+            "kernel": sd(f"{head_base}.decoder.weight").T,
+            "bias": sd(f"{head_base}.bias"),
+        }
+    else:  # tied head: vocab projection = word embedding transposed
+        decoder = {
+            "kernel": bert["word_embeddings"]["embedding"].T,
+            "bias": sd(f"{head_base}.bias"),
+        }
+    cls = {
+        "transform": _dense(sd, f"{head_base}.transform.dense"),
+        "transform_ln": _ln(sd, f"{head_base}.transform.LayerNorm"),
+        "decoder": decoder,
     }
-    return {
-        "params": {"visual_encoder": vit, "text_encoder": bert, "mlp": mlp}
-    }
+    return {"params": {"bert": bert, "cls": cls}}
