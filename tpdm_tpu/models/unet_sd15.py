@@ -74,6 +74,31 @@ class UNetConfig:
         return cls(**d)
 
     @classmethod
+    def sdxl_refiner(cls, **kw) -> "UNetConfig":
+        """SDXL-refiner 2.3B topology (diffusers
+        stable-diffusion-xl-refiner-1.0 unet/config.json): four levels with
+        attention-free ends (DownBlock2D, CrossAttn, CrossAttn, DownBlock2D),
+        uniform transformer depth 4, bigG-only cross-attention (1280), and
+        FIVE time_ids — [orig_h, orig_w, crop_top, crop_left,
+        aesthetic_score] (requires_aesthetics_score=True; the sixth
+        target-size pair of the base model is replaced by the scalar
+        aesthetic score, projection_class_embeddings_input_dim
+        2560 = 1280 pooled + 5*256)."""
+        d = dict(
+            block_out_channels=(384, 768, 1536, 1536),
+            layers_per_block=2,
+            cross_attention_dim=1280,
+            attention_head_dim=64,
+            transformer_layers_per_block=(0, 4, 4, 0),
+            mid_transformer_layers=4,
+            sample_size=128,
+            addition_embed=True,
+            num_time_ids=5,
+        )
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
     def toy(cls, **kw) -> "UNetConfig":
         d = dict(
             block_out_channels=(8, 12, 16, 16),
@@ -102,6 +127,28 @@ class UNetConfig:
             addition_embed=True,
             addition_time_embed_dim=8,
             addition_pooled_dim=12,
+        )
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def toy_refiner(cls, **kw) -> "UNetConfig":
+        """Tiny refiner-topology config for tests: attention-free FIRST AND
+        LAST levels (the refiner's (0,4,4,0) wiring), bigG-only context,
+        five time_ids with the aesthetic-score column."""
+        d = dict(
+            block_out_channels=(8, 12, 16, 16),
+            layers_per_block=1,
+            cross_attention_dim=20,
+            attention_head_dim=4,
+            transformer_layers_per_block=(0, 1, 1, 0),
+            mid_transformer_layers=1,
+            norm_num_groups=4,
+            sample_size=16,
+            addition_embed=True,
+            addition_time_embed_dim=8,
+            addition_pooled_dim=12,
+            num_time_ids=5,
         )
         d.update(kw)
         return cls(**d)

@@ -94,6 +94,7 @@ class SDXLTextEncoders:
         self.clip_l = (clip_l_model, clip_l_params)
         self.clip_g = (clip_g_model, clip_g_params)
         self._encode = jax.jit(self._encode_impl)
+        self._encode_g = jax.jit(self._encode_refiner_impl)
 
     def _encode_impl(self, clip_ids: jax.Array, clip_g_ids: jax.Array) -> PromptEmbeds:
         lm, lp = self.clip_l
@@ -112,3 +113,16 @@ class SDXLTextEncoders:
         clip_ids = jnp.asarray(clip_ids)
         g = clip_ids if clip_g_ids is None else jnp.asarray(clip_g_ids)
         return self._encode(clip_ids, g)
+
+    def _encode_refiner_impl(self, clip_g_ids: jax.Array) -> PromptEmbeds:
+        gm, gp = self.clip_g
+        pen_g, _, _, proj_g = gm.apply(gp, clip_g_ids)
+        return PromptEmbeds(pen_g, proj_g)
+
+    def encode_refiner(self, clip_g_ids) -> PromptEmbeds:
+        """SDXL-REFINER prompt encoding: bigG tower only — prompt_embeds is
+        its penultimate hidden state (b, 77, 1280), pooled its projected
+        EOS embedding (diffusers StableDiffusionXLImg2ImgPipeline
+        encode_prompt when text_encoder is None: the refiner has no CLIP-L
+        tower, cross_attention_dim=1280)."""
+        return self._encode_g(jnp.asarray(clip_g_ids))

@@ -186,32 +186,30 @@ class SDXLPipeline:
                 )
             )
 
-    def generate(
+    def _encode_ids(self, clip_ids):
+        return self.text_encoders.encode(jnp.asarray(clip_ids))
+
+    def _resolve_conditioning(
         self,
-        prompt_embeds: Optional[jax.Array] = None,  # (b, 77, 2048)
-        pooled_prompt_embeds: Optional[jax.Array] = None,  # (b, 1280)
-        negative_prompt_embeds: Optional[jax.Array] = None,
-        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
-        clip_ids: Optional[np.ndarray] = None,
-        negative_clip_ids: Optional[np.ndarray] = None,
-        time_ids: Optional[np.ndarray] = None,
-        seed: int = 0,
-        tpm_params=None,
-        init_image: Optional[np.ndarray] = None,
-        strength: float = 0.6,
-    ) -> VariantResult:
-        """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
-        [+ negatives under CFG] or token ids for the bundled dual-CLIP
-        encoders. ``init_image`` switches to integer-t img2img (see
-        SD15Pipeline.generate)."""
+        prompt_embeds,
+        pooled_prompt_embeds,
+        negative_prompt_embeds,
+        negative_pooled_prompt_embeds,
+        clip_ids,
+        negative_clip_ids,
+        time_ids,
+    ) -> dict:
+        """Embeds-or-ids resolution + CFG validation shared by generate()
+        and the refiner/ensemble entries. Returns the conditioning part of
+        the agent batch."""
         if prompt_embeds is None:
             if self.text_encoders is None:
                 raise ValueError("need prompt_embeds or text_encoders")
-            pe = self.text_encoders.encode(jnp.asarray(clip_ids))
-            prompt_embeds, pooled_prompt_embeds = pe
+            prompt_embeds, pooled_prompt_embeds = self._encode_ids(clip_ids)
             if negative_clip_ids is not None:
-                ne = self.text_encoders.encode(jnp.asarray(negative_clip_ids))
-                negative_prompt_embeds, negative_pooled_prompt_embeds = ne
+                negative_prompt_embeds, negative_pooled_prompt_embeds = (
+                    self._encode_ids(negative_clip_ids)
+                )
         if pooled_prompt_embeds is None:
             raise ValueError(
                 "SDXL conditioning needs pooled_prompt_embeds (the bigG "
@@ -237,20 +235,13 @@ class SDXLPipeline:
         }
         if time_ids is not None:
             batch["time_ids"] = jnp.asarray(time_ids, jnp.float32)
-        if init_image is not None:
-            batch.update(
-                _ddpm_img2img_batch(
-                    self.vae, self.vae_params, prompt_embeds.shape[0],
-                    init_image, strength, seed, self.agent.unet.config.dtype,
-                )
-            )
-        if tpm_params is None:
-            tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
-        out = self.agent.sample(
-            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
-        )
+        return batch
+
+    def _decode_result(self, out) -> VariantResult:
         if self._decode is not None:
-            images = postprocess_images(self._decode(self.vae_params, out.final_latents))
+            images = postprocess_images(
+                self._decode(self.vae_params, out.final_latents)
+            )
         else:
             images = np.asarray(out.final_latents)
         return VariantResult(
@@ -259,6 +250,231 @@ class SDXLPipeline:
             last_valid_index=np.asarray(out.last_valid_index),
             schedule=np.asarray(out.times),
         )
+
+    def generate(
+        self,
+        prompt_embeds: Optional[jax.Array] = None,  # (b, 77, 2048)
+        pooled_prompt_embeds: Optional[jax.Array] = None,  # (b, 1280)
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
+        clip_ids: Optional[np.ndarray] = None,
+        negative_clip_ids: Optional[np.ndarray] = None,
+        time_ids: Optional[np.ndarray] = None,
+        seed: int = 0,
+        tpm_params=None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.6,
+    ) -> VariantResult:
+        """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
+        [+ negatives under CFG] or token ids for the bundled dual-CLIP
+        encoders. ``init_image`` switches to integer-t img2img (see
+        SD15Pipeline.generate)."""
+        batch = self._resolve_conditioning(
+            prompt_embeds, pooled_prompt_embeds, negative_prompt_embeds,
+            negative_pooled_prompt_embeds, clip_ids, negative_clip_ids,
+            time_ids,
+        )
+        if init_image is not None:
+            batch.update(
+                _ddpm_img2img_batch(
+                    self.vae, self.vae_params, batch["prompt_embeds"].shape[0],
+                    init_image, strength, seed, self.agent.unet.config.dtype,
+                )
+            )
+        if tpm_params is None:
+            tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
+        out = self.agent.sample(
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+        )
+        return self._decode_result(out)
+
+
+class SDXLRefinerPipeline(SDXLPipeline):
+    """SDXL refiner: adaptive refinement of the low-noise tail.
+
+    Standalone surface for the second expert of SDXL's ensemble (diffusers
+    StableDiffusionXLImg2ImgPipeline over the refiner UNet): pass either
+    latents mid-denoise (``latents`` + per-sample ``init_t`` — the
+    ensemble handoff, see sdxl_ensemble_generate) or a decoded image
+    (``init_image`` + ``strength``, classic img2img refinement at low
+    strength ~0.3). Conditioning is bigG-only — (b, 77, 1280) embeds or
+    ``clip_g_ids`` through the bundled encoders' refiner path; the
+    aesthetic-score micro-conditioning rides the agent's 5-column
+    time_ids. Beyond-reference family. Same VAEConfig.sdxl() requirement
+    as SDXLPipeline.
+    """
+
+    def _encode_ids(self, clip_g_ids):
+        return self.text_encoders.encode_refiner(jnp.asarray(clip_g_ids))
+
+    def generate(self, *a, **kw):
+        raise NotImplementedError(
+            "the refiner is not a text-to-image model — call refine() with "
+            "latents (+init_t) or init_image, or run the full "
+            "ensemble via sdxl_ensemble_generate(base, refiner, ...)"
+        )
+
+    def refine(
+        self,
+        latents: Optional[jax.Array] = None,  # (b, 4, h, w) mid-denoise
+        init_t: Optional[np.ndarray] = None,  # (b,) int timesteps of latents
+        init_image: Optional[np.ndarray] = None,  # uint8 (b, H, W, 3)
+        strength: float = 0.3,
+        prompt_embeds: Optional[jax.Array] = None,  # (b, 77, 1280)
+        pooled_prompt_embeds: Optional[jax.Array] = None,  # (b, 1280)
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        negative_pooled_prompt_embeds: Optional[jax.Array] = None,
+        clip_g_ids: Optional[np.ndarray] = None,
+        negative_clip_g_ids: Optional[np.ndarray] = None,
+        time_ids: Optional[np.ndarray] = None,
+        seed: int = 0,
+        tpm_params=None,
+    ) -> VariantResult:
+        if (latents is None) == (init_image is None):
+            raise ValueError(
+                "pass exactly one of latents (+init_t, the ensemble "
+                "handoff) or init_image (+strength, image refinement)"
+            )
+        if latents is not None and init_t is None:
+            raise ValueError(
+                "latents need their per-sample timesteps: pass init_t "
+                "((b,) ints — e.g. the base stage's handoff times)"
+            )
+        batch = self._resolve_conditioning(
+            prompt_embeds, pooled_prompt_embeds, negative_prompt_embeds,
+            negative_pooled_prompt_embeds, clip_g_ids, negative_clip_g_ids,
+            time_ids,
+        )
+        if latents is not None:
+            batch["latents"] = jnp.asarray(
+                latents, self.agent.unet.config.dtype
+            )
+            batch["init_t"] = jnp.asarray(init_t, jnp.int32)
+        else:
+            batch.update(
+                _ddpm_img2img_batch(
+                    self.vae, self.vae_params, batch["prompt_embeds"].shape[0],
+                    init_image, strength, seed, self.agent.unet.config.dtype,
+                )
+            )
+        if tpm_params is None:
+            tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
+        out = self.agent.sample(
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+        )
+        return self._decode_result(out)
+
+
+class SDXLEnsembleResult(NamedTuple):
+    images: np.ndarray
+    num_steps: int  # total executed denoise steps (base + refiner)
+    base_steps: int
+    refiner_steps: int
+    handoff_t: np.ndarray  # (b,) timesteps where the refiner took over
+    base_schedule: np.ndarray  # (b, T_base+1) base-stage times
+    refiner_schedule: np.ndarray  # (b, T_ref+1) refiner-stage times
+    last_valid_index: np.ndarray  # refiner stage (-1 = base finished alone)
+
+
+def sdxl_ensemble_generate(
+    base: SDXLPipeline,
+    refiner: SDXLRefinerPipeline,
+    denoising_end: float = 0.8,
+    seed: int = 0,
+    tpm_params=None,
+    refiner_tpm_params=None,
+    clip_ids: Optional[np.ndarray] = None,
+    negative_clip_ids: Optional[np.ndarray] = None,
+    base_kwargs: Optional[dict] = None,
+    refiner_kwargs: Optional[dict] = None,
+) -> SDXLEnsembleResult:
+    """SDXL ensemble-of-experts generation with BOTH stages adaptive.
+
+    diffusers splits a fixed ladder at the discrete cutoff
+    t_cut = round(999*(1 - denoising_end)): the base UNet denoises
+    t >= t_cut, the refiner finishes t < t_cut. Here each stage instead
+    runs its own TPM-scheduled adaptive loop: the base samples with
+    min_time = t_cut (its policy self-terminates once it crosses the
+    cutoff), and the refiner resumes from the base's ACTUAL per-sample
+    handoff (latents + final times) via the integer-t img2img entry — so
+    the handoff is exact, per-sample, and needs no shared ladder. A sample
+    that hits the base's step cap integrates to x0 there (t=0) and the
+    refiner passes it through untouched.
+
+    Prompts: pass ``clip_ids``/``negative_clip_ids`` (both stages encode
+    through their bundled towers — the base's dual-CLIP and the refiner's
+    bigG-only path), or precomputed embeds via ``base_kwargs`` /
+    ``refiner_kwargs`` (forwarded into SDXLPipeline._resolve_conditioning:
+    prompt_embeds, pooled_prompt_embeds, negatives, time_ids).
+    """
+    import dataclasses
+
+    if not 0.0 < denoising_end < 1.0:
+        raise ValueError(f"denoising_end must be in (0, 1), got {denoising_end}")
+    bcfg, rcfg = base.agent.unet.config, refiner.agent.unet.config
+    if bcfg.sample_size != rcfg.sample_size:
+        raise ValueError(
+            f"base and refiner latent grids differ: {bcfg.sample_size} vs "
+            f"{rcfg.sample_size}"
+        )
+    bk = dict(base_kwargs or {})
+    rk = dict(refiner_kwargs or {})
+    t_cut = int(round(999 * (1.0 - denoising_end)))
+
+    batch = base._resolve_conditioning(
+        bk.pop("prompt_embeds", None),
+        bk.pop("pooled_prompt_embeds", None),
+        bk.pop("negative_prompt_embeds", None),
+        bk.pop("negative_pooled_prompt_embeds", None),
+        clip_ids,
+        negative_clip_ids,
+        bk.pop("time_ids", None),
+    )
+    if bk:
+        raise ValueError(f"unknown base_kwargs: {sorted(bk)}")
+    if tpm_params is None:
+        tpm_params = base.agent.init_tpm_params(jax.random.PRNGKey(0))
+    scfg = dataclasses.replace(
+        base.agent.sampler_cfg, predict=True, min_time=max(t_cut, 1)
+    )
+    out = base.agent.sample(
+        tpm_params, batch, jax.random.PRNGKey(seed), sampler_cfg=scfg
+    )
+    b = np.asarray(out.last_valid_index).shape[0]
+    times = np.asarray(out.times)
+    # the handoff time of sample i is the t_next of its last valid step
+    # (first value below the cutoff); -1 valid steps => still at init 999
+    handoff_t = times[np.arange(b), np.asarray(out.last_valid_index) + 1]
+
+    rbatch = refiner._resolve_conditioning(
+        rk.pop("prompt_embeds", None),
+        rk.pop("pooled_prompt_embeds", None),
+        rk.pop("negative_prompt_embeds", None),
+        rk.pop("negative_pooled_prompt_embeds", None),
+        clip_ids,
+        negative_clip_ids,
+        rk.pop("time_ids", None),
+    )
+    if rk:
+        raise ValueError(f"unknown refiner_kwargs: {sorted(rk)}")
+    rbatch["latents"] = out.final_latents.astype(rcfg.dtype)
+    rbatch["init_t"] = jnp.asarray(handoff_t, jnp.int32)
+    if refiner_tpm_params is None:
+        refiner_tpm_params = refiner.agent.init_tpm_params(jax.random.PRNGKey(0))
+    rout = refiner.agent.sample(
+        refiner_tpm_params, rbatch, jax.random.PRNGKey(seed + 1), predict=True
+    )
+    res = refiner._decode_result(rout)
+    return SDXLEnsembleResult(
+        images=res.images,
+        num_steps=int(out.num_steps) + int(rout.num_steps),
+        base_steps=int(out.num_steps),
+        refiner_steps=int(rout.num_steps),
+        handoff_t=handoff_t,
+        base_schedule=times,
+        refiner_schedule=np.asarray(rout.times),
+        last_valid_index=np.asarray(rout.last_valid_index),
+    )
 
 
 class FluxPipeline:

@@ -86,6 +86,15 @@ class SDXLAgent(SD15Agent):
         row = jnp.asarray([px, px, 0.0, 0.0, px, px], jnp.float32)
         return jnp.broadcast_to(row, (batch_size, 6))
 
+    def negative_time_ids(self, time_ids: jax.Array, batch=None) -> jax.Array:
+        """The uncond half of the CFG-doubled time_ids. Base SDXL shares the
+        size/crop ids between branches (diffusers _get_add_time_ids builds
+        one row for both); the refiner subclass swaps the aesthetic-score
+        column. An explicit batch["negative_time_ids"] always wins."""
+        if batch is not None and batch.get("negative_time_ids") is not None:
+            return jnp.asarray(batch["negative_time_ids"], jnp.float32)
+        return time_ids
+
     def denoise_builder(self, params, batch):
         """(merged backbone params, collated batch arrays) -> denoise_fn
         whose first output is the EPS prediction — the DRaFT/DPO hook
@@ -106,7 +115,9 @@ class SDXLAgent(SD15Agent):
             pooled = jnp.concatenate(
                 [batch["negative_pooled_prompt_embeds"], pooled]
             )
-            time_ids = jnp.concatenate([time_ids, time_ids])
+            time_ids = jnp.concatenate(
+                [self.negative_time_ids(time_ids, batch), time_ids]
+            )
         added = {"text_embeds": pooled, "time_ids": time_ids}
         return make_sdxl_denoise_fn(
             lambda *a: self.unet.apply(params, *a), pe, added,
@@ -156,7 +167,9 @@ class SDXLAgent(SD15Agent):
             pooled = jnp.concatenate(
                 [batch["negative_pooled_prompt_embeds"], pooled]
             )
-            time_ids = jnp.concatenate([time_ids, time_ids])
+            time_ids = jnp.concatenate(
+                [self.negative_time_ids(time_ids, batch), time_ids]
+            )
         added = {"text_embeds": pooled, "time_ids": time_ids}
 
         key_lat, key_roll = jax.random.split(key)
@@ -175,3 +188,64 @@ class SDXLAgent(SD15Agent):
             self.unet_params, tpm_params, latents, (pe, added), key_roll,
             step_caps, init_t, scfg=scfg,
         )
+
+
+class SDXLRefinerAgent(SDXLAgent):
+    """RLOOTrainer-compatible agent over the SDXL REFINER UNet.
+
+    The refiner (diffusers stable-diffusion-xl-refiner-1.0) is the second
+    expert of SDXL's ensemble-of-experts: a 2.3B UNet specialized for the
+    low-noise tail, conditioned on bigG-only text (b, 77, 1280) and FIVE
+    time_ids whose last column is the micro-conditioning AESTHETIC SCORE —
+    6.0 on the cond branch and 2.5 on the uncond branch by default
+    (diffusers aesthetic_score/negative_aesthetic_score with
+    requires_aesthetics_score=True). Everything else (integer-t adaptive
+    loop, replay, zero KL, DRaFT/DPO hooks) is inherited.
+
+    Use via pipeline.variants.SDXLRefinerPipeline (standalone img2img
+    refinement) or sdxl_ensemble_generate (base handoff at denoising_end).
+    """
+
+    def __init__(
+        self,
+        unet: UNetSD15,
+        unet_params,
+        config: RLOOConfig,
+        tpm: Optional[TimePredictor] = None,
+        min_time: int = 10,
+        guidance_scale: float = 5.0,
+        aesthetic_score: float = 6.0,
+        negative_aesthetic_score: float = 2.5,
+    ):
+        if unet.config.num_time_ids != 5:
+            raise ValueError(
+                "SDXLRefinerAgent needs a refiner-topology UNetConfig with "
+                "num_time_ids=5 ([orig_h, orig_w, crop_top, crop_left, "
+                f"aesthetic_score]); got num_time_ids="
+                f"{unet.config.num_time_ids} — use UNetConfig.sdxl_refiner()"
+                "/toy_refiner(), or SDXLAgent for the 6-id base model"
+            )
+        super().__init__(
+            unet, unet_params, config, tpm=tpm, min_time=min_time,
+            guidance_scale=guidance_scale,
+        )
+        self.aesthetic_score = float(aesthetic_score)
+        self.negative_aesthetic_score = float(negative_aesthetic_score)
+
+    def default_time_ids(self, batch_size: int) -> jax.Array:
+        """[orig_h, orig_w, crop_top, crop_left, aesthetic_score] at the
+        native resolution (diffusers StableDiffusionXLImg2ImgPipeline
+        _get_add_time_ids with requires_aesthetics_score=True)."""
+        px = float(self.unet.config.sample_size * 8)
+        row = jnp.asarray(
+            [px, px, 0.0, 0.0, self.aesthetic_score], jnp.float32
+        )
+        return jnp.broadcast_to(row, (batch_size, 5))
+
+    def negative_time_ids(self, time_ids: jax.Array, batch=None) -> jax.Array:
+        """Uncond rows swap the aesthetic column for
+        negative_aesthetic_score — the branches genuinely differ on the
+        refiner, unlike base SDXL."""
+        if batch is not None and batch.get("negative_time_ids") is not None:
+            return jnp.asarray(batch["negative_time_ids"], jnp.float32)
+        return time_ids.at[:, -1].set(self.negative_aesthetic_score)
