@@ -301,6 +301,11 @@ def build_family_world(args):
     agent and call make_sd15_runner/make_flux_runner yourself (weights
     conversion is checkpoint-layout specific)."""
     fam = getattr(args, "family", "sd3")
+    if getattr(args, "refiner", False) and fam != "sdxl":
+        raise SystemExit(
+            "--refiner is the SDXL ensemble-of-experts option; "
+            "use --family sdxl"
+        )
     if fam == "sd3":
         return None
     if not args.toy:
@@ -448,10 +453,64 @@ def build_family_world(args):
 
         tpm_params = agent.init_tpm_params(key)
         decode = make_vae_decoder(vae, vae_params)
+        runner = make_sdxl_runner(agent, tpm_params, encode, decode)
+
+        if getattr(args, "refiner", False):
+            # base+refiner ensemble-of-experts: the refiner expert is the
+            # (0,4,4,0)-wired UNet on bigG-only conditioning with
+            # aesthetic-score CFG (pipeline/variants.py
+            # sdxl_ensemble_generate; toy geometry here, like every
+            # family backbone serve.py builds without weights)
+            if getattr(args, "continuous", False):
+                raise SystemExit(
+                    "--refiner serves through the fixed-batch ensemble "
+                    "runner; --continuous is not supported with it"
+                )
+            from tpdm_tpu.serving_families import make_sdxl_ensemble_runner
+            from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
+
+            rcfg_unet = UNetConfig.toy_refiner(
+                cross_attention_dim=24, addition_pooled_dim=12
+            )
+            refiner_unet = UNetSD15(rcfg_unet)
+            refiner_params = refiner_unet.init(
+                jax.random.PRNGKey(7),
+                jnp.zeros((2, 4, rcfg_unet.sample_size, rcfg_unet.sample_size)),
+                jnp.ones((2,)),
+                jnp.zeros((2, 8, rcfg_unet.cross_attention_dim)),
+                {
+                    "text_embeds": jnp.zeros((2, rcfg_unet.addition_pooled_dim)),
+                    "time_ids": jnp.zeros((2, 5)),
+                },
+            )
+            refiner_agent = SDXLRefinerAgent(
+                refiner_unet, refiner_params, config,
+                tpm=TimePredictor(
+                    conv_out_channels=4,
+                    in_channels=2 * rcfg_unet.block_out_channels[0],
+                    temb_dim=rcfg_unet.block_out_channels[0],
+                ),
+            )
+            refiner_tpm = refiner_agent.init_tpm_params(jax.random.PRNGKey(8))
+
+            def encode_refiner(prompts):
+                ids = np.concatenate([toy_ids(p) for p in prompts])
+                pe_r = enc.encode_refiner(ids)
+                ne_r = enc.encode_refiner(np.zeros_like(ids))
+                return (
+                    pe_r.prompt_embeds, pe_r.pooled_prompt_embeds,
+                    ne_r.prompt_embeds, ne_r.pooled_prompt_embeds,
+                )
+
+            runner = make_sdxl_ensemble_runner(
+                agent, tpm_params, refiner_agent, refiner_tpm,
+                encode, encode_refiner, decode,
+                denoising_end=args.denoising_end,
+            )
+
         return dict(
             family="sdxl", agent=agent, tpm_params=tpm_params,
-            encode=encode, decode=decode,
-            runner=make_sdxl_runner(agent, tpm_params, encode, decode),
+            encode=encode, decode=decode, runner=runner,
         )
 
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
@@ -574,6 +633,14 @@ def main():
                    default="sd3",
                    help="model family to serve (sd15/sdxl/flux: toy configs "
                         "via the engine's runner delegate)")
+    p.add_argument("--refiner", action="store_true",
+                   help="--family sdxl: serve the base+refiner "
+                        "ensemble-of-experts (two adaptive TPM loops with "
+                        "an exact per-sample handoff at --denoising_end)")
+    p.add_argument("--denoising_end", type=float, default=0.8,
+                   help="--refiner handoff point: the base expert denoises "
+                        "t >= round(999*(1-denoising_end)), the refiner "
+                        "finishes")
     p.add_argument("--cli", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--prompt", default="a serene mountain lake at dawn")

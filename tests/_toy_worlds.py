@@ -138,6 +138,62 @@ def build_sdxl_world(max_steps=4):
     )
 
 
+def build_sdxl_ensemble_world(max_steps=4, denoising_end=0.75):
+    """build_sdxl_world + a toy refiner expert (bigG-only conditioning,
+    aesthetic-score CFG) behind make_sdxl_ensemble_runner."""
+    from tpdm_tpu.models import TimePredictor
+    from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from tpdm_tpu.serving_families import make_sdxl_ensemble_runner
+    from tpdm_tpu.train import RLOOConfig
+    from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
+
+    w = build_sdxl_world(max_steps=max_steps)
+    enc = w["text_encoders"]
+
+    # bigG toy tower hidden is 24 -> refiner context dim
+    rcfg = UNetConfig.toy_refiner(cross_attention_dim=24, addition_pooled_dim=12)
+    runet = UNetSD15(rcfg)
+    rparams = runet.init(
+        jax.random.PRNGKey(6),
+        jnp.zeros((2, 4, rcfg.sample_size, rcfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, 8, rcfg.cross_attention_dim)),
+        {
+            "text_embeds": jnp.zeros((2, rcfg.addition_pooled_dim)),
+            "time_ids": jnp.zeros((2, 5)),
+        },
+    )
+    ragent = SDXLRefinerAgent(
+        runet, rparams, RLOOConfig(max_inference_steps=max_steps),
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * rcfg.block_out_channels[0],
+            temb_dim=rcfg.block_out_channels[0],
+        ),
+    )
+    rtpm = ragent.init_tpm_params(jax.random.PRNGKey(7))
+
+    def encode_refiner(prompts):
+        ids = np.concatenate([tokenize_ids(p) for p in prompts])
+        pe = enc.encode_refiner(ids)
+        ne = enc.encode_refiner(np.zeros_like(ids))
+        return (
+            pe.prompt_embeds, pe.pooled_prompt_embeds,
+            ne.prompt_embeds, ne.pooled_prompt_embeds,
+        )
+
+    w["refiner_agent"] = ragent
+    w["refiner_tpm_params"] = rtpm
+    w["encode_refiner"] = encode_refiner
+    w["denoising_end"] = denoising_end
+    w["ensemble_runner"] = make_sdxl_ensemble_runner(
+        w["agent"], w["tpm_params"], ragent, rtpm,
+        w["encode"], encode_refiner, w["decode"],
+        denoising_end=denoising_end,
+    )
+    return w
+
+
 def build_flux_world(max_steps=4):
     from tpdm_tpu.models import TimePredictor
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents

@@ -165,6 +165,76 @@ class TestSDXLServing:
         np.testing.assert_array_equal(solo["image"], paired["image"])
 
 
+class TestSDXLEnsembleServing:
+    """base+refiner ensemble-of-experts behind the shared engine
+    (serving_families.make_sdxl_ensemble_runner; serve.py --refiner)."""
+
+    @pytest.fixture(scope="class")
+    def ens_world(self):
+        from _toy_worlds import build_sdxl_ensemble_world
+
+        return build_sdxl_ensemble_world(max_steps=6)
+
+    def test_two_experts_serve_one_request_stream(self, ens_world):
+        w = ens_world
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=3, window_ms=200, max_steps=6,
+            runner=w["ensemble_runner"],
+        )
+        eng.start()
+        try:
+            reqs = [eng.submit(f"prompt {i}", seed=i) for i in range(3)]
+            results = [r.result(timeout=300) for r in reqs]
+        finally:
+            eng.stop()
+        t_cut = int(round(999 * (1 - w["denoising_end"])))
+        ss = w["sample_size"]
+        for res in results:
+            assert res["image"].shape == (2 * ss, 2 * ss, 3)
+            assert res["image"].dtype == np.uint8
+            assert res["inference_steps"] == (
+                res["base_steps"] + res["refiner_steps"]
+            )
+            assert res["handoff_t"] < t_cut
+            # realized trajectory crosses the cutoff exactly once
+            ts = res["sigmas"]
+            below = [t < t_cut for t in ts]
+            assert below == sorted(below)
+
+    def test_per_request_caps_bound_total_nfe(self, ens_world):
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=2, window_ms=1, max_steps=6,
+            runner=ens_world["ensemble_runner"],
+        )
+        out = eng.generate_batch(
+            ["a cat", "a dog"], [1, 2], steps=[2, 6]
+        )
+        assert out[0]["inference_steps"] <= 2
+        assert out[1]["inference_steps"] <= 6
+        # both experts executed within each request's budget
+        assert out[0]["base_steps"] >= 1 and out[0]["refiner_steps"] >= 1
+
+    def test_same_seed_same_image_across_batch_compositions(self, ens_world):
+        eng = BatchingEngine(
+            None, _noop_tokenize, max_batch=2, window_ms=1, max_steps=6,
+            runner=ens_world["ensemble_runner"],
+        )
+        solo = eng.generate_batch(["a cat"], [9])[0]
+        paired = eng.generate_batch(["a dog", "a cat"], [3, 9])[1]
+        np.testing.assert_array_equal(solo["image"], paired["image"])
+
+    def test_denoising_end_validation(self, ens_world):
+        from tpdm_tpu.serving_families import make_sdxl_ensemble_runner
+
+        w = ens_world
+        with pytest.raises(ValueError, match="denoising_end"):
+            make_sdxl_ensemble_runner(
+                w["agent"], w["tpm_params"], w["refiner_agent"],
+                w["refiner_tpm_params"], w["encode"], w["encode_refiner"],
+                w["decode"], denoising_end=0.0,
+            )
+
+
 class TestFluxServing:
     def test_requests_coalesce_and_decode(self, flux_world):
         eng = BatchingEngine(

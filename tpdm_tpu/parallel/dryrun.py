@@ -412,6 +412,51 @@ def dryrun_agent_families(
     ]
     results["sdxl"] = _run_family_trainer(xagent, cfg, xdataset, mesh)
 
+    # ---- SDXL refiner (ensemble second expert: (0,4,4,0) wiring with
+    # attention-free end levels, bigG-only context, aesthetic-score CFG
+    # time_ids — pipeline/variants.py sdxl_ensemble_generate) ----
+    from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
+
+    refcfg = UNetConfig.toy_refiner()
+    refunet = UNetSD15(refcfg)
+    refparams = refunet.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((2, 4, refcfg.sample_size, refcfg.sample_size)),
+        jnp.ones((2,)),
+        jnp.zeros((2, n_txt, refcfg.cross_attention_dim)),
+        {
+            "text_embeds": jnp.zeros((2, refcfg.addition_pooled_dim)),
+            "time_ids": jnp.zeros((2, 5)),
+        },
+    )
+    ragent = SDXLRefinerAgent(
+        refunet, refparams, cfg,
+        tpm=TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * refcfg.block_out_channels[0],
+            temb_dim=refcfg.block_out_channels[0],
+        ),
+    ).shard(mesh)
+    rdataset = [
+        {
+            "prompt": f"p{i}",
+            "prompt_embeds": rng.normal(
+                size=(n_txt, refcfg.cross_attention_dim)
+            ).astype(np.float32),
+            "pooled_prompt_embeds": rng.normal(
+                size=(refcfg.addition_pooled_dim,)
+            ).astype(np.float32),
+            "negative_prompt_embeds": np.zeros(
+                (n_txt, refcfg.cross_attention_dim), np.float32
+            ),
+            "negative_pooled_prompt_embeds": np.zeros(
+                (refcfg.addition_pooled_dim,), np.float32
+            ),
+        }
+        for i in range(max(4, dp))
+    ]
+    results["sdxl_refiner"] = _run_family_trainer(ragent, cfg, rdataset, mesh)
+
     # ---- FLUX (packed tokens, embedded guidance, no CFG doubling) ----
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
     from tpdm_tpu.train.flux_agent import FluxAgent

@@ -47,6 +47,13 @@ class SD15SamplerConfig:
     solver_type: str = "midpoint"
     cache_activations: bool = True
     keep_history: bool = False
+    # Optional cap-landing override (ensemble-of-experts base stage): when
+    # set, a sample's cap-terminal step lands exactly on this timestep
+    # instead of integrating to x0 — the SDXL base expert hands off at the
+    # denoising_end cutoff with real noise left for the refiner
+    # (serving_families.make_sdxl_ensemble_runner). Must be < min_time so
+    # the capped sample terminates on the next iteration.
+    cap_floor_time: Optional[int] = None
 
 
 class SD15SampleOutput(NamedTuple):
@@ -90,6 +97,11 @@ def sd15_adaptive_sample(
     b = init_latents.shape[0]
     T = cfg.num_inference_steps
     dtype = init_latents.dtype
+    if cfg.cap_floor_time is not None and cfg.cap_floor_time >= cfg.min_time:
+        raise ValueError(
+            f"cap_floor_time ({cfg.cap_floor_time}) must be < min_time "
+            f"({cfg.min_time}) or the capped sample never terminates"
+        )
     sigmas_table = ddpm_sigmas_from_betas()
     if step_caps is None:
         caps = jnp.full((b,), T, jnp.int32)
@@ -154,16 +166,26 @@ def sd15_adaptive_sample(
         # per-sample cap: this is sample i's final allowed step — force the
         # terminal integrate-to-x0 transition (t_next=0 => use_first below)
         cap_now = step >= caps - 1
-        t_next = jnp.where(done | cap_now, 0, t_next)
+        if cfg.cap_floor_time is None:
+            t_next = jnp.where(done | cap_now, 0, t_next)
+        else:
+            # ensemble base stage: the cap step lands exactly on the
+            # cutoff (handoff with real noise left), not on x0
+            t_next = jnp.where(cap_now, jnp.int32(cfg.cap_floor_time), t_next)
+            t_next = jnp.where(done, 0, t_next)
 
         # --- per-sample DPM-Solver++ step ---
         lat32 = latents.astype(jnp.float32)
         eps32 = eps_pred.astype(jnp.float32)
         sigma_s0 = sigmas_table[t]
         sigma_s1 = sigmas_table[s["t_prev"]]
-        sigma_t = jnp.where(
-            (step == T - 1) | cap_now, 0.0, sigmas_table[t_next]
-        )  # cap step integrates to x0 (modeling_sd_v1_5.py:846-848)
+        if cfg.cap_floor_time is None:
+            sigma_t = jnp.where(
+                (step == T - 1) | cap_now, 0.0, sigmas_table[t_next]
+            )  # cap step integrates to x0 (modeling_sd_v1_5.py:846-848)
+        else:
+            # done samples' updates are discarded (last_valid frozen)
+            sigma_t = jnp.where(done, 0.0, sigmas_table[t_next])
         x0 = epsilon_to_x0(eps32, lat32, sigma_s0)
         first = dpm_first_order_update(x0, lat32, sigma_t, sigma_s0)
         second = dpm_second_order_update(

@@ -153,6 +153,126 @@ def make_sdxl_runner(
     return runner
 
 
+def make_sdxl_ensemble_runner(
+    base_agent,
+    base_tpm_params,
+    refiner_agent,
+    refiner_tpm_params,
+    encode: Callable,
+    encode_refiner: Callable,
+    decode: Optional[Callable] = None,
+    denoising_end: float = 0.8,
+) -> Callable:
+    """Serving runner for the SDXL base+refiner ensemble-of-experts
+    (pipeline/variants.py sdxl_ensemble_generate at the engine boundary).
+
+    The base stage samples with min_time at the denoising_end cutoff and
+    hands each request's (latents, final t) to the refiner's integer-t
+    img2img entry — the handoff is exact and per-sample. Per-request step
+    caps bound the TOTAL NFE: the base stage gets
+    max(1, round(cap * denoising_end)) of each request's budget (leaving
+    at least one refiner step when cap >= 2), the refiner the remainder; a
+    request that exhausts its base share hands off AT the cutoff
+    (SD15SamplerConfig.cap_floor_time) with real noise left, so the
+    refiner always executes — unlike the batch pipeline's
+    sdxl_ensemble_generate, whose cap integrates to x0 and skips the
+    refiner (there the cap is a debugging bound, here it is a serving
+    quality/latency contract).
+
+    Args:
+        encode: the base dual-CLIP encode (as make_sdxl_runner).
+        encode_refiner: ``(prompts) -> (prompt_embeds (b, 77, 1280),
+            pooled, negative_prompt_embeds, negative_pooled)`` — the
+            bigG-only refiner conditioning
+            (SDXLTextEncoders.encode_refiner); None negative pair when
+            guidance is off.
+        decode: optional ``final_latents -> uint8 images`` (the two
+            experts share the SDXL VAE).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if not 0.0 < denoising_end < 1.0:
+        raise ValueError(f"denoising_end must be in (0, 1), got {denoising_end}")
+    t_cut = int(round(999 * (1.0 - denoising_end)))
+    # cap_floor_time: a request that exhausts its base share hands off AT
+    # the cutoff (real noise left for the refiner) instead of integrating
+    # to x0 — this is what guarantees the refiner step below
+    base_scfg = dataclasses.replace(
+        base_agent.sampler_cfg, predict=True, min_time=max(t_cut, 1),
+        cap_floor_time=max(t_cut - 1, 0),
+    )
+
+    def runner(prompts, seeds, caps):
+        caps = np.asarray(caps, np.int32)
+        base_caps = np.maximum(1, np.round(caps * denoising_end)).astype(
+            np.int32
+        )
+        base_caps = np.minimum(base_caps, np.maximum(caps - 1, 1))
+        ref_caps = np.maximum(caps - base_caps, 1)
+
+        pe, pooled, npe, npooled = encode(prompts)
+        batch = {
+            "prompt_embeds": pe,
+            "pooled_prompt_embeds": pooled,
+            "latents": _per_seed_latents(base_agent, seeds),
+        }
+        if npe is not None:
+            batch["negative_prompt_embeds"] = npe
+            batch["negative_pooled_prompt_embeds"] = npooled
+        out = base_agent.sample(
+            base_tpm_params, batch, jax.random.PRNGKey(0),
+            sampler_cfg=base_scfg, step_caps=base_caps,
+        )
+        times = np.asarray(out.times)
+        lvi = np.asarray(out.last_valid_index)
+        handoff_t = times[np.arange(len(prompts)), lvi + 1]
+
+        rpe, rpooled, rnpe, rnpooled = encode_refiner(prompts)
+        rbatch = {
+            "prompt_embeds": rpe,
+            "pooled_prompt_embeds": rpooled,
+            "latents": out.final_latents.astype(
+                refiner_agent.unet.config.dtype
+            ),
+            "init_t": jnp.asarray(handoff_t, jnp.int32),
+        }
+        if rnpe is not None:
+            rbatch["negative_prompt_embeds"] = rnpe
+            rbatch["negative_pooled_prompt_embeds"] = rnpooled
+        rout = refiner_agent.sample(
+            refiner_tpm_params, rbatch, jax.random.PRNGKey(0), predict=True,
+            step_caps=ref_caps,
+        )
+        images = (
+            decode(rout.final_latents) if decode is not None
+            else np.asarray(rout.final_latents)
+        )
+        rtimes = np.asarray(rout.times)
+        rlvi = np.asarray(rout.last_valid_index)
+        results = []
+        for i in range(len(prompts)):
+            base_nfe = int(lvi[i]) + 1
+            ref_nfe = int(rlvi[i]) + 1
+            results.append(
+                {
+                    "image": images[i],
+                    "inference_steps": base_nfe + ref_nfe,
+                    "base_steps": base_nfe,
+                    "refiner_steps": ref_nfe,
+                    "handoff_t": int(handoff_t[i]),
+                    # the full realized integer-t trajectory across experts
+                    "sigmas": times[i][1 : base_nfe + 1].tolist()
+                    + rtimes[i][1 : ref_nfe + 1].tolist(),
+                }
+            )
+        return results
+
+    return runner
+
+
 def make_flux_runner(
     agent,
     tpm_params,
