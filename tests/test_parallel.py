@@ -408,11 +408,13 @@ class TestMeshTrainer:
         r = dryrun_agent_families(4, (2, 2, 1))
         assert np.isfinite(r["sd15"]["loss/policy_avg"])
         assert np.isfinite(r["sdxl"]["loss/policy_avg"])
-        assert np.isfinite(r["sdxl_refiner"]["loss/policy_avg"])
+        assert np.isfinite(r["sdxl_ensemble"]["loss/policy_avg"])
         assert np.isfinite(r["flux"]["loss/policy_avg"])
         assert r["sd15"]["objective/kl"] == 0.0  # SD1.5 KL identically zero
         assert r["sdxl"]["objective/kl"] == 0.0  # inherited zero-KL
-        assert r["sdxl_refiner"]["objective/kl"] == 0.0
+        assert r["sdxl_ensemble"]["objective/kl"] == 0.0
+        # the stitched episode spans both experts: >= 1 step each
+        assert r["sdxl_ensemble"]["policy/steps_avg"] >= 2.0
 
     def test_world_size_mismatch_raises(self):
         import dataclasses

@@ -412,10 +412,12 @@ def dryrun_agent_families(
     ]
     results["sdxl"] = _run_family_trainer(xagent, cfg, xdataset, mesh)
 
-    # ---- SDXL refiner (ensemble second expert: (0,4,4,0) wiring with
-    # attention-free end levels, bigG-only context, aesthetic-score CFG
-    # time_ids — pipeline/variants.py sdxl_ensemble_generate) ----
-    from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
+    # ---- SDXL base+refiner ENSEMBLE (joint hierarchical policy: the
+    # refiner expert's (0,4,4,0) wiring, bigG-only context and
+    # aesthetic-score CFG behind SDXLEnsembleAgent — one stitched rollout,
+    # one optimizer step over BOTH TPM heads, the stitched record's
+    # per-expert caches sharded by the extended _TIME_MAJOR_FIELDS) ----
+    from tpdm_tpu.train.sdxl_agent import SDXLEnsembleAgent, SDXLRefinerAgent
 
     refcfg = UNetConfig.toy_refiner()
     refunet = UNetSD15(refcfg)
@@ -436,26 +438,27 @@ def dryrun_agent_families(
             in_channels=2 * refcfg.block_out_channels[0],
             temb_dim=refcfg.block_out_channels[0],
         ),
-    ).shard(mesh)
-    rdataset = [
+    )
+    ensemble = SDXLEnsembleAgent(xagent, ragent, denoising_end=0.75).shard(mesh)
+    edataset = [
         {
-            "prompt": f"p{i}",
-            "prompt_embeds": rng.normal(
+            **row,
+            "refiner_prompt_embeds": rng.normal(
                 size=(n_txt, refcfg.cross_attention_dim)
             ).astype(np.float32),
-            "pooled_prompt_embeds": rng.normal(
+            "refiner_pooled_prompt_embeds": rng.normal(
                 size=(refcfg.addition_pooled_dim,)
             ).astype(np.float32),
-            "negative_prompt_embeds": np.zeros(
+            "refiner_negative_prompt_embeds": np.zeros(
                 (n_txt, refcfg.cross_attention_dim), np.float32
             ),
-            "negative_pooled_prompt_embeds": np.zeros(
+            "refiner_negative_pooled_prompt_embeds": np.zeros(
                 (refcfg.addition_pooled_dim,), np.float32
             ),
         }
-        for i in range(max(4, dp))
+        for row in xdataset
     ]
-    results["sdxl_refiner"] = _run_family_trainer(ragent, cfg, rdataset, mesh)
+    results["sdxl_ensemble"] = _run_family_trainer(ensemble, cfg, edataset, mesh)
 
     # ---- FLUX (packed tokens, embedded guidance, no CFG doubling) ----
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents

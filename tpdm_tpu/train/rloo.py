@@ -172,7 +172,15 @@ def rloo_repeat(batch: dict, rloo_k: int) -> dict:
     return out
 
 
-_TIME_MAJOR_FIELDS = ("h_cache", "temb_cache", "history_latents")
+_TIME_MAJOR_FIELDS = (
+    "h_cache",
+    "temb_cache",
+    "history_latents",
+    # the SDXL ensemble's second expert keeps its own caches (different
+    # channel widths than the base — train/sdxl_agent.py EnsembleSampleOutput)
+    "refiner_h_cache",
+    "refiner_temb_cache",
+)
 _SCALAR_FIELDS = ("num_steps",)
 
 

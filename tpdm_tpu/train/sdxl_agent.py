@@ -12,14 +12,19 @@ classifier-free guidance.
 
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from tpdm_tpu.models.tpm import TimePredictor
 from tpdm_tpu.models.unet_sd15 import UNetSD15
-from tpdm_tpu.pipeline.sd15_sampler import SD15SampleOutput, sd15_adaptive_sample
+from tpdm_tpu.pipeline.sd15_sampler import (
+    SD15SampleOutput,
+    sd15_adaptive_sample,
+    sd15_replay_logprobs,
+)
 from tpdm_tpu.train.config import RLOOConfig
 from tpdm_tpu.train.sd15_agent import SD15Agent
 
@@ -249,3 +254,231 @@ class SDXLRefinerAgent(SDXLAgent):
         if batch is not None and batch.get("negative_time_ids") is not None:
             return jnp.asarray(batch["negative_time_ids"], jnp.float32)
         return time_ids.at[:, -1].set(self.negative_aesthetic_score)
+
+
+class EnsembleSampleOutput(NamedTuple):
+    """Stitched rollout of the SDXL base+refiner ensemble.
+
+    Per-step stats are the base stage's T_base columns followed by the
+    refiner's T_ref — batch-major (b, T_base + T_ref) like every family's
+    rollout, with unexecuted columns masked (prob_masks True) on BOTH
+    sides of the handoff, so the trainer's masked reductions and the PPO
+    summed-logprob objective work unchanged. The activation caches stay
+    per-expert (the two UNets have different channel widths); replay runs
+    each TPM over its own cache and concatenates."""
+
+    final_latents: jax.Array  # refiner-stage finals (b, 4, h, w)
+    times: jax.Array  # (b, T_base+T_ref+2): [base (T_base+1); ref (T_ref+1)]
+    ratios: jax.Array  # (b, T_base+T_ref)
+    logprobs: jax.Array
+    prob_masks: jax.Array
+    alphas: jax.Array
+    betas: jax.Array
+    num_steps: jax.Array  # scalar: executed loop iters, base + refiner
+    last_valid_index: jax.Array  # (b,) total NFE - 1 across both experts
+    handoff_t: jax.Array  # (b,) timestep the refiner resumed from
+    h_cache: Optional[jax.Array]  # base (T_base, b, 2*C_b, gh, gw)
+    temb_cache: Optional[jax.Array]  # base (T_base, b, temb_b)
+    refiner_h_cache: Optional[jax.Array]  # (T_ref, b, 2*C_r, gh, gw)
+    refiner_temb_cache: Optional[jax.Array]  # (T_ref, b, temb_r)
+
+
+class SDXLEnsembleAgent:
+    """Joint RL agent over BOTH experts of the SDXL ensemble.
+
+    Beyond-reference: the reference trains one TPM per backbone; here the
+    base and refiner TPMs train TOGETHER as one hierarchical policy — the
+    episode is base steps (t >= t_cut, terminating at the denoising_end
+    cutoff via min_time, cap landing exactly on the cutoff through
+    SD15SamplerConfig.cap_floor_time) followed by refiner steps resuming
+    from the base's exact per-sample handoff (latents + final t). The
+    RLOO reward discounts over the TOTAL NFE, so the two policies learn
+    to split the step budget across the cutoff, not just shrink their own
+    stage. Implements the same trainer protocol as every family agent
+    (sample / replay / logprobs / kl_divergence / init_tpm_params /
+    shard); tpm_params is the pytree {"base": ..., "refiner": ...} and
+    the optimizer updates both heads in one step.
+
+    ``batch`` carries both experts' conditioning: the base's
+    prompt_embeds / pooled_prompt_embeds (+ negative pair under CFG) plus
+    refiner_prompt_embeds / refiner_pooled_prompt_embeds (bigG-only,
+    + refiner_negative_* under CFG).
+    """
+
+    needs_inputs_for_replay = False
+
+    def __init__(
+        self,
+        base: SDXLAgent,
+        refiner: "SDXLRefinerAgent",
+        denoising_end: float = 0.8,
+    ):
+        if not 0.0 < denoising_end < 1.0:
+            raise ValueError(
+                f"denoising_end must be in (0, 1), got {denoising_end}"
+            )
+        if base.unet.config.sample_size != refiner.unet.config.sample_size:
+            raise ValueError(
+                "ensemble experts must share the latent geometry: base "
+                f"sample_size {base.unet.config.sample_size} != refiner "
+                f"{refiner.unet.config.sample_size}"
+            )
+        self.base = base
+        self.refiner = refiner
+        self.config = base.config
+        self.denoising_end = float(denoising_end)
+        self.t_cut = int(round(999 * (1.0 - denoising_end)))
+        # the base expert's loop: stochastic TPM decay down to the cutoff;
+        # hitting the step cap lands exactly ON the cutoff (never x0), so
+        # the refiner always receives real work
+        self._base_scfg = dataclasses.replace(
+            base.sampler_cfg,
+            min_time=max(self.t_cut, 1),
+            cap_floor_time=max(self.t_cut - 1, 0),
+        )
+        self._replay_jit = jax.jit(self.replay)
+
+    # expert step budgets are static (jit shapes)
+    @property
+    def base_steps(self) -> int:
+        return self._base_scfg.num_inference_steps
+
+    @property
+    def sampler_cfg(self):
+        """Eval-callback compatibility (train/callbacks.py overrides
+        fields on this): the BASE stage's config — per-stage overrides go
+        through the member agents."""
+        return self._base_scfg
+
+    def shard(self, mesh):
+        self.base.shard(mesh)
+        self.refiner.shard(mesh)
+        return self
+
+    def init_tpm_params(self, key: jax.Array):
+        kb, kr = jax.random.split(key)
+        return {
+            "base": self.base.init_tpm_params(kb),
+            "refiner": self.refiner.init_tpm_params(kr),
+        }
+
+    def replay_backbone_params(self):
+        return None
+
+    @staticmethod
+    def _refiner_batch_view(batch) -> dict:
+        out = {"prompt_embeds": batch["refiner_prompt_embeds"],
+               "pooled_prompt_embeds": batch["refiner_pooled_prompt_embeds"]}
+        for src, dst in (
+            ("refiner_negative_prompt_embeds", "negative_prompt_embeds"),
+            (
+                "refiner_negative_pooled_prompt_embeds",
+                "negative_pooled_prompt_embeds",
+            ),
+            ("refiner_time_ids", "time_ids"),
+            ("refiner_negative_time_ids", "negative_time_ids"),
+        ):
+            if batch.get(src) is not None:
+                out[dst] = batch[src]
+        return out
+
+    def sample(
+        self, tpm_params, batch, key, predict=False, sampler_cfg=None,
+        step_caps=None,
+    ) -> EnsembleSampleOutput:
+        """Roll out base-then-refiner. ``step_caps`` bounds the TOTAL NFE
+        with the same split as serving (serving_families
+        make_sdxl_ensemble_runner): the base gets
+        clip(round(cap*denoising_end), 1, cap-1), the refiner the rest."""
+        if sampler_cfg is not None:
+            raise ValueError(
+                "SDXLEnsembleAgent stages own their sampler configs "
+                "(base min_time/cap_floor_time pin the handoff); replace "
+                "base.sampler_cfg / refiner.sampler_cfg instead"
+            )
+        kb, kr = jax.random.split(key)
+        base_caps = ref_caps = None
+        if step_caps is not None:
+            caps = jnp.asarray(step_caps, jnp.int32)
+            base_caps = jnp.clip(
+                jnp.round(caps * self.denoising_end).astype(jnp.int32),
+                1,
+                jnp.maximum(caps - 1, 1),
+            )
+            ref_caps = jnp.maximum(caps - base_caps, 1)
+
+        scfg = dataclasses.replace(self._base_scfg, predict=predict)
+        out = self.base.sample(
+            tpm_params["base"], batch, kb, sampler_cfg=scfg,
+            step_caps=base_caps,
+        )
+        # handoff: the t_next of each sample's last valid step (first
+        # value below the cutoff — pipeline/variants.py
+        # sdxl_ensemble_generate:443-447, kept on-device here)
+        handoff_t = jnp.take_along_axis(
+            out.times, (out.last_valid_index + 1)[:, None], axis=1
+        )[:, 0]
+
+        rbatch = self._refiner_batch_view(batch)
+        rbatch["latents"] = out.final_latents.astype(
+            self.refiner.unet.config.dtype
+        )
+        rbatch["init_t"] = handoff_t
+        rout = self.refiner.sample(
+            tpm_params["refiner"], rbatch, kr, predict=predict,
+            step_caps=ref_caps,
+        )
+
+        cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+        return EnsembleSampleOutput(
+            final_latents=rout.final_latents,
+            times=cat(out.times, rout.times),
+            ratios=cat(out.ratios, rout.ratios),
+            logprobs=cat(out.logprobs, rout.logprobs),
+            prob_masks=cat(out.prob_masks, rout.prob_masks),
+            alphas=cat(out.alphas, rout.alphas),
+            betas=cat(out.betas, rout.betas),
+            num_steps=out.num_steps + rout.num_steps,
+            last_valid_index=(
+                out.last_valid_index + rout.last_valid_index + 1
+            ),
+            handoff_t=handoff_t,
+            h_cache=out.h_cache,
+            temb_cache=out.temb_cache,
+            refiner_h_cache=rout.h_cache,
+            refiner_temb_cache=rout.temb_cache,
+        )
+
+    def replay(
+        self, tpm_params, outputs: EnsembleSampleOutput, inputs=None,
+        backbone_params=None,
+    ) -> jax.Array:
+        """Differentiable logprobs of the stitched episode: each TPM
+        replays its own stage's cached activations; gradients reach both
+        heads through the concatenated (b, T_base+T_ref) result."""
+        tb = self.base_steps
+        lp_base = sd15_replay_logprobs(
+            self.base.tpm_fn(tpm_params["base"]),
+            outputs.h_cache,
+            outputs.temb_cache,
+            outputs.ratios[:, :tb],
+            outputs.prob_masks[:, :tb],
+            self.base.sampler_cfg,
+        )
+        lp_ref = sd15_replay_logprobs(
+            self.refiner.tpm_fn(tpm_params["refiner"]),
+            outputs.refiner_h_cache,
+            outputs.refiner_temb_cache,
+            outputs.ratios[:, tb:],
+            outputs.prob_masks[:, tb:],
+            self.refiner.sampler_cfg,
+        )
+        return jnp.concatenate([lp_base, lp_ref], axis=1)
+
+    def logprobs(self, tpm_params, outputs: EnsembleSampleOutput) -> jax.Array:
+        return self._replay_jit(tpm_params, outputs)
+
+    def kl_divergence(self, outputs: EnsembleSampleOutput) -> jax.Array:
+        """Zero on both stages (the eps-family zero-KL semantics,
+        modeling_sd_v1_5.py:1005-1009, applies to each expert)."""
+        return jnp.zeros_like(outputs.logprobs)
