@@ -1,0 +1,316 @@
+"""Δ-DiT-style residual block caching (training-free acceleration).
+
+The reference has no analogue — this is beyond-reference work following
+arXiv 2406.01125 (Δ-DiT): on "record" forwards the MMDiT returns the back
+block group's residual Δ = x_after_all_blocks − x_after_front_blocks; on
+"reuse" forwards only `cache_front_blocks` blocks run and the cached Δ
+stands in for the rest. Exactness invariants pinned here:
+
+- record mode is bit-identical to the normal forward (plus Δ),
+- reuse with the Δ recorded at the SAME inputs reproduces the full
+  forward exactly (the approximation enters only across timesteps),
+- the cached samplers with an all-False reuse schedule match the uncached
+  ones (to cross-program tolerance: the lax.cond restructures XLA's
+  fusion/reassociation, so 1-ulp-class drift is expected — same seam as
+  the engine-vs-engine image parity tests).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+from tpdm_tpu.pipeline.denoise import (
+    make_cfg_denoise_cached_fns,
+    make_cfg_denoise_fn,
+    make_cfg_velocity_cached_fns,
+    make_cfg_velocity_fn,
+)
+from tpdm_tpu.pipeline.pipeline import TPDMPipeline
+from tpdm_tpu.pipeline.sampler import (
+    CachedDenoise,
+    SamplerConfig,
+    adaptive_sample,
+    cache_reuse_schedule,
+    fixed_schedule_sample,
+    fixed_schedule_sample_cached,
+)
+from tpdm_tpu.ops.schedules import uniform_flow_sigmas
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cfg = MMDiTConfig.toy(num_layers=3, cache_front_blocks=1)
+    model = MMDiT(cfg)
+    b, n_txt = 2, 11
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+    )
+    timestep = jnp.array([1000.0, 400.0])
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(1), (b, n_txt, cfg.joint_attention_dim)
+    )
+    pooled = jax.random.normal(
+        jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim)
+    )
+    params = model.init(jax.random.PRNGKey(3), latents, timestep, ctx, pooled)
+    return cfg, model, params, (latents, timestep, ctx, pooled)
+
+
+class TestCacheModes:
+    def test_record_matches_normal_forward(self, toy):
+        cfg, model, params, args = toy
+        base = model.apply(params, *args)
+        rec = model.apply(params, *args, cache_mode="record")
+        assert len(rec) == 5
+        for a, b in zip(base, rec[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        b_, n_img = args[0].shape[0], (cfg.sample_size // cfg.patch_size) ** 2
+        assert rec[4].shape == (b_, n_img, cfg.inner_dim)
+
+    def test_reuse_with_fresh_delta_is_exact(self, toy):
+        """Δ recorded at the same inputs reproduces the full forward: the
+        approximation error is zero when nothing moved."""
+        _, model, params, args = toy
+        full = model.apply(params, *args, cache_mode="record")
+        reused = model.apply(params, *args, delta=full[4], cache_mode="reuse")
+        for a, b in zip(full[:4], reused[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        np.testing.assert_array_equal(np.asarray(full[4]), np.asarray(reused[4]))
+
+    def test_reuse_actually_skips_back_blocks(self, toy):
+        """Zero Δ must NOT reproduce the full forward — proof the back
+        group's computation is really gone, not re-run."""
+        _, model, params, args = toy
+        full = model.apply(params, *args, cache_mode="record")
+        zero = model.apply(
+            params, *args, delta=jnp.zeros_like(full[4]), cache_mode="reuse"
+        )
+        assert float(jnp.abs(full[0] - zero[0]).mean()) > 1e-4
+
+    def test_reuse_does_not_touch_back_block_params(self, toy):
+        """Corrupting a back block's weights must not change a reuse
+        forward (its FLOPs are skipped, not just ignored)."""
+        cfg, model, params, args = toy
+        delta = model.apply(params, *args, cache_mode="record")[4]
+        broken = jax.tree_util.tree_map(lambda x: x, params)
+        last = f"transformer_blocks_{cfg.num_layers - 1}"
+        broken["params"][last] = jax.tree_util.tree_map(
+            lambda x: x * 100.0 + 3.0, broken["params"][last]
+        )
+        a = model.apply(params, *args, delta=delta, cache_mode="reuse")
+        b = model.apply(broken, *args, delta=delta, cache_mode="reuse")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_front_blocks_validation(self, toy):
+        _, model, params, args = toy
+        bad = MMDiT(MMDiTConfig.toy(num_layers=3, cache_front_blocks=3))
+        with pytest.raises(ValueError, match="cache_front_blocks"):
+            bad.apply(params, *args, cache_mode="record")
+        with pytest.raises(ValueError, match="delta"):
+            model.apply(params, *args, cache_mode="reuse")
+
+
+def _cfg_io(toy, b):
+    cfg, _, _, _ = toy
+    pe = jax.random.normal(jax.random.PRNGKey(7), (2 * b, 9, cfg.joint_attention_dim))
+    pp = jax.random.normal(jax.random.PRNGKey(8), (2 * b, cfg.pooled_projection_dim))
+    lat = jax.random.normal(
+        jax.random.PRNGKey(9), (b, cfg.in_channels, cfg.sample_size, cfg.sample_size)
+    )
+    return pe, pp, lat
+
+
+class TestCachedSamplers:
+    def test_fixed_all_false_schedule_is_bitwise(self, toy):
+        cfg, model, params, _ = toy
+        b = 2
+        pe, pp, lat = _cfg_io(toy, b)
+        apply = lambda *a: model.apply(params, *a)
+        mode_apply = lambda mode: (
+            lambda l, t, pe_, pp_, d: model.apply(
+                params, l, t, pe_, pp_, delta=d, cache_mode=mode
+            )
+        )
+        vfn = make_cfg_velocity_fn(apply, pe, pp, 4.0)
+        full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), pe, pp, 4.0
+        )
+        sig = uniform_flow_sigmas(4)
+        n_img = (cfg.sample_size // cfg.patch_size) ** 2
+        delta0 = jnp.zeros((2 * b, n_img, cfg.inner_dim), cfg.dtype)
+        base = jax.jit(fixed_schedule_sample, static_argnums=0)(vfn, lat, sig)
+        cached = jax.jit(
+            fixed_schedule_sample_cached, static_argnums=(0, 1)
+        )(full_fn, reuse_fn, lat, sig, delta0, jnp.zeros((4,), bool))
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(cached), rtol=1e-3, atol=1e-4
+        )
+
+    def test_fixed_interval2_runs_and_differs(self, toy):
+        cfg, model, params, _ = toy
+        b = 2
+        pe, pp, lat = _cfg_io(toy, b)
+        mode_apply = lambda mode: (
+            lambda l, t, pe_, pp_, d: model.apply(
+                params, l, t, pe_, pp_, delta=d, cache_mode=mode
+            )
+        )
+        apply = lambda *a: model.apply(params, *a)
+        vfn = make_cfg_velocity_fn(apply, pe, pp, 4.0)
+        full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), pe, pp, 4.0
+        )
+        sig = uniform_flow_sigmas(6)
+        n_img = (cfg.sample_size // cfg.patch_size) ** 2
+        delta0 = jnp.zeros((2 * b, n_img, cfg.inner_dim), cfg.dtype)
+        sched = cache_reuse_schedule(6, 2)
+        assert not bool(sched[0]) and bool(sched[1]) and not bool(sched[2])
+        exact = fixed_schedule_sample(vfn, lat, sig)
+        fast = fixed_schedule_sample_cached(
+            full_fn, reuse_fn, lat, sig, delta0, sched
+        )
+        assert np.isfinite(np.asarray(fast)).all()
+        # approximate, not identical — but anchored: the refresh steps keep
+        # it in the same ballpark as the exact trajectory
+        diff = float(jnp.abs(exact - fast).mean())
+        assert 0.0 < diff < float(jnp.abs(exact).mean()) * 2.0
+
+    def test_adaptive_all_false_schedule_is_bitwise(self, toy):
+        cfg, model, params, _ = toy
+        b = 2
+        pe, pp, lat = _cfg_io(toy, b)
+        grid = cfg.sample_size // cfg.patch_size
+        tpm = TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg.inner_dim,
+            temb_dim=cfg.inner_dim,
+        )
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(5),
+            jnp.zeros((b, 2 * cfg.inner_dim, grid, grid)),
+            jnp.zeros((b, cfg.inner_dim)),
+        )
+        tpm_fn = lambda h, t: tpm.apply(tpm_params, h, t)
+        apply = lambda *a: model.apply(params, *a)
+        mode_apply = lambda mode: (
+            lambda l, t, pe_, pp_, d: model.apply(
+                params, l, t, pe_, pp_, delta=d, cache_mode=mode
+            )
+        )
+        dfn = make_cfg_denoise_fn(apply, pe, pp, 4.0, grid)
+        full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), pe, pp, 4.0, grid
+        )
+        scfg = SamplerConfig(
+            max_inference_steps=4, min_sigma=0.01, cache_activations=False
+        )
+        key = jax.random.PRNGKey(11)
+        base = jax.jit(adaptive_sample, static_argnums=(0, 1, 4))(
+            dfn, tpm_fn, lat, key, scfg
+        )
+        cached = CachedDenoise(
+            full_fn,
+            reuse_fn,
+            jnp.zeros((2 * b, grid * grid, cfg.inner_dim), cfg.dtype),
+            jnp.zeros((4,), bool),
+        )
+
+        def run_cached(lat_, key_):
+            return adaptive_sample(
+                None, tpm_fn, lat_, key_, scfg, cached=cached
+            )
+
+        fast = jax.jit(run_cached)(lat, key)
+        np.testing.assert_array_equal(
+            np.asarray(base.prob_masks), np.asarray(fast.prob_masks)
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.final_latents),
+            np.asarray(fast.final_latents),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.logprobs), np.asarray(fast.logprobs),
+            rtol=1e-3, atol=5e-3,
+        )
+
+    def test_cache_reuse_schedule(self):
+        assert not cache_reuse_schedule(5, 0).any()
+        assert not cache_reuse_schedule(5, 1).any()
+        np.testing.assert_array_equal(
+            np.asarray(cache_reuse_schedule(6, 3)),
+            np.array([False, True, True, False, True, True]),
+        )
+
+
+class TestPipelineIntegration:
+    @pytest.fixture(scope="class")
+    def pipe(self, toy):
+        cfg, model, params, _ = toy
+        grid = cfg.sample_size // cfg.patch_size
+        tpm = TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg.inner_dim,
+            temb_dim=cfg.inner_dim,
+            init_alpha=0.5,
+            init_beta=2.0,
+        )
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(5),
+            jnp.zeros((1, 2 * cfg.inner_dim, grid, grid)),
+            jnp.zeros((1, cfg.inner_dim)),
+        )
+        return TPDMPipeline(
+            model, params, tpm, tpm_params, None, None, None, min_sigma=0.01
+        )
+
+    def _embeds(self, toy, b):
+        cfg = toy[0]
+        k = jax.random.PRNGKey
+        return dict(
+            prompt_embeds=jax.random.normal(k(20), (b, 9, cfg.joint_attention_dim)),
+            pooled_prompt_embeds=jax.random.normal(k(21), (b, cfg.pooled_projection_dim)),
+            negative_prompt_embeds=jax.random.normal(k(22), (b, 9, cfg.joint_attention_dim)),
+            negative_pooled_prompt_embeds=jax.random.normal(k(23), (b, cfg.pooled_projection_dim)),
+        )
+
+    def test_generate_cached_matches_structure(self, toy, pipe):
+        em = self._embeds(toy, 2)
+        exact = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False,
+        )
+        fast = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, cache_interval=2,
+        )
+        assert fast.images.shape == exact.images.shape
+        assert np.isfinite(fast.images).all()
+        # deterministic per seed
+        again = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, cache_interval=2,
+        )
+        np.testing.assert_array_equal(fast.images, again.images)
+
+    def test_generate_fixed_cached(self, toy, pipe):
+        em = self._embeds(toy, 1)
+        exact = pipe.generate_fixed(
+            em["prompt_embeds"], em["pooled_prompt_embeds"],
+            em["negative_prompt_embeds"], em["negative_pooled_prompt_embeds"],
+            num_steps=4, guidance_scale=3.0, seed=1,
+        )
+        fast = pipe.generate_fixed(
+            em["prompt_embeds"], em["pooled_prompt_embeds"],
+            em["negative_prompt_embeds"], em["negative_pooled_prompt_embeds"],
+            num_steps=4, guidance_scale=3.0, seed=1, cache_interval=2,
+        )
+        assert fast.shape == exact.shape
+        assert np.isfinite(fast).all()

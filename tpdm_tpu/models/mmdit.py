@@ -66,6 +66,14 @@ class MMDiTConfig:
     seq_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
     seq_axis: str = "seq"
     seq_batch_axes: Tuple[str, ...] = ("data", "fsdp")
+    # Residual block caching (Δ-DiT-style training-free acceleration,
+    # arXiv 2406.01125): on "record" forwards the model runs all blocks
+    # and returns Δ = x_after_all_blocks − x_after_front_blocks; on
+    # "reuse" forwards only the first `cache_front_blocks` blocks run and
+    # the cached Δ stands in for the skipped back group. Adjacent
+    # timesteps' deep features change slowly, so reusing Δ every other
+    # step trades a small approximation for skipping most of the network.
+    cache_front_blocks: int = 4
 
     @property
     def inner_dim(self) -> int:
@@ -379,8 +387,26 @@ class MMDiT(nn.Module):
         timestep: jax.Array,  # (b,) continuous, sigma*1000
         encoder_hidden_states: jax.Array,  # (b, n_txt, joint_attention_dim)
         pooled_projections: jax.Array,  # (b, pooled_projection_dim)
+        delta: Optional[jax.Array] = None,  # (b, n_img, inner) cached Δ
+        cache_mode: Optional[str] = None,  # None | "record" | "reuse"
     ):
+        """cache_mode=None returns the reference 4-tuple. "record"/"reuse"
+        return a 5-tuple (velocity, temb, h1, h2, delta): "record" runs the
+        full network and emits Δ over the back block group; "reuse" runs only
+        ``config.cache_front_blocks`` blocks and substitutes the given Δ for
+        the rest (the context stream is consumed only by blocks, so no ctx
+        cache is needed). Param tree is IDENTICAL across modes — "reuse"
+        simply never touches the back blocks' weights.
+        """
         cfg = self.config
+        if cache_mode is not None:
+            if not 1 <= cfg.cache_front_blocks < cfg.num_layers:
+                raise ValueError(
+                    "cache_front_blocks must be in [1, num_layers): got "
+                    f"{cfg.cache_front_blocks} of {cfg.num_layers}"
+                )
+            if cache_mode == "reuse" and delta is None:
+                raise ValueError("cache_mode='reuse' needs a delta")
         b, c, height, width = latents.shape
         p = cfg.patch_size
 
@@ -402,7 +428,11 @@ class MMDiT(nn.Module):
 
         block_cls = nn.remat(JointBlock) if self.remat else JointBlock
         x = _seq_constraint(cfg, x)
-        for i in range(cfg.num_layers):
+        x_front = None
+        n_run = (
+            cfg.cache_front_blocks if cache_mode == "reuse" else cfg.num_layers
+        )
+        for i in range(n_run):
             x, ctx = block_cls(
                 cfg,
                 context_pre_only=(i == cfg.num_layers - 1),
@@ -410,6 +440,12 @@ class MMDiT(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(x, ctx, temb)
             x = _seq_constraint(cfg, x)
+            if cache_mode == "record" and i == cfg.cache_front_blocks - 1:
+                x_front = x
+        if cache_mode == "record":
+            delta = (x - x_front).astype(cfg.dtype)
+        elif cache_mode == "reuse":
+            x = _seq_constraint(cfg, x + delta.astype(x.dtype))
 
         x = AdaLayerNormContinuous(cfg.inner_dim, dtype=cfg.dtype, name="norm_out")(
             x, temb
@@ -424,4 +460,6 @@ class MMDiT(nn.Module):
         x = x.transpose(0, 5, 1, 3, 2, 4)  # n c h p w q
         velocity = x.reshape(b, cfg.out_channels, gh * p, gw * p)
 
+        if cache_mode is not None:
+            return velocity, temb, h1, h2, delta
         return velocity, temb, h1, h2

@@ -176,6 +176,40 @@ class TPDMPipeline:
                     grid,
                     p,
                 )
+                cached = None
+                if scfg.cache_interval >= 2:
+                    # Δ-DiT-style residual caching: reuse the back-block
+                    # residual between refresh steps (approximate; see
+                    # SamplerConfig.cache_interval).
+                    from tpdm_tpu.pipeline.denoise import (
+                        make_cfg_denoise_cached_fns,
+                    )
+                    from tpdm_tpu.pipeline.sampler import (
+                        CachedDenoise,
+                        cache_reuse_schedule,
+                    )
+
+                    mode_apply = lambda mode: (
+                        lambda lat, t, pe_, pp_, d: self.mmdit.apply(
+                            mmdit_params, lat, t, pe_, pp_,
+                            delta=d, cache_mode=mode,
+                        )
+                    )
+                    full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+                        mode_apply("record"), mode_apply("reuse"),
+                        pe, pp, gs if cfg_on else None, grid, p,
+                    )
+                    mcfg = self.mmdit.config
+                    bb = latents.shape[0] * (2 if cfg_on else 1)
+                    init_delta = jnp.zeros(
+                        (bb, grid[0] * grid[1], mcfg.inner_dim), mcfg.dtype
+                    )
+                    cached = CachedDenoise(
+                        full_fn, reuse_fn, init_delta,
+                        cache_reuse_schedule(
+                            scfg.max_inference_steps, scfg.cache_interval
+                        ),
+                    )
                 project_fn = None
                 if proj is not None:
                     x0, eps, m = proj  # fp32 latents; m (b,1,lh,lw) in [0,1]
@@ -197,6 +231,7 @@ class TPDMPipeline:
                     step_caps=caps,
                     init_sigma=sigma0,
                     project_fn=project_fn,
+                    cached=cached,
                 )
                 final = out.final_latents
                 if proj is not None:
@@ -249,6 +284,7 @@ class TPDMPipeline:
         height: Optional[int] = None,
         width: Optional[int] = None,
         init_sigma: Optional[jax.Array] = None,
+        cache_interval: int = 0,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -301,6 +337,12 @@ class TPDMPipeline:
         latents exactly where mask = 0. Soft (fractional) masks blend.
         Typical use: ``strength=1.0`` so masked regions start from pure
         noise. Beyond-reference capability.
+
+        ``cache_interval`` >= 2 turns on Δ-DiT-style residual block caching
+        (training-free acceleration, approximate): the back block group's
+        residual is refreshed every ``cache_interval`` steps and reused in
+        between, so reuse steps run only ``MMDiTConfig.cache_front_blocks``
+        of the network. 0/1 = off (exact). Beyond-reference capability.
         """
         if prompt_embeds is None:
             if self.text_encoders is None or clip_ids is None:
@@ -414,6 +456,7 @@ class TPDMPipeline:
             predict=predict,
             cache_activations=False,
             keep_history=return_full_process_images,
+            cache_interval=cache_interval,
         )
         out, decoded = self._run(
             key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,
@@ -459,9 +502,13 @@ class TPDMPipeline:
         guidance_scale: Optional[float] = 7.0,
         seed: int = 0,
         latents=None,
+        cache_interval: int = 0,
     ) -> np.ndarray:
         """Fixed-schedule baseline generation (no TPM) — the comparison
-        point for the adaptive sampler."""
+        point for the adaptive sampler.
+
+        ``cache_interval`` >= 2 enables Δ-DiT-style residual caching (see
+        :meth:`generate`); 0/1 runs the exact baseline."""
         b = prompt_embeds.shape[0]
         if guidance_scale is not None:
             if negative_prompt_embeds is None or negative_pooled_prompt_embeds is None:
@@ -483,19 +530,52 @@ class TPDMPipeline:
                 (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
                 mcfg.dtype,
             )
-        sig = ("fixed", guidance_scale, num_steps)
+        sig = ("fixed", guidance_scale, num_steps, cache_interval)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, vae_params, latents, pe, pp):
-                vfn = make_cfg_velocity_fn(
-                    lambda *a: self.mmdit.apply(mmdit_params, *a),
-                    pe,
-                    pp,
-                    guidance_scale,
-                )
-                final = fixed_schedule_sample(
-                    vfn, latents, uniform_flow_sigmas(num_steps)
-                )
+                if cache_interval >= 2:
+                    from tpdm_tpu.pipeline.denoise import (
+                        make_cfg_velocity_cached_fns,
+                    )
+                    from tpdm_tpu.pipeline.sampler import (
+                        cache_reuse_schedule,
+                        fixed_schedule_sample_cached,
+                    )
+
+                    mode_apply = lambda mode: (
+                        lambda lat, t, pe_, pp_, d: self.mmdit.apply(
+                            mmdit_params, lat, t, pe_, pp_,
+                            delta=d, cache_mode=mode,
+                        )
+                    )
+                    full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+                        mode_apply("record"), mode_apply("reuse"),
+                        pe, pp, guidance_scale,
+                    )
+                    mcfg = self.mmdit.config
+                    bb = latents.shape[0] * (
+                        2 if guidance_scale is not None else 1
+                    )
+                    n_img = (latents.shape[-2] // mcfg.patch_size) * (
+                        latents.shape[-1] // mcfg.patch_size
+                    )
+                    final = fixed_schedule_sample_cached(
+                        full_fn, reuse_fn, latents,
+                        uniform_flow_sigmas(num_steps),
+                        jnp.zeros((bb, n_img, mcfg.inner_dim), mcfg.dtype),
+                        cache_reuse_schedule(num_steps, cache_interval),
+                    )
+                else:
+                    vfn = make_cfg_velocity_fn(
+                        lambda *a: self.mmdit.apply(mmdit_params, *a),
+                        pe,
+                        pp,
+                        guidance_scale,
+                    )
+                    final = fixed_schedule_sample(
+                        vfn, latents, uniform_flow_sigmas(num_steps)
+                    )
                 if self.vae is None:
                     return final
                 return self._decode_impl(vae_params, final)

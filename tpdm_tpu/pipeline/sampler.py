@@ -73,6 +73,34 @@ class SamplerConfig:
     cache_activations: bool = True
     keep_history: bool = False
     offload_cache: bool = False  # activation cache in pinned host memory
+    # Δ-DiT-style residual block caching (training-free acceleration):
+    # 0/1 = off; N >= 2 refreshes the back-block residual every N steps and
+    # reuses it in between (step 0 is always a full forward). Approximate —
+    # the reference has no analogue; see MMDiTConfig.cache_front_blocks.
+    cache_interval: int = 0
+
+
+class CachedDenoise(NamedTuple):
+    """Residual-cache denoise pair for the Δ-accelerated sampling paths.
+
+    full_fn / reuse_fn: ``(latents, sigma, delta) -> (velocity, temb,
+    h_combined, delta)`` with identical output structure (the lax.cond
+    contract); ``reuse_steps[t]`` True means step t reuses the cached Δ.
+    Build via pipeline.denoise.make_cfg_denoise_cached_fns.
+    """
+
+    full_fn: Callable
+    reuse_fn: Callable
+    init_delta: jax.Array
+    reuse_steps: jax.Array  # (T,) bool
+
+
+def cache_reuse_schedule(T: int, interval: int) -> jnp.ndarray:
+    """(T,) bool reuse mask: full forward every ``interval`` steps
+    (step 0 always full); everything else reuses the cached residual."""
+    if interval < 2:
+        return jnp.zeros((T,), bool)
+    return (jnp.arange(T) % interval) != 0
 
 
 class SampleOutput(NamedTuple):
@@ -120,6 +148,7 @@ def adaptive_sample(
     step_caps: Optional[jax.Array] = None,
     init_sigma: Optional[jax.Array] = None,
     project_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    cached: Optional[CachedDenoise] = None,
 ) -> SampleOutput:
     """Run the adaptive, self-terminating denoise loop.
 
@@ -145,6 +174,11 @@ def adaptive_sample(
             inpainting hook: re-impose the known region at the step's new
             noise level (``m*lat + (1-m)*((1-sigma)*x0 + sigma*eps)``),
             RePaint-style. Must be jit-traceable; identity when None.
+        cached: optional residual-cache denoise pair (Δ-DiT-style). When
+            set, ``denoise_fn`` may be None; each step dispatches to
+            full_fn or reuse_fn per ``cached.reuse_steps[step]`` via
+            lax.cond (one branch executes — reuse steps really skip the
+            back blocks' FLOPs), with Δ carried in the loop state.
     """
     b = init_latents.shape[0]
     T = cfg.max_inference_steps
@@ -155,9 +189,15 @@ def adaptive_sample(
         caps = jnp.minimum(step_caps.astype(jnp.int32), T)
 
     # Probe shapes once (outside the loop, via eval_shape — no FLOPs).
-    vel_s, temb_s, h_s = jax.eval_shape(
-        denoise_fn, init_latents, jnp.ones((b,), dtype)
-    )
+    if cached is not None:
+        vel_s, temb_s, h_s, _ = jax.eval_shape(
+            cached.full_fn, init_latents, jnp.ones((b,), dtype),
+            cached.init_delta,
+        )
+    else:
+        vel_s, temb_s, h_s = jax.eval_shape(
+            denoise_fn, init_latents, jnp.ones((b,), dtype)
+        )
 
     buffers = {
         "sigmas": jnp.zeros((T, b), jnp.float32),
@@ -203,13 +243,25 @@ def adaptive_sample(
         "key": key,
         **buffers,
     }
+    if cached is not None:
+        state["delta"] = cached.init_delta
 
     def cond(s):
         return (s["step"] < T) & ~s["all_done"]
 
     def body(s):
         step, sigma, latents = s["step"], s["sigma"], s["latents"]
-        velocity, temb, h_comb = denoise_fn(latents, sigma.astype(dtype))
+        if cached is not None:
+            velocity, temb, h_comb, new_delta = jax.lax.cond(
+                cached.reuse_steps[step],
+                cached.reuse_fn,
+                cached.full_fn,
+                latents,
+                sigma.astype(dtype),
+                s["delta"],
+            )
+        else:
+            velocity, temb, h_comb = denoise_fn(latents, sigma.astype(dtype))
 
         raw = tpm_fn(h_comb, temb)
         alpha, beta = _raw_to_alpha_beta(raw.astype(jnp.float32), cfg.prediction_type)
@@ -250,6 +302,8 @@ def adaptive_sample(
             alphas=s["alphas"].at[step].set(alpha),
             betas=s["betas"].at[step].set(beta),
         )
+        if cached is not None:
+            out["delta"] = new_delta
         if cfg.cache_activations:
             h_w, t_w = (
                 (host_put(h_comb), host_put(temb)) if host_put else (h_comb, temb)
@@ -366,4 +420,40 @@ def fixed_schedule_sample(
         return flow_euler_step(velocity, s_next, s, latents), None
 
     out, _ = jax.lax.scan(step_fn, init_latents, jnp.arange(sigmas.shape[0]))
+    return out
+
+
+def fixed_schedule_sample_cached(
+    full_fn: Callable,  # (latents, sigma, delta) -> (velocity, delta)
+    reuse_fn: Callable,
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+    init_delta: jax.Array,
+    reuse_steps: jax.Array,  # (T,) bool — True = reuse the cached residual
+) -> jax.Array:
+    """Δ-accelerated fixed-schedule Euler sampler (training-free, approximate).
+
+    Same ladder semantics as :func:`fixed_schedule_sample`; each step picks
+    full vs cached-residual forward per ``reuse_steps`` (one branch executes
+    under lax.cond — reuse steps skip the back blocks' FLOPs). With
+    ``reuse_steps`` all-False the output matches the uncached sampler to
+    cross-program tolerance (pinned in tests/test_cache_accel.py; the cond
+    restructures XLA's fusion, so 1-ulp-class drift is expected).
+    """
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(carry, i):
+        latents, delta = carry
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        velocity, delta = jax.lax.cond(
+            reuse_steps[i], reuse_fn, full_fn,
+            latents, s.astype(latents.dtype), delta,
+        )
+        return (flow_euler_step(velocity, s_next, s, latents), delta), None
+
+    (out, _), _ = jax.lax.scan(
+        step_fn, (init_latents, init_delta), jnp.arange(sigmas.shape[0])
+    )
     return out
