@@ -300,6 +300,83 @@ class TestPipelineIntegration:
         )
         np.testing.assert_array_equal(fast.images, again.images)
 
+    def test_flux_cache_modes_and_agent(self):
+        """FLUX mirror of the MMDiT invariants: record == normal forward,
+        reuse with a fresh Δ == full forward, and the agent's adaptive
+        sampling path accepts cache_interval (trajectory stays finite and
+        tracks the exact one)."""
+        from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
+        from tpdm_tpu.train.config import RLOOConfig
+        from tpdm_tpu.train.flux_agent import FluxAgent
+
+        cfg = FluxConfig.toy(depth_double=2, depth_single=2, cache_front_blocks=1)
+        model = Flux(cfg)
+        b, n_txt = 2, 5
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, 4, 8, 8))
+        tokens, img_ids = pack_latents(lat)
+        txt = jax.random.normal(jax.random.PRNGKey(1), (b, n_txt, cfg.txt_dim))
+        txt_ids = jnp.zeros((b, n_txt, 3))
+        t = jnp.array([1.0, 0.5])
+        pooled = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_dim))
+        g = jnp.full((b,), 3.5)
+        args = (tokens, img_ids, txt, txt_ids, t, pooled, g)
+        params = model.init(jax.random.PRNGKey(3), *args)
+
+        base = model.apply(params, *args)
+        rec = model.apply(params, *args, cache_mode="record")
+        for a, bb in zip(base, rec[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+        assert rec[4].shape == (b, tokens.shape[1], cfg.hidden_size)
+        reused = model.apply(params, *args, delta=rec[4], cache_mode="reuse")
+        for a, bb in zip(rec[:4], reused[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6
+            )
+        zero = model.apply(
+            params, *args, delta=jnp.zeros_like(rec[4]), cache_mode="reuse"
+        )
+        assert float(jnp.abs(rec[0] - zero[0]).mean()) > 1e-4
+
+        config = RLOOConfig(
+            per_device_train_batch_size=b, rloo_k=2, max_inference_steps=4,
+            total_episodes=b, learning_rate=1e-3,
+        )
+        from tpdm_tpu.models.tpm import TimePredictor as TP
+
+        agent = FluxAgent(
+            model, params, config,
+            tpm=TP(conv_out_channels=4, in_channels=2 * cfg.hidden_size,
+                   temb_dim=cfg.hidden_size),
+            latent_size=8, latent_channels=4,
+        )
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(5))
+        batch = {
+            "prompt_embeds": np.asarray(txt, np.float32),
+            "pooled_prompt_embeds": np.asarray(pooled, np.float32),
+        }
+        import dataclasses as _dc
+
+        key = jax.random.PRNGKey(7)
+        exact = agent.sample(
+            tpm_params, batch, key, predict=True,
+            sampler_cfg=_dc.replace(
+                agent.sampler_cfg, predict=True, cache_activations=False
+            ),
+        )
+        fast = agent.sample(
+            tpm_params, batch, key, predict=True,
+            sampler_cfg=_dc.replace(
+                agent.sampler_cfg, predict=True, cache_activations=False,
+                cache_interval=2,
+            ),
+        )
+        assert np.isfinite(np.asarray(fast.final_latents)).all()
+        assert fast.final_latents.shape == exact.final_latents.shape
+        # step 0 is a full forward in both; trajectories stay in the same
+        # ballpark (approximation, not divergence)
+        d = float(jnp.abs(exact.final_latents - fast.final_latents).mean())
+        assert d < float(jnp.abs(exact.final_latents).mean()) * 2.0
+
     def test_generate_fixed_cached(self, toy, pipe):
         em = self._embeds(toy, 1)
         exact = pipe.generate_fixed(

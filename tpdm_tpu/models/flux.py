@@ -63,6 +63,13 @@ class FluxConfig:
     # carve-out, now applied to the activations.
     act_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
     act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
+    # Residual block caching (Δ-DiT-style, arXiv 2406.01125 — same design
+    # as MMDiTConfig.cache_front_blocks): "record" forwards return
+    # Δ = img_after_all_blocks − img_after_front_double_blocks; "reuse"
+    # forwards run only the first `cache_front_blocks` DOUBLE blocks and
+    # substitute Δ for the remaining doubles + every single block (the txt
+    # stream is consumed only by blocks, so img-Δ alone suffices).
+    cache_front_blocks: int = 4
 
     @property
     def head_dim(self) -> int:
@@ -317,9 +324,19 @@ class Flux(nn.Module):
         timestep: jax.Array,  # (b,) in [0, 1]
         pooled: jax.Array,  # (b, vec_dim)
         guidance: Optional[jax.Array] = None,  # (b,) guidance scale
+        delta: Optional[jax.Array] = None,  # (b, n_img, hidden) cached Δ
+        cache_mode: Optional[str] = None,  # None | "record" | "reuse"
     ):
         cfg = self.config
         d = cfg.hidden_size
+        if cache_mode is not None:
+            if not 1 <= cfg.cache_front_blocks <= cfg.depth_double:
+                raise ValueError(
+                    "cache_front_blocks must be in [1, depth_double]: got "
+                    f"{cfg.cache_front_blocks} of {cfg.depth_double}"
+                )
+            if cache_mode == "reuse" and delta is None:
+                raise ValueError("cache_mode='reuse' needs a delta")
 
         img = nn.Dense(d, dtype=cfg.dtype, name="img_in")(img_tokens)
         h1 = img
@@ -344,15 +361,28 @@ class Flux(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=1)
         cos, sin = rope_freqs(ids, cfg.axes_dim, cfg.theta)
 
-        for i in range(cfg.depth_double):
+        img_front = None
+        n_double = (
+            cfg.cache_front_blocks if cache_mode == "reuse" else cfg.depth_double
+        )
+        for i in range(n_double):
             img, txt = DoubleStreamBlock(cfg, name=f"double_blocks_{i}")(
                 img, txt, vec, cos, sin
             )
+            if cache_mode == "record" and i == cfg.cache_front_blocks - 1:
+                img_front = img
 
-        x = jnp.concatenate([txt, img], axis=1)
-        for i in range(cfg.depth_single):
-            x = SingleStreamBlock(cfg, name=f"single_blocks_{i}")(x, vec, cos, sin)
-        img = x[:, txt.shape[1] :]
+        if cache_mode == "reuse":
+            img = _anchor(cfg, img + delta.astype(img.dtype))
+        else:
+            x = jnp.concatenate([txt, img], axis=1)
+            for i in range(cfg.depth_single):
+                x = SingleStreamBlock(cfg, name=f"single_blocks_{i}")(
+                    x, vec, cos, sin
+                )
+            img = x[:, txt.shape[1] :]
+            if cache_mode == "record":
+                delta = (img - img_front).astype(cfg.dtype)
 
         # final layer: AdaLN-continuous style modulation then projection
         shift, scale = Modulation(
@@ -361,6 +391,8 @@ class Flux(nn.Module):
         img_n = _layer_norm_fp32(img) * (1 + scale[:, None]) + shift[:, None]
         h2 = img_n
         velocity = nn.Dense(cfg.in_channels, dtype=cfg.dtype, name="final_proj")(img_n)
+        if cache_mode is not None:
+            return velocity, vec, h1, h2, delta
         return velocity, vec, h1, h2
 
 

@@ -501,12 +501,17 @@ class FluxPipeline:
         tpm_params=None,
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
+        cache_interval: int = 0,
     ) -> VariantResult:
         """``init_image`` (uint8 (b,H,W,3)) switches to image-to-image:
         flow-matching forward noising to level ``strength``, adaptive loop
         from sigma = strength — same semantics as
         TPDMPipeline.generate(init_image=...) (FLUX is the same rectified-
-        flow sigma space). strength=1.0 reduces to text-to-image."""
+        flow sigma space). strength=1.0 reduces to text-to-image.
+
+        ``cache_interval`` >= 2 enables Δ-DiT-style residual block caching
+        (training-free acceleration, approximate — see
+        TPDMPipeline.generate); 0/1 = exact."""
         batch = {
             "prompt_embeds": prompt_embeds,
             "pooled_prompt_embeds": pooled_prompt_embeds,
@@ -539,8 +544,17 @@ class FluxPipeline:
             batch["init_sigma"] = s0
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
+        sampler_cfg = None
+        if cache_interval >= 2:
+            import dataclasses as _dc
+
+            sampler_cfg = _dc.replace(
+                self.agent.sampler_cfg, predict=True,
+                cache_activations=False, cache_interval=cache_interval,
+            )
         out = self.agent.sample(
-            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
+            sampler_cfg=sampler_cfg,
         )
         if self._decode is not None:
             images = postprocess_images(self._decode(self.vae_params, out.final_latents))

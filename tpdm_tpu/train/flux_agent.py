@@ -57,6 +57,45 @@ def make_flux_denoise_fn(
     return denoise_fn
 
 
+def make_flux_denoise_cached_fns(
+    flux_apply_record,
+    flux_apply_reuse,
+    txt_tokens: jax.Array,
+    txt_ids: jax.Array,
+    pooled: jax.Array,
+    guidance: Optional[float],
+    latent_hw: tuple[int, int],
+):
+    """Residual-cache pair for FLUX (Δ-DiT-style; see
+    models/flux.py FluxConfig.cache_front_blocks). Returns
+    ``(full_fn, reuse_fn)``, each ``(latents, sigma, delta) -> (velocity,
+    vec, h_combined, delta)`` — the sampler.CachedDenoise contract. No CFG
+    batch-doubling (guidance is embedded)."""
+    h, w = latent_hw
+    grid = h // 2
+
+    def make(apply_fn):
+        def denoise_fn(latents, sigma, delta):
+            tokens, img_ids = pack_latents(latents)
+            g = None if guidance is None else jnp.full(sigma.shape, guidance)
+            vel_tok, vec, h1, h2, delta = apply_fn(
+                tokens, img_ids, txt_tokens, txt_ids, sigma, pooled, g, delta
+            )
+            velocity = unpack_latents(vel_tok, h, w)
+            h_comb = jnp.concatenate(
+                [
+                    reshape_tokens_to_2d(h1, grid, grid, 2),
+                    reshape_tokens_to_2d(h2, grid, grid, 2),
+                ],
+                axis=1,
+            )
+            return velocity, vec, h_comb, delta
+
+        return denoise_fn
+
+    return make(flux_apply_record), make(flux_apply_reuse)
+
+
 class FluxAgent:
     """RLOOTrainer-compatible agent over a Flux backbone."""
 
@@ -166,9 +205,41 @@ class FluxAgent:
             self.guidance,
             (self.latent_size, self.latent_size),
         )
+        cached = None
+        if scfg.cache_interval >= 2:
+            # Δ-DiT-style residual caching (SamplerConfig.cache_interval);
+            # serving-only — rollouts for RL keep exact forwards.
+            from tpdm_tpu.pipeline.sampler import (
+                CachedDenoise,
+                cache_reuse_schedule,
+            )
+
+            mode_apply = lambda mode: (
+                lambda tok, ii, tt, ti, sg, pl, g, d: self.flux.apply(
+                    flux_params, tok, ii, tt, ti, sg, pl, g,
+                    delta=d, cache_mode=mode,
+                )
+            )
+            full_fn, reuse_fn = make_flux_denoise_cached_fns(
+                mode_apply("record"), mode_apply("reuse"),
+                txt, txt_ids, pooled, self.guidance,
+                (self.latent_size, self.latent_size),
+            )
+            fcfg = self.flux.config
+            cached = CachedDenoise(
+                full_fn, reuse_fn,
+                jnp.zeros(
+                    (latents.shape[0], self.grid * self.grid, fcfg.hidden_size),
+                    fcfg.dtype,
+                ),
+                cache_reuse_schedule(
+                    scfg.max_inference_steps, scfg.cache_interval
+                ),
+            )
+            denoise_fn = None
         return adaptive_sample(
             denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
-            step_caps=step_caps, init_sigma=init_sigma,
+            step_caps=step_caps, init_sigma=init_sigma, cached=cached,
         )
 
     def sample(
