@@ -250,6 +250,155 @@ class TestCachedSamplers:
         )
 
 
+class TestUNetDeepCache:
+    """DeepCache-style deep-feature reuse for the SD1.5/SDXL UNet
+    (arXiv 2312.00858): record == normal forward; reuse with the feature
+    recorded at the SAME inputs == full forward (shallow levels recompute
+    identically, the cached deep output is exactly what the full pass
+    produced); the skip-connection bookkeeping holds at every split level."""
+
+    def _world(self, cfg):
+        from tpdm_tpu.models.unet_sd15 import UNetSD15
+
+        model = UNetSD15(cfg)
+        b = 2
+        lat = jax.random.normal(
+            jax.random.PRNGKey(0), (b, 4, cfg.sample_size, cfg.sample_size)
+        )
+        t = jnp.array([999.0, 500.0])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1), (b, 5, cfg.cross_attention_dim)
+        )
+        added = None
+        if cfg.addition_embed:
+            added = {
+                "text_embeds": jax.random.normal(
+                    jax.random.PRNGKey(2), (b, cfg.addition_pooled_dim)
+                ),
+                "time_ids": jnp.broadcast_to(
+                    jnp.asarray([128.0, 128.0, 0.0, 0.0, 128.0, 128.0]),
+                    (b, 6),
+                ),
+            }
+        params = model.init(jax.random.PRNGKey(3), lat, t, ctx, added)
+        return model, params, (lat, t, ctx, added)
+
+    @pytest.mark.parametrize("shallow", [1, 2])
+    def test_record_and_reuse_exactness(self, shallow):
+        from tpdm_tpu.models.unet_sd15 import (
+            UNetConfig,
+            deepcache_feature_shape,
+        )
+
+        cfg = UNetConfig.toy(cache_shallow_levels=shallow)
+        model, params, args = self._world(cfg)
+        base = model.apply(params, *args)
+        rec = model.apply(params, *args, cache_mode="record")
+        for a, b in zip(base, rec[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert rec[4].shape == deepcache_feature_shape(cfg, 2)
+        reused = model.apply(params, *args, cache=rec[4], cache_mode="reuse")
+        for a, b in zip(rec[:4], reused[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        zero = model.apply(
+            params, *args, cache=jnp.zeros_like(rec[4]), cache_mode="reuse"
+        )
+        assert float(jnp.abs(rec[0] - zero[0]).mean()) > 1e-5
+
+    def test_sdxl_topology_exactness(self):
+        from tpdm_tpu.models.unet_sd15 import UNetConfig
+
+        cfg = UNetConfig.toy_xl()  # (0,1,2) depths; shallow level attn-free
+        model, params, args = self._world(cfg)
+        rec = model.apply(params, *args, cache_mode="record")
+        reused = model.apply(params, *args, cache=rec[4], cache_mode="reuse")
+        for a, b in zip(rec[:4], reused[:4]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_sd15_agent_cached_sampling(self):
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.train.config import RLOOConfig
+        from tpdm_tpu.train.sd15_agent import SD15Agent
+
+        cfg = UNetConfig.toy()
+        model, params, _ = self._world(cfg)
+        config = RLOOConfig(
+            per_device_train_batch_size=2, rloo_k=2, max_inference_steps=5,
+            total_episodes=2, learning_rate=1e-3,
+        )
+        agent = SD15Agent(model, params, config, guidance_scale=7.5)
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(5))
+        b = 2
+        batch = {
+            "prompt_embeds": np.random.default_rng(0)
+            .normal(size=(b, 5, cfg.cross_attention_dim))
+            .astype(np.float32),
+            "negative_prompt_embeds": np.random.default_rng(1)
+            .normal(size=(b, 5, cfg.cross_attention_dim))
+            .astype(np.float32),
+        }
+        import dataclasses as _dc
+
+        key = jax.random.PRNGKey(7)
+        base_cfg = _dc.replace(
+            agent.sampler_cfg, predict=True, cache_activations=False
+        )
+        exact = agent.sample(tpm_params, batch, key, sampler_cfg=base_cfg)
+        fast = agent.sample(
+            tpm_params, batch, key,
+            sampler_cfg=_dc.replace(base_cfg, cache_interval=2),
+        )
+        assert np.isfinite(np.asarray(fast.final_latents)).all()
+        d = float(jnp.abs(exact.final_latents - fast.final_latents).mean())
+        assert d < float(jnp.abs(exact.final_latents).mean()) * 2.0
+
+    def test_sdxl_agent_cached_sampling(self):
+        from tpdm_tpu.models.unet_sd15 import UNetConfig
+        from tpdm_tpu.train.config import RLOOConfig
+        from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+        cfg = UNetConfig.toy_xl()
+        model, params, (lat, t, ctx, added) = self._world(cfg)
+        config = RLOOConfig(
+            per_device_train_batch_size=2, rloo_k=2, max_inference_steps=5,
+            total_episodes=2, learning_rate=1e-3,
+        )
+        agent = SDXLAgent(model, params, config, guidance_scale=5.0)
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(5))
+        rng = np.random.default_rng(0)
+        b = 2
+        batch = {
+            "prompt_embeds": rng.normal(
+                size=(b, 5, cfg.cross_attention_dim)
+            ).astype(np.float32),
+            "negative_prompt_embeds": rng.normal(
+                size=(b, 5, cfg.cross_attention_dim)
+            ).astype(np.float32),
+            "pooled_prompt_embeds": rng.normal(
+                size=(b, cfg.addition_pooled_dim)
+            ).astype(np.float32),
+            "negative_pooled_prompt_embeds": rng.normal(
+                size=(b, cfg.addition_pooled_dim)
+            ).astype(np.float32),
+        }
+        import dataclasses as _dc
+
+        key = jax.random.PRNGKey(9)
+        fast = agent.sample(
+            tpm_params, batch, key,
+            sampler_cfg=_dc.replace(
+                agent.sampler_cfg, predict=True, cache_activations=False,
+                cache_interval=3,
+            ),
+        )
+        assert np.isfinite(np.asarray(fast.final_latents)).all()
+        assert fast.final_latents.shape == (b, 4, cfg.sample_size, cfg.sample_size)
+
+
 class TestPipelineIntegration:
     @pytest.fixture(scope="class")
     def pipe(self, toy):

@@ -481,7 +481,12 @@ class TestServeCLIWiring:
             server.server_close()
             engine.stop()
 
-    def test_sd15_fused_rejected_over_cli(self, tmp_path):
+    def test_sd15_fused_missing_adapter_fails_loudly(self, tmp_path):
+        """SD1.5 fused serving is supported since the eps-family LoRA
+        trainers landed (the old world-build rejection is gone); the CLI
+        contract now is: the world builds, and a bad --lora NAME=PATH
+        fails LOUDLY at server build when the adapter file loads — never
+        silently serving base weights."""
         import serve
 
         args = argparse.Namespace(
@@ -491,9 +496,12 @@ class TestServeCLIWiring:
             lora=["s=/nonexistent.safetensors"], lora_scale=1.0,
             lora_cache=1,
         )
-        # rejected at world-build time: no SD1.5 LoRA trainer exists
-        with pytest.raises(SystemExit, match="sd15"):
-            serve.build_family_world(args)
+        world = serve.build_family_world(args)
+        with pytest.raises((FileNotFoundError, OSError)):
+            serve.make_http_server(
+                None, _noop_tokenize, args, runner=world["runner"],
+                family_world=world,
+            )
 
 
 class TestEpsFamilyFusedAdapters:

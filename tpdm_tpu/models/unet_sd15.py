@@ -52,6 +52,16 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     addition_pooled_dim: int = 1280
     num_time_ids: int = 6
+    # DeepCache-style deep-feature caching (arXiv 2312.00858; the UNet
+    # analogue of MMDiTConfig.cache_front_blocks): "record" forwards also
+    # return the up-path feature at the shallow/deep boundary; "reuse"
+    # forwards run only the outermost `cache_shallow_levels` down levels,
+    # substitute the cached deep feature, and finish the matching shallow
+    # up levels. Shallow layers keep full time conditioning; everything at
+    # or below level `cache_shallow_levels` (incl. mid) is skipped. For
+    # SDXL (0,2,10) topology the shallow level is attention-free, so reuse
+    # steps skip every transformer in the network.
+    cache_shallow_levels: int = 1
 
     @classmethod
     def sd15(cls, **kw) -> "UNetConfig":
@@ -171,6 +181,19 @@ class UNetConfig:
         return out_ch // self.attention_head_dim
 
 
+def deepcache_feature_shape(
+    cfg: UNetConfig, batch: int, latent_hw: Optional[Tuple[int, int]] = None
+) -> Tuple[int, int, int, int]:
+    """NHWC shape of the DeepCache boundary feature a "record" forward
+    returns: the up-path activation where the deep subnetwork rejoins the
+    shallow levels (resolution of level cache_shallow_levels-1, channel
+    width of level cache_shallow_levels)."""
+    s = cfg.cache_shallow_levels
+    h, w = latent_hw if latent_hw is not None else (cfg.sample_size,) * 2
+    return (batch, h // (2 ** (s - 1)), w // (2 ** (s - 1)),
+            cfg.block_out_channels[s])
+
+
 class ResnetBlockTimeEmb(nn.Module):
     """diffusers ResnetBlock2D with time-embedding injection."""
 
@@ -288,12 +311,29 @@ class UNetSD15(nn.Module):
         timestep: jax.Array,  # (b,) float in [0, 999]
         encoder_hidden_states: jax.Array,  # (b, 77, 768)
         added_cond: Optional[dict] = None,  # SDXL: {"text_embeds", "time_ids"}
+        cache: Optional[jax.Array] = None,  # NHWC deep feature (DeepCache)
+        cache_mode: Optional[str] = None,  # None | "record" | "reuse"
     ):
+        """cache_mode=None returns the reference 4-tuple. "record"/"reuse"
+        return a 5-tuple (noise_pred, t_emb, h1, h2, cache): "record" runs
+        the full UNet and also emits the up-path feature where the deep
+        subnetwork rejoins the shallow levels; "reuse" substitutes that
+        cached feature for the whole deep subnetwork (mid + every level >=
+        config.cache_shallow_levels). See UNetConfig.cache_shallow_levels.
+        """
         cfg = self.config
         ch = cfg.block_out_channels
         g = cfg.norm_num_groups
         ctx = encoder_hidden_states
         depths = cfg.depths
+        if cache_mode is not None:
+            if not 1 <= cfg.cache_shallow_levels < len(ch):
+                raise ValueError(
+                    "cache_shallow_levels must be in [1, num_levels): got "
+                    f"{cfg.cache_shallow_levels} of {len(ch)}"
+                )
+            if cache_mode == "reuse" and cache is None:
+                raise ValueError("cache_mode='reuse' needs a cache")
 
         t_feat = sinusoidal_timestep_embedding(timestep, ch[0]).astype(cfg.dtype)
         temb = nn.Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_linear_1")(
@@ -331,9 +371,14 @@ class UNetSD15(nn.Module):
         h1 = x.transpose(0, 3, 1, 2)  # reference :1172-1173
 
         skips = [x]
+        shallow = cfg.cache_shallow_levels
         # down path: per-level transformer depth (SD1.x: 1,1,1,0;
-        # SDXL: 0,2,10), downsample between levels
-        for i, out_ch in enumerate(ch):
+        # SDXL: 0,2,10), downsample between levels. In reuse mode only the
+        # shallow levels run (their skips feed the shallow up levels; the
+        # trailing downsample of level shallow-1 feeds only the skipped
+        # deep subnetwork, so it is skipped too).
+        n_down = shallow if cache_mode == "reuse" else len(ch)
+        for i, out_ch in enumerate(ch[:n_down]):
             is_last = i == len(ch) - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetBlockTimeEmb(
@@ -350,23 +395,32 @@ class UNetSD15(nn.Module):
                         name=f"down_{i}_attn_{j}",
                     )(x, ctx)
                 skips.append(x)
-            if not is_last:
+            if not is_last and not (
+                cache_mode == "reuse" and i == shallow - 1
+            ):
                 x = nn.Conv(
                     out_ch, (3, 3), strides=2, padding=((1, 1), (1, 1)),
                     dtype=cfg.dtype, name=f"down_{i}_downsample",
                 )(x)
                 skips.append(x)
 
-        # mid
-        x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_0")(x, temb)
-        x = SpatialTransformer(
-            ch[-1], cfg.heads_for(ch[-1]), cfg.cross_attention_dim, g,
-            cfg.dtype, depth=cfg.mid_transformer_layers, name="mid_attn",
-        )(x, ctx)
-        x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_1")(x, temb)
+        if cache_mode == "reuse":
+            x = cache.astype(cfg.dtype)
+        else:
+            # mid
+            x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_0")(x, temb)
+            x = SpatialTransformer(
+                ch[-1], cfg.heads_for(ch[-1]), cfg.cross_attention_dim, g,
+                cfg.dtype, depth=cfg.mid_transformer_layers, name="mid_attn",
+            )(x, ctx)
+            x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_1")(x, temb)
 
-        # up path (mirror; depths reversed)
-        for i, out_ch in enumerate(reversed(ch)):
+        # up path (mirror; depths reversed). In reuse mode only the shallow
+        # up levels run, starting from the cached boundary feature.
+        up_start = (len(ch) - shallow) if cache_mode == "reuse" else 0
+        rev_ch = tuple(reversed(ch))
+        for i in range(up_start, len(ch)):
+            out_ch = rev_ch[i]
             depth_i = depths[len(ch) - 1 - i]
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
@@ -391,6 +445,8 @@ class UNetSD15(nn.Module):
                     out_ch, (3, 3), padding=1, dtype=cfg.dtype,
                     name=f"up_{i}_upsample",
                 )(x)
+            if cache_mode == "record" and i == len(ch) - 1 - shallow:
+                cache = x  # deep subnetwork's output at the rejoin boundary
 
         x = GroupNorm(g, ch[0], eps=1e-5, name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -400,4 +456,6 @@ class UNetSD15(nn.Module):
         # 1280-dim internal embedding (reference unet_sd_v1_5.py:929,1316;
         # the SD1.5 TPM's AdaGroupNorm is built with input_dim = 320,
         # modeling_sd_v1_5.py:100).
+        if cache_mode is not None:
+            return x.transpose(0, 3, 1, 2), t_feat, h1, h2, cache
         return x.transpose(0, 3, 1, 2), t_feat, h1, h2

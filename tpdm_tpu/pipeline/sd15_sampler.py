@@ -54,6 +54,11 @@ class SD15SamplerConfig:
     # (serving_families.make_sdxl_ensemble_runner). Must be < min_time so
     # the capped sample terminates on the next iteration.
     cap_floor_time: Optional[int] = None
+    # DeepCache-style deep-feature caching (training-free acceleration,
+    # approximate): 0/1 = off; N >= 2 refreshes the UNet's deep feature
+    # every N steps and reuses it in between (step 0 always full). See
+    # UNetConfig.cache_shallow_levels.
+    cache_interval: int = 0
 
 
 class SD15SampleOutput(NamedTuple):
@@ -79,6 +84,7 @@ def sd15_adaptive_sample(
     cfg: SD15SamplerConfig,
     step_caps: Optional[jax.Array] = None,
     init_t: Optional[jax.Array] = None,
+    cached=None,  # Optional[pipeline.sampler.CachedDenoise]
 ) -> SD15SampleOutput:
     """``init_t``: optional (b,) int32 starting timesteps (default all 999,
     the reference's only mode, modeling_sd_v1_5.py:716). Passing
@@ -93,7 +99,12 @@ def sd15_adaptive_sample(
     terminal step: t_next forced to 0, which makes the DPM update take the
     well-defined first-order integrate-to-x0 limit (exactly what the
     global cap step does, modeling_sd_v1_5.py:846-848). Caps are traced,
-    so any mix runs on the one compiled shape."""
+    so any mix runs on the one compiled shape.
+
+    ``cached``: optional DeepCache denoise pair (pipeline.sampler
+    CachedDenoise with fns ``(latents, t, cache) -> (eps, temb, h,
+    cache)``); when set ``denoise_fn`` may be None and each step picks
+    full vs deep-feature-reuse per ``cached.reuse_steps[step]``."""
     b = init_latents.shape[0]
     T = cfg.num_inference_steps
     dtype = init_latents.dtype
@@ -108,9 +119,15 @@ def sd15_adaptive_sample(
     else:
         caps = jnp.minimum(step_caps.astype(jnp.int32), T)
 
-    eps_s, temb_s, h_s = jax.eval_shape(
-        denoise_fn, init_latents, jnp.full((b,), 999.0)
-    )
+    if cached is not None:
+        eps_s, temb_s, h_s, _ = jax.eval_shape(
+            cached.full_fn, init_latents, jnp.full((b,), 999.0),
+            cached.init_delta,
+        )
+    else:
+        eps_s, temb_s, h_s = jax.eval_shape(
+            denoise_fn, init_latents, jnp.full((b,), 999.0)
+        )
 
     t0 = (
         jnp.full((b,), 999, jnp.int32)
@@ -142,13 +159,25 @@ def sd15_adaptive_sample(
         "key": key,
         **buffers,
     }
+    if cached is not None:
+        state["cache"] = cached.init_delta
 
     def cond(s):
         return (s["step"] < T) & ~s["all_done"]
 
     def body(s):
         step, t, latents = s["step"], s["t"], s["latents"]
-        eps_pred, temb, h_comb = denoise_fn(latents, t.astype(jnp.float32))
+        if cached is not None:
+            eps_pred, temb, h_comb, new_cache = jax.lax.cond(
+                cached.reuse_steps[step],
+                cached.reuse_fn,
+                cached.full_fn,
+                latents,
+                t.astype(jnp.float32),
+                s["cache"],
+            )
+        else:
+            eps_pred, temb, h_comb = denoise_fn(latents, t.astype(jnp.float32))
 
         raw = tpm_fn(h_comb, temb).astype(jnp.float32)
         alpha, beta = raw[:, 0], raw[:, 1]
@@ -221,6 +250,8 @@ def sd15_adaptive_sample(
             alphas=s["alphas"].at[step].set(alpha),
             betas=s["betas"].at[step].set(beta),
         )
+        if cached is not None:
+            out["cache"] = new_cache
         if cfg.cache_activations:
             out["h_cache"] = s["h_cache"].at[step].set(h_comb)
             out["temb_cache"] = s["temb_cache"].at[step].set(temb)

@@ -102,8 +102,13 @@ class SD15Pipeline:
         tpm_params=None,
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
+        cache_interval: int = 0,
     ) -> VariantResult:
-        """``init_image`` (uint8 (b,H,W,3)) switches to image-to-image in
+        """``cache_interval`` >= 2 enables DeepCache-style deep-feature
+        reuse (training-free acceleration, approximate — see
+        UNetConfig.cache_shallow_levels); 0/1 = exact.
+
+        ``init_image`` (uint8 (b,H,W,3)) switches to image-to-image in
         the integer-t flavor: DDPM forward noising
         x_t = alpha_t*x0 + sigma_t*eps at t0 = round(strength*999), and the
         adaptive DPM loop starts at t0 instead of 999. At strength=1.0 the
@@ -145,7 +150,8 @@ class SD15Pipeline:
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(
-            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
+            sampler_cfg=_cached_scfg(self.agent, cache_interval),
         )
         if self._decode is not None:
             images = postprocess_images(self._decode(self.vae_params, out.final_latents))
@@ -157,6 +163,19 @@ class SD15Pipeline:
             last_valid_index=np.asarray(out.last_valid_index),
             schedule=np.asarray(out.times),
         )
+
+
+def _cached_scfg(agent, cache_interval: int):
+    """predict-mode sampler config with the cache interval set, or None
+    (= the agent's default) when caching is off."""
+    if cache_interval < 2:
+        return None
+    import dataclasses as _dc
+
+    return _dc.replace(
+        agent.sampler_cfg, predict=True, cache_activations=False,
+        cache_interval=cache_interval,
+    )
 
 
 class SDXLPipeline:
@@ -264,11 +283,15 @@ class SDXLPipeline:
         tpm_params=None,
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
+        cache_interval: int = 0,
     ) -> VariantResult:
         """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
         [+ negatives under CFG] or token ids for the bundled dual-CLIP
         encoders. ``init_image`` switches to integer-t img2img (see
-        SD15Pipeline.generate)."""
+        SD15Pipeline.generate). ``cache_interval`` >= 2 enables
+        DeepCache-style deep-feature reuse (training-free, approximate;
+        SDXL's shallow level is attention-free, so reuse steps skip every
+        transformer in the 2.6B UNet)."""
         batch = self._resolve_conditioning(
             prompt_embeds, pooled_prompt_embeds, negative_prompt_embeds,
             negative_pooled_prompt_embeds, clip_ids, negative_clip_ids,
@@ -284,7 +307,8 @@ class SDXLPipeline:
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(
-            tpm_params, batch, jax.random.PRNGKey(seed), predict=True
+            tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
+            sampler_cfg=_cached_scfg(self.agent, cache_interval),
         )
         return self._decode_result(out)
 

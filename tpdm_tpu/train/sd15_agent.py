@@ -50,6 +50,38 @@ def make_sd15_denoise_fn(
     return denoise_fn
 
 
+def make_sd15_denoise_cached_fns(
+    unet_apply_record, unet_apply_reuse, prompt_embeds,
+    guidance_scale: Optional[float],
+):
+    """DeepCache pair for the SD1.5 family: ``(full_fn, reuse_fn)``, each
+    ``(latents, t, cache) -> (eps, temb, h_combined, cache)`` — the
+    pipeline.sampler.CachedDenoise contract. The cache (the UNet's deep
+    boundary feature, models/unet_sd15.py deepcache_feature_shape) rides
+    the CFG-doubled batch and is NOT guidance-combined."""
+
+    def make(apply_fn):
+        def denoise_fn(latents, t, cache):
+            if guidance_scale is not None and guidance_scale > 1:
+                lat = jnp.concatenate([latents, latents])
+                tt = jnp.concatenate([t, t])
+            else:
+                lat, tt = latents, t
+            eps, temb, h1, h2, cache = apply_fn(lat, tt, prompt_embeds, cache)
+            if guidance_scale is not None and guidance_scale > 1:
+
+                def guide(a):
+                    u, c = jnp.split(a, 2)
+                    return u + guidance_scale * (c - u)
+
+                eps, temb, h1, h2 = guide(eps), guide(temb), guide(h1), guide(h2)
+            return eps, temb, jnp.concatenate([h1, h2], axis=1), cache
+
+        return denoise_fn
+
+    return make(unet_apply_record), make(unet_apply_reuse)
+
+
 class SD15Agent:
     """RLOOTrainer-compatible agent over the SD1.5 UNet."""
 
@@ -199,9 +231,44 @@ class SD15Agent:
             prompt_embeds,
             self.guidance_scale,
         )
+        cached = None
+        if scfg.cache_interval >= 2:
+            cached = self._make_cached(unet_params, latents, prompt_embeds,
+                                       scfg)
+            denoise_fn = None
         return sd15_adaptive_sample(
             denoise_fn, self.tpm_fn(tpm_params), latents, key, scfg,
-            step_caps=step_caps, init_t=init_t,
+            step_caps=step_caps, init_t=init_t, cached=cached,
+        )
+
+    def _make_cached(self, unet_params, latents, prompt_embeds, scfg):
+        """DeepCache denoise pair (SD15SamplerConfig.cache_interval >= 2):
+        deep-feature reuse between refresh steps, training-free."""
+        from tpdm_tpu.models.unet_sd15 import deepcache_feature_shape
+        from tpdm_tpu.pipeline.sampler import (
+            CachedDenoise,
+            cache_reuse_schedule,
+        )
+
+        mode_apply = lambda mode: (
+            lambda lat, tt, pe_, c: self.unet.apply(
+                unet_params, lat, tt, pe_, cache=c, cache_mode=mode
+            )
+        )
+        full_fn, reuse_fn = make_sd15_denoise_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), prompt_embeds,
+            self.guidance_scale,
+        )
+        cfg_on = self.guidance_scale is not None and self.guidance_scale > 1
+        bb = latents.shape[0] * (2 if cfg_on else 1)
+        ucfg = self.unet.config
+        return CachedDenoise(
+            full_fn, reuse_fn,
+            jnp.zeros(
+                deepcache_feature_shape(ucfg, bb, latents.shape[-2:]),
+                ucfg.dtype,
+            ),
+            cache_reuse_schedule(scfg.num_inference_steps, scfg.cache_interval),
         )
 
     def sample(
