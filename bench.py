@@ -49,7 +49,7 @@ def build(batch_images: int, on_tpu: bool):
         cfg = MMDiTConfig.sd3_medium()
         n_txt = 333
     else:  # CPU fallback so the bench never hard-fails off-TPU
-        cfg = MMDiTConfig.toy(dtype=jnp.bfloat16)
+        cfg = MMDiTConfig.toy(dtype=jnp.bfloat16, cache_front_blocks=1)
         n_txt = 8
 
     model = MMDiT(cfg)
@@ -171,9 +171,71 @@ def build(batch_images: int, on_tpu: bool):
         )
         return out.final_latents, out.num_steps, out.last_valid_index
 
+    # ---- Δ-residual-cache legs (training-free DeepCache/Δ-DiT-class
+    # acceleration; front4/interval3 measured best on v5e-1 —
+    # experiments/bench_cache.py). Extra keys only: the headline stays the
+    # uncached fixed-28 run so vs_baseline compares like-for-like. ----
+    from tpdm_tpu.pipeline.denoise import (
+        make_cfg_denoise_cached_fns,
+        make_cfg_velocity_cached_fns,
+    )
+    from tpdm_tpu.pipeline.sampler import (
+        CachedDenoise,
+        cache_reuse_schedule,
+        fixed_schedule_sample_cached,
+    )
+
+    n_img = grid * grid
+    cache_sched = cache_reuse_schedule(steps, 3)
+
+    def _mode_apply(params, mode):
+        return lambda l, t, pe_, pp_, d: model.apply(
+            params, l, t, pe_, pp_, delta=d, cache_mode=mode
+        )
+
+    @jax.jit
+    def run_fixed_cached(params, lat):
+        full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+            _mode_apply(params, "record"), _mode_apply(params, "reuse"),
+            ctx, pooled, 7.0,
+        )
+        return fixed_schedule_sample_cached(
+            full_fn, reuse_fn, lat, sigmas,
+            jnp.zeros((2 * b, n_img, cfg.inner_dim), jnp.bfloat16),
+            cache_sched,
+        )
+
+    @jax.jit
+    def run_adaptive_cached(params, tpm_params, lat, key):
+        full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+            _mode_apply(params, "record"), _mode_apply(params, "reuse"),
+            ctx, pooled, 7.0, grid, cfg.patch_size,
+        )
+        cached = CachedDenoise(
+            full_fn, reuse_fn,
+            jnp.zeros((2 * b, n_img, cfg.inner_dim), jnp.bfloat16),
+            cache_sched,
+        )
+        out = adaptive_sample(
+            None,
+            lambda h, t: tpm.apply(tpm_params, h, t),
+            lat,
+            key,
+            SamplerConfig(
+                max_inference_steps=steps,
+                predict=True,
+                min_sigma=0.001,
+                cache_activations=False,
+            ),
+            cached=cached,
+        )
+        return out.final_latents, out.num_steps, out.last_valid_index
+
     return dict(
         run_fixed=run_fixed,
         run_adaptive=run_adaptive,
+        run_fixed_cached=run_fixed_cached,
+        run_adaptive_cached=run_adaptive_cached,
         run_decode_reps=run_decode_reps,
         params=params,
         tpm_params=tpm_params,
@@ -366,13 +428,14 @@ def main():
     # inside the tunnel's noise floor); latents chain data-dependently.
     key = jax.random.PRNGKey(2)
 
-    def timed_adaptive(tpm_p, reps):
-        final, num_steps, lvi = world["run_adaptive"](params, tpm_p, lat, key)
+    def timed_adaptive(tpm_p, reps, runner=None):
+        run = runner or world["run_adaptive"]
+        final, num_steps, lvi = run(params, tpm_p, lat, key)
         _sync(final)
         t0 = time.time()
         o = lat
         for _ in range(reps):
-            final, num_steps, lvi = world["run_adaptive"](params, tpm_p, o, key)
+            final, num_steps, lvi = run(params, tpm_p, o, key)
             o = lat + 0.0 * final[:, :1, :1, :1]
         _sync(final)
         return (time.time() - t0) / reps, lvi
@@ -386,6 +449,21 @@ def main():
     trained_dt, lvi_t = timed_adaptive(world["tpm_trained_params"], reps_a)
     trained_nfe = float(np.mean(np.asarray(lvi_t)) + 1)
     trained_img_s = b / trained_dt
+
+    # ---- Δ-residual-cache legs (training-free; front4/interval3) ----
+    out_c = world["run_fixed_cached"](params, lat)
+    _sync(out_c)
+    t0 = time.time()
+    o = lat
+    for _ in range(reps):
+        o = world["run_fixed_cached"](params, o)
+    _sync(o)
+    cached_fixed_dt = (time.time() - t0) / reps
+
+    cached_trained_dt, lvi_ct = timed_adaptive(
+        world["tpm_trained_params"], reps_a, runner=world["run_adaptive_cached"]
+    )
+    cached_trained_nfe = float(np.mean(np.asarray(lvi_ct)) + 1)
 
     # ---- VAE decode (runs once per image; the diffusers anchor includes
     # it, so the headline does too) ----
@@ -419,13 +497,23 @@ def main():
         ),
         "adaptive_trained_like_img_per_s": round(trained_img_s, 4),
         "adaptive_trained_like_mean_nfe": trained_nfe,
+        # training-free Δ-residual cache (front4/interval3): fixed-28 and
+        # stacked with the trained-like TPM early stop — approximate paths,
+        # reported alongside (never as) the exact headline
+        "cached_e2e_img_per_s": round(b / (cached_fixed_dt + decode_dt), 4),
+        "cached_speedup_vs_fixed": round(fixed_dt / cached_fixed_dt, 3),
+        "cached_trained_like_e2e_img_per_s": round(
+            b / (cached_trained_dt + decode_dt), 4
+        ),
+        "cached_trained_like_mean_nfe": cached_trained_nfe,
+        "cache_setting": "front4_interval3",
     }
     # whole-family surface (SD1.5 / SDXL / FLUX keys; round-3 VERDICT
     # item 6) — measured last so a family failure can't cost the headline
     try:
         # free the SD3 world first: its 2B params + executables do not
         # coexist with the 2.6B SDXL weights on a 16GB chip
-        del world, params, tpm_params, lat, o, out, out_d
+        del world, params, tpm_params, lat, o, out, out_d, out_c
         _free_device_memory()
         result.update(family_throughput(on_tpu))
     except Exception as e:  # pragma: no cover - keep the ONE line printing

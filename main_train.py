@@ -77,7 +77,7 @@ def parse_args():
                         "completes, so first-update compiles stay out")
     p.add_argument("--profile_start", type=int, default=1,
                    help="update whose COMPLETION starts the trace window")
-    p.add_argument("--trainer", choices=["rloo", "draft", "dpo"],
+    p.add_argument("--trainer", choices=["rloo", "draft", "dpo", "distill"],
                    default="rloo",
                    help="rloo = the reference algorithm (TPM schedule "
                         "policy); draft = reward-gradient LoRA fine-tuning "
@@ -87,7 +87,10 @@ def parse_args():
                         "(train/dpo.py; no reward model — the dataset YAML "
                         "must yield latents_w/latents_l pairs, e.g. "
                         "configs/datasets/toy_preference_pairs.yaml or a "
-                        "data.datasets.PreferencePairDataset manifest)")
+                        "data.datasets.PreferencePairDataset manifest); "
+                        "distill = LCM-LoRA consistency distillation "
+                        "(train/distill.py; no reward model — the teacher "
+                        "supervises itself)")
     p.add_argument("--lora_rank", type=int, default=4)
     p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--k_backprop", type=int, default=1,
@@ -96,6 +99,11 @@ def parse_args():
                    help="LoRA updates for --trainer draft AND dpo")
     p.add_argument("--dpo_beta", type=float, default=500.0,
                    help="DPO inverse temperature on the err difference")
+    p.add_argument("--distill_skip", type=int, default=1,
+                   help="LCM skip-k: teacher integrates k ladder cells "
+                        "per consistency pair (--trainer distill)")
+    p.add_argument("--distill_ema", type=float, default=0.95,
+                   help="EMA decay of the consistency target network")
     p.add_argument("--dpo_timestep_sampling",
                    choices=["logit_normal", "uniform"],
                    default="logit_normal")
@@ -174,6 +182,59 @@ def _run_draft(args, config, agent, reward_apply, dataset, collate_fn, mesh):
         dcfg.total_updates,
         trainer.metrics_history[-1]["draft/reward"]
         if trainer.metrics_history else float("nan"),
+    )
+
+
+def _run_distill(args, config, agent, dataset, collate_fn, mesh):
+    """--trainer distill: LCM-LoRA-style consistency distillation
+    (train/distill.py). No reward model — the teacher's own ODE
+    trajectories are the supervision. The dataset supplies prompts (and,
+    in production, clean latents via the dataset yaml's latents field);
+    without a latents source the trainer falls back to
+    agent.prepare_latents, which exercises the plumbing only."""
+    import contextlib
+
+    from tpdm_tpu.train.distill import DistillConfig, DistillTrainer
+
+    dcfg = DistillConfig(
+        seed=config.seed,
+        output_dir=config.output_dir,
+        total_updates=args.draft_updates,
+        batch_size=config.per_device_train_batch_size,
+        learning_rate=config.learning_rate,
+        adam_beta1=config.adam_beta1,
+        adam_beta2=config.adam_beta2,
+        adam_epsilon=config.adam_epsilon,
+        max_grad_norm=config.max_grad_norm,
+        lora_rank=args.lora_rank,
+        lora_scale=args.lora_scale,
+        num_ladder_steps=config.max_inference_steps,
+        skip_steps=args.distill_skip,
+        ema_decay=args.distill_ema,
+        logging_steps=config.logging_steps,
+        save_steps=config.save_steps,
+    )
+    callbacks = []
+    if config.report_to == "tensorboard":
+        from tpdm_tpu.train.callbacks import TensorBoardCallback
+
+        callbacks.append(
+            TensorBoardCallback(os.path.join(config.output_dir, "tb"))
+        )
+    trainer = DistillTrainer(
+        dcfg, agent, dataset, collate_fn=collate_fn,
+        callbacks=callbacks, mesh=mesh,
+    )
+    with mesh if mesh is not None else contextlib.nullcontext():
+        trainer.train()
+    for cb in callbacks:
+        close = getattr(cb, "close", None)
+        if close is not None:
+            close()
+    last = trainer.metrics_history[-1] if trainer.metrics_history else {}
+    logger.info(
+        "distill training done: %d updates, final loss %.6f",
+        dcfg.total_updates, last.get("distill/loss", float("nan")),
     )
 
 
@@ -347,6 +408,9 @@ def main():
         return
     if args.trainer == "dpo":
         _run_dpo(args, config, agent, dataset, collate_fn, mesh)
+        return
+    if args.trainer == "distill":
+        _run_distill(args, config, agent, dataset, collate_fn, mesh)
         return
 
     callbacks = []

@@ -154,6 +154,139 @@ def make_cfg_velocity_fn(
     return velocity_fn
 
 
+def _interval_weight(sigma, guidance_scale, interval, out_dtype):
+    """(b,) effective guidance weight: ``guidance_scale`` where sigma is
+    inside [lo, hi), 1.0 (== conditional-only) outside."""
+    lo, hi = interval
+    in_iv = (sigma >= lo) & (sigma < hi)
+    g = jnp.broadcast_to(
+        jnp.asarray(guidance_scale, jnp.float32).reshape(-1), sigma.shape
+    )
+    return jnp.where(in_iv, g, 1.0).astype(out_dtype), in_iv
+
+
+def make_cfg_interval_denoise_fn(
+    mmdit_apply: Callable,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    guidance_scale,
+    interval,
+    token_grid,
+    patch_size: int = 2,
+):
+    """Guidance-interval variant of :func:`make_cfg_denoise_fn`.
+
+    Classifier-free guidance is applied only while sigma lies in
+    ``interval = (lo, hi)`` (Kynkäänniemi et al. 2024, "Applying guidance in
+    a limited interval"): per sample the effective weight is
+    ``guidance_scale`` inside the window and 1.0 (== conditional-only)
+    outside. When NO sample in the batch is inside the window the uncond
+    tower is physically skipped — a single-batch forward under ``lax.cond``
+    — halving the step's FLOPs. Outputs are numerically the per-sample
+    weighted combine either way (the w=1 collapse ``uncond + 1*(cond -
+    uncond) == cond``), so the two branches agree to float tolerance.
+
+    ``prompt_embeds`` / ``pooled_embeds`` follow the [uncond; cond] 2b-row
+    convention of :func:`make_cfg_denoise_fn`. The reference applies CFG on
+    every step unconditionally (modeling_sd3_pnt.py:504-552); this is a
+    training-free TPU-side acceleration knob beyond it.
+    """
+    if guidance_scale is None:
+        raise ValueError("guidance interval requires CFG on")
+    if isinstance(token_grid, tuple):
+        gh, gw = token_grid
+    else:
+        gh = gw = token_grid
+
+    def _combine_h(h1, h2):
+        return jnp.concatenate(
+            [
+                reshape_tokens_to_2d(h1, gh, gw, patch_size),
+                reshape_tokens_to_2d(h2, gh, gw, patch_size),
+            ],
+            axis=1,
+        )
+
+    def denoise_fn(latents, sigma):
+        b = latents.shape[0]
+        n = prompt_embeds.shape[0] // 2
+
+        def guided(latents, sigma):
+            lat = jnp.concatenate([latents, latents])
+            t = jnp.concatenate([sigma, sigma]) * 1000.0
+            vel, temb, h1, h2 = mmdit_apply(
+                lat, t, prompt_embeds, pooled_embeds
+            )
+
+            def guide(a):
+                uncond, cond = jnp.split(a, 2)
+                w, _ = _interval_weight(
+                    sigma, guidance_scale, interval, uncond.dtype
+                )
+                w = w.reshape((-1,) + (1,) * (uncond.ndim - 1))
+                return uncond + w * (cond - uncond)
+
+            return guide(vel), guide(temb), guide(h1), guide(h2)
+
+        def cond_only(latents, sigma):
+            vel, temb, h1, h2 = mmdit_apply(
+                latents, sigma * 1000.0,
+                prompt_embeds[n:][:b], pooled_embeds[n:][:b],
+            )
+            return vel, temb, h1, h2
+
+        _, in_iv = _interval_weight(sigma, guidance_scale, interval, jnp.float32)
+        vel, temb, h1, h2 = jax.lax.cond(
+            jnp.any(in_iv), guided, cond_only, latents, sigma
+        )
+        return vel, temb, _combine_h(h1, h2)
+
+    return denoise_fn
+
+
+def make_cfg_interval_velocity_fn(
+    mmdit_apply: Callable,
+    prompt_embeds: jax.Array,
+    pooled_embeds: jax.Array,
+    guidance_scale,
+    interval,
+):
+    """velocity-only guidance-interval variant (fixed-schedule sampler).
+
+    Same semantics as :func:`make_cfg_interval_denoise_fn`: full CFG while
+    sigma is inside ``interval``, a single-batch conditional-only forward
+    once every sample has left it.
+    """
+    if guidance_scale is None:
+        raise ValueError("guidance interval requires CFG on")
+
+    def velocity_fn(latents, sigma):
+        b = latents.shape[0]
+        n = prompt_embeds.shape[0] // 2
+
+        def guided(latents, sigma):
+            lat = jnp.concatenate([latents, latents])
+            t = jnp.concatenate([sigma, sigma]) * 1000.0
+            vel = mmdit_apply(lat, t, prompt_embeds, pooled_embeds)[0]
+            uncond, cond = jnp.split(vel, 2)
+            w, _ = _interval_weight(
+                sigma, guidance_scale, interval, uncond.dtype
+            )
+            w = w.reshape((-1,) + (1,) * (uncond.ndim - 1))
+            return uncond + w * (cond - uncond)
+
+        def cond_only(latents, sigma):
+            return mmdit_apply(
+                latents, sigma * 1000.0,
+                prompt_embeds[n:][:b], pooled_embeds[n:][:b],
+            )[0]
+
+        _, in_iv = _interval_weight(sigma, guidance_scale, interval, jnp.float32)
+        return jax.lax.cond(jnp.any(in_iv), guided, cond_only, latents, sigma)
+
+    return velocity_fn
+
+
 def make_cfg_velocity_cached_fns(
     mmdit_apply_record: Callable,
     mmdit_apply_reuse: Callable,

@@ -168,14 +168,26 @@ class TPDMPipeline:
                 # ride the same code path as the config size
                 p = self.mmdit.config.patch_size
                 grid = (latents.shape[-2] // p, latents.shape[-1] // p)
-                denoise_fn = make_cfg_denoise_fn(
-                    lambda *a: self.mmdit.apply(mmdit_params, *a),
-                    pe,
-                    pp,
-                    gs if cfg_on else None,
-                    grid,
-                    p,
-                )
+                if scfg.guidance_interval is not None and cfg_on:
+                    # CFG only inside the sigma window; a single-batch
+                    # conditional-only forward once the batch leaves it
+                    from tpdm_tpu.pipeline.denoise import (
+                        make_cfg_interval_denoise_fn,
+                    )
+
+                    denoise_fn = make_cfg_interval_denoise_fn(
+                        lambda *a: self.mmdit.apply(mmdit_params, *a),
+                        pe, pp, gs, scfg.guidance_interval, grid, p,
+                    )
+                else:
+                    denoise_fn = make_cfg_denoise_fn(
+                        lambda *a: self.mmdit.apply(mmdit_params, *a),
+                        pe,
+                        pp,
+                        gs if cfg_on else None,
+                        grid,
+                        p,
+                    )
                 cached = None
                 if scfg.cache_interval >= 2:
                     # Δ-DiT-style residual caching: reuse the back-block
@@ -285,6 +297,7 @@ class TPDMPipeline:
         width: Optional[int] = None,
         init_sigma: Optional[jax.Array] = None,
         cache_interval: int = 0,
+        guidance_interval: Optional[tuple] = None,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -448,6 +461,20 @@ class TPDMPipeline:
                 mcfg.dtype,
             )
 
+        if guidance_interval is not None:
+            if guidance_scale is None:
+                raise ValueError(
+                    "guidance_interval requires classifier-free guidance "
+                    "(guidance_scale is None)"
+                )
+            if cache_interval >= 2:
+                raise ValueError(
+                    "guidance_interval cannot be combined with "
+                    "cache_interval yet — pick one acceleration"
+                )
+            guidance_interval = (
+                float(guidance_interval[0]), float(guidance_interval[1])
+            )
         scfg = SamplerConfig(
             max_inference_steps=max_inference_steps,
             min_sigma=self.min_sigma,
@@ -457,6 +484,7 @@ class TPDMPipeline:
             cache_activations=False,
             keep_history=return_full_process_images,
             cache_interval=cache_interval,
+            guidance_interval=guidance_interval,
         )
         out, decoded = self._run(
             key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,
@@ -503,13 +531,29 @@ class TPDMPipeline:
         seed: int = 0,
         latents=None,
         cache_interval: int = 0,
+        guidance_interval: Optional[tuple] = None,
     ) -> np.ndarray:
         """Fixed-schedule baseline generation (no TPM) — the comparison
         point for the adaptive sampler.
 
         ``cache_interval`` >= 2 enables Δ-DiT-style residual caching (see
-        :meth:`generate`); 0/1 runs the exact baseline."""
+        :meth:`generate`); 0/1 runs the exact baseline. ``guidance_interval``
+        = (lo, hi) applies CFG only while sigma is inside the window
+        (single-batch conditional-only forwards outside it)."""
         b = prompt_embeds.shape[0]
+        if guidance_interval is not None:
+            if guidance_scale is None:
+                raise ValueError(
+                    "guidance_interval requires classifier-free guidance"
+                )
+            if cache_interval >= 2:
+                raise ValueError(
+                    "guidance_interval cannot be combined with "
+                    "cache_interval yet — pick one acceleration"
+                )
+            guidance_interval = (
+                float(guidance_interval[0]), float(guidance_interval[1])
+            )
         if guidance_scale is not None:
             if negative_prompt_embeds is None or negative_pooled_prompt_embeds is None:
                 raise ValueError(
@@ -530,7 +574,8 @@ class TPDMPipeline:
                 (b, mcfg.in_channels, mcfg.sample_size, mcfg.sample_size),
                 mcfg.dtype,
             )
-        sig = ("fixed", guidance_scale, num_steps, cache_interval)
+        sig = ("fixed", guidance_scale, num_steps, cache_interval,
+               guidance_interval)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, vae_params, latents, pe, pp):
@@ -565,6 +610,18 @@ class TPDMPipeline:
                         uniform_flow_sigmas(num_steps),
                         jnp.zeros((bb, n_img, mcfg.inner_dim), mcfg.dtype),
                         cache_reuse_schedule(num_steps, cache_interval),
+                    )
+                elif guidance_interval is not None:
+                    from tpdm_tpu.pipeline.denoise import (
+                        make_cfg_interval_velocity_fn,
+                    )
+
+                    vfn = make_cfg_interval_velocity_fn(
+                        lambda *a: self.mmdit.apply(mmdit_params, *a),
+                        pe, pp, guidance_scale, guidance_interval,
+                    )
+                    final = fixed_schedule_sample(
+                        vfn, latents, uniform_flow_sigmas(num_steps)
                     )
                 else:
                     vfn = make_cfg_velocity_fn(

@@ -78,6 +78,11 @@ class SamplerConfig:
     # reuses it in between (step 0 is always a full forward). Approximate —
     # the reference has no analogue; see MMDiTConfig.cache_front_blocks.
     cache_interval: int = 0
+    # CFG only while sigma is in [lo, hi) (Kynkäänniemi et al. 2024):
+    # None = guide every step (reference behavior). Outside the window the
+    # per-sample weight collapses to 1.0 (conditional-only) and, once the
+    # whole batch has left it, the uncond tower is skipped entirely.
+    guidance_interval: Optional[tuple] = None
 
 
 class CachedDenoise(NamedTuple):
