@@ -17,6 +17,8 @@ here:
   invalid combos fail loudly.
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -243,4 +245,128 @@ class TestPipelineWiring:
                 negative_pooled_prompt_embeds=0.1 * pp,
                 guidance_scale=3.0, guidance_interval=(0.2, 0.9),
                 cache_interval=3,
+            )
+
+
+class TestEpsFamilies:
+    """The integer-t families (SD1.5/SDXL): same window semantics in
+    t-units, wired through SD15SamplerConfig.guidance_interval and the
+    variant pipelines' ``guidance_interval`` kwarg."""
+
+    def _sd15(self):
+        sys.path.insert(0, "tests")
+        from test_draft import _eps_agent
+
+        agent, rows = _eps_agent("sd15", guidance_scale=5.0)
+        pe = jnp.asarray(np.stack([r["prompt_embeds"] for r in rows[:2]]))
+        npe = jnp.asarray(
+            np.stack([r["negative_prompt_embeds"] for r in rows[:2]])
+        )
+        return agent, jnp.concatenate([npe, pe])
+
+    def test_sd15_full_window_matches_plain(self):
+        from tpdm_tpu.train.sd15_agent import (
+            make_sd15_denoise_fn,
+            make_sd15_interval_denoise_fn,
+        )
+
+        agent, pe2 = self._sd15()
+        apply = lambda *a: agent.unet.apply(agent.unet_params, *a)
+        plain = make_sd15_denoise_fn(apply, pe2, 5.0)
+        ivl = make_sd15_interval_denoise_fn(apply, pe2, 5.0, (0.0, 2000.0))
+        lat = agent.prepare_latents(jax.random.PRNGKey(0), 2)
+        t = jnp.array([800.0, 200.0])
+        for a, b in zip(plain(lat, t), ivl(lat, t)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_sd15_empty_window_is_cond_only(self):
+        from tpdm_tpu.train.sd15_agent import make_sd15_interval_denoise_fn
+
+        agent, pe2 = self._sd15()
+        apply = lambda *a: agent.unet.apply(agent.unet_params, *a)
+        ivl = make_sd15_interval_denoise_fn(
+            apply, pe2, 5.0, (2000.0, 3000.0)
+        )
+        lat = agent.prepare_latents(jax.random.PRNGKey(0), 2)
+        t = jnp.array([800.0, 200.0])
+        eps, temb, h = ivl(lat, t)
+        want_eps, want_temb, h1, h2 = apply(lat, t, pe2[2:])
+        np.testing.assert_allclose(
+            np.asarray(eps), np.asarray(want_eps), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(temb), np.asarray(want_temb), rtol=1e-4, atol=1e-5
+        )
+
+    def test_sdxl_full_window_matches_plain(self):
+        sys.path.insert(0, "tests")
+        from test_draft import _eps_agent
+
+        from tpdm_tpu.train.sdxl_agent import (
+            make_sdxl_denoise_fn,
+            make_sdxl_interval_denoise_fn,
+        )
+
+        agent, rows = _eps_agent("sdxl", guidance_scale=5.0)
+        pe = jnp.asarray(np.stack([r["prompt_embeds"] for r in rows[:2]]))
+        npe = jnp.asarray(
+            np.stack([r["negative_prompt_embeds"] for r in rows[:2]])
+        )
+        pp = jnp.asarray(
+            np.stack([r["pooled_prompt_embeds"] for r in rows[:2]])
+        )
+        npp = jnp.asarray(
+            np.stack([r["negative_pooled_prompt_embeds"] for r in rows[:2]])
+        )
+        pe2 = jnp.concatenate([npe, pe])
+        tids = agent.default_time_ids(2)
+        added = {
+            "text_embeds": jnp.concatenate([npp, pp]),
+            "time_ids": jnp.concatenate([tids, tids]),
+        }
+        apply = lambda *a: agent.unet.apply(agent.unet_params, *a)
+        plain = make_sdxl_denoise_fn(apply, pe2, added, 5.0)
+        ivl = make_sdxl_interval_denoise_fn(
+            apply, pe2, added, 5.0, (0.0, 2000.0)
+        )
+        lat = agent.prepare_latents(jax.random.PRNGKey(0), 2)
+        t = jnp.array([800.0, 200.0])
+        for a, b in zip(plain(lat, t), ivl(lat, t)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_sd15_pipeline_kwarg_and_invalid_combos(self):
+        sys.path.insert(0, "tests")
+        from test_draft import _eps_agent
+
+        from tpdm_tpu.pipeline.variants import SD15Pipeline
+
+        agent, rows = _eps_agent("sd15", guidance_scale=5.0)
+        pipe = SD15Pipeline(agent)
+        pe = jnp.asarray(np.stack([r["prompt_embeds"] for r in rows[:2]]))
+        npe = jnp.asarray(
+            np.stack([r["negative_prompt_embeds"] for r in rows[:2]])
+        )
+        out = pipe.generate(
+            prompt_embeds=pe, negative_prompt_embeds=npe, seed=0,
+            guidance_interval=(100.0, 700.0),
+        )
+        assert np.isfinite(out.images).all()
+        with pytest.raises(ValueError, match="pick one acceleration"):
+            pipe.generate(
+                prompt_embeds=pe, negative_prompt_embeds=npe,
+                guidance_interval=(100.0, 700.0), cache_interval=3,
+            )
+
+        no_cfg, rows2 = _eps_agent("sd15", guidance_scale=1.0)
+        pipe2 = SD15Pipeline(no_cfg)
+        pe2 = jnp.asarray(np.stack([r["prompt_embeds"] for r in rows2[:2]]))
+        with pytest.raises(ValueError, match="requires classifier-free"):
+            pipe2.generate(
+                prompt_embeds=pe2,
+                negative_prompt_embeds=jnp.zeros_like(pe2),
+                guidance_interval=(100.0, 700.0),
             )

@@ -119,6 +119,26 @@ class TestMainTrainCLI:
 
         assert load_lora(str(tmp_path / "lora-3.safetensors"))
 
+    def test_trainer_distill_mode(self, tmp_path):
+        """--trainer distill: LCM-LoRA consistency distillation — no
+        reward YAML (the teacher supervises itself). Must write the LoRA
+        safetensors and report a finite final loss."""
+        out = str(tmp_path)
+        cmd = [
+            sys.executable, "main_train.py", "--cpu", "--trainer", "distill",
+            "--model_config", "configs/models/toy_agent.yaml",
+            "--train_dataset", "configs/datasets/jsonl_prompts.yaml",
+            "--draft_updates", "2", "--per_device_train_batch_size", "2",
+            "--max_inference_steps", "3", "--learning_rate", "5e-3",
+            "--lora_rank", "2", "--save_steps", "2", "--output_dir", out,
+        ]
+        r = _run(cmd)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "distill training done" in (r.stderr + r.stdout)
+        from tpdm_tpu.train.draft import load_lora
+
+        assert load_lora(str(tmp_path / "lora-2.safetensors"))
+
     def test_dpo_rejects_missing_reward_only_for_rloo_draft(self, tmp_path):
         """rloo/draft without --reward_model_config must exit with an
         actionable message (dpo legitimately runs without one)."""

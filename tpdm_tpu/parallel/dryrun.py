@@ -306,6 +306,54 @@ def dryrun_draft_trainer(
     return metrics
 
 
+def dryrun_distill_trainer(
+    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+) -> dict:
+    """Two mesh-native consistency-distillation updates through the real
+    ``DistillTrainer``: x0/eps/ladder-index batches sharded over (data,
+    fsdp), the frozen teacher over (fsdp, tensor), replicated LoRA + EMA
+    target factors merging into the sharded kernels in-graph
+    (train/distill.py; beyond-reference — LCM-LoRA-style few-step
+    distillation the reference has no analogue for)."""
+    from tpdm_tpu.train.builders import build_toy_agent, make_prompt_encoder
+    from tpdm_tpu.train.distill import DistillConfig, DistillTrainer
+
+    devices = jax.devices()[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = auto_mesh_shape(n_devices)
+    d, f, t = mesh_shape
+    mesh = make_mesh(devices, data=d, fsdp=f, tensor=t)
+
+    agent = build_toy_agent(RLOOConfig(guidance_scale=7.0)).shard(mesh)
+    batch = max(2 * d * f, 4)  # per-shard batch >= 2 (see CLAUDE.md)
+    dataset = [{"prompt": f"prompt {i}"} for i in range(batch)]
+    cfg = DistillConfig(
+        total_updates=2, batch_size=batch, learning_rate=5e-3,
+        lora_rank=2, num_ladder_steps=3, skip_steps=1, ema_decay=0.5,
+    )
+    trainer = DistillTrainer(
+        cfg, agent, dataset, collate_fn=make_prompt_encoder(agent),
+        mesh=mesh,
+    )
+    with mesh:
+        lora, ema, _ = trainer.train()
+    metrics = dict(trainer.metrics_history[-1])
+    for k, v in metrics.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), (k, v)
+    assert metrics["distill/num_skipped"] == 0.0
+    assert any(
+        float(jnp.abs(fac["b"]).max()) > 0 for fac in lora.values()
+    ), "LoRA factors did not move"
+    # the EMA target tracks the student but lags it
+    moved = any(
+        float(jnp.abs(fac["b"]).max()) > 0 for fac in ema.values()
+    )
+    assert moved, "EMA target did not move"
+    metrics["mesh"] = mesh_shape
+    return metrics
+
+
 def dryrun_agent_families(
     n_devices: int, mesh_shape: tuple[int, int, int] | None = None
 ) -> dict:

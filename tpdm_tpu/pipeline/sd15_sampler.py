@@ -59,6 +59,13 @@ class SD15SamplerConfig:
     # every N steps and reuses it in between (step 0 always full). See
     # UNetConfig.cache_shallow_levels.
     cache_interval: int = 0
+    # CFG only while the integer timestep t is in [lo, hi) (Kynkäänniemi
+    # et al. 2024, t-units for this family): None = guide every step.
+    # Outside the window the per-sample weight collapses to 1.0
+    # (conditional-only) and, once the whole batch has left it, the
+    # uncond tower is skipped entirely. Mutually exclusive with
+    # cache_interval.
+    guidance_interval: Optional[tuple] = None
 
 
 class SD15SampleOutput(NamedTuple):

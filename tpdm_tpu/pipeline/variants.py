@@ -103,8 +103,13 @@ class SD15Pipeline:
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
         cache_interval: int = 0,
+        guidance_interval: Optional[tuple] = None,
     ) -> VariantResult:
-        """``cache_interval`` >= 2 enables DeepCache-style deep-feature
+        """``guidance_interval`` = (t_lo, t_hi) applies CFG only while the
+        integer timestep is inside the window (single-batch conditional
+        forwards outside it — Kynkäänniemi et al. 2024).
+
+        ``cache_interval`` >= 2 enables DeepCache-style deep-feature
         reuse (training-free acceleration, approximate — see
         UNetConfig.cache_shallow_levels); 0/1 = exact.
 
@@ -151,7 +156,9 @@ class SD15Pipeline:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(
             tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
-            sampler_cfg=_cached_scfg(self.agent, cache_interval),
+            sampler_cfg=_cached_scfg(
+                self.agent, cache_interval, guidance_interval
+            ),
         )
         if self._decode is not None:
             images = postprocess_images(self._decode(self.vae_params, out.final_latents))
@@ -165,16 +172,31 @@ class SD15Pipeline:
         )
 
 
-def _cached_scfg(agent, cache_interval: int):
-    """predict-mode sampler config with the cache interval set, or None
-    (= the agent's default) when caching is off."""
-    if cache_interval < 2:
+def _cached_scfg(agent, cache_interval: int, guidance_interval=None):
+    """predict-mode sampler config with the acceleration knobs set, or
+    None (= the agent's default) when neither is on."""
+    if guidance_interval is not None:
+        if cache_interval >= 2:
+            raise ValueError(
+                "guidance_interval cannot be combined with cache_interval "
+                "yet — pick one acceleration"
+            )
+        gs = agent.guidance_scale
+        if gs is None or gs <= 1:
+            raise ValueError(
+                "guidance_interval requires classifier-free guidance "
+                f"(agent guidance_scale={gs})"
+            )
+        guidance_interval = (
+            float(guidance_interval[0]), float(guidance_interval[1])
+        )
+    if cache_interval < 2 and guidance_interval is None:
         return None
     import dataclasses as _dc
 
     return _dc.replace(
         agent.sampler_cfg, predict=True, cache_activations=False,
-        cache_interval=cache_interval,
+        cache_interval=cache_interval, guidance_interval=guidance_interval,
     )
 
 
@@ -284,6 +306,7 @@ class SDXLPipeline:
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
         cache_interval: int = 0,
+        guidance_interval: Optional[tuple] = None,
     ) -> VariantResult:
         """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
         [+ negatives under CFG] or token ids for the bundled dual-CLIP
@@ -308,7 +331,9 @@ class SDXLPipeline:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         out = self.agent.sample(
             tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
-            sampler_cfg=_cached_scfg(self.agent, cache_interval),
+            sampler_cfg=_cached_scfg(
+                self.agent, cache_interval, guidance_interval
+            ),
         )
         return self._decode_result(out)
 

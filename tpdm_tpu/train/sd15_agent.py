@@ -50,6 +50,49 @@ def make_sd15_denoise_fn(
     return denoise_fn
 
 
+def make_sd15_interval_denoise_fn(
+    unet_apply, prompt_embeds, guidance_scale, interval
+):
+    """Guidance-interval variant of :func:`make_sd15_denoise_fn`
+    (Kynkäänniemi et al. 2024, integer-t units): CFG weight
+    ``guidance_scale`` while lo <= t < hi, 1.0 (== conditional-only)
+    outside; when NO sample's t is inside the window a lax.cond branch
+    runs the single-batch conditional forward — halving the step's FLOPs.
+    Same guidance-on-activations contract (eps AND temb/h1/h2)."""
+    from tpdm_tpu.pipeline.denoise import _interval_weight
+
+    if guidance_scale is None or guidance_scale <= 1:
+        raise ValueError("guidance interval requires CFG on")
+
+    def denoise_fn(latents, t):
+        b = latents.shape[0]
+        n = prompt_embeds.shape[0] // 2
+
+        def guided(latents, t):
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+            eps, temb, h1, h2 = unet_apply(lat, tt, prompt_embeds)
+
+            def guide(a):
+                u, c = jnp.split(a, 2)
+                w, _ = _interval_weight(t, guidance_scale, interval, u.dtype)
+                w = w.reshape((-1,) + (1,) * (u.ndim - 1))
+                return u + w * (c - u)
+
+            return guide(eps), guide(temb), guide(h1), guide(h2)
+
+        def cond_only(latents, t):
+            return unet_apply(latents, t, prompt_embeds[n:][:b])
+
+        _, in_iv = _interval_weight(t, guidance_scale, interval, jnp.float32)
+        eps, temb, h1, h2 = jax.lax.cond(
+            jnp.any(in_iv), guided, cond_only, latents, t
+        )
+        return eps, temb, jnp.concatenate([h1, h2], axis=1)
+
+    return denoise_fn
+
+
 def make_sd15_denoise_cached_fns(
     unet_apply_record, unet_apply_reuse, prompt_embeds,
     guidance_scale: Optional[float],
@@ -226,13 +269,26 @@ class SD15Agent:
                 step_caps, init_t, scfg):
         # backbone params as a jit ARGUMENT, not captured constants (see
         # TPDMAgent._sample)
-        denoise_fn = make_sd15_denoise_fn(
-            lambda *a: self.unet.apply(unet_params, *a),
-            prompt_embeds,
-            self.guidance_scale,
-        )
+        if scfg.guidance_interval is not None:
+            denoise_fn = make_sd15_interval_denoise_fn(
+                lambda *a: self.unet.apply(unet_params, *a),
+                prompt_embeds,
+                self.guidance_scale,
+                scfg.guidance_interval,
+            )
+        else:
+            denoise_fn = make_sd15_denoise_fn(
+                lambda *a: self.unet.apply(unet_params, *a),
+                prompt_embeds,
+                self.guidance_scale,
+            )
         cached = None
         if scfg.cache_interval >= 2:
+            if scfg.guidance_interval is not None:
+                raise ValueError(
+                    "guidance_interval cannot be combined with "
+                    "cache_interval yet — pick one acceleration"
+                )
             cached = self._make_cached(unet_params, latents, prompt_embeds,
                                        scfg)
             denoise_fn = None

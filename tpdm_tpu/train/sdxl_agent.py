@@ -56,6 +56,47 @@ def make_sdxl_denoise_fn(
     return denoise_fn
 
 
+def make_sdxl_interval_denoise_fn(
+    unet_apply, prompt_embeds, added_cond, guidance_scale, interval
+):
+    """Guidance-interval variant of :func:`make_sdxl_denoise_fn` (same
+    integer-t window semantics as sd15_agent.make_sd15_interval_denoise_fn,
+    threading the text_time added conditioning through both branches)."""
+    from tpdm_tpu.pipeline.denoise import _interval_weight
+
+    if guidance_scale is None or guidance_scale <= 1:
+        raise ValueError("guidance interval requires CFG on")
+
+    def denoise_fn(latents, t):
+        b = latents.shape[0]
+        n = prompt_embeds.shape[0] // 2
+
+        def guided(latents, t):
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+            eps, temb, h1, h2 = unet_apply(lat, tt, prompt_embeds, added_cond)
+
+            def guide(a):
+                u, c = jnp.split(a, 2)
+                w, _ = _interval_weight(t, guidance_scale, interval, u.dtype)
+                w = w.reshape((-1,) + (1,) * (u.ndim - 1))
+                return u + w * (c - u)
+
+            return guide(eps), guide(temb), guide(h1), guide(h2)
+
+        def cond_only(latents, t):
+            cond_added = {k: v[v.shape[0] // 2:][:b] for k, v in added_cond.items()}
+            return unet_apply(latents, t, prompt_embeds[n:][:b], cond_added)
+
+        _, in_iv = _interval_weight(t, guidance_scale, interval, jnp.float32)
+        eps, temb, h1, h2 = jax.lax.cond(
+            jnp.any(in_iv), guided, cond_only, latents, t
+        )
+        return eps, temb, jnp.concatenate([h1, h2], axis=1)
+
+    return denoise_fn
+
+
 def make_sdxl_denoise_cached_fns(
     unet_apply_record, unet_apply_reuse, prompt_embeds, added_cond,
     guidance_scale: Optional[float],
@@ -166,14 +207,28 @@ class SDXLAgent(SD15Agent):
     def _sample(self, unet_params, tpm_params, latents, cond, key, step_caps,
                 init_t, scfg):
         prompt_embeds, added_cond = cond
-        denoise_fn = make_sdxl_denoise_fn(
-            lambda *a: self.unet.apply(unet_params, *a),
-            prompt_embeds,
-            added_cond,
-            self.guidance_scale,
-        )
+        if scfg.guidance_interval is not None:
+            denoise_fn = make_sdxl_interval_denoise_fn(
+                lambda *a: self.unet.apply(unet_params, *a),
+                prompt_embeds,
+                added_cond,
+                self.guidance_scale,
+                scfg.guidance_interval,
+            )
+        else:
+            denoise_fn = make_sdxl_denoise_fn(
+                lambda *a: self.unet.apply(unet_params, *a),
+                prompt_embeds,
+                added_cond,
+                self.guidance_scale,
+            )
         cached = None
         if scfg.cache_interval >= 2:
+            if scfg.guidance_interval is not None:
+                raise ValueError(
+                    "guidance_interval cannot be combined with "
+                    "cache_interval yet — pick one acceleration"
+                )
             from tpdm_tpu.models.unet_sd15 import deepcache_feature_shape
             from tpdm_tpu.pipeline.sampler import (
                 CachedDenoise,
