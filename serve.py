@@ -293,6 +293,21 @@ def _apply_cli_lora(pipe, args):
     return pipe
 
 
+def _accel_kwargs(args):
+    """(cache_interval, guidance_interval) from the CLI flags, validated
+    lightly — full validation lives in the runner/pipeline builders."""
+    ci = getattr(args, "cache_interval", 0) or 0
+    gi = getattr(args, "guidance_interval", None)
+    if isinstance(gi, str):
+        parts = gi.split(",")
+        if len(parts) != 2:
+            raise SystemExit(
+                f"--guidance_interval expects 'lo,hi', got {gi!r}"
+            )
+        gi = (float(parts[0]), float(parts[1]))
+    return ci, gi
+
+
 def build_family_world(args):
     """--family sd15|flux: build the agent + encode/decode parts the
     serving engines consume (tpdm_tpu/serving_families.py runner for the
@@ -385,7 +400,11 @@ def build_family_world(args):
         return dict(
             family="sd15", agent=agent, tpm_params=tpm_params,
             encode=encode, decode=decode,
-            runner=make_sd15_runner(agent, tpm_params, encode, decode),
+            runner=make_sd15_runner(
+                agent, tpm_params, encode, decode,
+                cache_interval=_accel_kwargs(args)[0],
+                guidance_interval=_accel_kwargs(args)[1],
+            ),
         )
 
     if fam == "sdxl":
@@ -453,7 +472,11 @@ def build_family_world(args):
 
         tpm_params = agent.init_tpm_params(key)
         decode = make_vae_decoder(vae, vae_params)
-        runner = make_sdxl_runner(agent, tpm_params, encode, decode)
+        ci, gi = _accel_kwargs(args)
+        runner = make_sdxl_runner(
+            agent, tpm_params, encode, decode,
+            cache_interval=ci, guidance_interval=gi,
+        )
 
         if getattr(args, "refiner", False):
             # base+refiner ensemble-of-experts: the refiner expert is the
@@ -465,6 +488,12 @@ def build_family_world(args):
                 raise SystemExit(
                     "--refiner serves through the fixed-batch ensemble "
                     "runner; --continuous is not supported with it"
+                )
+            if ci or gi is not None:
+                raise SystemExit(
+                    "--cache_interval/--guidance_interval are not "
+                    "supported with --refiner (the ensemble runner owns "
+                    "both experts' sampler configs)"
                 )
             from tpdm_tpu.serving_families import make_sdxl_ensemble_runner
             from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
@@ -598,7 +627,11 @@ def build_family_world(args):
     return dict(
         family="flux", agent=agent, tpm_params=tpm_params,
         encode=encode, decode=decode,
-        runner=make_flux_runner(agent, tpm_params, encode, decode),
+        runner=make_flux_runner(
+            agent, tpm_params, encode, decode,
+            cache_interval=_accel_kwargs(args)[0],
+            guidance_interval=_accel_kwargs(args)[1],
+        ),
     )
 
 
@@ -608,7 +641,8 @@ def build_family_runner(args):
     return None if world is None else world["runner"]
 
 
-def generate(pipe, tokenize, prompt, seed, max_steps):
+def generate(pipe, tokenize, prompt, seed, max_steps,
+             cache_interval=0, guidance_interval=None):
     import numpy as np
 
     clip_ids, t5_ids = tokenize(prompt)
@@ -620,6 +654,8 @@ def generate(pipe, tokenize, prompt, seed, max_steps):
         predict=True,  # deterministic schedules (gradio_sd3_inference.py:45)
         seed=seed,
         max_inference_steps=max_steps,
+        cache_interval=cache_interval,
+        guidance_interval=guidance_interval,
     )
     return res
 
@@ -719,6 +755,19 @@ def main():
                         "--family flux quantizes modulations weight-only): "
                         "halves backbone weight HBM for bigger batches/"
                         "caches; quality must be validated per checkpoint")
+    p.add_argument("--cache_interval", type=int, default=0,
+                   help="training-free block caching for serving: >= 2 "
+                        "refreshes the deep/back-block feature every N "
+                        "steps and reuses it in between (Δ-DiT for "
+                        "sd3/flux, DeepCache for sd15/sdxl; approximate — "
+                        "docs/PERF.md measured 2.14x on SD3). Fixed-batch "
+                        "runners + --cli only")
+    p.add_argument("--guidance_interval", default=None,
+                   help="'lo,hi': apply CFG only inside the noise window "
+                        "(sigma units for sd3, integer-t for sd15/sdxl; "
+                        "steps outside run the half-cost conditional-only "
+                        "branch — measured 1.29x at a 15/28 window). "
+                        "Mutually exclusive with --cache_interval")
     p.add_argument("--resolutions", default=None,
                    help="comma-separated extra output resolutions (image px) "
                         "servable per request, e.g. '512,2048'; the model "
@@ -773,7 +822,10 @@ def main():
     if args.cli:
         from PIL import Image
 
-        res = generate(pipe, tokenize, args.prompt, args.seed, args.max_steps)
+        ci, gi = _accel_kwargs(args)
+        res = generate(pipe, tokenize, args.prompt, args.seed,
+                       args.max_steps, cache_interval=ci,
+                       guidance_interval=gi)
         Image.fromarray(res.images[0]).save(args.out)
         nfe = int(res.last_valid_index[0]) + 1
         print(f"saved {args.out}; inference steps: {nfe} / cap {args.max_steps}")
@@ -873,6 +925,14 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     "(agent/encode/decode) — use serve.py --family, or build "
                     "a Continuous{SD15,Flux}Engine directly"
                 )
+            ci, gi = _accel_kwargs(args)
+            if ci or gi is not None:
+                raise SystemExit(
+                    "--cache_interval/--guidance_interval serve through "
+                    "the fixed-batch runners (the continuous engines' "
+                    "segment dispatch does not carry the cache/branch "
+                    "state yet) — drop --continuous"
+                )
             from tpdm_tpu.serving_continuous import (
                 ContinuousFluxEngine,
                 ContinuousSD15Engine,
@@ -932,6 +992,14 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 decode_batch=getattr(args, "decode_batch", 1) or 1,
             )
         else:
+            _ci, _gi = _accel_kwargs(args)
+            if _ci or _gi is not None:
+                raise SystemExit(
+                    "--cache_interval/--guidance_interval serve through "
+                    "the fixed-batch engine (the continuous engines' "
+                    "segment dispatch does not carry the cache/branch "
+                    "state yet) — drop --continuous"
+                )
             engine = ContinuousBatchingEngine(
                 pipe,
                 tokenize,
@@ -948,6 +1016,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
         res_list = getattr(args, "resolutions", None)
         if isinstance(res_list, str):
             res_list = [int(x) for x in res_list.split(",") if x]
+        ci, gi = _accel_kwargs(args)
         engine = BatchingEngine(
             pipe,
             tokenize,
@@ -958,6 +1027,8 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             mesh_shape=mesh_shape,
             resolutions=res_list,
             vae_scale_factor=_pipe_vae_scale_factor(pipe),
+            cache_interval=ci,
+            guidance_interval=gi,
         )
 
     # multi-tenant adapters (--lora NAME=PATH): SD3 engines (merged

@@ -1,0 +1,158 @@
+"""Serving-side training-free acceleration knobs.
+
+The family runners (serving_families.make_*_runner), the SD3
+BatchingEngine, and the serve.py CLI all take ``cache_interval`` (Δ-DiT /
+DeepCache block caching) and ``guidance_interval`` (CFG only inside a
+noise window) — the same knobs the pipelines expose, now deployable.
+Pinned here: the accelerated runners serve real requests, invalid combos
+fail loudly at CONSTRUCTION (not mid-request), and FLUX rejects
+guidance_interval (embedded guidance, no uncond tower to skip).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+from _toy_worlds import build_sd15_world, build_sdxl_world  # noqa: E402
+
+from tpdm_tpu.serving import BatchingEngine  # noqa: E402
+from tpdm_tpu.serving_families import (  # noqa: E402
+    make_sd15_runner,
+    make_sdxl_runner,
+)
+
+
+@pytest.fixture(scope="module")
+def sd15_world():
+    return build_sd15_world()
+
+
+@pytest.fixture(scope="module")
+def sdxl_world():
+    return build_sdxl_world()
+
+
+class TestRunnerAccel:
+    def test_sd15_guidance_interval_serves(self, sd15_world):
+        w = sd15_world
+        runner = make_sd15_runner(
+            w["agent"], w["tpm_params"], w["encode"], w["decode"],
+            guidance_interval=(100.0, 700.0),
+        )
+        res = runner(["a cat", "a dog"], [0, 1], [3, 3])
+        for r in res:
+            assert r["image"].dtype == np.uint8
+            assert 1 <= r["inference_steps"] <= 3
+
+    def test_sd15_cache_interval_serves(self, sd15_world):
+        w = sd15_world
+        runner = make_sd15_runner(
+            w["agent"], w["tpm_params"], w["encode"], w["decode"],
+            cache_interval=2,
+        )
+        res = runner(["a cat"], [0], [3])
+        assert res[0]["image"].dtype == np.uint8
+
+    def test_sdxl_guidance_interval_serves(self, sdxl_world):
+        w = sdxl_world
+        runner = make_sdxl_runner(
+            w["agent"], w["tpm_params"], w["encode"], w["decode"],
+            guidance_interval=(100.0, 700.0),
+        )
+        res = runner(["a cat"], [0], [3])
+        assert res[0]["image"].dtype == np.uint8
+
+    def test_combo_rejected_at_construction(self, sd15_world):
+        w = sd15_world
+        with pytest.raises(ValueError, match="pick one acceleration"):
+            make_sd15_runner(
+                w["agent"], w["tpm_params"], w["encode"], w["decode"],
+                cache_interval=2, guidance_interval=(100.0, 700.0),
+            )
+
+    def test_flux_guidance_interval_rejected(self):
+        from _toy_worlds import build_flux_world
+
+        from tpdm_tpu.serving_families import make_flux_runner
+
+        w = build_flux_world()
+        with pytest.raises(ValueError, match="does not apply to FLUX"):
+            make_flux_runner(
+                w["agent"], w["tpm_params"], w["encode"], w["decode"],
+                guidance_interval=(0.2, 0.9),
+            )
+
+
+class TestEngineAccel:
+    def test_runner_engine_rejects_engine_level_knobs(self, sd15_world):
+        with pytest.raises(ValueError, match="family runners take them"):
+            BatchingEngine(
+                None, lambda p, n=8: (None, None),
+                runner=sd15_world["runner"], cache_interval=2,
+            )
+
+    def test_engine_combo_rejected(self):
+        with pytest.raises(ValueError, match="pick one acceleration"):
+            BatchingEngine(
+                object(), lambda p, n=8: (None, None),
+                cache_interval=2, guidance_interval=(0.2, 0.9),
+            )
+
+    def test_sd3_engine_guidance_interval_serves(self):
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, lora=None,
+        )
+        pipe, tokenize = serve.build_pipeline(args)
+        eng = BatchingEngine(
+            pipe, tokenize, max_batch=2, window_ms=100, max_steps=3,
+            guidance_interval=(0.3, 0.95),
+        )
+        eng.start()
+        try:
+            reqs = [eng.submit(f"p {i}", seed=i) for i in range(2)]
+            results = [r.result(timeout=600) for r in reqs]
+        finally:
+            eng.stop()
+        for res in results:
+            assert res["image"].dtype == np.uint8
+            assert 1 <= res["inference_steps"] <= 3
+
+
+class TestServeCLIFlags:
+    def _fam_args(self, family, **kw):
+        d = dict(
+            family=family, toy=True, cpu=True, pretrained=None, tpm=None,
+            max_steps=3,
+        )
+        d.update(kw)
+        return argparse.Namespace(**d)
+
+    def test_family_world_threads_flags(self):
+        import serve
+
+        world = serve.build_family_world(
+            self._fam_args("sd15", guidance_interval="100,700")
+        )
+        res = world["runner"](["a cat"], [0], [3])[0]
+        assert res["image"].dtype == np.uint8
+
+    def test_bad_interval_string_rejected(self):
+        import serve
+
+        with pytest.raises(SystemExit, match="lo,hi"):
+            serve.build_family_world(
+                self._fam_args("sd15", guidance_interval="0.5")
+            )
+
+    def test_flux_flag_rejected(self):
+        import serve
+
+        with pytest.raises(ValueError, match="does not apply to FLUX"):
+            serve.build_family_world(
+                self._fam_args("flux", guidance_interval="0.2,0.9")
+            )

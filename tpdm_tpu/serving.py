@@ -269,11 +269,29 @@ class BatchingEngine:
         embed_cache: int = 32,
         resolutions: Optional[Sequence[int]] = None,
         vae_scale_factor: int = 8,
+        cache_interval: int = 0,
+        guidance_interval: Optional[tuple] = None,
     ):
         import collections
 
         if runner is not None and resolutions:
             raise ValueError("per-request resolutions are SD3-pipeline-only")
+        if runner is not None and (cache_interval or guidance_interval):
+            raise ValueError(
+                "cache_interval/guidance_interval on the engine apply to "
+                "the SD3 pipeline path; family runners take them at "
+                "construction (serving_families.make_*_runner)"
+            )
+        if cache_interval >= 2 and guidance_interval is not None:
+            raise ValueError(
+                "guidance_interval cannot be combined with cache_interval "
+                "yet — pick one acceleration"
+            )
+        if guidance_interval is not None and guidance_scale is None:
+            raise ValueError(
+                "guidance_interval requires classifier-free guidance "
+                "(engine guidance_scale=None)"
+            )
 
         if runner is not None and (dp is not None or mesh_shape is not None):
             raise ValueError(
@@ -296,6 +314,8 @@ class BatchingEngine:
         self.window_ms = window_ms
         self.max_steps = max_steps
         self.guidance_scale = guidance_scale
+        self.cache_interval = cache_interval
+        self.guidance_interval = guidance_interval
         self.split_stages = split_stages
         self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
             maxsize=queue_limit if queue_limit is not None else 8 * max_batch
@@ -744,6 +764,8 @@ class BatchingEngine:
             decode=not split,
             step_caps=np.asarray(caps, np.int32),
             init_sigma=init_sigma,
+            cache_interval=self.cache_interval,
+            guidance_interval=self.guidance_interval,
         )
         if embeds is not None:
             res = self.pipe.generate(

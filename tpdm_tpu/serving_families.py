@@ -36,13 +36,49 @@ def _per_seed_latents(agent, seeds):
     return jnp.concatenate(rows, axis=0)
 
 
+def _accel_scfg(agent, cache_interval: int, guidance_interval):
+    """Serving-side acceleration config: predict-mode sampler config with
+    the knobs set, or None (= the agent's default). Same validation as
+    pipeline.variants._cached_scfg."""
+    if guidance_interval is not None:
+        if cache_interval >= 2:
+            raise ValueError(
+                "guidance_interval cannot be combined with cache_interval "
+                "yet — pick one acceleration"
+            )
+        gs = getattr(agent, "guidance_scale", None)
+        if gs is None or gs <= 1:
+            raise ValueError(
+                "guidance_interval requires classifier-free guidance "
+                f"(agent guidance_scale={gs})"
+            )
+        guidance_interval = (
+            float(guidance_interval[0]), float(guidance_interval[1])
+        )
+    if cache_interval < 2 and guidance_interval is None:
+        return None
+    import dataclasses as _dc
+
+    return _dc.replace(
+        agent.sampler_cfg, predict=True, cache_activations=False,
+        cache_interval=cache_interval, guidance_interval=guidance_interval,
+    )
+
+
 def make_sd15_runner(
     agent,
     tpm_params,
     encode: Callable,
     decode: Optional[Callable] = None,
+    cache_interval: int = 0,
+    guidance_interval=None,
 ) -> Callable:
     """Serving runner for the SD1.5 family (integer-t DPM-Solver++ loop).
+
+    ``cache_interval`` >= 2 enables DeepCache deep-feature reuse;
+    ``guidance_interval`` = (t_lo, t_hi) applies CFG only inside the
+    integer-t window (both training-free, approximate; see docs/PERF.md
+    "Training-free acceleration"). Mutually exclusive.
 
     Args:
         agent: an ``SD15Agent``.
@@ -56,6 +92,8 @@ def make_sd15_runner(
     """
     import jax
 
+    scfg = _accel_scfg(agent, cache_interval, guidance_interval)
+
     def runner(prompts, seeds, caps):
         pe, npe = encode(prompts)
         latents = _per_seed_latents(agent, seeds)
@@ -68,6 +106,7 @@ def make_sd15_runner(
             },
             jax.random.PRNGKey(0),  # predict=True: rollout key is unused
             predict=True,
+            sampler_cfg=scfg,
             step_caps=np.asarray(caps, np.int32),
         )
         images = (
@@ -98,9 +137,14 @@ def make_sdxl_runner(
     tpm_params,
     encode: Callable,
     decode: Optional[Callable] = None,
+    cache_interval: int = 0,
+    guidance_interval=None,
 ) -> Callable:
     """Serving runner for the SDXL family (integer-t DPM-Solver++ loop,
     dual-CLIP conditioning + pooled bigG + text_time ids).
+
+    ``cache_interval`` / ``guidance_interval``: same training-free
+    acceleration knobs as make_sd15_runner (mutually exclusive).
 
     Args:
         agent: an ``SDXLAgent``.
@@ -112,6 +156,8 @@ def make_sdxl_runner(
         decode: optional ``final_latents -> uint8 images``.
     """
     import jax
+
+    scfg = _accel_scfg(agent, cache_interval, guidance_interval)
 
     def runner(prompts, seeds, caps):
         pe, pooled, npe, npooled = encode(prompts)
@@ -129,6 +175,7 @@ def make_sdxl_runner(
             batch,
             jax.random.PRNGKey(0),  # predict=True: rollout key is unused
             predict=True,
+            sampler_cfg=scfg,
             step_caps=np.asarray(caps, np.int32),
         )
         images = (
@@ -278,9 +325,15 @@ def make_flux_runner(
     tpm_params,
     encode: Callable,
     decode: Optional[Callable] = None,
+    cache_interval: int = 0,
+    guidance_interval=None,
 ) -> Callable:
     """Serving runner for the FLUX family (packed tokens, embedded
     guidance, no CFG batch-doubling).
+
+    ``cache_interval`` >= 2 enables Δ-residual block caching.
+    ``guidance_interval`` is REJECTED: FLUX's guidance is an embedding,
+    not a CFG batch double — there is no uncond tower to skip.
 
     Args:
         agent: a ``FluxAgent``.
@@ -291,6 +344,20 @@ def make_flux_runner(
         decode: optional ``final_latents -> uint8 images``.
     """
     import jax
+
+    if guidance_interval is not None:
+        raise ValueError(
+            "guidance_interval does not apply to FLUX (embedded guidance, "
+            "no CFG batch-doubling)"
+        )
+    scfg = None
+    if cache_interval >= 2:
+        import dataclasses as _dc
+
+        scfg = _dc.replace(
+            agent.sampler_cfg, predict=True, cache_activations=False,
+            cache_interval=cache_interval,
+        )
 
     def runner(prompts, seeds, caps):
         txt, pooled = encode(prompts)
@@ -304,6 +371,7 @@ def make_flux_runner(
             },
             jax.random.PRNGKey(0),
             predict=True,
+            sampler_cfg=scfg,
             step_caps=np.asarray(caps, np.int32),
         )
         images = (
