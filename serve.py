@@ -635,9 +635,45 @@ def build_family_world(args):
     )
 
 
+def _maybe_few_step(world, args):
+    """--few_step: swap the world's adaptive runner for the consistency
+    few-step runner (distilled-student serving)."""
+    fs = getattr(args, "few_step", None)
+    if not fs:
+        return world
+    if world is None:
+        raise SystemExit(
+            "--few_step serves the family runners (--family sd15|sdxl|"
+            "flux); for SD3 build a TPDMAgent and use "
+            "tpdm_tpu.train.make_few_step_sampler directly"
+        )
+    if getattr(args, "continuous", False):
+        raise SystemExit(
+            "--few_step serves through the fixed-batch runner; drop "
+            "--continuous"
+        )
+    if getattr(args, "refiner", False):
+        raise SystemExit("--few_step is not supported with --refiner")
+    ci, gi = _accel_kwargs(args)
+    if ci or gi is not None:
+        raise SystemExit(
+            "--few_step replaces the sampler entirely; drop "
+            "--cache_interval/--guidance_interval"
+        )
+    from tpdm_tpu.serving_families import make_few_step_runner
+
+    levels = tuple(int(x) for x in str(fs).split(",") if x != "")
+    world = dict(world)
+    world["runner"] = make_few_step_runner(
+        world["agent"], world["encode"], world["decode"],
+        levels=levels, num_ladder_steps=args.max_steps,
+    )
+    return world
+
+
 def build_family_runner(args):
     """Back-compat: the fixed-batch runner for --family sd15|flux."""
-    world = build_family_world(args)
+    world = _maybe_few_step(build_family_world(args), args)
     return None if world is None else world["runner"]
 
 
@@ -755,6 +791,14 @@ def main():
                         "--family flux quantizes modulations weight-only): "
                         "halves backbone weight HBM for bigger batches/"
                         "caches; quality must be validated per checkpoint")
+    p.add_argument("--few_step", default=None,
+                   help="comma list of consistency-ladder levels (e.g. "
+                        "'0,14'): serve a DISTILLED student (--trainer "
+                        "distill; merge its LoRA via --lora) with the "
+                        "fixed few-step consistency sampler instead of "
+                        "the adaptive TPM loop — NFE = len(levels). "
+                        "Families sd15/sdxl/flux; ladder length = "
+                        "--max_steps")
     p.add_argument("--cache_interval", type=int, default=0,
                    help="training-free block caching for serving: >= 2 "
                         "refreshes the deep/back-block feature every N "
@@ -781,7 +825,7 @@ def main():
 
     enable_compile_cache()
 
-    world = build_family_world(args)
+    world = _maybe_few_step(build_family_world(args), args)
     if world is not None:
         pipe = None
         runner = world["runner"]

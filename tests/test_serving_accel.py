@@ -156,3 +156,93 @@ class TestServeCLIFlags:
             serve.build_family_world(
                 self._fam_args("flux", guidance_interval="0.2,0.9")
             )
+
+
+class TestFewStepServing:
+    """Distilled-student serving: the consistency few-step runner
+    (serving_families.make_few_step_runner) replaces the adaptive TPM
+    loop with a fixed ladder — NFE = len(levels) by construction."""
+
+    def test_sd15_two_level_serves_deterministically(self, sd15_world):
+        from tpdm_tpu.serving_families import make_few_step_runner
+
+        w = sd15_world
+        runner = make_few_step_runner(
+            w["agent"], w["encode"], w["decode"], levels=(0, 2),
+            num_ladder_steps=4,
+        )
+        solo = runner(["a cat"], [5], [99])[0]
+        assert solo["image"].dtype == np.uint8
+        assert solo["inference_steps"] == 2
+        # same (prompt, seed) in a different batch slot/composition must
+        # reproduce the same image: init AND re-noise rows derive from
+        # the request's own seed. batch-1 vs batch-2 are different
+        # compiled programs, so allow the RARE 1-level uint8 seam the
+        # engine-parity tests document (CLAUDE.md round-5 note).
+        batched = runner(["a dog", "a cat"], [9, 5], [99, 99])[1]
+        diff = np.abs(
+            solo["image"].astype(np.int16) - batched["image"].astype(np.int16)
+        )
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01, (
+            diff.max(), (diff > 0).mean(),
+        )
+
+    def test_flux_one_level_serves(self):
+        from _toy_worlds import build_flux_world
+
+        from tpdm_tpu.serving_families import make_few_step_runner
+
+        w = build_flux_world()
+        runner = make_few_step_runner(
+            w["agent"], w["encode"], w["decode"], levels=(0,),
+            num_ladder_steps=4,
+        )
+        res = runner(["a cat"], [0], [99])[0]
+        assert res["image"].dtype == np.uint8
+        assert res["inference_steps"] == 1
+
+    def test_engine_integration(self, sd15_world):
+        from tpdm_tpu.serving_families import make_few_step_runner
+
+        w = sd15_world
+        runner = make_few_step_runner(
+            w["agent"], w["encode"], w["decode"], levels=(0, 2),
+            num_ladder_steps=4,
+        )
+        eng = BatchingEngine(
+            None, lambda p, n=8: (None, None), max_batch=2, window_ms=100,
+            max_steps=4, runner=runner,
+        )
+        eng.start()
+        try:
+            res = eng.submit("a cat", seed=1).result(timeout=600)
+        finally:
+            eng.stop()
+        assert res["image"].dtype == np.uint8
+        assert res["inference_steps"] == 2
+
+    def test_serve_flag_threading_and_rejections(self):
+        import serve
+
+        def fam_args(family, **kw):
+            d = dict(
+                family=family, toy=True, cpu=True, pretrained=None,
+                tpm=None, max_steps=4,
+            )
+            d.update(kw)
+            return argparse.Namespace(**d)
+
+        args = fam_args("sd15", few_step="0,2")
+        world = serve._maybe_few_step(serve.build_family_world(args), args)
+        res = world["runner"](["a cat"], [0], [99])[0]
+        assert res["inference_steps"] == 2
+
+        sd3 = fam_args("sd3", few_step="0,2")
+        with pytest.raises(SystemExit, match="family runners"):
+            serve._maybe_few_step(serve.build_family_world(sd3), sd3)
+
+        combo = fam_args("sd15", few_step="0,2", cache_interval=2)
+        with pytest.raises(SystemExit, match="replaces the sampler"):
+            serve._maybe_few_step(
+                serve.build_family_world(combo), combo
+            )

@@ -411,3 +411,96 @@ def make_vae_decoder(vae, vae_params) -> Callable:
         )
     )
     return lambda z: postprocess_images(dec(vae_params, z))
+
+
+def _few_step_batch(agent, encode, prompts) -> dict:
+    """encode output -> the batch-arrays dict agent.denoise_builder
+    consumes, per family (sd15 2-tuple, sdxl 4-tuple, flux txt+pooled)."""
+    out = encode(prompts)
+    if hasattr(agent, "flux"):
+        txt, pooled = out
+        return {"prompt_embeds": txt, "pooled_prompt_embeds": pooled}
+    if len(out) == 4:  # SDXL dual-CLIP encode
+        pe, pooled, npe, npooled = out
+        batch = {"prompt_embeds": pe, "pooled_prompt_embeds": pooled}
+        if npe is not None:
+            batch["negative_prompt_embeds"] = npe
+            batch["negative_pooled_prompt_embeds"] = npooled
+        return batch
+    pe, npe = out
+    return {"prompt_embeds": pe, "negative_prompt_embeds": npe}
+
+
+def make_few_step_runner(
+    agent,
+    encode: Callable,
+    decode: Optional[Callable] = None,
+    levels=(0,),
+    num_ladder_steps: int = 28,
+    params=None,
+) -> Callable:
+    """Serving runner for a consistency-DISTILLED student (train/distill.py):
+    the fixed ``levels`` ladder replaces the adaptive TPM loop — NFE is
+    len(levels) by construction, so per-request step caps are ignored.
+
+    Deploy flow: train LoRA with ``--trainer distill``, merge it into the
+    agent (serve.py --lora PATH, or apply_lora yourself and pass
+    ``params``), then serve with ``--few_step "0,14"``. Per-request
+    determinism holds: request i's init noise AND its re-noise rows derive
+    from PRNGKey(seed_i) alone, so the same (prompt, seed) produces the
+    same image in any batch composition (the whole-batch ``key`` mode of
+    make_few_step_sampler would not).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpdm_tpu.train.distill import make_few_step_sampler
+
+    levels = tuple(int(l) for l in levels)
+    sample_fn = make_few_step_sampler(agent, num_ladder_steps, levels)
+    if params is None:
+        params = agent.backbone_params
+    n_extra = len(levels) - 1
+    if n_extra:
+        jit_fn = jax.jit(
+            lambda p, b, e, rn: sample_fn(p, b, e, renoise=rn)
+        )
+    else:
+        jit_fn = jax.jit(lambda p, b, e, rn: sample_fn(p, b, e))
+
+    def runner(prompts, seeds, caps):
+        del caps  # fixed-NFE sampler: len(levels) steps for every request
+        batch = _few_step_batch(agent, encode, prompts)
+        eps = _per_seed_latents(agent, seeds)
+        rows = []
+        for s in seeds:
+            k = jax.random.split(jax.random.PRNGKey(int(s)))[1]
+            rows.append(
+                jnp.stack(
+                    [
+                        jax.random.normal(
+                            jax.random.fold_in(k, r + 1),
+                            eps.shape[1:], eps.dtype,
+                        )
+                        for r in range(n_extra)
+                    ]
+                )
+                if n_extra
+                else jnp.zeros((0,) + eps.shape[1:], eps.dtype)
+            )
+        renoise = jnp.stack(rows, axis=1)  # (n_extra, b, ...)
+        final = jit_fn(params, batch, eps, renoise)
+        images = (
+            decode(final.astype(eps.dtype)) if decode is not None
+            else np.asarray(final)
+        )
+        return [
+            {
+                "image": images[i],
+                "inference_steps": len(levels),
+                "sigmas": [],
+            }
+            for i in range(len(prompts))
+        ]
+
+    return runner

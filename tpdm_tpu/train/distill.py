@@ -173,8 +173,12 @@ def make_few_step_sampler(agent, num_ladder_steps: int, levels):
     round predicts x0 with the consistency head then re-noises to the next
     level with FRESH noise (the CM multistep sampler).
 
-    Returns sample_fn(student_params, batch_arrays, eps, key) -> x0-space
-    latents; jit it (or call under jit) with params as arguments.
+    Returns sample_fn(student_params, batch_arrays, eps, key=None,
+    renoise=None) -> x0-space latents; jit it (or call under jit) with
+    params as arguments. Re-noising noise comes from ``key`` (whole-batch
+    draws) or, for per-request determinism in serving, from ``renoise`` —
+    a pre-drawn (len(levels)-1, b, ...) stack (one row per re-noise
+    round); exactly one of the two must be provided when len(levels) > 1.
     """
     levels = tuple(int(l) for l in levels)
     if not levels or levels[0] != 0 or list(levels) != sorted(set(levels)):
@@ -186,15 +190,22 @@ def make_few_step_sampler(agent, num_ladder_steps: int, levels):
             f"levels must lie in [0, {num_ladder_steps}): {levels}"
         )
 
-    def sample_fn(student_params, batch_arrays, eps, key):
+    def sample_fn(student_params, batch_arrays, eps, key=None, renoise=None):
+        if len(levels) > 1 and (key is None) == (renoise is None):
+            raise ValueError(
+                "multi-level sampling needs exactly one of key / renoise"
+            )
         regime = make_regime(agent, num_ladder_steps)
         denoise = agent.denoise_builder(student_params, batch_arrays)
         b = eps.shape[0]
         x = regime["noise_to"](jnp.zeros_like(eps), eps, jnp.zeros((b,), jnp.int32))
         x0 = regime["x0_pred"](denoise, x, jnp.zeros((b,), jnp.int32))
-        for lv in levels[1:]:
-            key, sub = jax.random.split(key)
-            fresh = jax.random.normal(sub, eps.shape, eps.dtype)
+        for r, lv in enumerate(levels[1:]):
+            if renoise is not None:
+                fresh = renoise[r].astype(eps.dtype)
+            else:
+                key, sub = jax.random.split(key)
+                fresh = jax.random.normal(sub, eps.shape, eps.dtype)
             i = jnp.full((b,), lv, jnp.int32)
             x = regime["noise_to"](x0.astype(eps.dtype), fresh, i)
             x0 = regime["x0_pred"](denoise, x, i)
