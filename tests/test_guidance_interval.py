@@ -238,14 +238,10 @@ class TestPipelineWiring:
                 prompt_embeds=pe, pooled_prompt_embeds=pp,
                 guidance_scale=None, guidance_interval=(0.2, 0.9),
             )
-        with pytest.raises(ValueError, match="pick one acceleration"):
-            pipe.generate(
-                prompt_embeds=pe, pooled_prompt_embeds=pp,
-                negative_prompt_embeds=0.1 * pe,
-                negative_pooled_prompt_embeds=0.1 * pp,
-                guidance_scale=3.0, guidance_interval=(0.2, 0.9),
-                cache_interval=3,
-            )
+        # cache_interval now COMPOSES with the interval instead of raising —
+        # numerics + pipeline wiring are pinned in
+        # tests/test_cache_interval_compose.py (this fixture's 2-layer toy
+        # can't cache: cache_front_blocks defaults to 4)
 
 
 class TestEpsFamilies:
@@ -355,11 +351,13 @@ class TestEpsFamilies:
             guidance_interval=(100.0, 700.0),
         )
         assert np.isfinite(out.images).all()
-        with pytest.raises(ValueError, match="pick one acceleration"):
-            pipe.generate(
-                prompt_embeds=pe, negative_prompt_embeds=npe,
-                guidance_interval=(100.0, 700.0), cache_interval=3,
-            )
+        # cache_interval composes (DeepCache × integer-t window; numerics in
+        # tests/test_cache_interval_compose.py)
+        composed = pipe.generate(
+            prompt_embeds=pe, negative_prompt_embeds=npe, seed=0,
+            guidance_interval=(100.0, 700.0), cache_interval=3,
+        )
+        assert np.isfinite(composed.images).all()
 
         no_cfg, rows2 = _eps_agent("sd15", guidance_scale=1.0)
         pipe2 = SD15Pipeline(no_cfg)

@@ -207,15 +207,30 @@ class TPDMPipeline:
                             delta=d, cache_mode=mode,
                         )
                     )
-                    full_fn, reuse_fn = make_cfg_denoise_cached_fns(
-                        mode_apply("record"), mode_apply("reuse"),
-                        pe, pp, gs if cfg_on else None, grid, p,
-                    )
                     mcfg = self.mmdit.config
                     bb = latents.shape[0] * (2 if cfg_on else 1)
                     init_delta = jnp.zeros(
                         (bb, grid[0] * grid[1], mcfg.inner_dim), mcfg.dtype
                     )
+                    if scfg.guidance_interval is not None and cfg_on:
+                        # composed accelerations: Δ-cache × guidance
+                        # interval (single-batch cond-only forwards outside
+                        # the window, shallow blocks only on reuse steps)
+                        from tpdm_tpu.pipeline.denoise import (
+                            interval_cached_init_delta,
+                            make_cfg_interval_denoise_cached_fns,
+                        )
+
+                        full_fn, reuse_fn = make_cfg_interval_denoise_cached_fns(
+                            mode_apply("record"), mode_apply("reuse"),
+                            pe, pp, gs, scfg.guidance_interval, grid, p,
+                        )
+                        init_delta = interval_cached_init_delta(init_delta)
+                    else:
+                        full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+                            mode_apply("record"), mode_apply("reuse"),
+                            pe, pp, gs if cfg_on else None, grid, p,
+                        )
                     cached = CachedDenoise(
                         full_fn, reuse_fn, init_delta,
                         cache_reuse_schedule(
@@ -467,11 +482,8 @@ class TPDMPipeline:
                     "guidance_interval requires classifier-free guidance "
                     "(guidance_scale is None)"
                 )
-            if cache_interval >= 2:
-                raise ValueError(
-                    "guidance_interval cannot be combined with "
-                    "cache_interval yet — pick one acceleration"
-                )
+            # cache_interval >= 2 composes with the interval (the builders
+            # in pipeline.denoise handle the uncond-cache validity rule)
             guidance_interval = (
                 float(guidance_interval[0]), float(guidance_interval[1])
             )
@@ -546,11 +558,6 @@ class TPDMPipeline:
                 raise ValueError(
                     "guidance_interval requires classifier-free guidance"
                 )
-            if cache_interval >= 2:
-                raise ValueError(
-                    "guidance_interval cannot be combined with "
-                    "cache_interval yet — pick one acceleration"
-                )
             guidance_interval = (
                 float(guidance_interval[0]), float(guidance_interval[1])
             )
@@ -594,10 +601,6 @@ class TPDMPipeline:
                             delta=d, cache_mode=mode,
                         )
                     )
-                    full_fn, reuse_fn = make_cfg_velocity_cached_fns(
-                        mode_apply("record"), mode_apply("reuse"),
-                        pe, pp, guidance_scale,
-                    )
                     mcfg = self.mmdit.config
                     bb = latents.shape[0] * (
                         2 if guidance_scale is not None else 1
@@ -605,10 +608,32 @@ class TPDMPipeline:
                     n_img = (latents.shape[-2] // mcfg.patch_size) * (
                         latents.shape[-1] // mcfg.patch_size
                     )
+                    init_delta = jnp.zeros(
+                        (bb, n_img, mcfg.inner_dim), mcfg.dtype
+                    )
+                    if guidance_interval is not None:
+                        # composed: Δ-cache × guidance interval
+                        from tpdm_tpu.pipeline.denoise import (
+                            interval_cached_init_delta,
+                            make_cfg_interval_velocity_cached_fns,
+                        )
+
+                        full_fn, reuse_fn = (
+                            make_cfg_interval_velocity_cached_fns(
+                                mode_apply("record"), mode_apply("reuse"),
+                                pe, pp, guidance_scale, guidance_interval,
+                            )
+                        )
+                        init_delta = interval_cached_init_delta(init_delta)
+                    else:
+                        full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+                            mode_apply("record"), mode_apply("reuse"),
+                            pe, pp, guidance_scale,
+                        )
                     final = fixed_schedule_sample_cached(
                         full_fn, reuse_fn, latents,
                         uniform_flow_sigmas(num_steps),
-                        jnp.zeros((bb, n_img, mcfg.inner_dim), mcfg.dtype),
+                        init_delta,
                         cache_reuse_schedule(num_steps, cache_interval),
                     )
                 elif guidance_interval is not None:

@@ -176,11 +176,8 @@ def _cached_scfg(agent, cache_interval: int, guidance_interval=None):
     """predict-mode sampler config with the acceleration knobs set, or
     None (= the agent's default) when neither is on."""
     if guidance_interval is not None:
-        if cache_interval >= 2:
-            raise ValueError(
-                "guidance_interval cannot be combined with cache_interval "
-                "yet — pick one acceleration"
-            )
+        # cache_interval >= 2 composes (the agents build the combined
+        # DeepCache × interval denoise pair)
         gs = agent.guidance_scale
         if gs is None or gs <= 1:
             raise ValueError(

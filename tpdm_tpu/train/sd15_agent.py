@@ -125,6 +125,53 @@ def make_sd15_denoise_cached_fns(
     return make(unet_apply_record), make(unet_apply_reuse)
 
 
+def make_sd15_interval_denoise_cached_fns(
+    unet_apply_record, unet_apply_reuse, prompt_embeds, guidance_scale,
+    interval,
+):
+    """DeepCache × guidance interval for SD1.5 (integer-t window units):
+    :func:`make_sd15_denoise_cached_fns` composed with
+    :func:`make_sd15_interval_denoise_fn` semantics via the shared
+    pipeline.denoise.make_interval_cached_denoise_pair core (see its
+    docstring for the cost model and the uncond-cache validity rule)."""
+    from tpdm_tpu.pipeline.denoise import (
+        _interval_weight,
+        make_interval_cached_denoise_pair,
+    )
+
+    if guidance_scale is None or guidance_scale <= 1:
+        raise ValueError("guidance interval requires CFG on")
+    n = prompt_embeds.shape[0] // 2
+
+    def g_fwd(apply_fn):
+        def run(latents, t, cache):
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+            eps, temb, h1, h2, c = apply_fn(lat, tt, prompt_embeds, cache)
+            return (eps, temb, h1, h2), c
+
+        return run
+
+    def c_fwd(apply_fn):
+        def run(latents, t, cache):
+            b = latents.shape[0]
+            eps, temb, h1, h2, c = apply_fn(
+                latents, t, prompt_embeds[n:][:b], cache
+            )
+            return (eps, temb, h1, h2), c
+
+        return run
+
+    return make_interval_cached_denoise_pair(
+        g_fwd(unet_apply_record), g_fwd(unet_apply_reuse),
+        c_fwd(unet_apply_record), c_fwd(unet_apply_reuse),
+        lambda t: _interval_weight(t, guidance_scale, interval, jnp.float32),
+        lambda outs: (
+            outs[0], outs[1], jnp.concatenate([outs[2], outs[3]], axis=1)
+        ),
+    )
+
+
 class SD15Agent:
     """RLOOTrainer-compatible agent over the SD1.5 UNet."""
 
@@ -284,11 +331,6 @@ class SD15Agent:
             )
         cached = None
         if scfg.cache_interval >= 2:
-            if scfg.guidance_interval is not None:
-                raise ValueError(
-                    "guidance_interval cannot be combined with "
-                    "cache_interval yet — pick one acceleration"
-                )
             cached = self._make_cached(unet_params, latents, prompt_embeds,
                                        scfg)
             denoise_fn = None
@@ -299,7 +341,10 @@ class SD15Agent:
 
     def _make_cached(self, unet_params, latents, prompt_embeds, scfg):
         """DeepCache denoise pair (SD15SamplerConfig.cache_interval >= 2):
-        deep-feature reuse between refresh steps, training-free."""
+        deep-feature reuse between refresh steps, training-free. With
+        ``scfg.guidance_interval`` ALSO set, the composed pair additionally
+        skips the uncond tower outside the integer-t window (see
+        make_sd15_interval_denoise_cached_fns)."""
         from tpdm_tpu.models.unet_sd15 import deepcache_feature_shape
         from tpdm_tpu.pipeline.sampler import (
             CachedDenoise,
@@ -311,19 +356,28 @@ class SD15Agent:
                 unet_params, lat, tt, pe_, cache=c, cache_mode=mode
             )
         )
-        full_fn, reuse_fn = make_sd15_denoise_cached_fns(
-            mode_apply("record"), mode_apply("reuse"), prompt_embeds,
-            self.guidance_scale,
-        )
         cfg_on = self.guidance_scale is not None and self.guidance_scale > 1
         bb = latents.shape[0] * (2 if cfg_on else 1)
         ucfg = self.unet.config
+        init_cache = jnp.zeros(
+            deepcache_feature_shape(ucfg, bb, latents.shape[-2:]),
+            ucfg.dtype,
+        )
+        if scfg.guidance_interval is not None:
+            from tpdm_tpu.pipeline.denoise import interval_cached_init_delta
+
+            full_fn, reuse_fn = make_sd15_interval_denoise_cached_fns(
+                mode_apply("record"), mode_apply("reuse"), prompt_embeds,
+                self.guidance_scale, scfg.guidance_interval,
+            )
+            init_cache = interval_cached_init_delta(init_cache)
+        else:
+            full_fn, reuse_fn = make_sd15_denoise_cached_fns(
+                mode_apply("record"), mode_apply("reuse"), prompt_embeds,
+                self.guidance_scale,
+            )
         return CachedDenoise(
-            full_fn, reuse_fn,
-            jnp.zeros(
-                deepcache_feature_shape(ucfg, bb, latents.shape[-2:]),
-                ucfg.dtype,
-            ),
+            full_fn, reuse_fn, init_cache,
             cache_reuse_schedule(scfg.num_inference_steps, scfg.cache_interval),
         )
 

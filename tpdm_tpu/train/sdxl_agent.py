@@ -131,6 +131,59 @@ def make_sdxl_denoise_cached_fns(
     return make(unet_apply_record), make(unet_apply_reuse)
 
 
+def make_sdxl_interval_denoise_cached_fns(
+    unet_apply_record, unet_apply_reuse, prompt_embeds, added_cond,
+    guidance_scale, interval,
+):
+    """DeepCache × guidance interval for SDXL (integer-t window units):
+    :func:`make_sdxl_denoise_cached_fns` composed with
+    :func:`make_sdxl_interval_denoise_fn` semantics via the shared
+    pipeline.denoise.make_interval_cached_denoise_pair core, threading the
+    text_time added conditioning through both the guided and the
+    conditional-only branches."""
+    from tpdm_tpu.pipeline.denoise import (
+        _interval_weight,
+        make_interval_cached_denoise_pair,
+    )
+
+    if guidance_scale is None or guidance_scale <= 1:
+        raise ValueError("guidance interval requires CFG on")
+    n = prompt_embeds.shape[0] // 2
+
+    def g_fwd(apply_fn):
+        def run(latents, t, cache):
+            lat = jnp.concatenate([latents, latents])
+            tt = jnp.concatenate([t, t])
+            eps, temb, h1, h2, c = apply_fn(
+                lat, tt, prompt_embeds, added_cond, cache
+            )
+            return (eps, temb, h1, h2), c
+
+        return run
+
+    def c_fwd(apply_fn):
+        def run(latents, t, cache):
+            b = latents.shape[0]
+            cond_added = {
+                k: v[v.shape[0] // 2:][:b] for k, v in added_cond.items()
+            }
+            eps, temb, h1, h2, c = apply_fn(
+                latents, t, prompt_embeds[n:][:b], cond_added, cache
+            )
+            return (eps, temb, h1, h2), c
+
+        return run
+
+    return make_interval_cached_denoise_pair(
+        g_fwd(unet_apply_record), g_fwd(unet_apply_reuse),
+        c_fwd(unet_apply_record), c_fwd(unet_apply_reuse),
+        lambda t: _interval_weight(t, guidance_scale, interval, jnp.float32),
+        lambda outs: (
+            outs[0], outs[1], jnp.concatenate([outs[2], outs[3]], axis=1)
+        ),
+    )
+
+
 class SDXLAgent(SD15Agent):
     """RLOOTrainer-compatible agent over the SDXL UNet.
 
@@ -224,11 +277,6 @@ class SDXLAgent(SD15Agent):
             )
         cached = None
         if scfg.cache_interval >= 2:
-            if scfg.guidance_interval is not None:
-                raise ValueError(
-                    "guidance_interval cannot be combined with "
-                    "cache_interval yet — pick one acceleration"
-                )
             from tpdm_tpu.models.unet_sd15 import deepcache_feature_shape
             from tpdm_tpu.pipeline.sampler import (
                 CachedDenoise,
@@ -240,19 +288,30 @@ class SDXLAgent(SD15Agent):
                     unet_params, lat, tt, pe_, ac_, cache=c, cache_mode=mode
                 )
             )
-            full_fn, reuse_fn = make_sdxl_denoise_cached_fns(
-                mode_apply("record"), mode_apply("reuse"), prompt_embeds,
-                added_cond, self.guidance_scale,
-            )
             cfg_on = self.guidance_scale is not None and self.guidance_scale > 1
             bb = latents.shape[0] * (2 if cfg_on else 1)
             ucfg = self.unet.config
+            init_cache = jnp.zeros(
+                deepcache_feature_shape(ucfg, bb, latents.shape[-2:]),
+                ucfg.dtype,
+            )
+            if scfg.guidance_interval is not None:
+                from tpdm_tpu.pipeline.denoise import (
+                    interval_cached_init_delta,
+                )
+
+                full_fn, reuse_fn = make_sdxl_interval_denoise_cached_fns(
+                    mode_apply("record"), mode_apply("reuse"), prompt_embeds,
+                    added_cond, self.guidance_scale, scfg.guidance_interval,
+                )
+                init_cache = interval_cached_init_delta(init_cache)
+            else:
+                full_fn, reuse_fn = make_sdxl_denoise_cached_fns(
+                    mode_apply("record"), mode_apply("reuse"), prompt_embeds,
+                    added_cond, self.guidance_scale,
+                )
             cached = CachedDenoise(
-                full_fn, reuse_fn,
-                jnp.zeros(
-                    deepcache_feature_shape(ucfg, bb, latents.shape[-2:]),
-                    ucfg.dtype,
-                ),
+                full_fn, reuse_fn, init_cache,
                 cache_reuse_schedule(
                     scfg.num_inference_steps, scfg.cache_interval
                 ),
