@@ -100,6 +100,10 @@ def build_pipeline(args):
         mcfg = MMDiTConfig.toy(
             joint_attention_dim=96, pooled_projection_dim=64,
             quant_matmuls=_quant_on(args), quant_bits=_quant_bits(args),
+            # the 2-layer toy can cache only its front block — makes
+            # --cache_interval (and its composition with
+            # --guidance_interval) exercisable from the CLI
+            cache_front_blocks=1,
         )
         mmdit = MMDiT(mcfg)
         mparams = mmdit.init(

@@ -65,13 +65,17 @@ class TestRunnerAccel:
         res = runner(["a cat"], [0], [3])
         assert res[0]["image"].dtype == np.uint8
 
-    def test_combo_rejected_at_construction(self, sd15_world):
+    def test_combo_serves(self, sd15_world):
+        """cache_interval × guidance_interval compose in serving (the
+        agents build the combined DeepCache × interval pair; numerics in
+        tests/test_cache_interval_compose.py)."""
         w = sd15_world
-        with pytest.raises(ValueError, match="pick one acceleration"):
-            make_sd15_runner(
-                w["agent"], w["tpm_params"], w["encode"], w["decode"],
-                cache_interval=2, guidance_interval=(100.0, 700.0),
-            )
+        runner = make_sd15_runner(
+            w["agent"], w["tpm_params"], w["encode"], w["decode"],
+            cache_interval=2, guidance_interval=(100.0, 700.0),
+        )
+        res = runner(["a cat"], [0], [3])
+        assert res[0]["image"].dtype == np.uint8
 
     def test_flux_guidance_interval_rejected(self):
         from _toy_worlds import build_flux_world
@@ -94,12 +98,26 @@ class TestEngineAccel:
                 runner=sd15_world["runner"], cache_interval=2,
             )
 
-    def test_engine_combo_rejected(self):
-        with pytest.raises(ValueError, match="pick one acceleration"):
-            BatchingEngine(
-                object(), lambda p, n=8: (None, None),
-                cache_interval=2, guidance_interval=(0.2, 0.9),
-            )
+    def test_engine_combo_serves(self):
+        """Both knobs on one engine: the SD3 pipeline runs the composed
+        Δ-cache × guidance-interval denoise pair."""
+        import serve
+
+        args = argparse.Namespace(
+            toy=True, cpu=True, pretrained=None, tpm=None, lora=None,
+        )
+        pipe, tokenize = serve.build_pipeline(args)
+        eng = BatchingEngine(
+            pipe, tokenize, max_batch=2, window_ms=100, max_steps=3,
+            cache_interval=2, guidance_interval=(0.3, 0.95),
+        )
+        eng.start()
+        try:
+            res = eng.submit("a cat", seed=0).result(timeout=600)
+        finally:
+            eng.stop()
+        assert res["image"].dtype == np.uint8
+        assert 1 <= res["inference_steps"] <= 3
 
     def test_sd3_engine_guidance_interval_serves(self):
         import serve

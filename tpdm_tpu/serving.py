@@ -282,11 +282,8 @@ class BatchingEngine:
                 "the SD3 pipeline path; family runners take them at "
                 "construction (serving_families.make_*_runner)"
             )
-        if cache_interval >= 2 and guidance_interval is not None:
-            raise ValueError(
-                "guidance_interval cannot be combined with cache_interval "
-                "yet — pick one acceleration"
-            )
+        # cache_interval >= 2 composes with guidance_interval (the pipeline
+        # builds the combined Δ-cache × interval denoise pair)
         if guidance_interval is not None and guidance_scale is None:
             raise ValueError(
                 "guidance_interval requires classifier-free guidance "

@@ -41,11 +41,8 @@ def _accel_scfg(agent, cache_interval: int, guidance_interval):
     the knobs set, or None (= the agent's default). Same validation as
     pipeline.variants._cached_scfg."""
     if guidance_interval is not None:
-        if cache_interval >= 2:
-            raise ValueError(
-                "guidance_interval cannot be combined with cache_interval "
-                "yet — pick one acceleration"
-            )
+        # cache_interval >= 2 composes (the agents build the combined
+        # DeepCache × interval denoise pair)
         gs = getattr(agent, "guidance_scale", None)
         if gs is None or gs <= 1:
             raise ValueError(
