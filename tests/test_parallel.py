@@ -116,6 +116,64 @@ class TestFamilyShardedForwardParity:
                 np.asarray(r), np.asarray(o), rtol=2e-4, atol=2e-4
             )
 
+    @pytest.mark.parametrize("toy", ["toy", "toy_xl"])
+    def test_unet_act_mesh_kills_involuntary_remat(self, toy, capfd):
+        """With UNetConfig.act_mesh set (as SD15Agent/SDXLAgent.shard do),
+        the transformer token stream is pinned to batch-only sharding: the
+        per-block GSPMD "Involuntary full rematerialization" reshard
+        disappears on a tensor>1 mesh and numerics still match the
+        unsharded forward at per-shard batch 2 (the miscompile regime —
+        same fix class as FluxConfig.act_mesh, tests/test_flux.py)."""
+        import dataclasses as _dc
+
+        from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+        from tpdm_tpu.parallel.sharding import shard_batch, shard_params
+
+        cfg = getattr(UNetConfig, toy)()
+        unet = UNetSD15(cfg)
+        b, n_txt = 8, 7
+        lat = jax.random.normal(
+            jax.random.PRNGKey(0), (b, 4, cfg.sample_size, cfg.sample_size)
+        )
+        t = jnp.full((b,), 321.0)
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1), (b, n_txt, cfg.cross_attention_dim)
+        )
+        added = (
+            {
+                "text_embeds": jax.random.normal(
+                    jax.random.PRNGKey(4), (b, cfg.addition_pooled_dim)
+                ),
+                "time_ids": jnp.tile(
+                    jnp.arange(cfg.num_time_ids, dtype=jnp.float32), (b, 1)
+                ),
+            }
+            if cfg.addition_embed
+            else None
+        )
+        args = (lat, t, ctx) + ((added,) if added is not None else ())
+        params = unet.init(jax.random.PRNGKey(2), *args)
+        ref = jax.jit(unet.apply)(params, *args)
+
+        mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+        anchored = UNetSD15(_dc.replace(cfg, act_mesh=mesh))
+        sp = shard_params(params, mesh)
+        sb = shard_batch({"lat": lat, "t": t, "ctx": ctx}, mesh)
+        sargs = (sb["lat"], sb["t"], sb["ctx"])
+        if added is not None:
+            sa = shard_batch(added, mesh)
+            sargs = sargs + (sa,)
+        capfd.readouterr()  # drop anything emitted so far
+        with mesh:
+            out = jax.jit(anchored.apply)(sp, *sargs)
+        jax.block_until_ready(out)
+        stderr = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in stderr, stderr[:2000]
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(o), rtol=2e-4, atol=2e-4
+            )
+
     def test_flux_sharded_matches_unsharded(self):
         from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
         from tpdm_tpu.parallel.sharding import shard_batch, shard_params

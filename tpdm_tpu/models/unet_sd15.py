@@ -52,6 +52,14 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     addition_pooled_dim: int = 1280
     num_time_ids: int = 6
+    # GSPMD anchor mesh (SD15Agent/SDXLAgent.shard set it): without
+    # explicit constraints the SPMD partitioner ping-pongs the token-
+    # stream residual adds inside _CrossAttnBlock between batch-sharded
+    # and hidden-sharded layouts — one "Involuntary full
+    # rematerialization" per transformer block on tensor>1 meshes (same
+    # bug class, and same fix, as FluxConfig.act_mesh in models/flux.py).
+    act_mesh: Optional[object] = None  # jax.sharding.Mesh (hashable)
+    act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
     # DeepCache-style deep-feature caching (arXiv 2312.00858; the UNet
     # analogue of MMDiTConfig.cache_front_blocks): "record" forwards also
     # return the up-path feature at the shallow/deep boundary; "reuse"
@@ -200,10 +208,16 @@ class ResnetBlockTimeEmb(nn.Module):
     out_channels: int
     groups: int
     dtype: jnp.dtype = jnp.float32
+    act_mesh: Optional[object] = None
+    act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
+        # The (b, temb) vector is this block's modulation input: pin it to
+        # batch-only sharding or GSPMD flip-flops it between batch- and
+        # hidden-sharded layouts once per resnet (see UNetConfig.act_mesh).
+        temb = _anchor(self.act_mesh, self.act_batch_axes, temb)
         # diffusers ResnetBlock2D norm eps is 1e-5 (the Transformer2DModel
         # GroupNorm keeps 1e-6) — verified by the full-stack torch oracle
         h = GroupNorm(self.groups, in_ch, eps=1e-5, name="norm1")(x)
@@ -221,6 +235,21 @@ class ResnetBlockTimeEmb(nn.Module):
         return x + h
 
 
+def _anchor(mesh, batch_axes, t: jax.Array) -> jax.Array:
+    """Pin a (b, ...) activation to batch-only sharding (hidden dims
+    replicated) on ``mesh``; identity when no mesh is set. Kills the
+    per-block involuntary reshard of the transformer token stream under
+    GSPMD on tensor>1 meshes (see UNetConfig.act_mesh; the FLUX analogue
+    is models/flux.py _anchor)."""
+    if mesh is None:
+        return t
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+    spec = P(axes if axes else None, *([None] * (t.ndim - 1)))
+    return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
+
+
 class _CrossAttnBlock(nn.Module):
     """diffusers BasicTransformerBlock: self-attn, cross-attn, GEGLU ff."""
 
@@ -228,6 +257,8 @@ class _CrossAttnBlock(nn.Module):
     heads: int
     ctx_dim: int
     dtype: jnp.dtype = jnp.float32
+    act_mesh: Optional[object] = None
+    act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
 
     def _attn(self, x, y, prefix):
         from tpdm_tpu.ops.attention import joint_attention
@@ -254,15 +285,16 @@ class _CrossAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, ctx: jax.Array) -> jax.Array:
+        anchor = lambda t: _anchor(self.act_mesh, self.act_batch_axes, t)
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         n1 = ln("norm1")(x)
-        x = x + self._attn(n1, n1, "attn1")
-        x = x + self._attn(ln("norm2")(x), ctx, "attn2")
+        x = anchor(x + self._attn(n1, n1, "attn1"))
+        x = anchor(x + self._attn(ln("norm2")(x), ctx, "attn2"))
         y = ln("norm3")(x)
         gate = nn.Dense(8 * self.dim, dtype=self.dtype, name="ff_proj")(y)
         a, g = jnp.split(gate, 2, axis=-1)
         y = a * nn.gelu(g, approximate=False)  # GEGLU
-        x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
+        x = anchor(x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y))
         return x
 
 
@@ -280,6 +312,8 @@ class SpatialTransformer(nn.Module):
     groups: int
     dtype: jnp.dtype = jnp.float32
     depth: int = 1
+    act_mesh: Optional[object] = None
+    act_batch_axes: Tuple[str, ...] = ("data", "fsdp")
 
     @nn.compact
     def __call__(self, x: jax.Array, ctx: jax.Array) -> jax.Array:
@@ -287,12 +321,15 @@ class SpatialTransformer(nn.Module):
         res = x
         h = GroupNorm(self.groups, c, name="norm")(x)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
-        h = h.reshape(b, hh * ww, self.dim)
+        h = _anchor(self.act_mesh, self.act_batch_axes,
+                    h.reshape(b, hh * ww, self.dim))
         for k in range(self.depth):
             # depth-1 keeps the historical "block" param name (SD1.x ckpts)
             name = "block" if self.depth == 1 else f"block_{k}"
             h = _CrossAttnBlock(
-                self.dim, self.heads, self.ctx_dim, self.dtype, name=name
+                self.dim, self.heads, self.ctx_dim, self.dtype,
+                act_mesh=self.act_mesh, act_batch_axes=self.act_batch_axes,
+                name=name,
             )(h, ctx)
         h = h.reshape(b, hh, ww, self.dim)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
@@ -365,6 +402,7 @@ class UNetSD15(nn.Module):
                 nn.silu(aug)
             )
             temb = temb + aug
+        temb = _anchor(cfg.act_mesh, cfg.act_batch_axes, temb)
 
         x = latents.transpose(0, 2, 3, 1)
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=cfg.dtype, name="conv_in")(x)
@@ -382,7 +420,9 @@ class UNetSD15(nn.Module):
             is_last = i == len(ch) - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetBlockTimeEmb(
-                    out_ch, g, cfg.dtype, name=f"down_{i}_resnet_{j}"
+                    out_ch, g, cfg.dtype, act_mesh=cfg.act_mesh,
+                    act_batch_axes=cfg.act_batch_axes,
+                    name=f"down_{i}_resnet_{j}",
                 )(x, temb)
                 if depths[i] > 0:
                     x = SpatialTransformer(
@@ -392,6 +432,8 @@ class UNetSD15(nn.Module):
                         g,
                         cfg.dtype,
                         depth=depths[i],
+                        act_mesh=cfg.act_mesh,
+                        act_batch_axes=cfg.act_batch_axes,
                         name=f"down_{i}_attn_{j}",
                     )(x, ctx)
                 skips.append(x)
@@ -408,12 +450,20 @@ class UNetSD15(nn.Module):
             x = cache.astype(cfg.dtype)
         else:
             # mid
-            x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_0")(x, temb)
+            x = ResnetBlockTimeEmb(
+                ch[-1], g, cfg.dtype, act_mesh=cfg.act_mesh,
+                act_batch_axes=cfg.act_batch_axes, name="mid_resnet_0",
+            )(x, temb)
             x = SpatialTransformer(
                 ch[-1], cfg.heads_for(ch[-1]), cfg.cross_attention_dim, g,
-                cfg.dtype, depth=cfg.mid_transformer_layers, name="mid_attn",
+                cfg.dtype, depth=cfg.mid_transformer_layers,
+                act_mesh=cfg.act_mesh, act_batch_axes=cfg.act_batch_axes,
+                name="mid_attn",
             )(x, ctx)
-            x = ResnetBlockTimeEmb(ch[-1], g, cfg.dtype, name="mid_resnet_1")(x, temb)
+            x = ResnetBlockTimeEmb(
+                ch[-1], g, cfg.dtype, act_mesh=cfg.act_mesh,
+                act_batch_axes=cfg.act_batch_axes, name="mid_resnet_1",
+            )(x, temb)
 
         # up path (mirror; depths reversed). In reuse mode only the shallow
         # up levels run, starting from the cached boundary feature.
@@ -426,7 +476,9 @@ class UNetSD15(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlockTimeEmb(
-                    out_ch, g, cfg.dtype, name=f"up_{i}_resnet_{j}"
+                    out_ch, g, cfg.dtype, act_mesh=cfg.act_mesh,
+                    act_batch_axes=cfg.act_batch_axes,
+                    name=f"up_{i}_resnet_{j}",
                 )(x, temb)
                 if depth_i > 0:
                     x = SpatialTransformer(
@@ -436,6 +488,8 @@ class UNetSD15(nn.Module):
                         g,
                         cfg.dtype,
                         depth=depth_i,
+                        act_mesh=cfg.act_mesh,
+                        act_batch_axes=cfg.act_batch_axes,
                         name=f"up_{i}_attn_{j}",
                     )(x, ctx)
             if i < len(ch) - 1:

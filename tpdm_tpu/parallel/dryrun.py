@@ -354,13 +354,21 @@ def dryrun_distill_trainer(
     return metrics
 
 
+ALL_FAMILIES = ("sd15", "sdxl", "sdxl_ensemble", "flux")
+
+
 def dryrun_agent_families(
-    n_devices: int, mesh_shape: tuple[int, int, int] | None = None
+    n_devices: int,
+    mesh_shape: tuple[int, int, int] | None = None,
+    families: tuple[str, ...] = ALL_FAMILIES,
 ) -> dict:
     """One mesh-native RLOO update per agent family beyond SD3: the SD1.5
     integer-t DPM agent and the FLUX packed-token no-CFG agent, each with
     its backbone sharded by the shared specs and the batch over (data, fsdp)
     — through the REAL RLOOTrainer (SURVEY §2.5; round-2 VERDICT item 5).
+
+    ``families`` selects a subset so a wall-clock-budgeted caller (the
+    driver's ``dryrun_multichip``) can treat each family as its own leg.
     """
     devices = jax.devices()[:n_devices]
     if mesh_shape is None:
@@ -371,19 +379,10 @@ def dryrun_agent_families(
     rng = np.random.default_rng(0)
     results = {}
 
-    # ---- SD1.5 (integer-t DPM-Solver++ loop, zero KL) ----
     from tpdm_tpu.models.unet_sd15 import UNetConfig, UNetSD15
     from tpdm_tpu.train.sd15_agent import SD15Agent
 
-    ucfg = UNetConfig.toy()
-    unet = UNetSD15(ucfg)
     n_txt = 7
-    uparams = unet.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((2, 4, ucfg.sample_size, ucfg.sample_size)),
-        jnp.ones((2,)),
-        jnp.zeros((2, n_txt, ucfg.cross_attention_dim)),
-    )
     cfg = RLOOConfig(
         per_device_train_batch_size=2,
         rloo_k=2,
@@ -393,32 +392,51 @@ def dryrun_agent_families(
         kl_coef=0.0,
         save_steps=0,
     )
-    agent = SD15Agent(
-        unet, uparams, cfg,
-        tpm=TimePredictor(
-            conv_out_channels=4,
-            in_channels=2 * ucfg.block_out_channels[0],
-            temb_dim=ucfg.time_embed_dim,
-        ),
-    ).shard(mesh)
-    dataset = [
-        {
-            "prompt": f"p{i}",
-            "prompt_embeds": rng.normal(
-                size=(n_txt, ucfg.cross_attention_dim)
-            ).astype(np.float32),
-            "negative_prompt_embeds": np.zeros(
-                (n_txt, ucfg.cross_attention_dim), np.float32
+
+    # ---- SD1.5 (integer-t DPM-Solver++ loop, zero KL) ----
+    if "sd15" in families:
+        ucfg = UNetConfig.toy()
+        unet = UNetSD15(ucfg)
+        uparams = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 4, ucfg.sample_size, ucfg.sample_size)),
+            jnp.ones((2,)),
+            jnp.zeros((2, n_txt, ucfg.cross_attention_dim)),
+        )
+        agent = SD15Agent(
+            unet, uparams, cfg,
+            tpm=TimePredictor(
+                conv_out_channels=4,
+                in_channels=2 * ucfg.block_out_channels[0],
+                temb_dim=ucfg.time_embed_dim,
             ),
-        }
-        for i in range(max(4, dp))
-    ]
-    results["sd15"] = _run_family_trainer(agent, cfg, dataset, mesh)
+        ).shard(mesh)
+        dataset = [
+            {
+                "prompt": f"p{i}",
+                "prompt_embeds": rng.normal(
+                    size=(n_txt, ucfg.cross_attention_dim)
+                ).astype(np.float32),
+                "negative_prompt_embeds": np.zeros(
+                    (n_txt, ucfg.cross_attention_dim), np.float32
+                ),
+            }
+            for i in range(max(4, dp))
+        ]
+        results["sd15"] = _run_family_trainer(agent, cfg, dataset, mesh)
 
     # ---- SDXL (beyond-reference: per-level transformer depth, text_time
     # added conditioning + pooled bigG threaded through CFG, same
     # integer-t loop) ----
     from tpdm_tpu.train.sdxl_agent import SDXLAgent
+
+    want_sdxl = "sdxl" in families
+    want_ensemble = "sdxl_ensemble" in families
+    if not (want_sdxl or want_ensemble):
+        if "flux" in families:
+            _flux_family(results, cfg, mesh, dp, rng)
+        results["mesh"] = f"data={d} fsdp={f} tensor={t}"
+        return results
 
     xcfg = UNetConfig.toy_xl()
     xunet = UNetSD15(xcfg)
@@ -458,13 +476,20 @@ def dryrun_agent_families(
         }
         for i in range(max(4, dp))
     ]
-    results["sdxl"] = _run_family_trainer(xagent, cfg, xdataset, mesh)
+    if want_sdxl:
+        results["sdxl"] = _run_family_trainer(xagent, cfg, xdataset, mesh)
 
     # ---- SDXL base+refiner ENSEMBLE (joint hierarchical policy: the
     # refiner expert's (0,4,4,0) wiring, bigG-only context and
     # aesthetic-score CFG behind SDXLEnsembleAgent — one stitched rollout,
     # one optimizer step over BOTH TPM heads, the stitched record's
     # per-expert caches sharded by the extended _TIME_MAJOR_FIELDS) ----
+    if not want_ensemble:
+        if "flux" in families:
+            _flux_family(results, cfg, mesh, dp, rng)
+        results["mesh"] = f"data={d} fsdp={f} tensor={t}"
+        return results
+
     from tpdm_tpu.train.sdxl_agent import SDXLEnsembleAgent, SDXLRefinerAgent
 
     refcfg = UNetConfig.toy_refiner()
@@ -508,6 +533,13 @@ def dryrun_agent_families(
     ]
     results["sdxl_ensemble"] = _run_family_trainer(ensemble, cfg, edataset, mesh)
 
+    if "flux" in families:
+        _flux_family(results, cfg, mesh, dp, rng)
+    results["mesh"] = f"data={d} fsdp={f} tensor={t}"
+    return results
+
+
+def _flux_family(results, cfg, mesh, dp, rng):
     # ---- FLUX (packed tokens, embedded guidance, no CFG doubling) ----
     from tpdm_tpu.models.flux import Flux, FluxConfig, pack_latents
     from tpdm_tpu.train.flux_agent import FluxAgent
@@ -550,8 +582,6 @@ def dryrun_agent_families(
         for i in range(max(4, dp))
     ]
     results["flux"] = _run_family_trainer(fagent, cfg, fdataset, mesh)
-    results["mesh"] = f"data={d} fsdp={f} tensor={t}"
-    return results
 
 
 def dryrun_dpo_trainer(

@@ -211,9 +211,19 @@ class SD15Agent:
         """Mesh-shard the frozen UNet: 2D attention/FF kernels follow the
         shared column/row specs (same to_q/to_out naming as MMDiT); conv
         kernels replicate (they are a minority of UNet FLOPs and SD1.5 fits
-        replicated in HBM). See tpdm_tpu.parallel.sharding."""
+        replicated in HBM). See tpdm_tpu.parallel.sharding.
+
+        Also rebuilds the UNet with cfg.act_mesh=mesh: the activation
+        anchors (models/unet_sd15.py _anchor) pin the transformer token
+        stream to batch-only sharding, killing the per-block involuntary
+        reshard GSPMD otherwise inserts on tensor>1 meshes (same fix as
+        FluxAgent.shard)."""
+        import dataclasses as _dc
+
+        from tpdm_tpu.models.unet_sd15 import UNetSD15
         from tpdm_tpu.parallel.sharding import shard_params
 
+        self.unet = UNetSD15(_dc.replace(self.unet.config, act_mesh=mesh))
         self.unet_params = shard_params(self.unet_params, mesh)
         return self
 
