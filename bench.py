@@ -260,9 +260,12 @@ def _time_forward_loop(fwd, params, lat, reps):
         return jax.lax.fori_loop(0, reps, body, lat)
 
     _sync(loop(params, lat))
-    t0 = time.time()
-    _sync(loop(params, lat))
-    return (time.time() - t0) / reps * 1000
+    best = float("inf")
+    for _ in range(2):  # min of 2 passes: co-tenant-interference robust
+        t0 = time.time()
+        _sync(loop(params, lat))
+        best = min(best, (time.time() - t0) / reps * 1000)
+    return best
 
 
 def _zeros_params(model, *probe_args):
@@ -411,16 +414,36 @@ def main():
     params, tpm_params, lat = world["params"], world["tpm_params"], world["lat"]
     steps = world["steps"]
 
-    # ---- fixed 28-step baseline ----
-    out = world["run_fixed"](params, lat)
-    _sync(out)  # compile + first run
+    # The shared tunnel chip occasionally has a co-tenant: a single timing
+    # pass can read 50%+ slow (round-4 driver artifact: adaptive leg 0.16
+    # img/s vs 0.27 re-measured quiet — same program). Every leg therefore
+    # times `passes` rep-chained passes and keeps the MINIMUM per-rep time
+    # (min, not mean, is the interference-robust statistic: noise is
+    # strictly additive).
+    passes = 2 if on_tpu else 1
     reps = 3 if on_tpu else 1
-    t0 = time.time()
-    o = lat
-    for _ in range(reps):
-        o = world["run_fixed"](params, o)  # chain to avoid tunnel latency
-    _sync(o)
-    fixed_dt = (time.time() - t0) / reps
+
+    def timed_min(fn, warm):
+        _sync(warm())  # compile + first run
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            out = fn()
+            _sync(out)
+            best = min(best, (time.time() - t0) / reps)
+        return best
+
+    # ---- fixed 28-step baseline ----
+    def fixed_pass(runner):
+        def run():
+            o = lat
+            for _ in range(reps):
+                o = runner(params, o)  # chain to avoid tunnel latency
+            return o
+        return run
+
+    fixed_dt = timed_min(fixed_pass(world["run_fixed"]),
+                         lambda: world["run_fixed"](params, lat))
     fixed_img_s = b / fixed_dt
 
     # ---- adaptive sampler (untrained TPM, deterministic mode) ----
@@ -432,13 +455,16 @@ def main():
         run = runner or world["run_adaptive"]
         final, num_steps, lvi = run(params, tpm_p, lat, key)
         _sync(final)
-        t0 = time.time()
-        o = lat
-        for _ in range(reps):
-            final, num_steps, lvi = run(params, tpm_p, o, key)
-            o = lat + 0.0 * final[:, :1, :1, :1]
-        _sync(final)
-        return (time.time() - t0) / reps, lvi
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            o = lat
+            for _ in range(reps):
+                final, num_steps, lvi = run(params, tpm_p, o, key)
+                o = lat + 0.0 * final[:, :1, :1, :1]
+            _sync(final)
+            best = min(best, (time.time() - t0) / reps)
+        return best, lvi
 
     reps_a = 3 if on_tpu else 1
     adaptive_dt, lvi = timed_adaptive(tpm_params, reps_a)
@@ -451,14 +477,10 @@ def main():
     trained_img_s = b / trained_dt
 
     # ---- Δ-residual-cache legs (training-free; front4/interval3) ----
-    out_c = world["run_fixed_cached"](params, lat)
-    _sync(out_c)
-    t0 = time.time()
-    o = lat
-    for _ in range(reps):
-        o = world["run_fixed_cached"](params, o)
-    _sync(o)
-    cached_fixed_dt = (time.time() - t0) / reps
+    cached_fixed_dt = timed_min(
+        fixed_pass(world["run_fixed_cached"]),
+        lambda: world["run_fixed_cached"](params, lat),
+    )
 
     cached_trained_dt, lvi_ct = timed_adaptive(
         world["tpm_trained_params"], reps_a, runner=world["run_adaptive_cached"]
@@ -470,10 +492,12 @@ def main():
     dreps = 8 if on_tpu else 1
     out_d = world["run_decode_reps"](world["vae_params"], lat, dreps)
     _sync(out_d)
-    t0 = time.time()
-    out_d = world["run_decode_reps"](world["vae_params"], lat, dreps)
-    _sync(out_d)
-    decode_dt = (time.time() - t0) / dreps
+    decode_dt = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        out_d = world["run_decode_reps"](world["vae_params"], lat, dreps)
+        _sync(out_d)
+        decode_dt = min(decode_dt, (time.time() - t0) / dreps)
 
     fixed_e2e_img_s = b / (fixed_dt + decode_dt)
     trained_e2e_img_s = b / (trained_dt + decode_dt)
@@ -513,7 +537,7 @@ def main():
     try:
         # free the SD3 world first: its 2B params + executables do not
         # coexist with the 2.6B SDXL weights on a 16GB chip
-        del world, params, tpm_params, lat, o, out, out_d, out_c
+        del world, params, tpm_params, lat, out_d
         _free_device_memory()
         result.update(family_throughput(on_tpu))
     except Exception as e:  # pragma: no cover - keep the ONE line printing
