@@ -231,11 +231,69 @@ def build(batch_images: int, on_tpu: bool):
         )
         return out.final_latents, out.num_steps, out.last_valid_index
 
+    # ---- stacked training-free legs: Δ-cache × guidance interval (the
+    # round-8 composition, measured here for the driver artifact). The
+    # (0.25, 0.85) sigma window guides 15/28 steps (1.287x alone,
+    # experiments/bench_guidance_interval.py); composed with front4/int3
+    # reuse the two multiply (reuse steps outside the window run the
+    # front blocks on a SINGLE-batch conditional forward). ----
+    from tpdm_tpu.pipeline.denoise import (
+        interval_cached_init_delta,
+        make_cfg_interval_denoise_cached_fns,
+        make_cfg_interval_velocity_cached_fns,
+    )
+
+    G_INTERVAL = (0.25, 0.85)
+
+    @jax.jit
+    def run_fixed_stacked(params, lat):
+        full_fn, reuse_fn = make_cfg_interval_velocity_cached_fns(
+            _mode_apply(params, "record"), _mode_apply(params, "reuse"),
+            ctx, pooled, 7.0, G_INTERVAL,
+        )
+        return fixed_schedule_sample_cached(
+            full_fn, reuse_fn, lat, sigmas,
+            interval_cached_init_delta(
+                jnp.zeros((2 * b, n_img, cfg.inner_dim), jnp.bfloat16)
+            ),
+            cache_sched,
+        )
+
+    @jax.jit
+    def run_adaptive_stacked(params, tpm_params, lat, key):
+        full_fn, reuse_fn = make_cfg_interval_denoise_cached_fns(
+            _mode_apply(params, "record"), _mode_apply(params, "reuse"),
+            ctx, pooled, 7.0, G_INTERVAL, grid, cfg.patch_size,
+        )
+        cached = CachedDenoise(
+            full_fn, reuse_fn,
+            interval_cached_init_delta(
+                jnp.zeros((2 * b, n_img, cfg.inner_dim), jnp.bfloat16)
+            ),
+            cache_sched,
+        )
+        out = adaptive_sample(
+            None,
+            lambda h, t: tpm.apply(tpm_params, h, t),
+            lat,
+            key,
+            SamplerConfig(
+                max_inference_steps=steps,
+                predict=True,
+                min_sigma=0.001,
+                cache_activations=False,
+            ),
+            cached=cached,
+        )
+        return out.final_latents, out.num_steps, out.last_valid_index
+
     return dict(
         run_fixed=run_fixed,
         run_adaptive=run_adaptive,
         run_fixed_cached=run_fixed_cached,
         run_adaptive_cached=run_adaptive_cached,
+        run_fixed_stacked=run_fixed_stacked,
+        run_adaptive_stacked=run_adaptive_stacked,
         run_decode_reps=run_decode_reps,
         params=params,
         tpm_params=tpm_params,
@@ -487,6 +545,18 @@ def main():
     )
     cached_trained_nfe = float(np.mean(np.asarray(lvi_ct)) + 1)
 
+    # ---- stacked legs: Δ-cache × guidance interval ((0.25, 0.85) sigma
+    # window; composed combinator from round 8) ----
+    stacked_fixed_dt = timed_min(
+        fixed_pass(world["run_fixed_stacked"]),
+        lambda: world["run_fixed_stacked"](params, lat),
+    )
+    stacked_trained_dt, lvi_st = timed_adaptive(
+        world["tpm_trained_params"], reps_a,
+        runner=world["run_adaptive_stacked"],
+    )
+    stacked_trained_nfe = float(np.mean(np.asarray(lvi_st)) + 1)
+
     # ---- VAE decode (runs once per image; the diffusers anchor includes
     # it, so the headline does too) ----
     dreps = 8 if on_tpu else 1
@@ -531,6 +601,15 @@ def main():
         ),
         "cached_trained_like_mean_nfe": cached_trained_nfe,
         "cache_setting": "front4_interval3",
+        # Δ-cache × guidance-interval composition (the round-8 combinator):
+        # fixed-28 and stacked with the trained-like TPM early stop
+        "stacked_e2e_img_per_s": round(b / (stacked_fixed_dt + decode_dt), 4),
+        "stacked_speedup_vs_fixed": round(fixed_dt / stacked_fixed_dt, 3),
+        "stacked_trained_like_e2e_img_per_s": round(
+            b / (stacked_trained_dt + decode_dt), 4
+        ),
+        "stacked_trained_like_mean_nfe": stacked_trained_nfe,
+        "stacked_setting": "front4_interval3_gi0.25-0.85",
     }
     # whole-family surface (SD1.5 / SDXL / FLUX keys; round-3 VERDICT
     # item 6) — measured last so a family failure can't cost the headline

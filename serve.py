@@ -312,6 +312,26 @@ def _accel_kwargs(args):
     return ci, gi
 
 
+def _cache_tau(args):
+    """--cache_tau validated: input-aware caching is the SD3
+    pipeline path's policy (family loops carry the fixed schedule only).
+    """
+    tau = getattr(args, "cache_tau", 0.0) or 0.0
+    if not tau:
+        return 0.0
+    if (getattr(args, "cache_interval", 0) or 0):
+        raise SystemExit(
+            "--cache_tau and --cache_interval are mutually exclusive "
+            "(one reuse policy)"
+        )
+    if getattr(args, "continuous", False):
+        raise SystemExit(
+            "--cache_tau serves through the fixed-batch engine; drop "
+            "--continuous"
+        )
+    return float(tau)
+
+
 def build_family_world(args):
     """--family sd15|flux: build the agent + encode/decode parts the
     serving engines consume (tpdm_tpu/serving_families.py runner for the
@@ -408,6 +428,7 @@ def build_family_world(args):
                 agent, tpm_params, encode, decode,
                 cache_interval=_accel_kwargs(args)[0],
                 guidance_interval=_accel_kwargs(args)[1],
+                cache_tau=_cache_tau(args),
             ),
         )
 
@@ -480,6 +501,7 @@ def build_family_world(args):
         runner = make_sdxl_runner(
             agent, tpm_params, encode, decode,
             cache_interval=ci, guidance_interval=gi,
+            cache_tau=_cache_tau(args),
         )
 
         if getattr(args, "refiner", False):
@@ -493,11 +515,11 @@ def build_family_world(args):
                     "--refiner serves through the fixed-batch ensemble "
                     "runner; --continuous is not supported with it"
                 )
-            if ci or gi is not None:
+            if ci or gi is not None or _cache_tau(args):
                 raise SystemExit(
-                    "--cache_interval/--guidance_interval are not "
-                    "supported with --refiner (the ensemble runner owns "
-                    "both experts' sampler configs)"
+                    "--cache_interval/--guidance_interval/--cache_tau are "
+                    "not supported with --refiner (the ensemble runner "
+                    "owns both experts' sampler configs)"
                 )
             from tpdm_tpu.serving_families import make_sdxl_ensemble_runner
             from tpdm_tpu.train.sdxl_agent import SDXLRefinerAgent
@@ -635,6 +657,7 @@ def build_family_world(args):
             agent, tpm_params, encode, decode,
             cache_interval=_accel_kwargs(args)[0],
             guidance_interval=_accel_kwargs(args)[1],
+            cache_tau=_cache_tau(args),
         ),
     )
 
@@ -659,10 +682,10 @@ def _maybe_few_step(world, args):
     if getattr(args, "refiner", False):
         raise SystemExit("--few_step is not supported with --refiner")
     ci, gi = _accel_kwargs(args)
-    if ci or gi is not None:
+    if ci or gi is not None or _cache_tau(args):
         raise SystemExit(
             "--few_step replaces the sampler entirely; drop "
-            "--cache_interval/--guidance_interval"
+            "--cache_interval/--guidance_interval/--cache_tau"
         )
     from tpdm_tpu.serving_families import make_few_step_runner
 
@@ -682,7 +705,7 @@ def build_family_runner(args):
 
 
 def generate(pipe, tokenize, prompt, seed, max_steps,
-             cache_interval=0, guidance_interval=None):
+             cache_interval=0, guidance_interval=None, cache_tau=0.0):
     import numpy as np
 
     clip_ids, t5_ids = tokenize(prompt)
@@ -696,6 +719,7 @@ def generate(pipe, tokenize, prompt, seed, max_steps,
         max_inference_steps=max_steps,
         cache_interval=cache_interval,
         guidance_interval=guidance_interval,
+        cache_tau=cache_tau,
     )
     return res
 
@@ -810,6 +834,14 @@ def main():
                         "sd3/flux, DeepCache for sd15/sdxl; approximate — "
                         "docs/PERF.md measured 2.14x on SD3). Fixed-batch "
                         "runners + --cli only")
+    p.add_argument("--cache_tau", type=float, default=0.0,
+                   help="input-aware (TeaCache-class) block caching: "
+                        "accumulate the per-step relative latent change "
+                        "on device and refresh the deep blocks only once "
+                        "it exceeds tau (full forwards land where the "
+                        "trajectory turns instead of on a fixed grid). "
+                        "All families; mutually exclusive with "
+                        "--cache_interval; fixed-batch engines only")
     p.add_argument("--guidance_interval", default=None,
                    help="'lo,hi': apply CFG only inside the noise window "
                         "(sigma units for sd3, integer-t for sd15/sdxl; "
@@ -873,7 +905,7 @@ def main():
         ci, gi = _accel_kwargs(args)
         res = generate(pipe, tokenize, args.prompt, args.seed,
                        args.max_steps, cache_interval=ci,
-                       guidance_interval=gi)
+                       guidance_interval=gi, cache_tau=_cache_tau(args))
         Image.fromarray(res.images[0]).save(args.out)
         nfe = int(res.last_valid_index[0]) + 1
         print(f"saved {args.out}; inference steps: {nfe} / cap {args.max_steps}")
@@ -1077,6 +1109,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             vae_scale_factor=_pipe_vae_scale_factor(pipe),
             cache_interval=ci,
             guidance_interval=gi,
+            cache_tau=_cache_tau(args),
         )
 
     # multi-tenant adapters (--lora NAME=PATH): SD3 engines (merged

@@ -241,6 +241,121 @@ class TestCachedSamplers:
             rtol=1e-3, atol=5e-3,
         )
 
+    def _vel_pair(self, toy, b):
+        cfg, model, params, _ = toy
+        pe, pp, lat = _cfg_io(toy, b)
+        mode_apply = lambda mode: (
+            lambda l, t, pe_, pp_, d: model.apply(
+                params, l, t, pe_, pp_, delta=d, cache_mode=mode
+            )
+        )
+        apply = lambda *a: model.apply(params, *a)
+        vfn = make_cfg_velocity_fn(apply, pe, pp, 4.0)
+        full_fn, reuse_fn = make_cfg_velocity_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), pe, pp, 4.0
+        )
+        n_img = (cfg.sample_size // cfg.patch_size) ** 2
+        delta0 = jnp.zeros((2 * b, n_img, cfg.inner_dim), cfg.dtype)
+        return vfn, full_fn, reuse_fn, lat, delta0
+
+    def test_autocached_tau_semantics(self, toy):
+        """Input-aware (TeaCache-class) policy over the same full/reuse
+        pair: tau=0 refreshes every step (== exact to cross-program
+        tolerance), a huge tau refreshes only step 0, and the number of
+        full forwards is MONOTONE non-increasing in tau."""
+        from tpdm_tpu.pipeline.sampler import fixed_schedule_sample_autocached
+
+        vfn, full_fn, reuse_fn, lat, delta0 = self._vel_pair(toy, 2)
+        sig = uniform_flow_sigmas(6)
+        exact = fixed_schedule_sample(vfn, lat, sig)
+
+        run = jax.jit(
+            fixed_schedule_sample_autocached, static_argnums=(0, 1)
+        )
+        out0, n0 = run(full_fn, reuse_fn, lat, sig, delta0, 0.0)
+        assert int(n0) == 6  # the trajectory moves every step
+        np.testing.assert_allclose(
+            np.asarray(exact), np.asarray(out0), rtol=1e-3, atol=1e-4
+        )
+
+        out_inf, n_inf = run(full_fn, reuse_fn, lat, sig, delta0, 1e9)
+        assert int(n_inf) == 1  # only the mandatory step-0 refresh
+        assert np.isfinite(np.asarray(out_inf)).all()
+
+        counts = []
+        for tau in (0.0, 0.05, 0.2, 1.0, 1e9):
+            _, n = run(full_fn, reuse_fn, lat, sig, delta0, tau)
+            counts.append(int(n))
+        assert counts == sorted(counts, reverse=True), counts
+        # a mid tau actually lands strictly between the extremes
+        assert any(1 < c < 6 for c in counts), counts
+
+    def test_adaptive_sampler_tau_policy(self, toy):
+        """adaptive_sample with CachedDenoise.tau: tau=0 matches the
+        uncached adaptive loop (every step refreshes); a huge tau still
+        produces finite latents and identical step decisions (the TPM
+        consumes h/temb from the full/reuse outputs either way)."""
+        cfg, model, params, _ = toy
+        b = 2
+        pe, pp, lat = _cfg_io(toy, b)
+        grid = cfg.sample_size // cfg.patch_size
+        tpm = TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg.inner_dim,
+            temb_dim=cfg.inner_dim,
+        )
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(5),
+            jnp.zeros((b, 2 * cfg.inner_dim, grid, grid)),
+            jnp.zeros((b, cfg.inner_dim)),
+        )
+        tpm_fn = lambda h, t: tpm.apply(tpm_params, h, t)
+        apply = lambda *a: model.apply(params, *a)
+        mode_apply = lambda mode: (
+            lambda l, t, pe_, pp_, d: model.apply(
+                params, l, t, pe_, pp_, delta=d, cache_mode=mode
+            )
+        )
+        dfn = make_cfg_denoise_fn(apply, pe, pp, 4.0, grid)
+        full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+            mode_apply("record"), mode_apply("reuse"), pe, pp, 4.0, grid
+        )
+        scfg = SamplerConfig(
+            max_inference_steps=4, min_sigma=0.01, cache_activations=False
+        )
+        key = jax.random.PRNGKey(11)
+        base = jax.jit(adaptive_sample, static_argnums=(0, 1, 4))(
+            dfn, tpm_fn, lat, key, scfg
+        )
+        delta0 = jnp.zeros((2 * b, grid * grid, cfg.inner_dim), cfg.dtype)
+
+        def run_tau(tau):
+            cached = CachedDenoise(
+                full_fn, reuse_fn, delta0, jnp.zeros((4,), bool), tau=tau
+            )
+            return jax.jit(
+                lambda lat_, key_: adaptive_sample(
+                    None, tpm_fn, lat_, key_, scfg, cached=cached
+                )
+            )(lat, key)
+
+        fast0 = run_tau(0.0)
+        np.testing.assert_array_equal(
+            np.asarray(base.prob_masks), np.asarray(fast0.prob_masks)
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.final_latents),
+            np.asarray(fast0.final_latents),
+            rtol=1e-3, atol=1e-4,
+        )
+
+        lazy = run_tau(1e9)  # only step 0 full — approximate but finite
+        assert np.isfinite(np.asarray(lazy.final_latents)).all()
+        diff = float(
+            jnp.abs(lazy.final_latents - base.final_latents).mean()
+        )
+        assert diff > 0.0  # it really is the approximate path
+
     def test_cache_reuse_schedule(self):
         assert not cache_reuse_schedule(5, 0).any()
         assert not cache_reuse_schedule(5, 1).any()
@@ -355,6 +470,25 @@ class TestUNetDeepCache:
         assert np.isfinite(np.asarray(fast.final_latents)).all()
         d = float(jnp.abs(exact.final_latents - fast.final_latents).mean())
         assert d < float(jnp.abs(exact.final_latents).mean()) * 2.0
+        # input-aware policy through the same agent surface: tau=0 ==
+        # refresh-every-step (matches exact to cross-program tolerance),
+        # large tau finite + actually approximate
+        tau0 = agent.sample(
+            tpm_params, batch, key,
+            sampler_cfg=_dc.replace(base_cfg, cache_tau=1e-12),
+        )
+        np.testing.assert_allclose(
+            np.asarray(exact.final_latents), np.asarray(tau0.final_latents),
+            rtol=1e-3, atol=1e-4,
+        )
+        lazy = agent.sample(
+            tpm_params, batch, key,
+            sampler_cfg=_dc.replace(base_cfg, cache_tau=1e9),
+        )
+        assert np.isfinite(np.asarray(lazy.final_latents)).all()
+        assert float(
+            jnp.abs(lazy.final_latents - exact.final_latents).mean()
+        ) > 0.0
 
     def test_sdxl_agent_cached_sampling(self):
         from tpdm_tpu.models.unet_sd15 import UNetConfig
@@ -448,6 +582,46 @@ class TestPipelineIntegration:
             decode=False, cache_interval=2,
         )
         np.testing.assert_array_equal(fast.images, again.images)
+
+    def test_generate_cache_tau(self, toy, pipe):
+        """Input-aware caching through the public pipeline API: runs,
+        deterministic per seed, composes with guidance_interval, and the
+        fixed-schedule/tau combination is rejected."""
+        em = self._embeds(toy, 2)
+        fast = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, cache_tau=0.05,
+        )
+        assert np.isfinite(fast.images).all()
+        again = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, cache_tau=0.05,
+        )
+        np.testing.assert_array_equal(fast.images, again.images)
+        # composes with the guidance interval (the composed combinator is
+        # schedule-agnostic)
+        both = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, cache_tau=0.05, guidance_interval=(0.2, 0.9),
+        )
+        assert np.isfinite(both.images).all()
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            pipe.generate(
+                **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+                decode=False, cache_tau=0.05, cache_interval=2,
+            )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            pipe.generate_fixed(
+                **em, num_steps=5, guidance_scale=3.0, seed=0,
+                cache_tau=0.05, cache_interval=2,
+            )
+
+    def test_generate_fixed_cache_tau(self, toy, pipe):
+        em = self._embeds(toy, 2)
+        out = pipe.generate_fixed(
+            **em, num_steps=5, guidance_scale=3.0, seed=0, cache_tau=0.05,
+        )
+        assert np.isfinite(np.asarray(out)).all()
 
     def test_flux_cache_modes_and_agent(self):
         """FLUX mirror of the MMDiT invariants: record == normal forward,

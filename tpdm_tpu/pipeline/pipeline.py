@@ -189,10 +189,13 @@ class TPDMPipeline:
                         p,
                     )
                 cached = None
-                if scfg.cache_interval >= 2:
+                if scfg.cache_interval >= 2 or scfg.cache_tau > 0:
                     # Δ-DiT-style residual caching: reuse the back-block
                     # residual between refresh steps (approximate; see
-                    # SamplerConfig.cache_interval).
+                    # SamplerConfig.cache_interval). cache_tau > 0 swaps
+                    # the fixed schedule for the input-aware on-device
+                    # policy (SamplerConfig.cache_tau) over the SAME
+                    # full/reuse pair.
                     from tpdm_tpu.pipeline.denoise import (
                         make_cfg_denoise_cached_fns,
                     )
@@ -236,6 +239,7 @@ class TPDMPipeline:
                         cache_reuse_schedule(
                             scfg.max_inference_steps, scfg.cache_interval
                         ),
+                        tau=scfg.cache_tau if scfg.cache_tau > 0 else None,
                     )
                 project_fn = None
                 if proj is not None:
@@ -313,6 +317,7 @@ class TPDMPipeline:
         init_sigma: Optional[jax.Array] = None,
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
+        cache_tau: float = 0.0,
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -487,6 +492,11 @@ class TPDMPipeline:
             guidance_interval = (
                 float(guidance_interval[0]), float(guidance_interval[1])
             )
+        if cache_tau and cache_interval >= 2:
+            raise ValueError(
+                "cache_tau (input-aware policy) and cache_interval (fixed "
+                "schedule) are mutually exclusive — pick one reuse policy"
+            )
         scfg = SamplerConfig(
             max_inference_steps=max_inference_steps,
             min_sigma=self.min_sigma,
@@ -497,6 +507,7 @@ class TPDMPipeline:
             keep_history=return_full_process_images,
             cache_interval=cache_interval,
             guidance_interval=guidance_interval,
+            cache_tau=cache_tau,
         )
         out, decoded = self._run(
             key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,
@@ -544,6 +555,7 @@ class TPDMPipeline:
         latents=None,
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
+        cache_tau: float = 0.0,
     ) -> np.ndarray:
         """Fixed-schedule baseline generation (no TPM) — the comparison
         point for the adaptive sampler.
@@ -551,8 +563,16 @@ class TPDMPipeline:
         ``cache_interval`` >= 2 enables Δ-DiT-style residual caching (see
         :meth:`generate`); 0/1 runs the exact baseline. ``guidance_interval``
         = (lo, hi) applies CFG only while sigma is inside the window
-        (single-batch conditional-only forwards outside it)."""
+        (single-batch conditional-only forwards outside it). ``cache_tau``
+        > 0 swaps the fixed reuse schedule for the input-aware on-device
+        policy (see SamplerConfig.cache_tau) — mutually exclusive with
+        ``cache_interval``."""
         b = prompt_embeds.shape[0]
+        if cache_tau and cache_interval >= 2:
+            raise ValueError(
+                "cache_tau (input-aware policy) and cache_interval (fixed "
+                "schedule) are mutually exclusive — pick one reuse policy"
+            )
         if guidance_interval is not None:
             if guidance_scale is None:
                 raise ValueError(
@@ -582,16 +602,17 @@ class TPDMPipeline:
                 mcfg.dtype,
             )
         sig = ("fixed", guidance_scale, num_steps, cache_interval,
-               guidance_interval)
+               guidance_interval, cache_tau)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, vae_params, latents, pe, pp):
-                if cache_interval >= 2:
+                if cache_interval >= 2 or cache_tau > 0:
                     from tpdm_tpu.pipeline.denoise import (
                         make_cfg_velocity_cached_fns,
                     )
                     from tpdm_tpu.pipeline.sampler import (
                         cache_reuse_schedule,
+                        fixed_schedule_sample_autocached,
                         fixed_schedule_sample_cached,
                     )
 
@@ -630,12 +651,19 @@ class TPDMPipeline:
                             mode_apply("record"), mode_apply("reuse"),
                             pe, pp, guidance_scale,
                         )
-                    final = fixed_schedule_sample_cached(
-                        full_fn, reuse_fn, latents,
-                        uniform_flow_sigmas(num_steps),
-                        init_delta,
-                        cache_reuse_schedule(num_steps, cache_interval),
-                    )
+                    if cache_tau > 0:
+                        final, _ = fixed_schedule_sample_autocached(
+                            full_fn, reuse_fn, latents,
+                            uniform_flow_sigmas(num_steps),
+                            init_delta, cache_tau,
+                        )
+                    else:
+                        final = fixed_schedule_sample_cached(
+                            full_fn, reuse_fn, latents,
+                            uniform_flow_sigmas(num_steps),
+                            init_delta,
+                            cache_reuse_schedule(num_steps, cache_interval),
+                        )
                 elif guidance_interval is not None:
                     from tpdm_tpu.pipeline.denoise import (
                         make_cfg_interval_velocity_fn,

@@ -78,6 +78,14 @@ class SamplerConfig:
     # reuses it in between (step 0 is always a full forward). Approximate —
     # the reference has no analogue; see MMDiTConfig.cache_front_blocks.
     cache_interval: int = 0
+    # Input-aware residual caching (TeaCache-class, arXiv 2411.19108's
+    # idea re-done TPU-first): 0.0 = off; > 0 replaces the FIXED reuse
+    # schedule with an on-device policy — accumulate the batch-mean
+    # relative L1 change of the latents per step and refresh the cache
+    # (full forward) only once the accumulator exceeds the threshold.
+    # Full steps land where the trajectory actually turns instead of on a
+    # fixed grid. Mutually exclusive with cache_interval.
+    cache_tau: float = 0.0
     # CFG only while sigma is in [lo, hi) (Kynkäänniemi et al. 2024):
     # None = guide every step (reference behavior). Outside the window the
     # per-sample weight collapses to 1.0 (conditional-only) and, once the
@@ -92,12 +100,31 @@ class CachedDenoise(NamedTuple):
     h_combined, delta)`` with identical output structure (the lax.cond
     contract); ``reuse_steps[t]`` True means step t reuses the cached Δ.
     Build via pipeline.denoise.make_cfg_denoise_cached_fns.
+
+    ``tau``: optional input-aware policy (SamplerConfig.cache_tau). When
+    set, ``reuse_steps`` is ignored: the loop carries an accumulator of
+    the batch-mean relative L1 latent change and reuses the cache while
+    it stays <= tau (step 0 is always full; a full step resets the
+    accumulator). The decision is a traced SCALAR boolean — one lax.cond
+    per step, no dynamic shapes, XLA-friendly.
     """
 
     full_fn: Callable
     reuse_fn: Callable
     init_delta: jax.Array
-    reuse_steps: jax.Array  # (T,) bool
+    reuse_steps: jax.Array  # (T,) bool (ignored when tau is set)
+    tau: Optional[float] = None
+
+
+def _latent_rel_change(lat, prev):
+    """Batch-mean relative L1 change |x_t − x_{t−1}|₁ / |x_{t−1}|₁ —
+    the input-aware cache policy's per-step signal (computed in fp32 on
+    arrays already in loop state: zero extra model FLOPs)."""
+    lat32 = lat.astype(jnp.float32)
+    prev32 = prev.astype(jnp.float32)
+    return jnp.mean(jnp.abs(lat32 - prev32)) / (
+        jnp.mean(jnp.abs(prev32)) + 1e-8
+    )
 
 
 def cache_reuse_schedule(T: int, interval: int) -> jnp.ndarray:
@@ -250,6 +277,11 @@ def adaptive_sample(
     }
     if cached is not None:
         state["delta"] = cached.init_delta
+        if cached.tau is not None:
+            # input-aware policy state: change accumulator + previous
+            # latents (the signal's reference point)
+            state["cache_acc"] = jnp.zeros((), jnp.float32)
+            state["cache_prev"] = init_latents
 
     def cond(s):
         return (s["step"] < T) & ~s["all_done"]
@@ -257,8 +289,15 @@ def adaptive_sample(
     def body(s):
         step, sigma, latents = s["step"], s["sigma"], s["latents"]
         if cached is not None:
+            if cached.tau is not None:
+                acc = s["cache_acc"] + _latent_rel_change(
+                    latents, s["cache_prev"]
+                )
+                reuse_now = (step > 0) & (acc <= cached.tau)
+            else:
+                reuse_now = cached.reuse_steps[step]
             velocity, temb, h_comb, new_delta = jax.lax.cond(
-                cached.reuse_steps[step],
+                reuse_now,
                 cached.reuse_fn,
                 cached.full_fn,
                 latents,
@@ -309,6 +348,11 @@ def adaptive_sample(
         )
         if cached is not None:
             out["delta"] = new_delta
+            if cached.tau is not None:
+                # a full step resets the accumulator; a reuse step keeps
+                # integrating from the same reference point
+                out["cache_acc"] = jnp.where(reuse_now, acc, 0.0)
+                out["cache_prev"] = latents
         if cfg.cache_activations:
             h_w, t_w = (
                 (host_put(h_comb), host_put(temb)) if host_put else (h_comb, temb)
@@ -462,3 +506,59 @@ def fixed_schedule_sample_cached(
         step_fn, (init_latents, init_delta), jnp.arange(sigmas.shape[0])
     )
     return out
+
+
+def fixed_schedule_sample_autocached(
+    full_fn: Callable,  # (latents, sigma, delta) -> (velocity, delta)
+    reuse_fn: Callable,
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+    init_delta: jax.Array,
+    tau: float,
+):
+    """Input-aware Δ-accelerated fixed-schedule sampler (TeaCache-class).
+
+    Same ladder as :func:`fixed_schedule_sample_cached`, but the reuse
+    decision is made ON DEVICE per step: accumulate the batch-mean
+    relative L1 latent change since the last full forward and refresh the
+    cache once it exceeds ``tau`` (step 0 always full). Full steps land
+    where the trajectory turns fastest — early high-sigma steps — instead
+    of on a fixed grid; tau=0 degenerates to the exact uncached sampler.
+
+    Returns ``(final_latents, n_full)`` where ``n_full`` is the number of
+    full forwards actually taken (the NFE-equivalent for cost accounting).
+    """
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(carry, i):
+        latents, delta, acc, prev, n_full = carry
+        acc = acc + _latent_rel_change(latents, prev)
+        reuse_now = (i > 0) & (acc <= tau)
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        velocity, delta = jax.lax.cond(
+            reuse_now, reuse_fn, full_fn,
+            latents, s.astype(latents.dtype), delta,
+        )
+        nxt = flow_euler_step(velocity, s_next, s, latents)
+        return (
+            nxt,
+            delta,
+            jnp.where(reuse_now, acc, 0.0),
+            latents,
+            n_full + jnp.where(reuse_now, 0, 1),
+        ), None
+
+    (out, _, _, _, n_full), _ = jax.lax.scan(
+        step_fn,
+        (
+            init_latents,
+            init_delta,
+            jnp.zeros((), jnp.float32),
+            init_latents,
+            jnp.zeros((), jnp.int32),
+        ),
+        jnp.arange(sigmas.shape[0]),
+    )
+    return out, n_full

@@ -59,6 +59,11 @@ class SD15SamplerConfig:
     # every N steps and reuses it in between (step 0 always full). See
     # UNetConfig.cache_shallow_levels.
     cache_interval: int = 0
+    # Input-aware reuse policy (TeaCache-class; see the SD3-side
+    # SamplerConfig.cache_tau): > 0 replaces the fixed schedule with the
+    # on-device accumulated-latent-change policy over the same full/reuse
+    # pair. Mutually exclusive with cache_interval.
+    cache_tau: float = 0.0
     # CFG only while the integer timestep t is in [lo, hi) (Kynkäänniemi
     # et al. 2024, t-units for this family): None = guide every step.
     # Outside the window the per-sample weight collapses to 1.0
@@ -168,6 +173,9 @@ def sd15_adaptive_sample(
     }
     if cached is not None:
         state["cache"] = cached.init_delta
+        if cached.tau is not None:
+            state["cache_acc"] = jnp.zeros((), jnp.float32)
+            state["cache_prev"] = init_latents
 
     def cond(s):
         return (s["step"] < T) & ~s["all_done"]
@@ -175,8 +183,19 @@ def sd15_adaptive_sample(
     def body(s):
         step, t, latents = s["step"], s["t"], s["latents"]
         if cached is not None:
+            if cached.tau is not None:
+                # input-aware policy (SamplerConfig.cache_tau semantics):
+                # accumulate relative latent change; refresh on overflow
+                from tpdm_tpu.pipeline.sampler import _latent_rel_change
+
+                acc = s["cache_acc"] + _latent_rel_change(
+                    latents, s["cache_prev"]
+                )
+                reuse_now = (step > 0) & (acc <= cached.tau)
+            else:
+                reuse_now = cached.reuse_steps[step]
             eps_pred, temb, h_comb, new_cache = jax.lax.cond(
-                cached.reuse_steps[step],
+                reuse_now,
                 cached.reuse_fn,
                 cached.full_fn,
                 latents,
@@ -259,6 +278,9 @@ def sd15_adaptive_sample(
         )
         if cached is not None:
             out["cache"] = new_cache
+            if cached.tau is not None:
+                out["cache_acc"] = jnp.where(reuse_now, acc, 0.0)
+                out["cache_prev"] = latents
         if cfg.cache_activations:
             out["h_cache"] = s["h_cache"].at[step].set(h_comb)
             out["temb_cache"] = s["temb_cache"].at[step].set(temb)

@@ -104,6 +104,7 @@ class SD15Pipeline:
         strength: float = 0.6,
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
+        cache_tau: float = 0.0,
     ) -> VariantResult:
         """``guidance_interval`` = (t_lo, t_hi) applies CFG only while the
         integer timestep is inside the window (single-batch conditional
@@ -157,7 +158,7 @@ class SD15Pipeline:
         out = self.agent.sample(
             tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
             sampler_cfg=_cached_scfg(
-                self.agent, cache_interval, guidance_interval
+                self.agent, cache_interval, guidance_interval, cache_tau
             ),
         )
         if self._decode is not None:
@@ -172,9 +173,17 @@ class SD15Pipeline:
         )
 
 
-def _cached_scfg(agent, cache_interval: int, guidance_interval=None):
+def _cached_scfg(agent, cache_interval: int, guidance_interval=None,
+                 cache_tau: float = 0.0):
     """predict-mode sampler config with the acceleration knobs set, or
-    None (= the agent's default) when neither is on."""
+    None (= the agent's default) when none is on. ``cache_tau`` > 0 is
+    the input-aware reuse policy (mutually exclusive with
+    ``cache_interval``)."""
+    if cache_tau and cache_interval >= 2:
+        raise ValueError(
+            "cache_tau (input-aware policy) and cache_interval (fixed "
+            "schedule) are mutually exclusive"
+        )
     if guidance_interval is not None:
         # cache_interval >= 2 composes (the agents build the combined
         # DeepCache × interval denoise pair)
@@ -187,13 +196,14 @@ def _cached_scfg(agent, cache_interval: int, guidance_interval=None):
         guidance_interval = (
             float(guidance_interval[0]), float(guidance_interval[1])
         )
-    if cache_interval < 2 and guidance_interval is None:
+    if cache_interval < 2 and guidance_interval is None and not cache_tau:
         return None
     import dataclasses as _dc
 
     return _dc.replace(
         agent.sampler_cfg, predict=True, cache_activations=False,
         cache_interval=cache_interval, guidance_interval=guidance_interval,
+        cache_tau=cache_tau,
     )
 
 
@@ -304,6 +314,7 @@ class SDXLPipeline:
         strength: float = 0.6,
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
+        cache_tau: float = 0.0,
     ) -> VariantResult:
         """Pass either precomputed (prompt_embeds, pooled_prompt_embeds)
         [+ negatives under CFG] or token ids for the bundled dual-CLIP
@@ -329,7 +340,7 @@ class SDXLPipeline:
         out = self.agent.sample(
             tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
             sampler_cfg=_cached_scfg(
-                self.agent, cache_interval, guidance_interval
+                self.agent, cache_interval, guidance_interval, cache_tau
             ),
         )
         return self._decode_result(out)

@@ -271,16 +271,22 @@ class BatchingEngine:
         vae_scale_factor: int = 8,
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
+        cache_tau: float = 0.0,
     ):
         import collections
 
         if runner is not None and resolutions:
             raise ValueError("per-request resolutions are SD3-pipeline-only")
-        if runner is not None and (cache_interval or guidance_interval):
+        if runner is not None and (cache_interval or guidance_interval or cache_tau):
             raise ValueError(
                 "cache_interval/guidance_interval on the engine apply to "
                 "the SD3 pipeline path; family runners take them at "
                 "construction (serving_families.make_*_runner)"
+            )
+        if cache_tau and cache_interval:
+            raise ValueError(
+                "cache_tau (input-aware policy) and cache_interval (fixed "
+                "schedule) are mutually exclusive"
             )
         # cache_interval >= 2 composes with guidance_interval (the pipeline
         # builds the combined Δ-cache × interval denoise pair)
@@ -313,6 +319,7 @@ class BatchingEngine:
         self.guidance_scale = guidance_scale
         self.cache_interval = cache_interval
         self.guidance_interval = guidance_interval
+        self.cache_tau = cache_tau
         self.split_stages = split_stages
         self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
             maxsize=queue_limit if queue_limit is not None else 8 * max_batch
@@ -763,6 +770,7 @@ class BatchingEngine:
             init_sigma=init_sigma,
             cache_interval=self.cache_interval,
             guidance_interval=self.guidance_interval,
+            cache_tau=self.cache_tau,
         )
         if embeds is not None:
             res = self.pipe.generate(

@@ -36,10 +36,18 @@ def _per_seed_latents(agent, seeds):
     return jnp.concatenate(rows, axis=0)
 
 
-def _accel_scfg(agent, cache_interval: int, guidance_interval):
+def _accel_scfg(agent, cache_interval: int, guidance_interval,
+                cache_tau: float = 0.0):
     """Serving-side acceleration config: predict-mode sampler config with
     the knobs set, or None (= the agent's default). Same validation as
-    pipeline.variants._cached_scfg."""
+    pipeline.variants._cached_scfg. ``cache_tau`` > 0 swaps the fixed
+    reuse schedule for the input-aware policy (mutually exclusive with
+    ``cache_interval``)."""
+    if cache_tau and cache_interval >= 2:
+        raise ValueError(
+            "cache_tau (input-aware policy) and cache_interval (fixed "
+            "schedule) are mutually exclusive"
+        )
     if guidance_interval is not None:
         # cache_interval >= 2 composes (the agents build the combined
         # DeepCache × interval denoise pair)
@@ -52,13 +60,14 @@ def _accel_scfg(agent, cache_interval: int, guidance_interval):
         guidance_interval = (
             float(guidance_interval[0]), float(guidance_interval[1])
         )
-    if cache_interval < 2 and guidance_interval is None:
+    if cache_interval < 2 and guidance_interval is None and not cache_tau:
         return None
     import dataclasses as _dc
 
     return _dc.replace(
         agent.sampler_cfg, predict=True, cache_activations=False,
         cache_interval=cache_interval, guidance_interval=guidance_interval,
+        cache_tau=cache_tau,
     )
 
 
@@ -69,6 +78,7 @@ def make_sd15_runner(
     decode: Optional[Callable] = None,
     cache_interval: int = 0,
     guidance_interval=None,
+    cache_tau: float = 0.0,
 ) -> Callable:
     """Serving runner for the SD1.5 family (integer-t DPM-Solver++ loop).
 
@@ -89,7 +99,8 @@ def make_sd15_runner(
     """
     import jax
 
-    scfg = _accel_scfg(agent, cache_interval, guidance_interval)
+    scfg = _accel_scfg(agent, cache_interval, guidance_interval,
+                       cache_tau)
 
     def runner(prompts, seeds, caps):
         pe, npe = encode(prompts)
@@ -136,6 +147,7 @@ def make_sdxl_runner(
     decode: Optional[Callable] = None,
     cache_interval: int = 0,
     guidance_interval=None,
+    cache_tau: float = 0.0,
 ) -> Callable:
     """Serving runner for the SDXL family (integer-t DPM-Solver++ loop,
     dual-CLIP conditioning + pooled bigG + text_time ids).
@@ -154,7 +166,8 @@ def make_sdxl_runner(
     """
     import jax
 
-    scfg = _accel_scfg(agent, cache_interval, guidance_interval)
+    scfg = _accel_scfg(agent, cache_interval, guidance_interval,
+                       cache_tau)
 
     def runner(prompts, seeds, caps):
         pe, pooled, npe, npooled = encode(prompts)
@@ -324,6 +337,7 @@ def make_flux_runner(
     decode: Optional[Callable] = None,
     cache_interval: int = 0,
     guidance_interval=None,
+    cache_tau: float = 0.0,
 ) -> Callable:
     """Serving runner for the FLUX family (packed tokens, embedded
     guidance, no CFG batch-doubling).
@@ -347,13 +361,18 @@ def make_flux_runner(
             "guidance_interval does not apply to FLUX (embedded guidance, "
             "no CFG batch-doubling)"
         )
+    if cache_tau and cache_interval >= 2:
+        raise ValueError(
+            "cache_tau (input-aware policy) and cache_interval (fixed "
+            "schedule) are mutually exclusive"
+        )
     scfg = None
-    if cache_interval >= 2:
+    if cache_interval >= 2 or cache_tau > 0:
         import dataclasses as _dc
 
         scfg = _dc.replace(
             agent.sampler_cfg, predict=True, cache_activations=False,
-            cache_interval=cache_interval,
+            cache_interval=cache_interval, cache_tau=cache_tau,
         )
 
     def runner(prompts, seeds, caps):

@@ -206,7 +206,7 @@ class FluxAgent:
             (self.latent_size, self.latent_size),
         )
         cached = None
-        if scfg.cache_interval >= 2:
+        if scfg.cache_interval >= 2 or scfg.cache_tau > 0:
             # Δ-DiT-style residual caching (SamplerConfig.cache_interval);
             # serving-only — rollouts for RL keep exact forwards.
             from tpdm_tpu.pipeline.sampler import (
@@ -235,6 +235,7 @@ class FluxAgent:
                 cache_reuse_schedule(
                     scfg.max_inference_steps, scfg.cache_interval
                 ),
+                tau=scfg.cache_tau if scfg.cache_tau > 0 else None,
             )
             denoise_fn = None
         return adaptive_sample(

@@ -340,7 +340,7 @@ class SD15Agent:
                 self.guidance_scale,
             )
         cached = None
-        if scfg.cache_interval >= 2:
+        if scfg.cache_interval >= 2 or scfg.cache_tau > 0:
             cached = self._make_cached(unet_params, latents, prompt_embeds,
                                        scfg)
             denoise_fn = None
@@ -389,6 +389,7 @@ class SD15Agent:
         return CachedDenoise(
             full_fn, reuse_fn, init_cache,
             cache_reuse_schedule(scfg.num_inference_steps, scfg.cache_interval),
+            tau=scfg.cache_tau if scfg.cache_tau > 0 else None,
         )
 
     def sample(
