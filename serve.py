@@ -833,7 +833,9 @@ def main():
                         "steps and reuses it in between (Δ-DiT for "
                         "sd3/flux, DeepCache for sd15/sdxl; approximate — "
                         "docs/PERF.md measured 2.14x on SD3). Fixed-batch "
-                        "runners + --cli only")
+                        "runners, --cli, and the SD3 --continuous engine "
+                        "(per-segment cache: every segment starts with a "
+                        "fresh Δ so slot refills stay exact)")
     p.add_argument("--cache_tau", type=float, default=0.0,
                    help="input-aware (TeaCache-class) block caching: "
                         "accumulate the per-step relative latent change "
@@ -1009,9 +1011,10 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             if ci or gi is not None:
                 raise SystemExit(
                     "--cache_interval/--guidance_interval serve through "
-                    "the fixed-batch runners (the continuous engines' "
-                    "segment dispatch does not carry the cache/branch "
-                    "state yet) — drop --continuous"
+                    "the fixed-batch runners (the FAMILY continuous "
+                    "engines' segment loops do not carry the cache/branch "
+                    "state; the SD3 continuous engine supports "
+                    "--cache_interval) — drop --continuous"
                 )
             from tpdm_tpu.serving_continuous import (
                 ContinuousFluxEngine,
@@ -1058,6 +1061,12 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
         if isinstance(res_list, str):
             res_list = [int(x) for x in res_list.split(",") if x]
         if res_list:
+            _ci, _gi = _accel_kwargs(args)
+            if _gi is not None or _cache_tau(args):
+                raise SystemExit(
+                    "--guidance_interval/--cache_tau serve through the "
+                    "fixed-batch engine — drop --continuous"
+                )
             engine = MultiResContinuousRouter(
                 pipe,
                 tokenize,
@@ -1070,15 +1079,16 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 vae_scale_factor=_pipe_vae_scale_factor(pipe),
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
                 decode_batch=getattr(args, "decode_batch", 1) or 1,
+                cache_interval=_ci,
             )
         else:
             _ci, _gi = _accel_kwargs(args)
-            if _ci or _gi is not None:
+            if _gi is not None or _cache_tau(args):
                 raise SystemExit(
-                    "--cache_interval/--guidance_interval serve through "
-                    "the fixed-batch engine (the continuous engines' "
-                    "segment dispatch does not carry the cache/branch "
-                    "state yet) — drop --continuous"
+                    "--guidance_interval/--cache_tau serve through the "
+                    "fixed-batch engine (the continuous segment dispatch "
+                    "carries the per-SEGMENT Δ-cache only — use "
+                    "--cache_interval) — drop --continuous"
                 )
             engine = ContinuousBatchingEngine(
                 pipe,
@@ -1091,6 +1101,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 fused_lora=getattr(args, "lora_fused", False),
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
                 decode_batch=getattr(args, "decode_batch", 1) or 1,
+                cache_interval=_ci,
             )
     else:
         res_list = getattr(args, "resolutions", None)

@@ -90,6 +90,61 @@ class TestContinuousParity:
         assert got["inference_steps"] == ref["inference_steps"] <= 3
         np.testing.assert_array_equal(got["image"], ref["image"])
 
+    def test_segment_cache_seg1_is_exact(self, toy):
+        """Per-segment Δ-caching with seg_steps=1: every segment step has
+        index 0, so every forward is a full (record-mode) one — output
+        must match the uncached engine to the cross-program seam
+        tolerance. Pins that the cached segment program's step semantics
+        are identical."""
+        pipe, tokenize = toy
+        base = ContinuousBatchingEngine(pipe, tokenize, slots=2,
+                                        seg_steps=1, max_steps=5)
+        fast = ContinuousBatchingEngine(pipe, tokenize, slots=2,
+                                        seg_steps=1, max_steps=5,
+                                        cache_interval=2)
+        base.start(); fast.start()
+        try:
+            for prompt, seed in REQUESTS[:3]:
+                a = base.submit(prompt, seed=seed).result(timeout=600)
+                b = fast.submit(prompt, seed=seed).result(timeout=600)
+                assert a["inference_steps"] == b["inference_steps"]
+                diff = np.abs(a["image"].astype(np.int16)
+                              - b["image"].astype(np.int16))
+                assert diff.max() <= 1, diff.max()
+                assert (diff > 0).mean() < 0.01
+        finally:
+            base.stop(); fast.stop()
+
+    def test_segment_cache_mixed_traffic(self, toy):
+        """Approximate per-segment caching (seg_steps=3, interval=3):
+        mixed traffic completes, results are deterministic per (prompt,
+        seed) regardless of slot peers, and slot recycling stays correct.
+        Fresh Δ per segment means refilled slots never see a stale cache."""
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=3,
+                                       max_steps=6, cache_interval=3)
+        eng.start()
+        try:
+            first = [
+                (p, s, eng.submit(p, seed=s)) for p, s in REQUESTS
+            ]
+            got1 = {(p, s): r.result(timeout=600) for p, s, r in first}
+            # resubmit in a different order/mix: deterministic
+            second = [
+                (p, s, eng.submit(p, seed=s))
+                for p, s in reversed(REQUESTS)
+            ]
+            for p, s, r in second:
+                got = r.result(timeout=600)
+                np.testing.assert_array_equal(
+                    got["image"], got1[(p, s)]["image"]
+                )
+            for v in got1.values():
+                assert np.isfinite(v["sigmas"]).all()
+                assert 1 <= v["inference_steps"] <= 6
+        finally:
+            eng.stop()
+
     def test_one_compiled_shape_under_mixed_traffic(self, toy):
         """The segment jit must never recompile as slots churn."""
         pipe, tokenize = toy

@@ -188,9 +188,18 @@ class ContinuousBatchingEngine:
         fused_lora: bool = False,
         pipeline_depth: int = 1,
         decode_batch: int = 1,
+        cache_interval: int = 0,
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
+        if cache_interval == 1 or cache_interval < 0:
+            raise ValueError("cache_interval must be 0 (off) or >= 2")
+        if cache_interval and pipe is None:
+            # family engines' segment loops do not carry the cache pair yet
+            raise ValueError(
+                "cache_interval on the continuous engine is the SD3 "
+                "pipeline path"
+            )
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
         if decode_batch < 1:
@@ -229,6 +238,7 @@ class ContinuousBatchingEngine:
         self.tokenize = tokenize
         self.slots = slots
         self.seg_steps = seg_steps
+        self.cache_interval = cache_interval
         self.max_steps = max_steps
         self.guidance_scale = guidance_scale
         self.predict = predict
@@ -470,6 +480,7 @@ class ContinuousBatchingEngine:
         prediction_type = pipe.prediction_type
         max_steps = self.max_steps
         seg = self.seg_steps
+        cache_n = self.cache_interval
 
         # The serving uncond branch is always the empty prompt (zero ids,
         # matching BatchingEngine -> pipe.generate's zeros_like negatives):
@@ -559,27 +570,59 @@ class ContinuousBatchingEngine:
                     jnp.concatenate([ids, ids]) if gs is not None else ids
                 )
 
-                def apply_fn(*a):
+                def apply_fn(*a, **kw):
                     with nn.intercept_methods(
                         lora_interceptor(bank, row_ids)
                     ):
-                        return pipe.mmdit.apply(mmdit_params, *a)
+                        return pipe.mmdit.apply(mmdit_params, *a, **kw)
 
             else:
-                apply_fn = lambda *a: pipe.mmdit.apply(mmdit_params, *a)
-            denoise_fn = make_cfg_denoise_fn(
-                apply_fn,
-                pe_full,
-                pp_full,
-                st.gs if gs is not None else None,
-                token_grid,
-                mcfg.patch_size,
-            )
+                apply_fn = lambda *a, **kw: pipe.mmdit.apply(
+                    mmdit_params, *a, **kw
+                )
+            if cache_n:
+                # per-SEGMENT Δ-residual caching: every segment starts with
+                # a fresh cache (step i full when i % cache_n == 0, reuse
+                # otherwise), so newly refilled slots are refreshed at
+                # their first step and NO cache state crosses the segment
+                # boundary — the engine's slot machinery is untouched.
+                from tpdm_tpu.pipeline.denoise import (
+                    make_cfg_denoise_cached_fns,
+                )
+
+                mode_apply = lambda mode: (
+                    lambda l, t, pe_, pp_, d: apply_fn(
+                        l, t, pe_, pp_, delta=d, cache_mode=mode
+                    )
+                )
+                full_fn, reuse_fn = make_cfg_denoise_cached_fns(
+                    mode_apply("record"), mode_apply("reuse"),
+                    pe_full, pp_full,
+                    st.gs if gs is not None else None,
+                    token_grid, mcfg.patch_size,
+                )
+                denoise_fn = None
+            else:
+                denoise_fn = make_cfg_denoise_fn(
+                    apply_fn,
+                    pe_full,
+                    pp_full,
+                    st.gs if gs is not None else None,
+                    token_grid,
+                    mcfg.patch_size,
+                )
             tpm_fn = lambda h, t: pipe.tpm.apply(tpm_params, h, t)
 
-            def step(carry, _):
-                lat, sigma, steps, key = carry
-                vel, temb, h = denoise_fn(lat, sigma.astype(mcfg.dtype))
+            def step(carry, i):
+                if cache_n:
+                    lat, sigma, steps, key, delta = carry
+                    vel, temb, h, delta = jax.lax.cond(
+                        (i % cache_n) != 0, reuse_fn, full_fn,
+                        lat, sigma.astype(mcfg.dtype), delta,
+                    )
+                else:
+                    lat, sigma, steps, key = carry
+                    vel, temb, h = denoise_fn(lat, sigma.astype(mcfg.dtype))
                 raw = tpm_fn(h, temb).astype(jnp.float32)
                 alpha, beta = _raw_to_alpha_beta(raw, prediction_type)
                 key, sub = jax.random.split(key)
@@ -596,11 +639,29 @@ class ContinuousBatchingEngine:
                     bcast, lat, flow_euler_step(vel, sig_next, sigma, lat)
                 )
                 new_steps = steps + (~done).astype(jnp.int32)
+                if cache_n:
+                    return (new_lat, sig_next, new_steps, key, delta), sig_next
                 return (new_lat, sig_next, new_steps, key), sig_next
 
-            (lat, sigma, steps, key), trace = jax.lax.scan(
-                step, (st.latents, st.sigma, st.steps, st.key), None, length=seg
-            )
+            if cache_n:
+                init_delta = jnp.zeros(
+                    (
+                        st.latents.shape[0] * (2 if gs is not None else 1),
+                        token_grid * token_grid,
+                        mcfg.inner_dim,
+                    ),
+                    mcfg.dtype,
+                )
+                (lat, sigma, steps, key, _), trace = jax.lax.scan(
+                    step,
+                    (st.latents, st.sigma, st.steps, st.key, init_delta),
+                    jnp.arange(seg),
+                )
+            else:
+                (lat, sigma, steps, key), trace = jax.lax.scan(
+                    step, (st.latents, st.sigma, st.steps, st.key),
+                    jnp.arange(seg),
+                )
             return (
                 _SlotState(lat, sigma, steps, st.caps, st.pe, st.pp, key,
                            st.gs, st.neg_pe, st.neg_pp),
