@@ -1,0 +1,280 @@
+"""Second-order flow-ODE solvers (Heun / midpoint / Adams–Bashforth-2).
+
+The reference integrates the rectified-flow ODE with per-sample Euler only
+(src/models/model_utilis.py:52-74); these solvers are beyond-reference
+capability with crisply checkable numerics:
+
+- ORDER: on an analytic linear ODE the global error must shrink ~2x per
+  step-halving for Euler and ~4x for every second-order rule.
+- EXACTNESS: Heun/midpoint integrate an x-independent velocity linear in
+  sigma exactly (trapezoid/midpoint rules are exact on linear integrands).
+- DEGRADATION: AB2 with h_prev=0 (first step / stopped sample) must equal
+  the Euler step, per sample.
+- MODEL-LEVEL: on a toy MMDiT the second-order trajectories at T steps are
+  closer to a 256-step Euler ground truth than Euler at T steps — the
+  "same quality at fewer NFE" claim in miniature, with no pretrained
+  weights needed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
+from tpdm_tpu.ops.flow_euler import flow_euler_step
+from tpdm_tpu.ops.flow_solver import flow_ab2_step, flow_heun_combine
+from tpdm_tpu.ops.schedules import uniform_flow_sigmas
+from tpdm_tpu.pipeline.denoise import make_cfg_velocity_fn
+from tpdm_tpu.pipeline.pipeline import TPDMPipeline
+from tpdm_tpu.pipeline.sampler import (
+    FLOW_SOLVERS,
+    fixed_schedule_sample,
+    fixed_schedule_sample_solver,
+    solver_nfe,
+)
+
+
+def _ladder(T):
+    """Uniform descending ladder from 1.0 exclusive of the terminal zero
+    (the samplers append it), step 1/T."""
+    return jnp.linspace(1.0, 1.0 / T, T)
+
+
+def _run(solver, denoise_fn, x0, T):
+    return fixed_schedule_sample_solver(denoise_fn, x0, _ladder(T), solver)
+
+
+class TestConvergenceOrder:
+    """dx/dsigma = A·x from sigma=1 to 0 has exact solution
+    x(0) = x(1)·exp(-A); measure global error at T and 2T steps."""
+
+    A = 0.8
+
+    def _err(self, solver, T):
+        x0 = jnp.array([[1.0, -2.0], [0.5, 3.0]])
+        exact = x0 * np.exp(-self.A)
+        out = _run(solver, lambda x, s: self.A * x, x0, T)
+        return float(jnp.abs(out - exact).max())
+
+    def test_euler_first_order(self):
+        r = self._err("euler", 16) / self._err("euler", 32)
+        assert 1.7 < r < 2.3, r
+
+    @pytest.mark.parametrize("solver", ["heun", "midpoint", "ab2"])
+    def test_second_order(self, solver):
+        r = self._err(solver, 16) / self._err(solver, 32)
+        assert 3.3 < r < 4.7, (solver, r)
+
+    @pytest.mark.parametrize("solver", ["heun", "midpoint", "ab2"])
+    def test_beats_euler_at_matched_steps(self, solver):
+        assert self._err(solver, 16) < 0.25 * self._err("euler", 16)
+
+
+class TestExactness:
+    def test_heun_midpoint_exact_on_linear_velocity(self):
+        """v = a + b·sigma (x-independent): trapezoid and midpoint rules
+        integrate the linear integrand exactly at ANY step count. Heun's
+        terminal step to sigma=0 is deliberately Euler (no model eval at
+        zero noise), so the ladder ends at 1e-5 to keep that step's
+        contribution below tolerance; midpoint is exact regardless."""
+        a, b = 0.7, -1.3
+        x0 = jnp.array([[2.0]])
+        # integral of (a + b s) ds from 1 to 0 = -(a + b/2)
+        exact = float(x0[0, 0]) - (a + b / 2.0)
+        ladder = jnp.linspace(1.0, 1e-5, 4)
+        for solver in ("heun", "midpoint"):
+            out = fixed_schedule_sample_solver(
+                lambda x, s: a + b * s.reshape(-1, 1), x0, ladder, solver
+            )
+            np.testing.assert_allclose(float(out[0, 0]), exact, rtol=1e-5)
+
+    def test_ab2_first_step_is_euler_per_sample(self):
+        """h_prev = 0 must degrade AB2 to Euler for THAT sample only."""
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(k, (2, 3))
+        v = jax.random.normal(jax.random.PRNGKey(1), (2, 3))
+        v_prev = jax.random.normal(jax.random.PRNGKey(2), (2, 3))
+        sigma = jnp.array([0.8, 0.8])
+        sigma_prev = jnp.array([0.8, 0.9])  # sample 0: h_prev = 0
+        sigma_next = jnp.array([0.6, 0.6])
+        out = flow_ab2_step(v, v_prev, sigma_next, sigma, sigma_prev, x)
+        euler = flow_euler_step(v, sigma_next, sigma, x)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(euler[0]), rtol=1e-6
+        )
+        assert not np.allclose(np.asarray(out[1]), np.asarray(euler[1]))
+
+    def test_heun_combine_matches_formula(self):
+        x = jnp.ones((1, 2))
+        v0 = jnp.array([[1.0, 2.0]])
+        v1 = jnp.array([[3.0, 4.0]])
+        out = flow_heun_combine(
+            v0, v1, jnp.array([0.5]), jnp.array([1.0]), x
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(x - 0.5 * 0.5 * (v0 + v1)), rtol=1e-6
+        )
+
+    def test_nfe_accounting(self):
+        assert solver_nfe(14, "euler") == 14
+        assert solver_nfe(14, "ab2") == 14
+        assert solver_nfe(14, "heun") == 27
+        assert solver_nfe(14, "midpoint") == 28
+
+
+@pytest.fixture(scope="module")
+def toy_world():
+    cfg = MMDiTConfig.toy(num_layers=2)
+    model = MMDiT(cfg)
+    b, n_txt = 2, 9
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, cfg.in_channels, cfg.sample_size, cfg.sample_size),
+    )
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(1), (b, n_txt, cfg.joint_attention_dim)
+    )
+    pooled = jax.random.normal(
+        jax.random.PRNGKey(2), (b, cfg.pooled_projection_dim)
+    )
+    params = model.init(
+        jax.random.PRNGKey(3), latents, jnp.full((b,), 900.0), ctx, pooled
+    )
+    vfn = make_cfg_velocity_fn(
+        lambda *a: model.apply(params, *a), ctx, pooled, None
+    )
+    return cfg, model, params, latents, ctx, pooled, vfn
+
+
+class TestToyModelAccuracy:
+    """A RANDOM-weight MMDiT is arbitrarily rough along sigma (the
+    sinusoidal time embedding feeds untrained AdaLN weights, so the
+    velocity oscillates between ladder steps and no solver order is
+    visible at realistic step counts — measured: all four solvers within
+    ±10% of each other on the raw toy field). A trained backbone is
+    smooth in t by construction; to test the property without pretrained
+    weights, freeze the timestep so the field is the network's smooth
+    x-dependence only — there the second-order rules must win big."""
+
+    def test_second_order_beats_euler_on_smooth_field(self, toy_world):
+        _, model, params, latents, ctx, pooled, _ = toy_world
+        vfn = lambda x, s: model.apply(
+            params, x, jnp.full((x.shape[0],), 500.0), ctx, pooled
+        )[0]
+        truth = np.asarray(
+            jax.jit(lambda l: fixed_schedule_sample(vfn, l, _ladder(256)))(
+                latents
+            )
+        )
+
+        def err(solver, T):
+            out = jax.jit(
+                lambda l: fixed_schedule_sample_solver(
+                    vfn, l, _ladder(T), solver
+                )
+            )(latents)
+            return float(np.abs(np.asarray(out) - truth).mean())
+
+        e_euler = err("euler", 8)
+        # Measured on this fixture: euler 0.0496, ab2 0.0063, heun 0.0040,
+        # midpoint 0.0021 — each second-order rule is >2x closer (AB2 at
+        # the SAME model-eval count as Euler; heun/midpoint at 2x evals).
+        for solver in ("heun", "midpoint", "ab2"):
+            e2 = err(solver, 8)
+            assert e2 < 0.5 * e_euler, (solver, e2, e_euler)
+
+
+class TestPipelineIntegration:
+    @pytest.fixture(scope="class")
+    def pipe(self, toy_world):
+        cfg, model, params, *_ = toy_world
+        grid = cfg.sample_size // cfg.patch_size
+        tpm = TimePredictor(
+            conv_out_channels=4,
+            in_channels=2 * cfg.inner_dim,
+            temb_dim=cfg.inner_dim,
+            init_alpha=0.5,
+            init_beta=2.0,
+        )
+        tpm_params = tpm.init(
+            jax.random.PRNGKey(5),
+            jnp.zeros((1, 2 * cfg.inner_dim, grid, grid)),
+            jnp.zeros((1, cfg.inner_dim)),
+        )
+        return TPDMPipeline(
+            model, params, tpm, tpm_params, None, None, None, min_sigma=0.01
+        )
+
+    def _embeds(self, toy_world, b):
+        cfg = toy_world[0]
+        k = jax.random.PRNGKey
+        return dict(
+            prompt_embeds=jax.random.normal(
+                k(20), (b, 9, cfg.joint_attention_dim)
+            ),
+            pooled_prompt_embeds=jax.random.normal(
+                k(21), (b, cfg.pooled_projection_dim)
+            ),
+            negative_prompt_embeds=jax.random.normal(
+                k(22), (b, 9, cfg.joint_attention_dim)
+            ),
+            negative_pooled_prompt_embeds=jax.random.normal(
+                k(23), (b, cfg.pooled_projection_dim)
+            ),
+        )
+
+    @pytest.mark.parametrize("solver", ["heun", "ab2"])
+    def test_generate_fixed_solver(self, toy_world, pipe, solver):
+        em = self._embeds(toy_world, 2)
+        out = pipe.generate_fixed(
+            **em, num_steps=4, guidance_scale=3.0, seed=0, solver=solver
+        )
+        base = pipe.generate_fixed(
+            **em, num_steps=4, guidance_scale=3.0, seed=0
+        )
+        assert out.shape == base.shape
+        assert np.isfinite(out).all()
+        assert not np.allclose(out, base)  # a different integrator
+        again = pipe.generate_fixed(
+            **em, num_steps=4, guidance_scale=3.0, seed=0, solver=solver
+        )
+        np.testing.assert_array_equal(out, again)
+
+    def test_solver_composes_with_guidance_interval(self, toy_world, pipe):
+        em = self._embeds(toy_world, 2)
+        out = pipe.generate_fixed(
+            **em, num_steps=4, guidance_scale=3.0, seed=0, solver="heun",
+            guidance_interval=(0.25, 0.85),
+        )
+        assert np.isfinite(out).all()
+
+    def test_solver_rejects_cache_knobs(self, toy_world, pipe):
+        em = self._embeds(toy_world, 2)
+        with pytest.raises(ValueError, match="residual caching"):
+            pipe.generate_fixed(
+                **em, num_steps=4, guidance_scale=3.0, solver="heun",
+                cache_interval=2,
+            )
+        with pytest.raises(ValueError, match="residual caching"):
+            pipe.generate_fixed(
+                **em, num_steps=4, guidance_scale=3.0, solver="ab2",
+                cache_tau=0.05,
+            )
+        with pytest.raises(ValueError, match="unknown solver"):
+            pipe.generate_fixed(
+                **em, num_steps=4, guidance_scale=3.0, solver="rk7"
+            )
+
+    def test_euler_default_unchanged(self, toy_world, pipe):
+        """solver='euler' must be bit-identical to the pre-existing path
+        (same jit signature modulo the solver field)."""
+        em = self._embeds(toy_world, 2)
+        a = pipe.generate_fixed(**em, num_steps=4, guidance_scale=3.0, seed=0)
+        b = pipe.generate_fixed(
+            **em, num_steps=4, guidance_scale=3.0, seed=0, solver="euler"
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_all_solvers_listed(self):
+        assert set(FLOW_SOLVERS) == {"euler", "heun", "midpoint", "ab2"}

@@ -10,6 +10,7 @@ from tpdm_tpu.ops.beta import (
     mode_concentration_to_alpha_beta,
 )
 from tpdm_tpu.ops.flow_euler import flow_euler_step
+from tpdm_tpu.ops.flow_solver import flow_ab2_step, flow_heun_combine
 from tpdm_tpu.ops.schedules import get_ref_beta, uniform_flow_sigmas
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "beta_sample",
     "mode_concentration_to_alpha_beta",
     "flow_euler_step",
+    "flow_ab2_step",
+    "flow_heun_combine",
     "get_ref_beta",
     "uniform_flow_sigmas",
 ]

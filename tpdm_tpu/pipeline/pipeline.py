@@ -27,6 +27,7 @@ from tpdm_tpu.pipeline.sampler import (
     SamplerConfig,
     adaptive_sample,
     fixed_schedule_sample,
+    fixed_schedule_sample_solver,
 )
 from tpdm_tpu.ops.schedules import uniform_flow_sigmas
 from tpdm_tpu.utils.image import postprocess_images, preprocess_images
@@ -556,6 +557,7 @@ class TPDMPipeline:
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
         cache_tau: float = 0.0,
+        solver: str = "euler",
     ) -> np.ndarray:
         """Fixed-schedule baseline generation (no TPM) — the comparison
         point for the adaptive sampler.
@@ -566,8 +568,26 @@ class TPDMPipeline:
         (single-batch conditional-only forwards outside it). ``cache_tau``
         > 0 swaps the fixed reuse schedule for the input-aware on-device
         policy (see SamplerConfig.cache_tau) — mutually exclusive with
-        ``cache_interval``."""
+        ``cache_interval``. ``solver`` picks the ODE integrator
+        (pipeline/sampler.py FLOW_SOLVERS): "euler" (the reference's
+        first-order rule), "heun"/"midpoint" (second-order, 2 model evals
+        per step), or "ab2" (second-order at Euler cost via the previous
+        step's velocity); non-Euler solvers compose with
+        ``guidance_interval`` but not with the residual-cache knobs, whose
+        reuse accounting assumes one evaluation per ladder step."""
         b = prompt_embeds.shape[0]
+        from tpdm_tpu.pipeline.sampler import FLOW_SOLVERS
+
+        if solver not in FLOW_SOLVERS:
+            raise ValueError(
+                f"unknown solver {solver!r}; pick from {FLOW_SOLVERS}"
+            )
+        if solver != "euler" and (cache_tau or cache_interval >= 2):
+            raise ValueError(
+                "second-order solvers do not compose with residual caching "
+                "(cache_interval / cache_tau) — the Δ-cache reuse schedule "
+                "counts one model evaluation per ladder step"
+            )
         if cache_tau and cache_interval >= 2:
             raise ValueError(
                 "cache_tau (input-aware policy) and cache_interval (fixed "
@@ -602,7 +622,7 @@ class TPDMPipeline:
                 mcfg.dtype,
             )
         sig = ("fixed", guidance_scale, num_steps, cache_interval,
-               guidance_interval, cache_tau)
+               guidance_interval, cache_tau, solver)
         if sig not in self._jit_cache:
 
             def go(mmdit_params, vae_params, latents, pe, pp):
@@ -673,8 +693,8 @@ class TPDMPipeline:
                         lambda *a: self.mmdit.apply(mmdit_params, *a),
                         pe, pp, guidance_scale, guidance_interval,
                     )
-                    final = fixed_schedule_sample(
-                        vfn, latents, uniform_flow_sigmas(num_steps)
+                    final = fixed_schedule_sample_solver(
+                        vfn, latents, uniform_flow_sigmas(num_steps), solver
                     )
                 else:
                     vfn = make_cfg_velocity_fn(
@@ -683,8 +703,8 @@ class TPDMPipeline:
                         pp,
                         guidance_scale,
                     )
-                    final = fixed_schedule_sample(
-                        vfn, latents, uniform_flow_sigmas(num_steps)
+                    final = fixed_schedule_sample_solver(
+                        vfn, latents, uniform_flow_sigmas(num_steps), solver
                     )
                 if self.vae is None:
                     return final

@@ -36,6 +36,7 @@ from tpdm_tpu.ops.beta import (
     mode_concentration_to_alpha_beta,
 )
 from tpdm_tpu.ops.flow_euler import flow_euler_step
+from tpdm_tpu.ops.flow_solver import flow_ab2_step, flow_heun_combine
 
 INVALID_LOGPROB = 1.0  # reference: modeling_sd3_pnt.py:615
 
@@ -470,6 +471,128 @@ def fixed_schedule_sample(
 
     out, _ = jax.lax.scan(step_fn, init_latents, jnp.arange(sigmas.shape[0]))
     return out
+
+
+FLOW_SOLVERS = ("euler", "heun", "midpoint", "ab2")
+
+
+def solver_nfe(num_steps: int, solver: str) -> int:
+    """Model evaluations a fixed-schedule run costs: euler/ab2 = T,
+    midpoint = 2T, heun = 2T−1 (the terminal step to sigma=0 is Euler)."""
+    return {
+        "euler": num_steps,
+        "ab2": num_steps,
+        "midpoint": 2 * num_steps,
+        "heun": 2 * num_steps - 1,
+    }[solver]
+
+
+def fixed_schedule_sample_heun(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+) -> jax.Array:
+    """Heun (explicit trapezoid) fixed-schedule flow sampler.
+
+    Second-order: Euler predictor to sigma_next, velocity re-evaluated
+    there, trapezoid corrector (ops/flow_solver.py). The terminal step to
+    sigma=0 stays first-order Euler (EDM convention — no model evaluation
+    at exactly zero noise), so T steps cost 2T−1 evaluations.
+    """
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(latents, i):
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        v0 = denoise_fn(latents, s.astype(latents.dtype))
+        pred = flow_euler_step(v0, s_next, s, latents)
+
+        def correct(_):
+            v1 = denoise_fn(pred, s_next.astype(latents.dtype))
+            return flow_heun_combine(v0, v1, s_next, s, latents)
+
+        out = jax.lax.cond(sig[i + 1] > 0.0, correct, lambda _: pred, None)
+        return out, None
+
+    out, _ = jax.lax.scan(step_fn, init_latents, jnp.arange(sigmas.shape[0]))
+    return out
+
+
+def fixed_schedule_sample_midpoint(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+) -> jax.Array:
+    """Explicit-midpoint fixed-schedule flow sampler (second-order, 2T
+    evaluations; never evaluates the model at sigma=0 — the midpoint of
+    the terminal step is sigma/2 > 0)."""
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(latents, i):
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        s_mid = 0.5 * (s + s_next)
+        v0 = denoise_fn(latents, s.astype(latents.dtype))
+        x_mid = flow_euler_step(v0, s_mid, s, latents)
+        v1 = denoise_fn(x_mid, s_mid.astype(latents.dtype))
+        return flow_euler_step(v1, s_next, s, latents), None
+
+    out, _ = jax.lax.scan(step_fn, init_latents, jnp.arange(sigmas.shape[0]))
+    return out
+
+
+def fixed_schedule_sample_ab2(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    init_latents: jax.Array,
+    sigmas: jax.Array,  # (T,) descending ladder, no terminal zero
+) -> jax.Array:
+    """Two-step Adams–Bashforth fixed-schedule flow sampler.
+
+    Second-order at EULER COST — one model evaluation per step, the
+    previous step's velocity rides the scan carry (the flow-family analogue
+    of DPM-Solver++(2M) in ops/dpm_solver.py). The first step degrades to
+    Euler inside `flow_ab2_step` (h_prev = 0 ⇒ w = 0).
+    """
+    b = init_latents.shape[0]
+    sig = jnp.concatenate([sigmas.astype(jnp.float32), jnp.zeros((1,))])
+
+    def step_fn(carry, i):
+        latents, v_prev = carry
+        s = jnp.full((b,), sig[i])
+        s_next = jnp.full((b,), sig[i + 1])
+        s_prev = jnp.full((b,), sig[jnp.maximum(i - 1, 0)])
+        v = denoise_fn(latents, s.astype(latents.dtype))
+        out = flow_ab2_step(v, v_prev, s_next, s, s_prev, latents)
+        return (out, v.astype(v_prev.dtype)), None
+
+    (out, _), _ = jax.lax.scan(
+        step_fn,
+        (init_latents, jnp.zeros_like(init_latents)),
+        jnp.arange(sigmas.shape[0]),
+    )
+    return out
+
+
+def fixed_schedule_sample_solver(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    init_latents: jax.Array,
+    sigmas: jax.Array,
+    solver: str = "euler",
+) -> jax.Array:
+    """Dispatch a fixed-schedule flow run to the named solver
+    (one of FLOW_SOLVERS)."""
+    try:
+        fn = {
+            "euler": fixed_schedule_sample,
+            "heun": fixed_schedule_sample_heun,
+            "midpoint": fixed_schedule_sample_midpoint,
+            "ab2": fixed_schedule_sample_ab2,
+        }[solver]
+    except KeyError:
+        raise ValueError(f"unknown flow solver {solver!r}; pick from {FLOW_SOLVERS}")
+    return fn(denoise_fn, init_latents, sigmas)
 
 
 def fixed_schedule_sample_cached(
