@@ -185,48 +185,50 @@ class TestToyModelAccuracy:
             assert e2 < 0.5 * e_euler, (solver, e2, e_euler)
 
 
+@pytest.fixture(scope="module")
+def pipe(toy_world):
+    cfg, model, params, *_ = toy_world
+    grid = cfg.sample_size // cfg.patch_size
+    tpm = TimePredictor(
+        conv_out_channels=4,
+        in_channels=2 * cfg.inner_dim,
+        temb_dim=cfg.inner_dim,
+        init_alpha=0.5,
+        init_beta=2.0,
+    )
+    tpm_params = tpm.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, 2 * cfg.inner_dim, grid, grid)),
+        jnp.zeros((1, cfg.inner_dim)),
+    )
+    return TPDMPipeline(
+        model, params, tpm, tpm_params, None, None, None, min_sigma=0.01
+    )
+
+
+def _embeds(toy_world, b):
+    cfg = toy_world[0]
+    k = jax.random.PRNGKey
+    return dict(
+        prompt_embeds=jax.random.normal(
+            k(20), (b, 9, cfg.joint_attention_dim)
+        ),
+        pooled_prompt_embeds=jax.random.normal(
+            k(21), (b, cfg.pooled_projection_dim)
+        ),
+        negative_prompt_embeds=jax.random.normal(
+            k(22), (b, 9, cfg.joint_attention_dim)
+        ),
+        negative_pooled_prompt_embeds=jax.random.normal(
+            k(23), (b, cfg.pooled_projection_dim)
+        ),
+    )
+
+
 class TestPipelineIntegration:
-    @pytest.fixture(scope="class")
-    def pipe(self, toy_world):
-        cfg, model, params, *_ = toy_world
-        grid = cfg.sample_size // cfg.patch_size
-        tpm = TimePredictor(
-            conv_out_channels=4,
-            in_channels=2 * cfg.inner_dim,
-            temb_dim=cfg.inner_dim,
-            init_alpha=0.5,
-            init_beta=2.0,
-        )
-        tpm_params = tpm.init(
-            jax.random.PRNGKey(5),
-            jnp.zeros((1, 2 * cfg.inner_dim, grid, grid)),
-            jnp.zeros((1, cfg.inner_dim)),
-        )
-        return TPDMPipeline(
-            model, params, tpm, tpm_params, None, None, None, min_sigma=0.01
-        )
-
-    def _embeds(self, toy_world, b):
-        cfg = toy_world[0]
-        k = jax.random.PRNGKey
-        return dict(
-            prompt_embeds=jax.random.normal(
-                k(20), (b, 9, cfg.joint_attention_dim)
-            ),
-            pooled_prompt_embeds=jax.random.normal(
-                k(21), (b, cfg.pooled_projection_dim)
-            ),
-            negative_prompt_embeds=jax.random.normal(
-                k(22), (b, 9, cfg.joint_attention_dim)
-            ),
-            negative_pooled_prompt_embeds=jax.random.normal(
-                k(23), (b, cfg.pooled_projection_dim)
-            ),
-        )
-
     @pytest.mark.parametrize("solver", ["heun", "ab2"])
     def test_generate_fixed_solver(self, toy_world, pipe, solver):
-        em = self._embeds(toy_world, 2)
+        em = _embeds(toy_world, 2)
         out = pipe.generate_fixed(
             **em, num_steps=4, guidance_scale=3.0, seed=0, solver=solver
         )
@@ -242,7 +244,7 @@ class TestPipelineIntegration:
         np.testing.assert_array_equal(out, again)
 
     def test_solver_composes_with_guidance_interval(self, toy_world, pipe):
-        em = self._embeds(toy_world, 2)
+        em = _embeds(toy_world, 2)
         out = pipe.generate_fixed(
             **em, num_steps=4, guidance_scale=3.0, seed=0, solver="heun",
             guidance_interval=(0.25, 0.85),
@@ -250,7 +252,7 @@ class TestPipelineIntegration:
         assert np.isfinite(out).all()
 
     def test_solver_rejects_cache_knobs(self, toy_world, pipe):
-        em = self._embeds(toy_world, 2)
+        em = _embeds(toy_world, 2)
         with pytest.raises(ValueError, match="residual caching"):
             pipe.generate_fixed(
                 **em, num_steps=4, guidance_scale=3.0, solver="heun",
@@ -269,7 +271,7 @@ class TestPipelineIntegration:
     def test_euler_default_unchanged(self, toy_world, pipe):
         """solver='euler' must be bit-identical to the pre-existing path
         (same jit signature modulo the solver field)."""
-        em = self._embeds(toy_world, 2)
+        em = _embeds(toy_world, 2)
         a = pipe.generate_fixed(**em, num_steps=4, guidance_scale=3.0, seed=0)
         b = pipe.generate_fixed(
             **em, num_steps=4, guidance_scale=3.0, seed=0, solver="euler"
@@ -278,3 +280,114 @@ class TestPipelineIntegration:
 
     def test_all_solvers_listed(self):
         assert set(FLOW_SOLVERS) == {"euler", "heun", "midpoint", "ab2"}
+
+
+class TestAdaptiveAB2:
+    """SamplerConfig.solver='ab2': second-order integration inside the
+    adaptive TPM loop at identical per-step cost (the previous velocity
+    rides the while_loop carry — no extra model eval, activation-cache
+    contract untouched)."""
+
+    def _stub_world(self, b=2, c=4, hw=4):
+        """Tiny hand-made denoise/tpm stubs — no neural net needed to pin
+        loop semantics."""
+        temb = jnp.ones((b, 8))
+        h = jnp.ones((b, 2 * 8, hw, hw))
+
+        def tpm_fn(h_, temb_):
+            # alpha=3, beta=1 -> Beta mode (predict) = 1.0 clamped to
+            # 1-eps: sigma decays geometrically, several steps to finish
+            return jnp.tile(
+                jnp.log(jnp.array([[1.2, 0.3]])), (h_.shape[0], 1)
+            )
+
+        return temb, h, tpm_fn
+
+    def test_constant_field_matches_euler(self):
+        """With a velocity constant in (x, sigma), v_prev == v so the AB2
+        extrapolation term vanishes — the trajectories must match Euler's
+        exactly, step for step."""
+        from tpdm_tpu.pipeline.sampler import SamplerConfig, adaptive_sample
+
+        b, c, hw = 2, 4, 4
+        temb, h, tpm_fn = self._stub_world(b, c, hw)
+        vconst = jax.random.normal(jax.random.PRNGKey(7), (b, c, hw, hw))
+
+        def denoise_fn(latents, sigma):
+            return vconst, temb, h
+
+        lat0 = jax.random.normal(jax.random.PRNGKey(8), (b, c, hw, hw))
+        key = jax.random.PRNGKey(9)
+        outs = {}
+        for solver in ("euler", "ab2"):
+            cfg = SamplerConfig(
+                max_inference_steps=6, min_sigma=0.05, predict=True,
+                cache_activations=False, solver=solver,
+            )
+            outs[solver] = jax.jit(
+                lambda l, k: adaptive_sample(denoise_fn, tpm_fn, l, k, cfg)
+            )(lat0, key)
+        np.testing.assert_allclose(
+            np.asarray(outs["ab2"].final_latents),
+            np.asarray(outs["euler"].final_latents),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs["ab2"].sigmas), np.asarray(outs["euler"].sigmas)
+        )
+
+    def test_varying_field_differs_and_is_finite(self):
+        from tpdm_tpu.pipeline.sampler import SamplerConfig, adaptive_sample
+
+        b, c, hw = 2, 4, 4
+        temb, h, tpm_fn = self._stub_world(b, c, hw)
+
+        def denoise_fn(latents, sigma):
+            s = sigma.reshape((-1,) + (1,) * (latents.ndim - 1))
+            return -latents * (0.5 + s.astype(latents.dtype)), temb, h
+
+        lat0 = jax.random.normal(jax.random.PRNGKey(8), (b, c, hw, hw))
+        key = jax.random.PRNGKey(9)
+        outs = {}
+        for solver in ("euler", "ab2"):
+            cfg = SamplerConfig(
+                max_inference_steps=6, min_sigma=0.05, predict=True,
+                cache_activations=True, solver=solver,
+            )
+            outs[solver] = jax.jit(
+                lambda l, k: adaptive_sample(denoise_fn, tpm_fn, l, k, cfg)
+            )(lat0, key)
+        a, e = outs["ab2"], outs["euler"]
+        assert np.isfinite(np.asarray(a.final_latents)).all()
+        assert not np.allclose(
+            np.asarray(a.final_latents), np.asarray(e.final_latents)
+        )
+        # identical cache layout: replay contract untouched
+        assert a.h_cache.shape == e.h_cache.shape
+        assert int(a.num_steps) == int(e.num_steps)
+
+    def test_pipeline_generate_ab2(self, toy_world, pipe):
+        em = _embeds(toy_world, 2)
+        out = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, solver="ab2",
+        )
+        base = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False,
+        )
+        assert out.images.shape == base.images.shape
+        assert np.isfinite(out.images).all()
+        again = pipe.generate(
+            **em, max_inference_steps=5, guidance_scale=3.0, seed=0,
+            decode=False, solver="ab2",
+        )
+        np.testing.assert_array_equal(out.images, again.images)
+
+    def test_adaptive_rejects_two_eval_solvers(self, toy_world, pipe):
+        em = _embeds(toy_world, 2)
+        with pytest.raises(ValueError, match="euler.*ab2|ab2.*euler"):
+            pipe.generate(
+                **em, max_inference_steps=5, guidance_scale=3.0,
+                decode=False, solver="heun",
+            )

@@ -319,6 +319,7 @@ class TPDMPipeline:
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
         cache_tau: float = 0.0,
+        solver: str = "euler",
     ) -> GenerationResult:
         """Generate images with a per-prompt adaptive schedule.
 
@@ -377,6 +378,11 @@ class TPDMPipeline:
         residual is refreshed every ``cache_interval`` steps and reused in
         between, so reuse steps run only ``MMDiTConfig.cache_front_blocks``
         of the network. 0/1 = off (exact). Beyond-reference capability.
+
+        ``solver`` picks the latent integrator for the adaptive loop:
+        "euler" (the reference's rule) or "ab2" (two-step Adams–Bashforth
+        — second-order trajectory accuracy at IDENTICAL per-step cost;
+        see SamplerConfig.solver). Beyond-reference capability.
         """
         if prompt_embeds is None:
             if self.text_encoders is None or clip_ids is None:
@@ -509,6 +515,7 @@ class TPDMPipeline:
             cache_interval=cache_interval,
             guidance_interval=guidance_interval,
             cache_tau=cache_tau,
+            solver=solver,
         )
         out, decoded = self._run(
             key_roll, latents, pe, pp, guidance_scale, scfg, decode=decode,

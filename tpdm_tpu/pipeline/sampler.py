@@ -92,6 +92,18 @@ class SamplerConfig:
     # per-sample weight collapses to 1.0 (conditional-only) and, once the
     # whole batch has left it, the uncond tower is skipped entirely.
     guidance_interval: Optional[tuple] = None
+    # Latent integrator: "euler" (the reference's rule) or "ab2" (two-step
+    # Adams–Bashforth, ops/flow_solver.py) — second-order accuracy at
+    # IDENTICAL cost (the previous velocity rides the loop carry; no extra
+    # model eval, so the TPM/activation-cache contract is untouched and
+    # replay is unchanged — it reconstructs ratios from recorded sigmas).
+    # Each sample's own (sigma_prev, sigma, sigma_next) chain feeds the
+    # nonuniform-step formula, so AB2 composes with per-sample adaptive
+    # schedules; the first step (h_prev = 0) degrades to Euler inside
+    # flow_ab2_step. Heun/midpoint are deliberately fixed-schedule-only:
+    # they need a second backbone eval per step, which would also double
+    # the TPM activation stream.
+    solver: str = "euler"
 
 
 class CachedDenoise(NamedTuple):
@@ -262,6 +274,12 @@ def adaptive_sample(
     if cfg.keep_history:
         buffers["history"] = jnp.zeros((T,) + init_latents.shape, dtype)
 
+    if cfg.solver not in ("euler", "ab2"):
+        raise ValueError(
+            f"adaptive sampler supports solver 'euler' or 'ab2', got "
+            f"{cfg.solver!r} (heun/midpoint need a second model eval per "
+            f"step — fixed-schedule only)"
+        )
     sigma0 = (
         jnp.ones((b,), jnp.float32)
         if init_sigma is None
@@ -276,6 +294,11 @@ def adaptive_sample(
         "key": key,
         **buffers,
     }
+    if cfg.solver == "ab2":
+        # Previous-step velocity + its sigma; sigma_prev starts equal to
+        # sigma0 so the first step has h_prev = 0 and runs plain Euler.
+        state["v_prev"] = jnp.zeros_like(init_latents)
+        state["sigma_prev"] = sigma0
     if cached is not None:
         state["delta"] = cached.init_delta
         if cached.tau is not None:
@@ -326,7 +349,13 @@ def adaptive_sample(
         if cfg.predict:
             sigma_next = jnp.where(done, 0.0, sigma_next)
 
-        new_latents = flow_euler_step(velocity, sigma_next, sigma, latents)
+        if cfg.solver == "ab2":
+            new_latents = flow_ab2_step(
+                velocity, s["v_prev"], sigma_next, sigma, s["sigma_prev"],
+                latents,
+            )
+        else:
+            new_latents = flow_euler_step(velocity, sigma_next, sigma, latents)
         if project_fn is not None:
             new_latents = project_fn(new_latents, sigma_next)
 
@@ -347,6 +376,9 @@ def adaptive_sample(
             alphas=s["alphas"].at[step].set(alpha),
             betas=s["betas"].at[step].set(beta),
         )
+        if cfg.solver == "ab2":
+            out["v_prev"] = velocity
+            out["sigma_prev"] = sigma
         if cached is not None:
             out["delta"] = new_delta
             if cached.tau is not None:
