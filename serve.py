@@ -705,7 +705,8 @@ def build_family_runner(args):
 
 
 def generate(pipe, tokenize, prompt, seed, max_steps,
-             cache_interval=0, guidance_interval=None, cache_tau=0.0):
+             cache_interval=0, guidance_interval=None, cache_tau=0.0,
+             solver="euler"):
     import numpy as np
 
     clip_ids, t5_ids = tokenize(prompt)
@@ -720,6 +721,7 @@ def generate(pipe, tokenize, prompt, seed, max_steps,
         cache_interval=cache_interval,
         guidance_interval=guidance_interval,
         cache_tau=cache_tau,
+        solver=solver,
     )
     return res
 
@@ -827,6 +829,12 @@ def main():
                         "the adaptive TPM loop — NFE = len(levels). "
                         "Families sd15/sdxl/flux; ladder length = "
                         "--max_steps")
+    p.add_argument("--solver", default="euler", choices=["euler", "ab2"],
+                   help="latent integrator for the SD3 adaptive loop: "
+                        "euler (reference rule) or ab2 (two-step Adams-"
+                        "Bashforth — second-order trajectory accuracy at "
+                        "identical per-step cost). SD3 fixed-batch engine "
+                        "and --cli; family runners/--continuous keep euler")
     p.add_argument("--cache_interval", type=int, default=0,
                    help="training-free block caching for serving: >= 2 "
                         "refreshes the deep/back-block feature every N "
@@ -856,6 +864,14 @@ def main():
                         "default is always served. Each is one compiled "
                         "shape (requests coalesce per-resolution)")
     args = p.parse_args()
+
+    if getattr(args, "solver", "euler") != "euler":
+        if (getattr(args, "family", "sd3") != "sd3"
+                or getattr(args, "continuous", False)):
+            raise SystemExit(
+                "--solver serves the SD3 fixed-batch engine and --cli; "
+                "family runners and the continuous engines keep euler"
+            )
 
     # persistent compile cache: a restarted server repays nothing for
     # unchanged jit graphs (cold SD3-medium compiles cost minutes on TPU)
@@ -907,7 +923,8 @@ def main():
         ci, gi = _accel_kwargs(args)
         res = generate(pipe, tokenize, args.prompt, args.seed,
                        args.max_steps, cache_interval=ci,
-                       guidance_interval=gi, cache_tau=_cache_tau(args))
+                       guidance_interval=gi, cache_tau=_cache_tau(args),
+                       solver=getattr(args, "solver", "euler"))
         Image.fromarray(res.images[0]).save(args.out)
         nfe = int(res.last_valid_index[0]) + 1
         print(f"saved {args.out}; inference steps: {nfe} / cap {args.max_steps}")
@@ -1121,6 +1138,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
             cache_interval=ci,
             guidance_interval=gi,
             cache_tau=_cache_tau(args),
+            solver=getattr(args, "solver", "euler"),
         )
 
     # multi-tenant adapters (--lora NAME=PATH): SD3 engines (merged

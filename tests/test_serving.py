@@ -1284,3 +1284,26 @@ class TestLoraCliAndHttp:
         args.resolutions = "24"
         with pytest.raises(SystemExit, match="router"):
             serve.make_http_server(pipe, tokenize, args)
+
+
+class TestSolverOption:
+    """BatchingEngine(solver='ab2'): second-order adaptive serving
+    (SamplerConfig.solver threaded through pipe.generate)."""
+
+    def test_ab2_engine_runs_deterministically(self, toy):
+        pipe, tokenize = toy
+        eng = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=4, solver="ab2")
+        out = eng.generate_batch(["a painting"], [7])
+        again = eng.generate_batch(["a painting"], [7])
+        assert out[0]["image"].shape == again[0]["image"].shape
+        np.testing.assert_array_equal(out[0]["image"], again[0]["image"])
+        assert 1 <= out[0]["inference_steps"] <= 4
+
+    def test_rejections(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="euler.*ab2|ab2.*euler"):
+            BatchingEngine(pipe, tokenize, solver="heun")
+        with pytest.raises(ValueError, match="family runners"):
+            BatchingEngine(pipe, tokenize,
+                           runner=lambda *a: None, solver="ab2")

@@ -272,6 +272,7 @@ class BatchingEngine:
         cache_interval: int = 0,
         guidance_interval: Optional[tuple] = None,
         cache_tau: float = 0.0,
+        solver: str = "euler",
     ):
         import collections
 
@@ -282,6 +283,16 @@ class BatchingEngine:
                 "cache_interval/guidance_interval on the engine apply to "
                 "the SD3 pipeline path; family runners take them at "
                 "construction (serving_families.make_*_runner)"
+            )
+        if solver not in ("euler", "ab2"):
+            raise ValueError(
+                "engine solver must be 'euler' or 'ab2' (the adaptive loop "
+                f"has no two-eval solvers), got {solver!r}"
+            )
+        if runner is not None and solver != "euler":
+            raise ValueError(
+                "solver applies to the SD3 pipeline path; family runners "
+                "own their sampler configs"
             )
         if cache_tau and cache_interval:
             raise ValueError(
@@ -320,6 +331,7 @@ class BatchingEngine:
         self.cache_interval = cache_interval
         self.guidance_interval = guidance_interval
         self.cache_tau = cache_tau
+        self.solver = solver
         self.split_stages = split_stages
         self._queue: "queue.Queue[Optional[ServeRequest]]" = queue.Queue(
             maxsize=queue_limit if queue_limit is not None else 8 * max_batch
@@ -771,6 +783,7 @@ class BatchingEngine:
             cache_interval=self.cache_interval,
             guidance_interval=self.guidance_interval,
             cache_tau=self.cache_tau,
+            solver=self.solver,
         )
         if embeds is not None:
             res = self.pipe.generate(
