@@ -391,3 +391,25 @@ class TestAdaptiveAB2:
                 **em, max_inference_steps=5, guidance_scale=3.0,
                 decode=False, solver="heun",
             )
+
+
+class TestFluxAB2:
+    def test_flux_pipeline_solver(self):
+        """FLUX rides the shared adaptive loop — solver='ab2' works
+        end to end through FluxPipeline.generate."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from _toy_worlds import build_flux_world
+
+        from tpdm_tpu.pipeline.variants import FluxPipeline
+
+        world = build_flux_world(max_steps=4)
+        agent = world["agent"]
+        pipe = FluxPipeline(agent)
+        pe, pp = world["encode"](["a cat", "a dog"])
+        out = pipe.generate(pe, pp, seed=0, solver="ab2")
+        base = pipe.generate(pe, pp, seed=0)
+        assert out.images.shape == base.images.shape
+        assert np.isfinite(out.images).all()
+        again = pipe.generate(pe, pp, seed=0, solver="ab2")
+        np.testing.assert_array_equal(out.images, again.images)

@@ -559,6 +559,7 @@ class FluxPipeline:
         init_image: Optional[np.ndarray] = None,
         strength: float = 0.6,
         cache_interval: int = 0,
+        solver: str = "euler",
     ) -> VariantResult:
         """``init_image`` (uint8 (b,H,W,3)) switches to image-to-image:
         flow-matching forward noising to level ``strength``, adaptive loop
@@ -568,7 +569,11 @@ class FluxPipeline:
 
         ``cache_interval`` >= 2 enables Δ-DiT-style residual block caching
         (training-free acceleration, approximate — see
-        TPDMPipeline.generate); 0/1 = exact."""
+        TPDMPipeline.generate); 0/1 = exact.
+
+        ``solver`` = "euler" | "ab2": FLUX rides the shared adaptive loop,
+        so the second-order AB2 integrator (SamplerConfig.solver) applies
+        unchanged — exact second-order trajectories at identical cost."""
         batch = {
             "prompt_embeds": prompt_embeds,
             "pooled_prompt_embeds": pooled_prompt_embeds,
@@ -602,12 +607,13 @@ class FluxPipeline:
         if tpm_params is None:
             tpm_params = self.agent.init_tpm_params(jax.random.PRNGKey(0))
         sampler_cfg = None
-        if cache_interval >= 2:
+        if cache_interval >= 2 or solver != "euler":
             import dataclasses as _dc
 
             sampler_cfg = _dc.replace(
                 self.agent.sampler_cfg, predict=True,
                 cache_activations=False, cache_interval=cache_interval,
+                solver=solver,
             )
         out = self.agent.sample(
             tpm_params, batch, jax.random.PRNGKey(seed), predict=True,
