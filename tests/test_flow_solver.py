@@ -413,3 +413,59 @@ class TestFluxAB2:
         assert np.isfinite(out.images).all()
         again = pipe.generate(pe, pp, seed=0, solver="ab2")
         np.testing.assert_array_equal(out.images, again.images)
+
+
+class TestRLOOAB2:
+    def test_rollout_replay_consistency_under_ab2(self):
+        """RLOOConfig.solver='ab2': the rollout integrates second-order but
+        replay is solver-agnostic (ratios reconstruct from recorded
+        sigmas) — replayed logprobs must equal the rollout's exactly, as
+        on the Euler path."""
+        from tpdm_tpu.models import TimePredictor
+        from tpdm_tpu.train import RLOOConfig
+        from tpdm_tpu.train.rloo import TPDMAgent, _default_collate
+
+        cfg_m = MMDiTConfig.toy()
+        model = MMDiT(cfg_m)
+        n_txt = 5
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.ones((2, cfg_m.in_channels, cfg_m.sample_size,
+                      cfg_m.sample_size)),
+            jnp.ones((2,)),
+            jnp.ones((2, n_txt, cfg_m.joint_attention_dim)),
+            jnp.ones((2, cfg_m.pooled_projection_dim)),
+        )
+        config = RLOOConfig(
+            per_device_train_batch_size=2, rloo_k=2, max_inference_steps=3,
+            total_episodes=4, guidance_scale=7.0, solver="ab2",
+        )
+        tpm = TimePredictor(
+            conv_out_channels=4, in_channels=2 * cfg_m.inner_dim,
+            temb_dim=cfg_m.inner_dim,
+        )
+        agent = TPDMAgent(model, params, config, tpm=tpm)
+        assert agent.sampler_cfg.solver == "ab2"
+        tpm_params = agent.init_tpm_params(jax.random.PRNGKey(0))
+        batch = {
+            "prompt_embeds": jax.random.normal(
+                jax.random.PRNGKey(2), (2, n_txt, cfg_m.joint_attention_dim)
+            ),
+            "pooled_prompt_embeds": jax.random.normal(
+                jax.random.PRNGKey(3), (2, cfg_m.pooled_projection_dim)
+            ),
+            "negative_prompt_embeds": jnp.zeros(
+                (2, n_txt, cfg_m.joint_attention_dim)
+            ),
+            "negative_pooled_prompt_embeds": jnp.zeros(
+                (2, cfg_m.pooled_projection_dim)
+            ),
+        }
+        out = agent.sample(tpm_params, batch, jax.random.PRNGKey(4))
+        assert np.isfinite(np.asarray(out.final_latents)).all()
+        lp = agent.logprobs(tpm_params, out)
+        valid = ~np.asarray(out.prob_masks)
+        np.testing.assert_allclose(
+            np.asarray(lp)[valid], np.asarray(out.logprobs)[valid],
+            rtol=1e-4, atol=1e-5,
+        )

@@ -82,6 +82,14 @@ class RLOOConfig:
     max_inference_steps: int = 28
     min_sigma: float = 0.01  # RLOO wrapper default (modeling_sd3_pnt.py:734)
     guidance_scale: Optional[float] = 7.0
+    # Latent integrator for the flow-family rollout loop: "euler" (the
+    # reference's rule) or "ab2" (second-order Adams–Bashforth at
+    # identical cost — SamplerConfig.solver). The TPM then learns its
+    # schedule policy under the integrator it will serve with. Replay is
+    # solver-agnostic (ratios reconstruct from recorded sigmas), so the
+    # PPO path is unchanged. SD1.5/SDXL agents integrate with their own
+    # DPM-Solver++ ladder and ignore this field.
+    solver: str = "euler"
 
     # --- activation-cache placement during PPO replay ---
     # The rollout's replay cache (h_cache/temb_cache, ~25MB/sample/step bf16)

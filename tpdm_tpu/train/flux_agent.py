@@ -131,6 +131,7 @@ class FluxAgent:
             relative=config.relative,
             prediction_type=config.prediction_type,
             cache_activations=True,
+            solver=getattr(config, "solver", "euler"),
         )
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
         self._replay_jit = jax.jit(self.replay)

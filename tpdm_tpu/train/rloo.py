@@ -341,6 +341,7 @@ class TPDMAgent:
             # "xla" = pinned-host out_shardings on the rollout jit (see
             # _get_sample_jit); "host" is handled post-hoc by the trainer
             offload_cache=(getattr(config, "offload_cache", "none") == "xla"),
+            solver=getattr(config, "solver", "euler"),
         )
         self.needs_inputs_for_replay = replay_mode == "recompute"
         self._sample_jit = jax.jit(self._sample, static_argnames=("scfg",))
