@@ -18,7 +18,7 @@ from tpdm_tpu.models import MMDiT, MMDiTConfig, TimePredictor
 from tpdm_tpu.train import RLOOConfig, RLOOTrainer, TPDMAgent
 
 
-def _build_world(num_updates: int, seed: int = 0):
+def _build_world(num_updates: int, seed: int = 0, solver: str = "euler"):
     cfg_m = MMDiTConfig.toy()
     model = MMDiT(cfg_m)
     n_txt = 5
@@ -45,6 +45,7 @@ def _build_world(num_updates: int, seed: int = 0):
         init_beta=0.7,  # uses all 6 steps (sigma_6 ~ 0.40 > min_sigma)
         guidance_scale=7.0,
         logging_steps=1,
+        solver=solver,
     )
     agent = TPDMAgent(
         model,
@@ -114,6 +115,25 @@ def test_rloo_reduces_steps_and_raises_reward():
     # sanity: no skipped (NaN) updates, ratios stayed sane
     assert all(m["val/num_skipped"] == 0.0 for m in hist)
     assert all(0.2 < m["val/ratio"] < 5.0 for m in hist)
+
+
+def test_rloo_learns_under_ab2_integrator():
+    """RLOOConfig.solver='ab2' (second-order rollout integration) must not
+    break the learning loop: same directional proof — steps_avg falls,
+    reward rises, zero NaN-skipped updates."""
+    trainer = _build_world(num_updates=16, solver="ab2")
+    assert trainer.agent.sampler_cfg.solver == "ab2"
+    trainer.train()
+    hist = trainer.metrics_history
+
+    def window(key, lo, hi):
+        return float(np.mean([m[key] for m in hist[lo:hi]]))
+
+    steps_first = window("policy/steps_avg", 0, 5)
+    steps_last = window("policy/steps_avg", -5, None)
+    assert steps_first > 4.5, steps_first
+    assert steps_last < steps_first - 0.8, (steps_first, steps_last)
+    assert all(m["val/num_skipped"] == 0.0 for m in hist)
 
 
 def test_rloo_learns_mesh_sharded():
