@@ -833,8 +833,10 @@ def main():
                    help="latent integrator for the SD3 adaptive loop: "
                         "euler (reference rule) or ab2 (two-step Adams-"
                         "Bashforth — second-order trajectory accuracy at "
-                        "identical per-step cost). SD3 fixed-batch engine "
-                        "and --cli; family runners/--continuous keep euler")
+                        "identical per-step cost). SD3 fixed-batch engine, "
+                        "--cli, and the SD3 --continuous engine (AB2 state "
+                        "is per-segment: first step of each segment is "
+                        "Euler); family runners keep euler")
     p.add_argument("--cache_interval", type=int, default=0,
                    help="training-free block caching for serving: >= 2 "
                         "refreshes the deep/back-block feature every N "
@@ -866,11 +868,17 @@ def main():
     args = p.parse_args()
 
     if getattr(args, "solver", "euler") != "euler":
-        if (getattr(args, "family", "sd3") != "sd3"
-                or getattr(args, "continuous", False)):
+        if getattr(args, "family", "sd3") != "sd3":
             raise SystemExit(
-                "--solver serves the SD3 fixed-batch engine and --cli; "
-                "family runners and the continuous engines keep euler"
+                "--solver serves the SD3 engines and --cli; family "
+                "runners keep euler"
+            )
+        if getattr(args, "continuous", False) and getattr(
+            args, "resolutions", None
+        ):
+            raise SystemExit(
+                "--solver with --continuous serves the single-resolution "
+                "engine; drop --resolutions"
             )
 
     # persistent compile cache: a restarted server repays nothing for
@@ -1084,6 +1092,11 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                     "--guidance_interval/--cache_tau serve through the "
                     "fixed-batch engine — drop --continuous"
                 )
+            if getattr(args, "solver", "euler") != "euler":
+                raise SystemExit(
+                    "--solver with --continuous serves the single-"
+                    "resolution engine; drop --resolutions"
+                )
             engine = MultiResContinuousRouter(
                 pipe,
                 tokenize,
@@ -1119,6 +1132,7 @@ def make_http_server(pipe, tokenize, args, runner=None, family_world=None):
                 pipeline_depth=getattr(args, "pipeline_depth", 1) or 1,
                 decode_batch=getattr(args, "decode_batch", 1) or 1,
                 cache_interval=_ci,
+                solver=getattr(args, "solver", "euler"),
             )
     else:
         res_list = getattr(args, "resolutions", None)

@@ -1406,3 +1406,60 @@ class TestContinuousImg2Img:
             eng.submit("x", init_image=img[:-2])
         with pytest.raises(ValueError, match="init_image"):
             eng.submit("x", strength=0.4)
+
+
+class TestContinuousAB2:
+    """solver='ab2' on the continuous engine: per-segment second-order
+    integration (v_prev/sigma_prev ride the segment scan and reset at
+    boundaries, like the per-segment Δ-cache)."""
+
+    def test_single_segment_matches_fixed_batch_ab2(self, toy):
+        """With seg_steps >= the step cap the whole request runs in ONE
+        segment — no AB2 reset ever happens, so the trajectory must match
+        the fixed-batch engine's ab2 path (same 1-ulp cross-program seam
+        as the euler parity test)."""
+        pipe, tokenize = toy
+        ref = BatchingEngine(pipe, tokenize, max_batch=1, window_ms=1,
+                             max_steps=6, solver="ab2")
+        exp = ref.generate_batch(["a cat"], [3])[0]
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=1, seg_steps=8,
+                                       max_steps=6, solver="ab2")
+        eng.start()
+        try:
+            got = eng.submit("a cat", seed=3).result(timeout=600)
+        finally:
+            eng.stop()
+        assert got["inference_steps"] == exp["inference_steps"]
+        diff = np.abs(got["image"].astype(np.int16)
+                      - exp["image"].astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 0.01
+        np.testing.assert_allclose(
+            got["sigmas"], exp["sigmas"], rtol=1e-5, atol=1e-8
+        )
+
+    def test_multi_segment_ab2_deterministic_and_recycles(self, toy):
+        pipe, tokenize = toy
+        eng = ContinuousBatchingEngine(pipe, tokenize, slots=2, seg_steps=2,
+                                       max_steps=6, solver="ab2")
+        eng.start()
+        try:
+            a = [eng.submit(p, seed=s) for p, s in
+                 [("a cat", 3), ("a dog", 7), ("bird", 11)]]
+            out1 = [r.result(timeout=600) for r in a]
+            b = [eng.submit(p, seed=s) for p, s in
+                 [("a cat", 3), ("a dog", 7), ("bird", 11)]]
+            out2 = [r.result(timeout=600) for r in b]
+        finally:
+            eng.stop()
+        for x, y in zip(out1, out2):
+            np.testing.assert_array_equal(x["image"], y["image"])
+            assert 1 <= x["inference_steps"] <= 6
+
+    def test_rejections(self, toy):
+        pipe, tokenize = toy
+        with pytest.raises(ValueError, match="euler.*ab2|ab2"):
+            ContinuousBatchingEngine(pipe, tokenize, solver="heun")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            ContinuousBatchingEngine(pipe, tokenize, solver="ab2",
+                                     cache_interval=2)

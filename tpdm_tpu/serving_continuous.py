@@ -189,6 +189,7 @@ class ContinuousBatchingEngine:
         pipeline_depth: int = 1,
         decode_batch: int = 1,
         cache_interval: int = 0,
+        solver: str = "euler",
     ):
         if slots < 1 or seg_steps < 1:
             raise ValueError("slots and seg_steps must be >= 1")
@@ -199,6 +200,20 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 "cache_interval on the continuous engine is the SD3 "
                 "pipeline path"
+            )
+        if solver not in ("euler", "ab2"):
+            raise ValueError(
+                f"continuous engine solver must be 'euler' or 'ab2', got "
+                f"{solver!r}"
+            )
+        if solver != "euler" and pipe is None:
+            raise ValueError(
+                "solver on the continuous engine is the SD3 pipeline path"
+            )
+        if solver != "euler" and cache_interval:
+            raise ValueError(
+                "solver='ab2' and cache_interval are mutually exclusive on "
+                "the continuous engine (both extend the segment carry)"
             )
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
@@ -239,6 +254,7 @@ class ContinuousBatchingEngine:
         self.slots = slots
         self.seg_steps = seg_steps
         self.cache_interval = cache_interval
+        self.solver = solver
         self.max_steps = max_steps
         self.guidance_scale = guidance_scale
         self.predict = predict
@@ -461,6 +477,7 @@ class ContinuousBatchingEngine:
         from tpdm_tpu.pipeline.sampler import _clamp_ratio, _raw_to_alpha_beta
         from tpdm_tpu.ops.beta import beta_mode, beta_sample
         from tpdm_tpu.ops.flow_euler import flow_euler_step
+        from tpdm_tpu.ops.flow_solver import flow_ab2_step
 
         pipe = self.pipe
         mcfg = pipe.mmdit.config
@@ -481,6 +498,14 @@ class ContinuousBatchingEngine:
         max_steps = self.max_steps
         seg = self.seg_steps
         cache_n = self.cache_interval
+        # "ab2": per-SEGMENT second-order integration (ops/flow_solver.py)
+        # — (v_prev, sigma_prev) ride the scan carry and reset at every
+        # segment boundary (first step of a segment is Euler via the
+        # h_prev=0 degradation), exactly the per-segment Δ-cache pattern:
+        # refilled slots need no special handling and no AB2 state crosses
+        # the boundary. With the default seg_steps=4, 3 of 4 steps get the
+        # second-order update.
+        ab2 = self.solver == "ab2"
 
         # The serving uncond branch is always the empty prompt (zero ids,
         # matching BatchingEngine -> pipe.generate's zeros_like negatives):
@@ -620,6 +645,9 @@ class ContinuousBatchingEngine:
                         (i % cache_n) != 0, reuse_fn, full_fn,
                         lat, sigma.astype(mcfg.dtype), delta,
                     )
+                elif ab2:
+                    lat, sigma, steps, key, v_prev, sig_prev = carry
+                    vel, temb, h = denoise_fn(lat, sigma.astype(mcfg.dtype))
                 else:
                     lat, sigma, steps, key = carry
                     vel, temb, h = denoise_fn(lat, sigma.astype(mcfg.dtype))
@@ -635,12 +663,21 @@ class ContinuousBatchingEngine:
                 done = (sigma < min_sigma) | (steps >= st.caps) | ~live
                 sig_next = jnp.where(done, sigma, sig_next)
                 bcast = done.reshape((-1,) + (1,) * (lat.ndim - 1))
-                new_lat = jnp.where(
-                    bcast, lat, flow_euler_step(vel, sig_next, sigma, lat)
-                )
+                if ab2:
+                    upd = flow_ab2_step(
+                        vel, v_prev, sig_next, sigma, sig_prev, lat
+                    )
+                else:
+                    upd = flow_euler_step(vel, sig_next, sigma, lat)
+                new_lat = jnp.where(bcast, lat, upd)
                 new_steps = steps + (~done).astype(jnp.int32)
                 if cache_n:
                     return (new_lat, sig_next, new_steps, key, delta), sig_next
+                if ab2:
+                    return (
+                        (new_lat, sig_next, new_steps, key, vel, sigma),
+                        sig_next,
+                    )
                 return (new_lat, sig_next, new_steps, key), sig_next
 
             if cache_n:
@@ -655,6 +692,16 @@ class ContinuousBatchingEngine:
                 (lat, sigma, steps, key, _), trace = jax.lax.scan(
                     step,
                     (st.latents, st.sigma, st.steps, st.key, init_delta),
+                    jnp.arange(seg),
+                )
+            elif ab2:
+                # AB2 state is per-segment: v_prev=0 + sigma_prev=sigma
+                # make the first step Euler (h_prev=0), then the carried
+                # velocity upgrades the rest of the segment.
+                (lat, sigma, steps, key, _, _), trace = jax.lax.scan(
+                    step,
+                    (st.latents, st.sigma, st.steps, st.key,
+                     jnp.zeros_like(st.latents), st.sigma),
                     jnp.arange(seg),
                 )
             else:
