@@ -1079,6 +1079,7 @@ class BatchingEngine:
         return {
             "batches_run": self.batches_run,
             "requests_expired": self.requests_expired,
+            "solver": self.solver,
             "recent": len(rows),
             **adapter_stats,
             **wait_stats,

@@ -1449,6 +1449,7 @@ class ContinuousBatchingEngine:
                 "requests_expired": self.requests_expired,
                 "slots": self.slots,
                 "seg_steps": self.seg_steps,
+                "solver": self.solver,
                 "pipeline_depth": self.pipeline_depth,
                 "decode_batch": self.decode_batch,
                 "decode_rows_coalesced": self.decode_rows_coalesced,
