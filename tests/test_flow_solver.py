@@ -469,3 +469,32 @@ class TestRLOOAB2:
             np.asarray(lp)[valid], np.asarray(out.logprobs)[valid],
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestFluxFixedBaseline:
+    def test_generate_fixed_all_solvers(self):
+        """FluxPipeline.generate_fixed: the no-TPM fixed-ladder baseline
+        (family symmetry with TPDMPipeline.generate_fixed), under every
+        solver."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from _toy_worlds import build_flux_world
+
+        from tpdm_tpu.pipeline.variants import FluxPipeline
+
+        world = build_flux_world(max_steps=4)
+        pipe = FluxPipeline(world["agent"])
+        pe, pp = world["encode"](["a cat", "a dog"])
+        base = pipe.generate_fixed(pe, pp, num_steps=4, seed=0)
+        assert base.shape[0] == 2
+        assert np.isfinite(base).all()
+        again = pipe.generate_fixed(pe, pp, num_steps=4, seed=0)
+        np.testing.assert_array_equal(base, again)
+        for solver in ("heun", "ab2"):
+            out = pipe.generate_fixed(pe, pp, num_steps=4, seed=0,
+                                      solver=solver)
+            assert out.shape == base.shape
+            assert np.isfinite(out).all()
+            assert not np.allclose(out, base)
+        with pytest.raises(ValueError, match="unknown solver"):
+            pipe.generate_fixed(pe, pp, num_steps=4, solver="rk9")

@@ -629,3 +629,67 @@ class FluxPipeline:
             last_valid_index=np.asarray(out.last_valid_index),
             schedule=np.asarray(out.sigmas),
         )
+
+    def generate_fixed(
+        self,
+        prompt_embeds: jax.Array,
+        pooled_prompt_embeds: jax.Array,
+        num_steps: int = 28,
+        seed: int = 0,
+        solver: str = "euler",
+    ) -> np.ndarray:
+        """Fixed-schedule FLUX baseline (no TPM) — the comparison point
+        for the adaptive sampler, mirroring TPDMPipeline.generate_fixed.
+        FLUX has no CFG batch-doubling (guidance is an embedded input).
+        ``solver`` picks the integrator (pipeline/sampler.py FLOW_SOLVERS):
+        euler / heun / midpoint / ab2."""
+        from tpdm_tpu.ops.schedules import uniform_flow_sigmas
+        from tpdm_tpu.pipeline.sampler import (
+            FLOW_SOLVERS,
+            fixed_schedule_sample_solver,
+        )
+
+        if solver not in FLOW_SOLVERS:
+            raise ValueError(
+                f"unknown solver {solver!r}; pick from {FLOW_SOLVERS}"
+            )
+        agent = self.agent
+        if not hasattr(self, "_fixed_jits"):
+            self._fixed_jits = {}
+        sig = (num_steps, solver)
+        if sig not in self._fixed_jits:
+            from tpdm_tpu.train.flux_agent import make_flux_denoise_fn
+
+            def go(flux_params, vae_params, latents, txt, pooled):
+                dfn = make_flux_denoise_fn(
+                    lambda *a: agent.flux.apply(flux_params, *a),
+                    txt,
+                    jnp.zeros(txt.shape[:2] + (3,)),
+                    pooled,
+                    agent.guidance,
+                    (agent.latent_size, agent.latent_size),
+                )
+                vfn = lambda lat, s: dfn(lat, s)[0]
+                final = fixed_schedule_sample_solver(
+                    vfn, latents, uniform_flow_sigmas(num_steps), solver
+                )
+                if self.vae is None:
+                    return final
+                cfg = self.vae.config
+                return self.vae.apply(
+                    vae_params,
+                    final.astype(jnp.float32) / cfg.scaling_factor
+                    + cfg.shift_factor,
+                )
+
+            self._fixed_jits[sig] = jax.jit(go)
+        latents = agent.prepare_latents(
+            jax.random.PRNGKey(seed), prompt_embeds.shape[0]
+        )
+        out = self._fixed_jits[sig](
+            agent.flux_params, self.vae_params, latents,
+            jnp.asarray(prompt_embeds), jnp.asarray(pooled_prompt_embeds),
+        )
+        if self.vae is not None:
+            return postprocess_images(out)
+        return np.asarray(out)
